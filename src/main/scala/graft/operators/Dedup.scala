@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import VectorOps._
+
+/** Deduplication operators for a training-data pipeline, each designed for
+  * the 100 TB regime:
+  *
+  *  - exact dedup: one hash-shuffle on the content fingerprint;
+  *  - MinHash + LSH banding: per-row signature (narrow) → explode bands →
+  *    shuffle on (band, hash) buckets → pairwise verify only within buckets
+  *    (candidate count is data-dependent, not O(n²));
+  *  - n-gram Jaccard within cheap blocking keys;
+  *  - embedding near-dup via sign-LSH buckets.
+  *
+  * MinHash uses md5-based hash families so the DuckDB oracle can compute the
+  * identical signature (no engine-private hash functions in oracle-checked
+  * paths).
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles of a text column. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array_distinct(array(text)))
+  }
+
+  /** MinHash value j over a shingle set: lexicographic min of md5("j:" + s). */
+  def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$j:"), x))))
+
+  private val duckShingles: String =
+    """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |  list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+      |                 for i in range(1, len(string_split(text, ' ')) - 1)])
+      |ELSE list_distinct([text]) END""".stripMargin
+
+  private def duckMinhash(j: Int): String =
+    s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min')"
+
+  // dd01 — exact dedup on the normalized-content fingerprint: keep the
+  // smallest doc_id per group. One shuffle, map-side partial agg.
+  def dd01Exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  val dd01Sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keeper_doc_id""".stripMargin
+
+  // dd02 — MinHash(4) + LSH (2 bands × 2 rows) near-dup candidate pairs,
+  // verified with exact shingle Jaccard ≥ 0.2.
+  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = documents(s, d)
+      .select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", $"sh",
+        md5(concat_ws("|", minhash($"sh", 0), minhash($"sh", 1))).as("band0"),
+        md5(concat_ws("|", minhash($"sh", 2), minhash($"sh", 3))).as("band1"))
+    val bands = sigs.select($"doc_id", $"sh",
+        explode(array(struct(lit(0).as("band_id"), $"band0".as("h")),
+                      struct(lit(1).as("band_id"), $"band1".as("h")))).as("b"))
+      .select($"doc_id", $"sh", $"b.band_id", $"b.h")
+    val a = bands.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"band_id", $"h")
+    val b = bands.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"band_id", $"h")
+    a.join(b, Seq("band_id", "h"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .distinct()
+      .filter($"jaccard" >= 0.2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dd02Sql: String =
+    s"""WITH sh_t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+       |sig AS (SELECT doc_id, sh,
+       |  md5(${duckMinhash(0)} || '|' || ${duckMinhash(1)}) AS band0,
+       |  md5(${duckMinhash(2)} || '|' || ${duckMinhash(3)}) AS band1 FROM sh_t),
+       |bands AS (
+       |  SELECT doc_id, sh, 0 AS band_id, band0 AS h FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1 AS band_id, band1 AS h FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // dd04 — blocked exact n-gram Jaccard: cheap blocking key (lang, source,
+  // token-count bucket) bounds the pairwise verify to within-block pairs.
+  def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select(
+      $"doc_id", $"lang", $"source",
+      floor(size(split($"text", " ")) / 10.0).cast("long").as("len_bucket"),
+      shingles($"text").as("sh"))
+    val a = base.select($"lang", $"source", $"len_bucket", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = base.select($"lang", $"source", $"len_bucket", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("lang", "source", "len_bucket"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= 0.15)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dd04Sql: String =
+    s"""WITH base AS (SELECT doc_id, lang, source,
+       |  CAST(floor(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS len_bucket,
+       |  $duckShingles AS sh FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM base a JOIN base b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+       |  AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // dd05 — embedding-cosine near-dup: sign-LSH bucket on the first 8 dims,
+  // pairwise exact cosine only within buckets, threshold 0.9.
+  def dd05EmbeddingDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
+    val a = base.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = base.select($"bucket", $"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", cosine($"emb_a", $"emb_b").as("cos"))
+      .filter($"cos" >= 0.9)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val dd05Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckCosine("a.embedding", "b.embedding")} AS cos
+       |FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd01_exact_dedup" -> dd01Exact _,
+    "dd02_minhash_lsh" -> dd02MinhashLsh _,
+    "dd04_ngram_jaccard" -> dd04NgramJaccard _,
+    "dd05_embedding_dup" -> dd05EmbeddingDup _)
+
+  def oracles: Map[String, String] = Map(
+    "dd01_exact_dedup" -> dd01Sql,
+    "dd02_minhash_lsh" -> dd02Sql,
+    "dd04_ngram_jaccard" -> dd04Sql,
+    "dd05_embedding_dup" -> dd05Sql)
+}

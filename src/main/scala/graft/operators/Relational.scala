@@ -1,0 +1,399 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+
+/** Relational operator surface (SURVEY.md §2.2, §2.4-§2.8): the full
+  * scan/filter/project/join/agg/window/sort/set-op capability the reference
+  * delegates to its consumer, expressed Spark-first so Catalyst handles
+  * pushdown, pruning, join strategy and whole-stage codegen.
+  *
+  * Oracle-determinism conventions (the driver hash-compares against DuckDB):
+  *  - FP sums are accumulated exactly: `CAST(x AS DECIMAL(38,10))` before SUM,
+  *    cast back to DOUBLE after — kills summation-order nondeterminism.
+  *  - date/timestamp outputs are formatted to strings — kills tz/precision
+  *    representation drift between engines.
+  *  - every query ends in a total ORDER BY.
+  */
+object Relational {
+
+  /** Exact (order-independent) sum of a double expression, as double. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(38, 10))), 2).cast("double")
+
+  // q01 — TPC-H Q1-style pricing summary: scan + filter + hash agg.
+  // At scale: partial aggregation map-side; only 7 columns read (pruning);
+  // shipdate predicate pushed to parquet.
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter(to_date($"l_shipdate") <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q02 — scan + predicate + projection (reference P1/P2 shape: equality
+  // filters applied before anything else; both pushed into the parquet scan).
+  def q02FilterProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .filter($"event_type" === "purchase" && $"user_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  val q02Sql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND user_id % 2 = 0
+      |ORDER BY event_id""".stripMargin
+
+  // q03 — TPC-H Q3-style 3-way join + agg + top-k. customer is small →
+  // broadcast; lineitem⋈orders shuffles on orderkey (AQE picks strategy).
+  def q03TopRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // q04 — left-semi join (EXISTS): orders having a high-quantity lineitem.
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hi = lineitem(s, d).filter($"l_quantity" >= 48).select($"l_orderkey")
+    orders(s, d)
+      .join(hi, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q05 — left-anti join (NOT EXISTS): customers with no orders, by nation.
+  // nation is tiny → broadcast.
+  def q05AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val noOrders = customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+    noOrders.join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val q05Sql: String =
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // q06 — TPC-H Q6-style single-pass filtered agg; all predicates pushed.
+  def q06Forecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_discount" >= 0.04 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q06Sql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount >= 0.04 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // q07 — window rank: top order per customer (row_number, total order).
+  def q07WindowRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // q08 — running (cumulative) sum per supplier over ship time; the window
+  // order is total so the sequential accumulation is deterministic.
+  def q08RunningSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter($"l_suppkey" < 3)
+      .withColumn("running_qty", round(sum($"l_quantity".cast(DecimalType(38, 10))).over(w), 2).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q08Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey < 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // q09 — set operations: nation keys with customers vs with suppliers.
+  def q09SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custNations = customer(s, d).select($"c_nationkey".as("nationkey")).distinct()
+    val suppNations = supplier(s, d).select($"s_nationkey".as("nationkey")).distinct()
+    val both = custNations.intersect(suppNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("tag", lit("cust_only"))
+    val union = custNations.union(suppNations).distinct().withColumn("tag", lit("any"))
+    both.union(custOnly).union(union)
+      .select($"tag", $"nationkey")
+      .orderBy($"tag", $"nationkey")
+  }
+
+  val q09Sql: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn) t
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn) t
+      |UNION ALL
+      |SELECT 'any' AS tag, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn) t
+      |ORDER BY tag, nationkey""".stripMargin
+
+  // q10 — distinct aggregates (shuffle-heavy; expand + two-phase agg).
+  def q10DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).agg(
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey").as("n_supps"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val q10Sql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  // q11 — group + HAVING.
+  def q11GroupHaving(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+      .filter($"n_parts" > 5)
+      .orderBy($"p_brand")
+  }
+
+  val q11Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_price
+      |FROM part GROUP BY p_brand HAVING COUNT(*) > 5
+      |ORDER BY p_brand""".stripMargin
+
+  // q12 — conditional (CASE) aggregation over a join, TPC-H Q12 shape.
+  def q12CaseAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // q13 — outer join + nested agg (TPC-H Q13): order-count distribution.
+  def q13OuterJoinAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perCust = customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // q14 — scalar function surface (string/math/conditional; reference §2.7
+  // has only decode utilities — the user-facing scalar library is Spark's).
+  def q14ScalarFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .filter($"p_partkey" <= 100)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_upper"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        abs($"p_size" - lit(25)).as("size_dist"),
+        ($"p_partkey" % 7).as("pk_mod"),
+        coalesce(nullif($"p_brand", lit("Brand#11")), lit("OTHER")).as("brand_or_other"))
+      .orderBy($"p_partkey")
+  }
+
+  val q14Sql: String =
+    """SELECT p_partkey, UPPER(p_name) AS name_upper, SUBSTRING(p_name, 1, 8) AS name_prefix,
+      |  LENGTH(p_name) AS name_len, p_brand || '#' || p_type AS brand_type,
+      |  ABS(p_size - 25) AS size_dist, p_partkey % 7 AS pk_mod,
+      |  COALESCE(NULLIF(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other
+      |FROM part WHERE p_partkey <= 100
+      |ORDER BY p_partkey""".stripMargin
+
+  // q15 — event-time bucketing (batch shape of the streaming windowed agg):
+  // tumbling 1-hour windows over the events stream table.
+  def q15TimeBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val q15Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  // q16 — rollup (hierarchical aggregation) over region → nation.
+  def q16Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q16Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // q17 — global top-k with total tie-break (sort + limit; Spark plans a
+  // TakeOrderedAndProject — no full sort at scale).
+  def q17TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_top_revenue" -> q03TopRevenue _,
+    "q04_semi_join" -> q04SemiJoin _,
+    "q05_anti_join" -> q05AntiJoin _,
+    "q06_forecast" -> q06Forecast _,
+    "q07_window_rank" -> q07WindowRank _,
+    "q08_running_sum" -> q08RunningSum _,
+    "q09_set_ops" -> q09SetOps _,
+    "q10_distinct_agg" -> q10DistinctAgg _,
+    "q11_group_having" -> q11GroupHaving _,
+    "q12_case_agg" -> q12CaseAgg _,
+    "q13_outer_join_agg" -> q13OuterJoinAgg _,
+    "q14_scalar_funcs" -> q14ScalarFuncs _,
+    "q15_time_buckets" -> q15TimeBuckets _,
+    "q16_rollup" -> q16Rollup _,
+    "q17_topk" -> q17TopK _)
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_top_revenue" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_forecast" -> q06Sql,
+    "q07_window_rank" -> q07Sql,
+    "q08_running_sum" -> q08Sql,
+    "q09_set_ops" -> q09Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_group_having" -> q11Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_outer_join_agg" -> q13Sql,
+    "q14_scalar_funcs" -> q14Sql,
+    "q15_time_buckets" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_topk" -> q17Sql)
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import VectorOps._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - sim01: brute-force exact cosine top-k — the correctness baseline; a
+  *    single broadcast of the query vector + narrow scan, so it scales as a
+  *    full pass (fine as ground truth / small-query path).
+  *  - sim02: sign-LSH bucketed top-k — the scale path: candidates are only
+  *    the query's hash bucket, so work per query is |bucket|, not |table|.
+  *  - sim03: IVF-style probe — coarse centroids (per label) computed once,
+  *    query probes the nearest `nprobe` cells and searches only those.
+  */
+object Similarity {
+
+  // sim01 — brute-force cosine top-10 for the query vector vec_id = 0.
+  def sim01BruteTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim01Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  // sim02 — LSH-bucketed ANN: only vectors in the query's sign bucket are
+  // scored. At 100 TB the bucket id is the shuffle/partition key and the
+  // per-query cost is the bucket size.
+  def sim02LshTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).withColumn("bucket", signBucket($"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"bucket".as("qbucket"))
+    e.join(broadcast(q), $"bucket" === $"qbucket")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim02Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM e, q
+       |WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  // sim03 — IVF probe: per-label centroids (exact decimal-mean per
+  // dimension), rank cells by centroid distance to the query, search the
+  // top-3 cells exhaustively. Centroid build = one tiny aggregation that
+  // at scale is computed once and broadcast.
+  def sim03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    // per-(label, dim) exact mean -> centroid arrays
+    val cent = e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(38,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label", transform($"pc", p => p.getField("c")).as("centroid"))
+    val probed = cent.crossJoin(broadcast(q))
+      .select($"label", dot($"centroid", transform($"qv", v => v.cast("double"))).as("cdot"))
+      .orderBy($"cdot".desc, $"label")
+      .limit(3)
+      .select($"label")
+    e.join(broadcast(probed), Seq("label"))
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim03Sql: String = {
+    val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cd AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings),
+       |cm AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM cd GROUP BY label, pos),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY label),
+       |probed AS (SELECT c.label FROM cent c, q ORDER BY $dotCQ DESC, c.label LIMIT 3)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e JOIN probed p ON e.label = p.label, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim01_brute_topk" -> sim01BruteTopK _,
+    "sim02_lsh_topk" -> sim02LshTopK _,
+    "sim03_ivf_topk" -> sim03IvfTopK _)
+
+  def oracles: Map[String, String] = Map(
+    "sim01_brute_topk" -> sim01Sql,
+    "sim02_lsh_topk" -> sim02Sql,
+    "sim03_ivf_topk" -> sim03Sql)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language signals, fingerprinting.
+  * All are single-pass narrow transforms (no shuffle) built from codegen'd
+  * builtin functions — they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column (single-space-joined corpora). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Canonical text normalization used before hashing/fingerprinting:
+    * lowercase + collapse whitespace runs + trim.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** MD5 content fingerprint of normalized text — the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  // txt01 — token counting: whitespace tokens, chars, avg token length.
+  def txt01TokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_measured"),
+        (length($"text").cast("double") / size(tokens($"text"))).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val txt01Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+      |  CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // txt02 — quality scoring: stopword ratio, type-token ratio, flag short
+  // docs. Pure per-row expressions (higher-order functions, no UDF).
+  def txt02Quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter_hof(toks))
+    documents(s, d)
+      .select(
+        $"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("type_token_ratio"),
+        when(nTok < 30, lit("short")).otherwise(lit("ok")).as("len_class"))
+      .orderBy($"doc_id")
+  }
+
+  /** tokens ∈ {the, a} — a deterministic stand-in stopword list. */
+  private def filter_hof(toks: Column): Column =
+    filter(toks, t => t === "the" || t === "a")
+
+  val txt02Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS type_token_ratio,
+      |  CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short' ELSE 'ok' END AS len_class
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // txt03 — language distribution + per-language stats (lang-ID consumers).
+  def txt03LangStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(size(tokens($"text")).cast("long")).as("total_tokens"))
+      .orderBy($"lang")
+  }
+
+  val txt03Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // txt04 — content fingerprinting: md5 over normalized text (the key used
+  // by exact dedup); also first-token as a cheap shingle anchor.
+  def txt04Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(
+        $"doc_id",
+        fingerprint($"text").as("fp"),
+        element_at(tokens($"text"), 1).as("first_token"))
+      .orderBy($"doc_id")
+  }
+
+  val txt04Sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  string_split(text, ' ')[1] AS first_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // txt05 — heuristic language-ID (n-gram/stopword-evidence style): score
+  // docs by occurrence of per-language marker tokens and pick argmax.
+  // Deterministic and SQL-expressible so the oracle can check it; a real
+  // pipeline would swap in a larger marker table (broadcast join) — same
+  // plan shape.
+  def txt05LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    def score(words: String*): Column =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+    // marker sets chosen from the synthetic vocabulary; evidence = counts
+    val sEn = score("the", "a", "fast", "slow")
+    val sData = score("data", "row", "column", "table")
+    val guess = when(sEn > sData, lit("en_like"))
+      .when(sData > sEn, lit("data_like"))
+      .otherwise(lit("tie"))
+    documents(s, d)
+      .select($"doc_id", $"lang", sEn.cast("long").as("s_en"),
+        sData.cast("long").as("s_data"), guess.as("lang_guess"))
+      .orderBy($"doc_id")
+  }
+
+  val txt05Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','fast','slow'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('data','row','column','table'))) AS BIGINT) AS s_data,
+      |  CASE
+      |    WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','fast','slow')))
+      |       > len(list_filter(string_split(text, ' '), t -> t IN ('data','row','column','table'))) THEN 'en_like'
+      |    WHEN len(list_filter(string_split(text, ' '), t -> t IN ('data','row','column','table')))
+      |       > len(list_filter(string_split(text, ' '), t -> t IN ('the','a','fast','slow'))) THEN 'data_like'
+      |    ELSE 'tie' END AS lang_guess
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt01_token_count" -> txt01TokenCount _,
+    "txt02_quality" -> txt02Quality _,
+    "txt03_lang_stats" -> txt03LangStats _,
+    "txt04_fingerprint" -> txt04Fingerprint _,
+    "txt05_lang_id" -> txt05LangId _)
+
+  def oracles: Map[String, String] = Map(
+    "txt01_token_count" -> txt01Sql,
+    "txt02_quality" -> txt02Sql,
+    "txt03_lang_stats" -> txt03Sql,
+    "txt04_fingerprint" -> txt04Sql,
+    "txt05_lang_id" -> txt05Sql)
+}
