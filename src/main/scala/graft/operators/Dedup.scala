@@ -64,23 +64,32 @@ object Dedup {
   // verified with exact shingle Jaccard ≥ 0.2.
   def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingling+minhash is the compute-heavy narrow stage: spread it over
+    // all cores regardless of input file split count
     val sigs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", shingles($"text").as("sh"))
       .select($"doc_id", $"sh",
         md5(concat_ws("|", minhash($"sh", 0), minhash($"sh", 1))).as("band0"),
         md5(concat_ws("|", minhash($"sh", 2), minhash($"sh", 3))).as("band1"))
-    val bands = sigs.select($"doc_id", $"sh",
+    // LSH bucket join runs on slim (doc_id, band, hash) rows — the shingle
+    // arrays stay out of the shuffle; they are re-joined only for the few
+    // surviving candidate pairs.
+    val bands = sigs.select($"doc_id",
         explode(array(struct(lit(0).as("band_id"), $"band0".as("h")),
                       struct(lit(1).as("band_id"), $"band1".as("h")))).as("b"))
-      .select($"doc_id", $"sh", $"b.band_id", $"b.h")
-    val a = bands.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"band_id", $"h")
-    val b = bands.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"band_id", $"h")
-    a.join(b, Seq("band_id", "h"))
-      .filter($"doc_a" < $"doc_b")
+      .select($"doc_id", $"b.band_id", $"b.h")
+    val cands = bands.as("a").join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val shSets = sigs.select($"doc_id", $"sh")
+    cands
+      .join(shSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b",
         (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .distinct()
       .filter($"jaccard" >= 0.2)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -104,20 +113,36 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // dd04 — blocked exact n-gram Jaccard: cheap blocking key (lang, source,
-  // token-count bucket) bounds the pairwise verify to within-block pairs.
+  // token-count bucket) bounds the pairwise work to within-block pairs.
+  //
+  // Scale shape: shingle ARRAYS never enter a shuffle. Shingles explode to
+  // (block, shingle, doc) rows, the self-equi-join on (block, shingle)
+  // counts |A∩B| per pair (codegen hash join + partial agg), and
+  // |A∪B| = |A| + |B| − |A∩B|. Pairs sharing zero shingles never
+  // materialize — at 100 TB that is the difference between "pairs that
+  // might match" and "all pairs in the block".
   def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = documents(s, d).select(
-      $"doc_id", $"lang", $"source",
-      floor(size(split($"text", " ")) / 10.0).cast("long").as("len_bucket"),
-      shingles($"text").as("sh"))
-    val a = base.select($"lang", $"source", $"len_bucket", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = base.select($"lang", $"source", $"len_bucket", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("lang", "source", "len_bucket"))
-      .filter($"doc_a" < $"doc_b")
+    val base = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        $"doc_id", $"lang", $"source",
+        floor(size(split($"text", " ")) / 10.0).cast("long").as("len_bucket"),
+        shingles($"text").as("sh"))
+    val sizes = base.select($"doc_id", size($"sh").as("n_sh"))
+    val ex = base.select($"lang", $"source", $"len_bucket", $"doc_id",
+      explode($"sh").as("shingle"))
+    val inter = ex.as("a").join(ex.as("b"),
+        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+          $"a.len_bucket" === $"b.len_bucket" && $"a.shingle" === $"b.shingle" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+        ($"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
       .filter($"jaccard" >= 0.15)
       .orderBy($"doc_a", $"doc_b")
   }
