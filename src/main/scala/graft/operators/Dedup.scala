@@ -112,6 +112,50 @@ object Dedup {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // dd03 — SimHash dedup. 32-bit signature: bit j is the sign of Σ over
+  // distinct tokens of ±1, where +1 iff the j-th hex nibble of md5(token)
+  // has its high bit set (nibble >= 8). Documents with identical
+  // signatures form a duplicate cluster (keeper = min doc_id). Cluster
+  // output is linear in input — pairwise expansion (hamming-LSH banding,
+  // see dd02's shape) is intentionally avoided: on a self-similar corpus
+  // pair output is quadratic and melts at 100 TB. md5-nibble hashing keeps
+  // the DuckDB oracle bit-identical. Plan: explode + one 32-column codegen
+  // aggregation + one group-by — no arrays in any shuffle.
+  private def isHigh(c: Column): Column =
+    c.isin("8", "9", "a", "b", "c", "d", "e", "f")
+
+  def dd03Simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+      .select($"doc_id", md5($"t").as("h"))
+    val bitSums = (1 to 32).map { j =>
+      sum(when(isHigh(substring($"h", j, 1)), 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = tok.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        concat((1 to 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("sig"))
+    sig.groupBy($"sig")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  val dd03Sql: String = {
+    val bitSums = (1 to 32).map { j =>
+      s"SUM(CASE WHEN substring(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val sigConcat = (1 to 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents),
+       |bitsum AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |sig_t AS (SELECT doc_id, $sigConcat AS sig FROM bitsum)
+       |SELECT sig, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+       |FROM sig_t GROUP BY sig
+       |ORDER BY keeper_doc_id""".stripMargin
+  }
+
   // dd04 — blocked exact n-gram Jaccard: cheap blocking key (lang, source,
   // token-count bucket) bounds the pairwise work to within-block pairs.
   //
@@ -187,12 +231,14 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd01_exact_dedup" -> dd01Exact _,
     "dd02_minhash_lsh" -> dd02MinhashLsh _,
+    "dd03_simhash" -> dd03Simhash _,
     "dd04_ngram_jaccard" -> dd04NgramJaccard _,
     "dd05_embedding_dup" -> dd05EmbeddingDup _)
 
   def oracles: Map[String, String] = Map(
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
+    "dd03_simhash" -> dd03Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_dup" -> dd05Sql)
 }
