@@ -208,6 +208,7 @@ object Dedup {
   // dd05 — embedding-cosine near-dup: sign-LSH bucket on the first 8 dims,
   // pairwise exact cosine only within buckets, threshold 0.9.
   def dd05EmbeddingDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val base = embeddings(s, d)
       .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))

@@ -19,6 +19,7 @@ object Similarity {
 
   // sim01 — brute-force cosine top-10 for the query vector vec_id = 0.
   def sim01BruteTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = embeddings(s, d)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -41,6 +42,7 @@ object Similarity {
   // scored. At 100 TB the bucket id is the shuffle/partition key and the
   // per-query cost is the bucket size.
   def sim02LshTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = embeddings(s, d).withColumn("bucket", signBucket($"embedding"))
     val q = e.filter($"vec_id" === 0)
@@ -66,6 +68,7 @@ object Similarity {
   // top-3 cells exhaustively. Centroid build = one tiny aggregation that
   // at scale is computed once and broadcast.
   def sim03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = embeddings(s, d)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -77,7 +80,9 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"label", transform($"pc", p => p.getField("c")).as("centroid"))
     val probed = cent.crossJoin(broadcast(q))
-      .select($"label", dot($"centroid", transform($"qv", v => v.cast("double"))).as("cdot"))
+      .select($"label", aggregate( // centroid is array<double>: HOF fold here
+        zip_with($"centroid", $"qv", (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("cdot"))
       .orderBy($"cdot".desc, $"label")
       .limit(3)
       .select($"label")

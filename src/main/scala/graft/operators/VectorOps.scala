@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Exact sequential dot product of two float-array columns, as double. */
+  /** Exact sequential dot product of two float-array columns, as double.
+    * Resolves to the codegen'd [[graft.functions.FloatDotProduct]]
+    * expression (register via [[graft.functions.GraftFunctions.register]];
+    * all graft query entry points do). Numerically identical to the
+    * HOF form `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaced.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   /** Cosine similarity (deterministic: dot + sqrt on doubles). */
   def cosine(a: Column, b: Column): Column =
