@@ -38,7 +38,24 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Binlog decode throughput — the reference's headline metric
+    // (`read-penultimate-binlog` criterium bench, mysql_bench.clj:166-181):
+    // full decode of the generated fixture files in events mode.
+    val fixDir = operators.CdcBinlog.fixtureDir(sfDir)
+    val fixBytes = new java.io.File(fixDir).listFiles()
+      .filter(_.getName.startsWith("binlog.0")).map(_.length).sum
+    def decodeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("mysql-binlog").option("mode", "events").load(fixDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decodeOnce() // warm
+    val decodeSec = decodeOnce()
+    val mbPerSec = fixBytes / 1e6 / decodeSec
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

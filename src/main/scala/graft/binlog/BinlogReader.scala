@@ -206,6 +206,34 @@ object BinlogReader {
     case ColType.Double => b.getDouble()
     case ColType.Year => 1900 + ubyte(b)
     case ColType.Timestamp => b.getInt() & 0xffffffffL
+    case ColType.Date =>
+      // 3-byte LE: day | month<<5 | year<<9
+      val v = nUint(bytes(b, 3))
+      java.time.LocalDate.of((v >> 9).toInt, ((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+    case ColType.Time =>
+      // 3-byte LE packed decimal HHMMSS
+      val v = nUint(bytes(b, 3))
+      java.time.LocalTime.of((v / 10000).toInt, ((v / 100) % 100).toInt, (v % 100).toInt)
+    case ColType.Datetime =>
+      // 8-byte LE packed decimal YYYYMMDDHHMMSS
+      val v = b.getLong()
+      val date = v / 1000000L
+      val time = v % 1000000L
+      java.time.LocalDateTime.of(
+        (date / 10000L).toInt, ((date / 100L) % 100L).toInt, (date % 100L).toInt,
+        (time / 10000L).toInt, ((time / 100L) % 100L).toInt, (time % 100L).toInt)
+    case ColType.Blob =>
+      // meta = number of length-prefix bytes (1, 2, 3 or 4)
+      val len = nUint(bytes(b, meta)).toInt
+      bytes(b, len)
+    case ColType.Bit =>
+      // meta: low byte = bits, high byte = byte count; value is big-endian
+      val nb = meta >> 8
+      val a = bytes(b, nb)
+      var v = 0L
+      var i = 0
+      while (i < nb) { v = (v << 8) | (a(i) & 0xffL); i += 1 }
+      v
     case other => throw new IllegalArgumentException(s"Cannot read type $other")
   }
 

@@ -27,6 +27,11 @@ object BinlogWriter {
     def tiny: ColSpec = ColSpec(ColType.Tiny, 0)
     def bigint: ColSpec = ColSpec(ColType.LongLong, 0)
     def double: ColSpec = ColSpec(ColType.Double, 8)
+    def date: ColSpec = ColSpec(ColType.Date, 0)
+    def time: ColSpec = ColSpec(ColType.Time, 0)
+    def datetime: ColSpec = ColSpec(ColType.Datetime, 0)
+    def blob(lenBytes: Int = 2): ColSpec = ColSpec(ColType.Blob, lenBytes)
+    def bit(bits: Int): ColSpec = ColSpec(ColType.Bit, (bits % 8) | (((bits + 7) / 8) << 8))
   }
 
   final class Writer(serverId: Long = 1L, charset: Charset = StandardCharsets.ISO_8859_1) {
@@ -128,6 +133,28 @@ object BinlogWriter {
       case ColType.Double =>
         val a = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
           .putDouble(v.asInstanceOf[Number].doubleValue).array()
+        b.write(a)
+      case ColType.Date =>
+        val ld = v.asInstanceOf[java.time.LocalDate]
+        b.write(le(3)((ld.getDayOfMonth | (ld.getMonthValue << 5) | (ld.getYear << 9)).toLong))
+      case ColType.Time =>
+        val lt = v.asInstanceOf[java.time.LocalTime]
+        b.write(le(3)((lt.getHour * 10000 + lt.getMinute * 100 + lt.getSecond).toLong))
+      case ColType.Datetime =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        val packed = (dt.getYear.toLong * 10000L + dt.getMonthValue * 100L + dt.getDayOfMonth) * 1000000L +
+          dt.getHour * 10000L + dt.getMinute * 100L + dt.getSecond
+        b.write(le(8)(packed))
+      case ColType.Blob =>
+        val a = v.asInstanceOf[Array[Byte]]
+        b.write(le(spec.meta)(a.length.toLong))
+        b.write(a)
+      case ColType.Bit =>
+        val nb = spec.meta >> 8
+        val x = v.asInstanceOf[Number].longValue
+        val a = new Array[Byte](nb)
+        var i = 0
+        while (i < nb) { a(nb - 1 - i) = ((x >> (i * 8)) & 0xff).toByte; i += 1 }
         b.write(a)
       case ColType.NewDecimal =>
         val precision = spec.meta & 0xff

@@ -46,6 +46,9 @@ object ColType {
   val Timestamp = 7
   val LongLong = 8
   val Int24 = 9
+  val Date = 10
+  val Time = 11
+  val Datetime = 12
   val Year = 13
   val Varchar = 15
   val Bit = 16

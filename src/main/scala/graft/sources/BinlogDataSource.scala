@@ -238,6 +238,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case TimestampType => l * 1000000L
       case _ => l
     }
+    case ld: java.time.LocalDate => ld.toEpochDay.toInt // DateType days
+    case lt: java.time.LocalTime => dt match {
+      case StringType => UTF8String.fromString(lt.toString)
+      case _ => lt.toSecondOfDay.toLong
+    }
+    case dtv: java.time.LocalDateTime => // TimestampType micros, UTC
+      dtv.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dtv.getNano / 1000L
     case other => other
   }
 

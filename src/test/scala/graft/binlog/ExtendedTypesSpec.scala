@@ -1,0 +1,71 @@
+package graft.binlog
+
+import java.nio.file.Files
+import java.time.{LocalDate, LocalDateTime, LocalTime}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import BinlogWriter._
+
+/** Types beyond the reference's declared VARCHAR/INT/DECIMAL set (ids
+  * enumerated at `mysql_binlog.clj:401-428` but decode throws at `:558`):
+  * TINY, SHORT, LONGLONG, FLOAT, DOUBLE, DATE, TIME, DATETIME, TIMESTAMP,
+  * YEAR, BLOB, BIT — decoder round-trips plus typed arrival through the
+  * DSv2 source.
+  */
+class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("decoder round-trips date/time/datetime/blob/bit/numerics") {
+    val cols = Seq(ColSpec.tiny, ColSpec.bigint, ColSpec.double,
+      ColSpec.date, ColSpec.time, ColSpec.datetime, ColSpec.blob(2), ColSpec.bit(12))
+    val row = Seq[Any](-5, 1234567890123L, 3.25,
+      LocalDate.of(2024, 2, 29), LocalTime.of(23, 59, 58),
+      LocalDateTime.of(1999, 12, 31, 23, 59, 59),
+      Array[Byte](1, 2, 3, 0, -1), 0xABCL)
+    val dir = Files.createTempDirectory("ext-types")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(7, "d", "t", cols)
+      .writeInsert(7, cols, Seq(row))
+      .save(dir.resolve("binlog.000001").toString)
+    val img = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent].rows.head
+    assert(img(0) === -5)
+    assert(img(1) === 1234567890123L)
+    assert(img(2) === 3.25)
+    assert(img(3) === LocalDate.of(2024, 2, 29))
+    assert(img(4) === LocalTime.of(23, 59, 58))
+    assert(img(5) === LocalDateTime.of(1999, 12, 31, 23, 59, 59))
+    assert(img(6).asInstanceOf[Array[Byte]].toSeq === Seq[Byte](1, 2, 3, 0, -1))
+    assert(img(7) === 0xABCL)
+  }
+
+  test("typed arrival through the source: DATE/TIMESTAMP/BINARY/LONG columns") {
+    val cols = Seq(ColSpec.int, ColSpec.date, ColSpec.datetime, ColSpec.blob(2), ColSpec.bit(12))
+    val dir = Files.createTempDirectory("ext-src")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(7, "d", "t", cols, ts = 1000)
+      .writeInsert(7, cols, Seq(Seq[Any](1, LocalDate.of(2024, 2, 29),
+        LocalDateTime.of(2024, 2, 29, 12, 30, 0), Array[Byte](9, 8, 7), 5L)), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val df = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, d DATE, dt TIMESTAMP, payload BINARY, flags BIGINT")
+      .load(dir.toString)
+    val r = df.head()
+    assert(r.getAs[java.sql.Date]("d").toString === "2024-02-29")
+    assert(r.getAs[java.sql.Timestamp]("dt").toInstant.toString === "2024-02-29T12:30:00Z")
+    assert(r.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](9, 8, 7))
+    assert(r.getAs[Long]("flags") === 5L)
+  }
+}
