@@ -149,7 +149,12 @@ class BinlogScanBuilder(schema: StructType, options: Map[String, String])
   }
 }
 
-case class BinlogInputPartition(file: String, startPos: Long, endPos: Long)
+/** `initialTableMaps` (streaming): table-map snapshot valid at `startPos`,
+  * captured by the offset walk — lets the reader decode from `startPos`
+  * directly instead of replaying the file prefix to rebuild state.
+  */
+case class BinlogInputPartition(file: String, startPos: Long, endPos: Long,
+    initialTableMaps: Map[Long, graft.binlog.TableMapEvent] = Map.empty)
   extends InputPartition
 
 class BinlogScan(schema: StructType, options: Map[String, String],
@@ -207,9 +212,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   private val logFile = UTF8String.fromString(new java.io.File(part.file).getName)
   private val buf = BinlogReader.mapFile(part.file)
-  // decode always starts at 4 to rebuild TABLE_MAP state (SURVEY §3.3);
-  // emission is gated on [startPos, endPos)
-  private val events = BinlogReader.eventIterator(buf, 4L, Map.empty, charset)
+  // With a table-map snapshot the decode starts at startPos (streaming
+  // fast path: O(batch delta)); otherwise replay from 4 to rebuild
+  // TABLE_MAP state (SURVEY §3.3), with emission gated on [startPos, endPos)
+  private val decodeFrom =
+    if (part.initialTableMaps.nonEmpty || part.startPos <= 4L) part.startPos else 4L
+  private val events =
+    BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset)
 
   private var txnBuffer = Vector.empty[Array[Any]] // change rows awaiting xid
   private var out: Iterator[InternalRow] = Iterator.empty

@@ -4,7 +4,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
-import graft.binlog.BinlogReader
+import graft.binlog.{BinlogReader, EventType, TableMapEvent}
 
 /** Streaming offset: (binlog file name, byte position of the next unread
   * event). Files order lexicographically (MySQL's `binlog.NNNNNN` naming),
@@ -48,6 +48,14 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   private val path = options("path")
   private val maxBytes = options.get("maxbytespertrigger").map(_.toLong)
 
+  /** Table-map snapshots learned by the offset walk: (file, pos) -> state
+    * valid when decoding resumes at pos. Driver-side only; bounded by one
+    * entry per latestOffset call per file (entries for stale offsets are
+    * dropped on commit).
+    */
+  private[sources] val tableMapCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Map[Long, TableMapEvent]]
+
   private def files(): Vector[String] = BinlogSchemas.resolveFiles(path)
 
   /** Last *transaction-safe* byte position in `file` at or after `from`:
@@ -63,11 +71,13 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     * stream forever).
     */
   private def lastSafePos(file: String, from: Long, byteBudget: Long): Long = {
-    import graft.binlog.EventType
     val buf = BinlogReader.mapFile(file)
     val charset = java.nio.charset.Charset.forName(options.getOrElse("charset", "ISO-8859-1"))
     var pos = math.max(from, 4L)
     var lastSafe = pos
+    // resume table-map tracking from a prior snapshot when available
+    var tms = tableMapCache.getOrElse((file, pos), Map.empty[Long, TableMapEvent])
+    var tmsAtSafe = tms
     var txnOpen = false
     var done = false
     while (!done) {
@@ -77,18 +87,25 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
             case EventType.Query =>
               val q = BinlogReader.readQuery(buf, h, charset)
               txnOpen = q.sql.equalsIgnoreCase("BEGIN")
-            case EventType.TableMap | EventType.WriteRows |
-                 EventType.UpdateRows | EventType.DeleteRows =>
+            case EventType.TableMap =>
+              val tm = BinlogReader.readTableMap(buf, h, charset)
+              tms = tms.updated(tm.tableId, tm)
+              txnOpen = true
+            case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows =>
               txnOpen = true
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false
           }
           pos = h.offset + h.eventLen
-          if (!txnOpen) lastSafe = pos
+          if (!txnOpen) { lastSafe = pos; tmsAtSafe = tms }
           if (pos - from >= byteBudget && !txnOpen) done = true
         case None => done = true
       }
     }
+    // snapshot for the NEXT batch starting at lastSafe: only trustworthy if
+    // this walk itself started from complete state (pos 4 or a cached point)
+    if (from <= 4L || tableMapCache.contains((file, from)))
+      tableMapCache.update((file, lastSafe), tmsAtSafe)
     lastSafe
   }
 
@@ -138,8 +155,12 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     (si to ei).flatMap { i =>
       val startPos = if (i == si) s.pos else 4L
       val endPos = if (i == ei) e.pos else Long.MaxValue
-      if (endPos > startPos) Some(BinlogInputPartition(fs(i), startPos, endPos))
-      else None
+      if (endPos > startPos) {
+        val snapshot =
+          if (startPos > 4L) tableMapCache.getOrElse((fs(i), startPos), Map.empty[Long, TableMapEvent])
+          else Map.empty[Long, TableMapEvent]
+        Some(BinlogInputPartition(fs(i), startPos, endPos, snapshot))
+      } else None
     }.toArray
   }
 

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.binlog.BinlogWriter._
+
+/** The streaming fast path: the offset walk snapshots TABLE_MAP state so a
+  * later micro-batch decodes from its start offset directly (O(delta)),
+  * instead of replaying the file prefix (O(file)).
+  */
+class TableMapSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+
+  test("second micro-batch gets a snapshot partition and decodes only the delta") {
+    val dir = Files.createTempDirectory("tm-snap")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1000)
+      .writeXid(1, ts = 1000)
+    w.save(f1)
+
+    val schema = BinlogSchemas.forOptions(Map("payloadddl" -> "id INT, value STRING"))
+    val stream = new BinlogMicroBatchStream(schema,
+      Map("path" -> dir.toString, "payloadddl" -> "id INT, value STRING"),
+      None, None, None)
+
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    // batch 1 consumed everything; now the "database" appends a txn
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 1001)
+      .writeXid(2, ts = 1001)
+      .save(f1)
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+
+    val parts = stream.planInputPartitions(o1, o2)
+    assert(parts.length === 1)
+    val p = parts.head.asInstanceOf[BinlogInputPartition]
+    assert(p.startPos > 4L)
+    // the walk from o0 -> o1 snapshotted state at o1; batch 2 must use it
+    assert(p.initialTableMaps.nonEmpty,
+      s"no table-map snapshot for partition at ${p.startPos}; cache=${stream.tableMapCache.keys}")
+
+    // and the snapshot decode produces exactly the delta rows
+    val reader = stream.createReaderFactory().createReader(p)
+      .asInstanceOf[org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow]]
+    val rows = Iterator.continually(if (reader.next()) Some(reader.get().copy()) else None)
+      .takeWhile(_.isDefined).flatten.toVector
+    assert(rows.length === 1)
+    assert(rows.head.getInt(9) === 2) // payload id of the appended row
+  }
+}
