@@ -359,7 +359,77 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 25""".stripMargin
 
+  // q18 — correlated scalar subquery (TPC-H Q17 shape): lineitems below
+  // 20% of their part's average quantity. The correlation is expressed as
+  // a pre-aggregated threshold join (exactly what a decorrelation rewrite
+  // produces); thresholds use exact decimal means so both engines compare
+  // against identical doubles.
+  def q18AvgThreshold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val thresholds = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg(((sum($"l_quantity".cast(DecimalType(38, 10))).cast("double") /
+        count(lit(1))) * 0.2).as("q_threshold"))
+    val p = part(s, d).filter($"p_brand" === "Brand#21")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(thresholds, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"q_threshold")
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q18Sql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |JOIN (SELECT l_partkey AS t_partkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) * 0.2 AS q_threshold
+      |      FROM lineitem GROUP BY l_partkey) t ON l_partkey = t_partkey
+      |WHERE p_brand = 'Brand#21' AND l_quantity < q_threshold""".stripMargin
+
+  // q19 — disjunctive multi-predicate join (TPC-H Q19 shape): OR'd groups
+  // of brand/size/quantity conditions; Catalyst extracts the common
+  // l_partkey = p_partkey conjunct for the join.
+  def q19DisjunctivePredicates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val p = part(s, d)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"l_quantity" >= 1 && $"l_quantity" <= 11 && $"p_size" <= 5) ||
+        ($"p_brand" === "Brand#23" && $"l_quantity" >= 10 && $"l_quantity" <= 20 && $"p_size" <= 10) ||
+        ($"p_brand" === "Brand#34" && $"l_quantity" >= 20 && $"l_quantity" <= 30 && $"p_size" <= 15))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+      |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+      |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)""".stripMargin
+
+  // q20 — sketch aggregation: HyperLogLog++ approximate distinct counts
+  // next to exact ones, with the observed relative error. Not DuckDB-
+  // expressible (different sketch) → rows-only check; the accuracy bound
+  // is asserted in SketchSpec.
+  def q20ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).agg(
+      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+      countDistinct($"l_orderkey").as("exact_orders"))
+      .withColumn("rel_err_parts",
+        abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_avg_threshold" -> q18AvgThreshold _,
+    "q19_disjunctive" -> q19DisjunctivePredicates _,
+    "q20_approx_distinct" -> q20ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_top_revenue" -> q03TopRevenue _,
@@ -379,6 +449,8 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q18_avg_threshold" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue" -> q03Sql,
