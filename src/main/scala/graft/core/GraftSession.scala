@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Front door: register the engine's tables and change streams as temp
+  * views so `spark.sql(...)` is the query surface — the Spark-native
+  * replacement for the reference's SQL-over-JDBC entry point (SURVEY
+  * §2.8/§2.10: Spark's parser/analyzer/optimizer supplant the hand-rolled
+  * tokenizer; any number of concurrent statements instead of the JDBC
+  * singleton).
+  */
+object GraftSession {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every parquet test table for SQL access. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    tableNames.filterNot(_ == "events").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    // events needs the nano-timestamp handling of Tables.events
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  /** Register typed change views for many tables of one binlog stream —
+    * `<db>_<table>_changes` each with its own pushed-down scan. The
+    * reference serves any table from a single connection
+    * (`jdbc.clj:170-178`); this is the multi-table typed equivalent.
+    *
+    * @param schemas "db.table" -> payload DDL (names come from outside the
+    *                log, as in the reference: `mysql_binlog.clj:505-508`)
+    * @param streaming readStream (micro-batch) instead of batch
+    */
+  def registerChangeViews(spark: SparkSession, binlogPath: String,
+                          schemas: Map[String, String],
+                          streaming: Boolean = false): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    schemas.map { case (qualified, ddl) =>
+      val Array(db, table) = qualified.split("\\.", 2)
+      val loaded =
+        if (streaming)
+          spark.readStream.format("mysql-binlog").option("payloadDdl", ddl).load(binlogPath)
+        else
+          spark.read.format("mysql-binlog").option("payloadDdl", ddl).load(binlogPath)
+      val df = loaded.filter(col("db") === db && col("table") === table)
+      val view = s"${db}_${table}_changes"
+      df.createOrReplaceTempView(view)
+      view -> df
+    }
+  }
+}

@@ -30,9 +30,12 @@ object Dedup {
       .otherwise(array_distinct(array(text)))
   }
 
-  /** MinHash value j over a shingle set: lexicographic min of md5("j:" + s). */
+  /** MinHash value j over a shingle set: lexicographic min of the j-th
+    * 8-hex-char window of md5(s) — four independent hash values from one
+    * md5 evaluation per shingle (4x less hashing than md5("j:"+s) per j).
+    */
   def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$j:"), x))))
+    array_min(transform(sh, x => substring(md5(x), j * 8 + 1, 8)))
 
   private val duckShingles: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -41,7 +44,7 @@ object Dedup {
       |ELSE list_distinct([text]) END""".stripMargin
 
   private def duckMinhash(j: Int): String =
-    s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min')"
+    s"list_aggregate(list_transform(sh, x -> substring(md5(x), ${j * 8 + 1}, 8)), 'min')"
 
   // dd01 — exact dedup on the normalized-content fingerprint: keep the
   // smallest doc_id per group. One shuffle, map-side partial agg.
