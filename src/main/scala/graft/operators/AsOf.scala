@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** AS-OF join — for each left row, the most recent right row with the same
+  * key and time <= the left row's time. The canonical CDC-enrichment
+  * operator (join a change stream against a slowly-changing dimension
+  * "as of" the change time; SURVEY §2.4 names it as the join Spark lacks).
+  *
+  * Built by composition (preference (a) of the custom-operator ladder):
+  * tag both sides, union, and run one `last(..., ignoreNulls)` window per
+  * carried column, partitioned by key and ordered by (time, tag). One
+  * shuffle on the key + a per-partition sort — the same cost profile as a
+  * sort-merge join, no custom physical operator needed, and it inherits
+  * AQE/skew handling. Right-side times must be unique per key (pre-
+  * aggregate duplicates) for deterministic results.
+  */
+object AsOf {
+
+  /** @param left     rows to enrich
+    * @param right    timeline to look up into; (key, time) must be unique
+    * @param key      join key column name (same name both sides)
+    * @param time     ordering column name (same name both sides; any
+    *                 orderable type)
+    * @param carry    right-side columns to carry onto left rows
+    * @return left rows + carried columns (null when no right row precedes)
+    */
+  def join(left: DataFrame, right: DataFrame, key: String, time: String,
+           carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // schema-align: left gets null carries, right gets null left-only cols
+    val taggedLeft = carry.foldLeft(left.withColumn("_asof_tag", lit(1))) {
+      (df, c) => df.withColumn(s"_carry_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rightSlim = right.select((Seq(col(key), col(time)) ++
+      carry.map(c => col(c).as(s"_carry_$c"))): _*)
+    val taggedRight = leftCols.filterNot(Seq(key, time).contains)
+      .foldLeft(rightSlim.withColumn("_asof_tag", lit(0))) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = taggedRight.select(taggedLeft.columns.map(col): _*)
+      .unionByName(taggedLeft)
+    // right rows (tag 0) sort before left rows at equal time -> "<=" semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("_asof_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carry.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_filled_$c", last(col(s"_carry_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_asof_tag") === 1)
+      .select((leftCols.map(col) ++ carry.map(c => col(s"_filled_$c").as(c))): _*)
+  }
+
+  // asof01 — enrich purchases with the user's most recent prior click
+  // value (inner as-of: purchases with no prior click drop out).
+  def asof01Enrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    // unique (user_id, ts_us) on the right for determinism
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("click_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us", $"value")
+    join(purchases, clicks, "user_id", "ts_us", Seq("click_value"))
+      .filter($"click_value".isNotNull)
+      .select($"event_id", $"user_id", $"value", $"click_value")
+      .orderBy($"event_id")
+  }
+
+  val asof01Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.value, c.click_value
+      |FROM p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof01_enrich" -> asof01Enrich _)
+
+  def oracles: Map[String, String] = Map(
+    "asof01_enrich" -> asof01Sql)
+}
