@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChangeOps.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries ++ RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ CdcBinlog.oracles ++ AsOf.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ CdcBinlog.oracles ++ AsOf.oracles ++ RangeJoin.oracles
 }

@@ -426,7 +426,31 @@ object Relational {
         abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts")
   }
 
+  // q21 — exact interpolated percentiles (distribution profiling). On the
+  // integral l_quantity domain adjacent order statistics coincide, so the
+  // interpolation is FP-stable across engines.
+  def q21Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_percentiles" -> q21Percentiles _,
     "q18_avg_threshold" -> q18AvgThreshold _,
     "q19_disjunctive" -> q19DisjunctivePredicates _,
     "q20_approx_distinct" -> q20ApproxDistinct _,
@@ -449,6 +473,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q21_percentiles" -> q21Sql,
     "q18_avg_threshold" -> q18Sql,
     "q19_disjunctive" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
