@@ -46,8 +46,68 @@ object Bench {
     val decodeSec = decodeOnce()
     val mbPerSec = fixBytes / 1e6 / decodeSec
 
+    val latencyMs = cdcLatencyProbe(spark)
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,"sf":"$sfDir"}""")
+      s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
+      s""""cdc_latency_ms_p50":$latencyMs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end CDC latency (the reference's binlog2 probe,
+    * `mysql_bench.clj:191-220`): append a single-row transaction to a live
+    * binlog, measure write → decoded-row-arrival through a running
+    * micro-batch stream. Reports the median over `turns` appends.
+    */
+  private def cdcLatencyProbe(spark: org.apache.spark.sql.SparkSession,
+                              turns: Int = 15): Double = {
+    import graft.binlog.BinlogWriter._
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val dir = java.nio.file.Files.createTempDirectory("graft-latency")
+    val f1 = dir.resolve("binlog.000001").toString
+    val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+    val w = new Writer()
+      .writeFormatDescription(ts = 1L)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1L)
+      .writeInsert(23, cols, Seq(Seq(0, "seed")), ts = 1L)
+      .writeXid(1, ts = 1L)
+    w.save(f1)
+
+    val arrivals = new ConcurrentLinkedQueue[(Int, Long)]()
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", "id INT, word STRING")
+      .load(dir.toString)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val now = System.nanoTime()
+        batch.select("id").collect().foreach(r => arrivals.add((r.getInt(0), now)))
+      }
+      .start()
+    try {
+      // wait for the seed row so the stream is warm
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!arrivals.iterator().hasNext && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      val lats = (1 to turns).map { i =>
+        val t0 = System.nanoTime()
+        w.writeTableMap(23, "bench", "lat", cols, ts = 1L)
+          .writeInsert(23, cols, Seq(Seq(i, s"turn$i")), ts = 1L)
+          .writeXid(1L + i, ts = 1L)
+          .save(f1)
+        var seen = 0L
+        while (seen == 0L && System.nanoTime() < deadline) {
+          val it = arrivals.iterator()
+          while (it.hasNext && seen == 0L) {
+            val (id, at) = it.next()
+            if (id == i) seen = at
+          }
+          if (seen == 0L) Thread.sleep(2)
+        }
+        (if (seen == 0L) -1.0 else (seen - t0) / 1e6)
+      }.filter(_ >= 0).sorted
+      if (lats.isEmpty) -1.0 else lats(lats.length / 2)
+    } finally q.stop()
   }
 }
