@@ -449,7 +449,32 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // q22 — pivot: event counts per user decile, one column per event type
+  // (explicit value list keeps the schema static for Catalyst).
+  def q22Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(($"user_id" % 10).as("user_bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"user_bucket" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"user_bucket")
+  }
+
+  val q22Sql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY user_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_pivot" -> q22Pivot _,
     "q21_percentiles" -> q21Percentiles _,
     "q18_avg_threshold" -> q18AvgThreshold _,
     "q19_disjunctive" -> q19DisjunctivePredicates _,
@@ -473,6 +498,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q22_pivot" -> q22Sql,
     "q21_percentiles" -> q21Sql,
     "q18_avg_threshold" -> q18Sql,
     "q19_disjunctive" -> q19Sql,
