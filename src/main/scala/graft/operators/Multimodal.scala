@@ -71,6 +71,52 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame: one row per kept frame (one-to-many media op). */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: keep every `step`-th frame of each video. The frame
+    * "decode" is the stub codec (deterministic byte slices); the Spark
+    * shape — a typed flatMap producing multiple rows per blob, partition-
+    * parallel, no shuffle — is the real thing.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], step: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { r =>
+      val n = FakeCodec.frameCount(r.payload, r.media_type)
+      (0 until n by step).map { i =>
+        // stub frame extraction: a deterministic slice per frame index
+        val start = (i * 7) % math.max(r.payload.length, 1)
+        val len = math.min(16, r.payload.length - start)
+        Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, start, start + len))
+      }
+    }
+  }
+
+  // mm03 — frame sampling stats: sampled-frame counts per video doc
+  // (sampled = ceil(n_frames / step)); byte accounting over the kept
+  // frames. Stub semantics mirrored exactly in SQL.
+  def mm03FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(mediaTable(s, d), step = 4)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length($"frame_bytes").cast("long")).as("sampled_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val mm03Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    octet_length(encode(text)) % 30 + 1 AS n_frames
+      |  FROM documents WHERE doc_id % 3 + 1 = 3),
+      |frames AS (
+      |  SELECT doc_id, n_bytes, unnest(range(0, n_frames, 4)) AS frame_idx FROM v)
+      |SELECT doc_id, COUNT(*) AS n_sampled,
+      |  CAST(SUM(LEAST(16, n_bytes - ((frame_idx * 7) % GREATEST(n_bytes, 1)))) AS BIGINT) AS sampled_bytes
+      |FROM frames
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // mm01 — metadata extraction over binary media columns; the byte-length /
   // type plumbing is SQL-expressible so the oracle checks the envelope even
   // though dims come from the stub codec (dims = pure function of length,
@@ -114,9 +160,11 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_meta" -> mm01MediaMeta _,
-    "mm02_media_stats" -> mm02MediaStats _)
+    "mm02_media_stats" -> mm02MediaStats _,
+    "mm03_frame_sample" -> mm03FrameSample _)
 
   def oracles: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
-    "mm02_media_stats" -> mm02Sql)
+    "mm02_media_stats" -> mm02Sql,
+    "mm03_frame_sample" -> mm03Sql)
 }
