@@ -168,54 +168,68 @@ object BinlogWriter {
       case other => throw new IllegalArgumentException(s"fixture writer: unsupported type $other")
     }
 
-    /** Rows are Seq[Any] matching `cols`; `null` entries set the null bit. */
+    /** Rows are Seq[Any] matching `cols`; `null` entries set the null bit.
+      * `usedMask` (binlog_row_image=MINIMAL shape): columns with a false
+      * bit are absent from the image entirely — image seqs then list only
+      * the used columns' values, and the reader yields
+      * [[graft.binlog.RowImage.Unused]] for the rest
+      * (`mysql_binlog.clj:593-608`).
+      */
     private def rowsBody(tableId: Long, cols: Seq[ColSpec],
-                         images: Seq[Seq[Seq[Any]]]): Array[Byte] = {
+                         images: Seq[Seq[Seq[Any]]],
+                         usedMask: Seq[Boolean]): Array[Byte] = {
       // images: per row, 1 (write/delete) or 2 (update before+after) images
       val b = new ByteArrayOutputStream()
       b.write(le(6)(tableId))
       b.write(le(2)(0)) // reserved
       writePackedInt(b, cols.length)
       val usedBytes = (cols.length + 7) / 8
-      val allUsed = Array.tabulate[Byte](usedBytes) { byteIdx =>
-        var x = 0
-        var bit = 0
-        while (bit < 8) {
-          if (byteIdx * 8 + bit < cols.length) x |= 1 << bit
-          bit += 1
-        }
-        x.toByte
+      val used = new Array[Byte](usedBytes)
+      usedMask.zipWithIndex.foreach { case (u, i) =>
+        if (u) used(i / 8) = (used(i / 8) | (1 << (i % 8))).toByte
       }
-      b.write(allUsed)
-      if (images.head.length == 2) b.write(allUsed) // update after-image bitfield
+      b.write(used)
+      if (images.head.length == 2) b.write(used) // update after-image bitfield
+      val usedSpecs = cols.zip(usedMask).filter(_._2).map(_._1)
       images.foreach { row =>
         row.foreach { img =>
+          require(img.length == usedSpecs.length,
+            s"image has ${img.length} values for ${usedSpecs.length} used columns")
           val nulls = new Array[Byte](usedBytes)
           img.zipWithIndex.foreach { case (v, i) =>
             if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
           }
           b.write(nulls)
           img.zipWithIndex.foreach { case (v, i) =>
-            if (v != null) encodeValue(b, cols(i), v)
+            if (v != null) encodeValue(b, usedSpecs(i), v)
           }
         }
       }
       b.toByteArray
     }
 
+    private def allUsed(n: Int): Seq[Boolean] = Seq.fill(n)(true)
+
     def writeInsert(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
-      event(EventType.WriteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_))))
+      event(EventType.WriteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
+      this
+    }
+
+    /** Partial-image insert: only masked-true columns appear in each row. */
+    def writeInsertMasked(tableId: Long, cols: Seq[ColSpec], usedMask: Seq[Boolean],
+                          rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
+      event(EventType.WriteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), usedMask))
       this
     }
 
     def writeDelete(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
-      event(EventType.DeleteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_))))
+      event(EventType.DeleteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
       this
     }
 
     def writeUpdate(tableId: Long, cols: Seq[ColSpec],
                     rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
-      event(EventType.UpdateRows, ts, rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2))))
+      event(EventType.UpdateRows, ts, rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), allUsed(cols.length)))
       this
     }
 

@@ -179,6 +179,20 @@ class BinlogDecoderSpec extends AnyFunSuite {
     assert(rows(1) === Vector(null, "x", null))
   }
 
+  test("partial row images: unused columns yield the Unused placeholder") {
+    // binlog_row_image=MINIMAL shape: image carries only columns 0 and 2
+    val cols = Seq(ColSpec.int, ColSpec.varchar(20), ColSpec.decimal(10, 2))
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(7, "d", "t", cols)
+      .writeInsertMasked(7, cols, Seq(true, false, true),
+        Seq(Seq(5, new JBigDecimal("3.14")), Seq(null, null)))
+      .save(tmp("partial.bin"))
+    val rows = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent].rows
+    assert(rows(0) === Vector(5, RowImage.Unused, new JBigDecimal("3.14")))
+    assert(rows(1) === Vector(null, RowImage.Unused, null))
+  }
+
   test("packed int boundaries") {
     import java.nio.ByteBuffer
     def buf(bytes: Int*) = {
