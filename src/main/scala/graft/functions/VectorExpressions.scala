@@ -67,9 +67,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashBands(exprs.head, 4), "built-in")
+  }
 
   /** Column-API form (goes through the registered function so no internal
     * Column constructors are needed).

@@ -66,15 +66,17 @@ object Dedup {
   // dd02 — MinHash(4) + LSH (2 bands × 2 rows) near-dup candidate pairs,
   // verified with exact shingle Jaccard ≥ 0.2.
   def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    // shingling+minhash is the compute-heavy narrow stage: spread it over
-    // all cores regardless of input file split count
-    val sigs = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", shingles($"text").as("sh"))
-      .select($"doc_id", $"sh",
-        md5(concat_ws("|", minhash($"sh", 0), minhash($"sh", 1))).as("band0"),
-        md5(concat_ws("|", minhash($"sh", 2), minhash($"sh", 3))).as("band1"))
+    // signature computation is the compute-heavy narrow stage: the
+    // single-pass graft_minhash expression (one md5 per shingle, all four
+    // window minima in one traversal) spread over all cores
+    val docs = documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    val sigs = docs
+      .select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
+      .select($"doc_id",
+        md5(concat_ws("|", element_at($"mh", 1), element_at($"mh", 2))).as("band0"),
+        md5(concat_ws("|", element_at($"mh", 3), element_at($"mh", 4))).as("band1"))
     // LSH bucket join runs on slim (doc_id, band, hash) rows — the shingle
     // arrays stay out of the shuffle; they are re-joined only for the few
     // surviving candidate pairs.
@@ -86,7 +88,7 @@ object Dedup {
         $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val shSets = sigs.select($"doc_id", $"sh")
+    val shSets = docs.select($"doc_id", shingles($"text").as("sh"))
     cands
       .join(shSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")

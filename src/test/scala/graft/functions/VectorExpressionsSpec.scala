@@ -51,6 +51,22 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("graft_dot") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("graft_minhash equals the HOF shingle+md5 pipeline on real docs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaExpr = docs.select($"doc_id",
+      call_function("graft_minhash", split($"text", " ")).as("mh"))
+    val sh = Dedup.shingles($"text")
+    val viaHof = docs.select($"doc_id", array(
+      Dedup.minhash(sh, 0), Dedup.minhash(sh, 1),
+      Dedup.minhash(sh, 2), Dedup.minhash(sh, 3)).as("mh"))
+    val diff = viaExpr.as("a").join(viaHof.as("b"), "doc_id")
+      .filter($"a.mh" =!= $"b.mh")
+    assert(diff.count() === 0L)
+  }
+
   test("SQL surface: graft_dot usable from spark.sql") {
     GraftFunctions.register(spark)
     graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
