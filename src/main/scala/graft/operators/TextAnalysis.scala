@@ -147,7 +147,45 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // txt06 — PII redaction: scrub email- and phone-shaped substrings before
+  // training. The corpus has no PII, so deterministic synthetic PII is
+  // appended per doc and then redacted — the oracle checks both the
+  // redacted content (by fingerprint) and the redaction counts. Patterns
+  // stay in the Java∩RE2 regex subset so both engines agree.
+  def txt06PiiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val dirty = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@example.com or 555-"),
+      lpad($"doc_id".cast("string"), 4, "0"))
+    val redacted = regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    documents(s, d).select(
+      $"doc_id",
+      md5(redacted).as("redacted_fp"),
+      size(split(dirty, emailRe)).cast("long").minus(1).as("n_emails"),
+      size(split(redacted, "<PHONE>", -1)).cast("long").minus(1).as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
+  val txt06Sql: String =
+    """WITH dirty_t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS dirty
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, dirty,
+      |    regexp_replace(regexp_replace(dirty, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM dirty_t)
+      |SELECT doc_id, md5(redacted) AS redacted_fp,
+      |  CAST(len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(string_split(redacted, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+      |FROM red
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt06_pii_redact" -> txt06PiiRedact _,
     "txt01_token_count" -> txt01TokenCount _,
     "txt02_quality" -> txt02Quality _,
     "txt03_lang_stats" -> txt03LangStats _,
@@ -155,6 +193,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt06_pii_redact" -> txt06Sql,
     "txt01_token_count" -> txt01Sql,
     "txt02_quality" -> txt02Sql,
     "txt03_lang_stats" -> txt03Sql,

@@ -49,6 +49,17 @@ class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(img(7) === 0xABCL)
   }
 
+  test("ENUM (ordinal) and SET (bitset) field decode (mysql_binlog.clj:528-536)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def buf(bytes: Int*) =
+      ByteBuffer.wrap(bytes.map(_.toByte).toArray).order(ByteOrder.LITTLE_ENDIAN)
+    assert(BinlogReader.readType(buf(2), ColType.Enum, 1, ISO_8859_1) === 2)
+    assert(BinlogReader.readType(buf(0x34, 0x12), ColType.Enum, 2, ISO_8859_1) === 0x1234)
+    assert(BinlogReader.readType(buf(5, 1), ColType.Set, 2, ISO_8859_1)
+      .asInstanceOf[Array[Byte]].toSeq === Seq[Byte](5, 1))
+  }
+
   test("typed arrival through the source: DATE/TIMESTAMP/BINARY/LONG columns") {
     val cols = Seq(ColSpec.int, ColSpec.date, ColSpec.datetime, ColSpec.blob(2), ColSpec.bit(12))
     val dir = Files.createTempDirectory("ext-src")
