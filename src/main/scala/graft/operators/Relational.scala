@@ -473,7 +473,25 @@ object Relational {
       |GROUP BY 1
       |ORDER BY user_bucket""".stripMargin
 
+  // q23 — cube: all grouping combinations over (returnflag, linestatus)
+  // (rollup's hierarchical subset is q16; cube is the full lattice).
+  def q23Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_cube" -> q23Cube _,
     "q22_pivot" -> q22Pivot _,
     "q21_percentiles" -> q21Percentiles _,
     "q18_avg_threshold" -> q18AvgThreshold _,
@@ -498,6 +516,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q23_cube" -> q23Sql,
     "q22_pivot" -> q22Sql,
     "q21_percentiles" -> q21Sql,
     "q18_avg_threshold" -> q18Sql,

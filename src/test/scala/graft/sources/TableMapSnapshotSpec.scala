@@ -25,6 +25,39 @@ class TableMapSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
 
+  test("maxBytesPerTrigger: batches are bounded, but an open txn always completes") {
+    val dir = Files.createTempDirectory("admission")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer().writeFormatDescription(ts = 1000)
+    // txn 1: small; txn 2: one 200-row insert (far larger than the budget);
+    // txn 3: small
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1000)
+      .writeXid(1, ts = 1000)
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeInsert(23, cols, (100 until 300).map(i => Seq[Any](i, s"bulk$i")), ts = 1001)
+      .writeXid(2, ts = 1001)
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1002)
+      .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 1002)
+      .writeXid(3, ts = 1002)
+    w.save(f1)
+
+    val schema = BinlogSchemas.forOptions(Map("payloadddl" -> "id INT, value STRING"))
+    val stream = new BinlogMicroBatchStream(schema,
+      Map("path" -> dir.toString, "payloadddl" -> "id INT, value STRING",
+        "maxbytespertrigger" -> "200"), // ~2 small events worth
+      None, None, None)
+    val o0 = stream.initialOffset().asInstanceOf[BinlogOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[BinlogOffset]
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[BinlogOffset]
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[BinlogOffset]
+    // each step advances (no stall), ends only on txn boundaries, and the
+    // giant txn is crossed in one step despite the budget
+    assert(o1.pos > o0.pos && o2.pos > o1.pos)
+    val fileLen = new java.io.File(f1).length
+    assert(o3.pos === fileLen, s"stream did not drain: ${o3.pos} vs $fileLen")
+  }
+
   test("second micro-batch gets a snapshot partition and decodes only the delta") {
     val dir = Files.createTempDirectory("tm-snap")
     val f1 = dir.resolve("binlog.000001").toString
