@@ -72,6 +72,8 @@ object GraftFunctions {
       "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashBands(exprs.head, 4), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShingleArray(exprs.head), "built-in")
   }
 
   /** Column-API form (goes through the registered function so no internal

@@ -21,8 +21,19 @@ import VectorOps._
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles of a text column. */
-  def shingles(text: Column): Column = {
+  /** Distinct word-3-gram shingles of a text column — the single-pass
+    * [[graft.functions.ShingleArray]] expression (register graft functions
+    * on the session first; all dedup query entry points do). The HOF
+    * formulation it replaces, kept as the reference semantics and used by
+    * the equality spec:
+    * `array_distinct(transform(sequence(1, size-2), i => concat_ws(" ",
+    * slice(toks, i, 3))))` with an `array(text)` fallback below 3 tokens.
+    */
+  def shingles(text: Column): Column =
+    call_function("graft_shingles", split(text, " "))
+
+  /** The composable-HOF formulation of [[shingles]] (spec baseline). */
+  def shinglesHof(text: Column): Column = {
     val toks = split(text, " ")
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
@@ -171,6 +182,7 @@ object Dedup {
   // materialize — at 100 TB that is the difference between "pairs that
   // might match" and "all pairs in the block".
   def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val base = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)

@@ -51,6 +51,20 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("graft_dot") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("graft_shingles equals the HOF array_distinct(transform(...)) pipeline") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "one two"), (9002L, "x"), (9003L, "a b c d")).toDF("doc_id", "text"))
+    val diff = docs.select($"doc_id",
+        array_sort(Dedup.shingles($"text")).as("a"),
+        array_sort(Dedup.shinglesHof($"text")).as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() === 0L)
+  }
+
   test("graft_minhash equals the HOF shingle+md5 pipeline on real docs") {
     GraftFunctions.register(spark)
     import spark.implicits._
