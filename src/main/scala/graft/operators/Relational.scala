@@ -490,7 +490,55 @@ object Relational {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // q24 — unpivot (wide→long): melt the q22 pivot back to (bucket, type,
+  // n) rows; zero cells survive the round trip.
+  def q24Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q22Pivot(s, d).unpivot(
+      Array($"user_bucket"), types.map(col).toArray, "event_type", "n")
+      .orderBy($"user_bucket", $"event_type")
+  }
+
+  val q24Sql: String =
+    """WITH p AS (
+      |  SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |buckets AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+      |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+      |SELECT b.user_bucket, t.event_type, CAST(COALESCE(p.n, 0) AS BIGINT) AS n
+      |FROM buckets b CROSS JOIN types t
+      |LEFT JOIN p ON p.user_bucket = b.user_bucket AND p.event_type = t.event_type
+      |ORDER BY b.user_bucket, t.event_type""".stripMargin
+
+  // q25 — semi-structured (JSON) processing: extract typed fields from the
+  // events props JSON column and aggregate on them.
+  def q25Json(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        sum($"k".cast("long")).as("sum_k"),
+        max($"k").as("max_k"),
+        countDistinct($"k").as("n_distinct_k"))
+      .orderBy($"event_type")
+  }
+
+  val q25Sql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_unpivot" -> q24Unpivot _,
+    "q25_json" -> q25Json _,
     "q23_cube" -> q23Cube _,
     "q22_pivot" -> q22Pivot _,
     "q21_percentiles" -> q21Percentiles _,
@@ -516,6 +564,8 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q24_unpivot" -> q24Sql,
+    "q25_json" -> q25Sql,
     "q23_cube" -> q23Sql,
     "q22_pivot" -> q22Sql,
     "q21_percentiles" -> q21Sql,
