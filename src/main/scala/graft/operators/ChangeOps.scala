@@ -123,13 +123,41 @@ object ChangeOps {
       |GROUP BY user_id, txn_hour
       |ORDER BY user_id, txn_hour""".stripMargin
 
+  // cdc05 — SCD Type-2 history: turn a keyed change stream into validity
+  // intervals (valid_from = change time, valid_to = next change time,
+  // open-ended for the current row). The standard CDC→warehouse modeling
+  // op: one shuffle on the key, LEAD window inside each partition.
+  def cdc05Scd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events(s, d)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+      .select(
+        $"user_id", $"event_id", $"value",
+        $"ts_us".as("valid_from_us"),
+        $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from_us", $"event_id")
+  }
+
+  val cdc05Sql: String =
+    """SELECT user_id, event_id, value,
+      |  epoch_us(ts) AS valid_from_us,
+      |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+      |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc05_scd2" -> cdc05Scd2 _,
     "cdc01_delta_expand" -> cdc01DeltaExpand _,
     "cdc02_insert_only" -> cdc02InsertOnly _,
     "cdc03_latest_image" -> cdc03LatestImage _,
     "cdc04_txn_groups" -> cdc04TxnGroups _)
 
   def oracles: Map[String, String] = Map(
+    "cdc05_scd2" -> cdc05Sql,
     "cdc01_delta_expand" -> cdc01Sql,
     "cdc02_insert_only" -> cdc02Sql,
     "cdc03_latest_image" -> cdc03Sql,
