@@ -536,7 +536,34 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // q26 — RANGE window frame: per-customer trailing-30-day order revenue
+  // (value-based frame, vs the ROWS frames of q08). Exact decimal
+  // accumulation keeps the frame sum order-free for the oracle.
+  def q26RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"order_day")
+      .rangeBetween(-30L, Window.currentRow)
+    orders(s, d)
+      .withColumn("order_day", datediff(to_date($"o_orderdate"), lit("1990-01-01")).cast("long"))
+      .withColumn("trailing_30d_revenue",
+        round(sum($"o_totalprice".cast(DecimalType(38, 10))).over(w), 2).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"order_day", $"trailing_30d_revenue")
+      .orderBy($"o_custkey", $"order_day", $"o_orderkey")
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_30d_revenue
+      |FROM orders
+      |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_range_frame" -> q26RangeFrame _,
     "q24_unpivot" -> q24Unpivot _,
     "q25_json" -> q25Json _,
     "q23_cube" -> q23Cube _,
@@ -564,6 +591,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q26_range_frame" -> q26Sql,
     "q24_unpivot" -> q24Sql,
     "q25_json" -> q25Sql,
     "q23_cube" -> q23Sql,
