@@ -74,6 +74,8 @@ object GraftFunctions {
       "graft_minhash", exprs => MinHashBands(exprs.head, 4), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => ShingleArray(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashBits(exprs.head), "built-in")
   }
 
   /** Column-API form (goes through the registered function so no internal

@@ -141,21 +141,33 @@ object Dedup {
     c.isin("8", "9", "a", "b", "c", "d", "e", "f")
 
   def dd03Simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    // signatures computed in one narrow pass (graft_simhash expression):
+    // only (doc_id, sig) rows reach the cluster groupBy — no per-token
+    // exchange. The explode+32-CASE-sum formulation lives on as the spec
+    // baseline (dd03SigsHof) and the oracle SQL.
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", call_function("graft_simhash", split($"text", " ")).as("sig"))
+      .groupBy($"sig")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  /** Composable formulation of the per-doc simhash signature (spec baseline). */
+  def dd03SigsHof(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tok = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
       .select($"doc_id", md5($"t").as("h"))
     val bitSums = (1 to 32).map { j =>
       sum(when(isHigh(substring($"h", j, 1)), 1).otherwise(-1)).as(s"b$j")
     }
-    val sig = tok.groupBy($"doc_id")
+    tok.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id",
         concat((1 to 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("sig"))
-    sig.groupBy($"sig")
-      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
-      .orderBy($"keeper_doc_id")
   }
 
   val dd03Sql: String = {

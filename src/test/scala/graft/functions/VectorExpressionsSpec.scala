@@ -81,6 +81,18 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff.count() === 0L)
   }
 
+  test("graft_simhash equals the explode+bitsum pipeline") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.operators.Dedup
+    val d = "/root/testdata/sf0.001"
+    val viaExpr = graft.core.Tables.documents(spark, d)
+      .select($"doc_id", call_function("graft_simhash", split($"text", " ")).as("sig"))
+    val diff = viaExpr.as("a").join(Dedup.dd03SigsHof(spark, d).as("b"), "doc_id")
+      .filter($"a.sig" =!= $"b.sig")
+    assert(diff.count() === 0L)
+  }
+
   test("SQL surface: graft_dot usable from spark.sql") {
     GraftFunctions.register(spark)
     graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
