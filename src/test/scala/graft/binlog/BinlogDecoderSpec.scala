@@ -193,6 +193,28 @@ class BinlogDecoderSpec extends AnyFunSuite {
     assert(rows(1) === Vector(null, RowImage.Unused, null))
   }
 
+  test("wide table (300 columns): packed-int column count + wide bitmaps") {
+    // column-count > 250 forces the 252/2-byte packed integer encoding
+    // (`mysql_binlog.clj:193-211`) and 38-byte used/null bitfields
+    val cols = Seq.tabulate(300)(i => if (i % 2 == 0) ColSpec.int else ColSpec.varchar(10))
+    val row: Seq[Any] = Seq.tabulate(300)(i =>
+      if (i % 3 == 2) null else if (i % 2 == 0) i else s"v$i")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(9, "wide", "t", cols)
+      .writeInsert(9, cols, Seq(row))
+      .save(tmp("wide.bin"))
+    val res = BinlogReader.readBinlog(path)
+    val tm = res.events(1).asInstanceOf[TableMapEvent]
+    assert(tm.columnTypes.length === 300)
+    val img = res.events(2).asInstanceOf[RowsEvent].rows.head
+    assert(img.length === 300)
+    (0 until 300).foreach { i =>
+      val expected = if (i % 3 == 2) null else if (i % 2 == 0) i else s"v$i"
+      assert(img(i) === expected, s"col $i")
+    }
+  }
+
   test("packed int boundaries") {
     import java.nio.ByteBuffer
     def buf(bytes: Int*) = {
