@@ -124,10 +124,51 @@ object BinlogReader {
     var i = 0
     while (i < 50) { sv(i) = b.get(o + 21 + i); i += 1 }
     val nul = sv.indexOf(0: Byte)
+    val version = new String(sv, 0, if (nul < 0) 50 else nul, StandardCharsets.UTF_8)
+    // servers >= 5.6.1 append checksum_alg (1 byte) + the FDE's own CRC32
+    // (4 bytes) after the post-header-length table; the alg byte sits at
+    // event_len - 5. Older v4 logs (the reference's target) have neither.
+    val alg =
+      if (versionAtLeast(version, 5, 6, 1) && h.eventLen >= 80)
+        b.get(o + (h.eventLen - 5).toInt) & 0xff
+      else 0
     FormatDescriptionEvent(h,
       binlogVersion = b.getShort(o + 19) & 0xffff,
-      serverVersion = new String(sv, 0, if (nul < 0) 50 else nul, StandardCharsets.UTF_8),
-      headerLen = b.get(o + 75) & 0xff)
+      serverVersion = version,
+      headerLen = b.get(o + 75) & 0xff,
+      checksumAlg = alg)
+  }
+
+  private def versionAtLeast(v: String, maj: Int, min: Int, patch: Int): Boolean = {
+    val parts = v.takeWhile(c => c.isDigit || c == '.').split('.')
+    def p(i: Int): Int = if (i < parts.length && parts(i).nonEmpty) parts(i).toInt else 0
+    val (a, b, c) = (p(0), p(1), p(2))
+    a > maj || (a == maj && (b > min || (b == min && c >= patch)))
+  }
+
+  /** Bytes of CRC trailer per event in this log: peeks the FDE at offset 4.
+    * 4 when the FDE declares BINLOG_CHECKSUM_ALG_CRC32, else 0.
+    */
+  def checksumLen(buf: ByteBuffer): Int =
+    readEventHeader(buf, 4L) match {
+      case Some(h) if h.eventType == EventType.FormatDescription =>
+        if (readFormatDescription(buf, h).checksumAlg == 1) 4 else 0
+      case _ => 0
+    }
+
+  /** Verify the CRC32 trailer of the event at `h`; throws on mismatch —
+    * a corrupt event must fail loudly, not decode to garbage rows.
+    */
+  def verifyCrc32(buf: ByteBuffer, h: EventHeader): Unit = {
+    val crc = new java.util.zip.CRC32()
+    val dup = buf.duplicate()
+    dup.position(h.offset.toInt)
+    dup.limit((h.offset + h.eventLen - 4).toInt)
+    crc.update(dup)
+    val stored = uint(buf, (h.offset + h.eventLen - 4).toInt)
+    if (crc.getValue != stored)
+      throw new IllegalStateException(
+        f"binlog CRC32 mismatch at offset ${h.offset}: computed 0x${crc.getValue}%08x, stored 0x$stored%08x")
   }
 
   def readQuery(b: ByteBuffer, h: EventHeader, cs: Charset): QueryEvent = {
@@ -176,8 +217,27 @@ object BinlogReader {
 
   /** Decode one field value (`read-type`, `mysql_binlog.clj:528-558`, plus
     * the natural numeric extensions flagged in SURVEY §1.2).
+    *
+    * `unsigned` resolves the reference's acknowledged TODO
+    * (`mysql_binlog.clj:548`: "LONG decodes signed regardless of column
+    * signedness" — signedness lives in the table DDL, not the log): integer
+    * types widen instead of sign-extending. UNSIGNED BIGINT values above
+    * Long.MaxValue surface as java.math.BigDecimal (declare DECIMAL(20,0)
+    * in `payloadDdl`).
     */
-  def readType(b: ByteBuffer, typeId: Int, meta: Int, cs: Charset): Any = typeId match {
+  def readType(b: ByteBuffer, typeId: Int, meta: Int, cs: Charset,
+               unsigned: Boolean = false): Any = if (unsigned) typeId match {
+    case ColType.Tiny => ubyte(b)
+    case ColType.Short => ushort(b)
+    case ColType.Int24 =>
+      val a = bytes(b, 3)
+      (a(0) & 0xff) | ((a(1) & 0xff) << 8) | ((a(2) & 0xff) << 16)
+    case ColType.Long => b.getInt() & 0xffffffffL
+    case ColType.LongLong =>
+      val v = b.getLong()
+      if (v >= 0) v else new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))
+    case other => readType(b, other, meta, cs)
+  } else typeId match {
     case ColType.Set => bytes(b, meta)
     case ColType.Enum =>
       if (meta == 1) ubyte(b)
@@ -240,7 +300,8 @@ object BinlogReader {
   /** `read-field` incl. the CHAR-stored-as-STRING metadata dance
     * (`mysql_binlog.clj:560-580`).
     */
-  def readField(b: ByteBuffer, meta: Int, typeId: Int, cs: Charset): Any = {
+  def readField(b: ByteBuffer, meta: Int, typeId: Int, cs: Charset,
+                unsigned: Boolean = false): Any = {
     if (typeId == ColType.String && meta >= 256) {
       val byte0 = (meta >> 8) & 0xff
       val byte1 = meta & 0xff
@@ -250,14 +311,15 @@ object BinlogReader {
       } else if (byte0 == ColType.String || byte0 == ColType.Set || byte0 == ColType.Enum)
         readType(b, byte0, byte1, cs)
       else throw new IllegalArgumentException(s"cannot handle column type $byte0")
-    } else readType(b, typeId, meta, cs)
+    } else readType(b, typeId, meta, cs, unsigned)
   }
 
   /** Decode one row image (`read-row`, `mysql_binlog.clj:582-609`): null
     * bitmap covers only the used columns; unused columns yield
     * [[RowImage.Unused]].
     */
-  def readRow(b: ByteBuffer, tm: TableMapEvent, usedCols: Array[Byte], cs: Charset): RowImage.Image = {
+  def readRow(b: ByteBuffer, tm: TableMapEvent, usedCols: Array[Byte], cs: Charset,
+              unsignedCols: Array[Boolean] = null): RowImage.Image = {
     val nulls = bitfield(b, countBits(usedCols))
     val out = new Array[Any](tm.columnTypes.length)
     var colIdx = 0
@@ -266,7 +328,8 @@ object BinlogReader {
       if (nthBit(usedCols, colIdx) != 0) {
         out(colIdx) =
           if (nthBit(nulls, nullIdx) == 0)
-            readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx), cs)
+            readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx), cs,
+              unsignedCols != null && colIdx < unsignedCols.length && unsignedCols(colIdx))
           else null
         nullIdx += 1
       } else out(colIdx) = RowImage.Unused
@@ -279,7 +342,7 @@ object BinlogReader {
     * `mysql_binlog.clj:611-682`); UPDATE decodes before/after pairs.
     */
   def readWudRows(b: ByteBuffer, h: EventHeader, tableMaps: Map[Long, TableMapEvent],
-                  cs: Charset): RowsEvent = {
+                  cs: Charset, unsignedCols: Array[Boolean] = null): RowsEvent = {
     b.position(h.offset.toInt + HeaderLen)
     val end = h.offset + h.eventLen
     val tableId = nUint(bytes(b, 6))
@@ -293,8 +356,8 @@ object BinlogReader {
     val rows = Vector.newBuilder[RowImage.Image]
     val after = Vector.newBuilder[RowImage.Image]
     while (b.position() < end) {
-      rows += readRow(b, tm, usedCols, cs)
-      if (usedUpdateCols != null) after += readRow(b, tm, usedUpdateCols, cs)
+      rows += readRow(b, tm, usedCols, cs, unsignedCols)
+      if (usedUpdateCols != null) after += readRow(b, tm, usedUpdateCols, cs, unsignedCols)
     }
     RowsEvent(h, tableId, tm.dbName, tm.tableName, rows.result(), after.result())
   }
@@ -308,23 +371,39 @@ object BinlogReader {
   /** Iterator over decoded events from `startOffset`, stopping at ROTATE or
     * at the first incomplete event (whichever comes first). Threads the
     * table-map registry like the reference's scan loop.
+    *
+    * Checksums: the FDE at offset 4 is peeked once; when it declares CRC32,
+    * every event's trailer is verified (hard error on mismatch) and body
+    * decode sees event_len minus the 4 trailer bytes — without this, a
+    * modern (>= 5.6.6) binlog silently decodes 4 garbage bytes into every
+    * variable-length tail (QUERY sql, ROTATE file name, the last row image).
     */
   def eventIterator(buf: ByteBuffer, startOffset: Long,
                     initialTableMaps: Map[Long, TableMapEvent] = Map.empty,
-                    charset: Charset = StandardCharsets.ISO_8859_1): Iterator[BinlogEvent] =
+                    charset: Charset = StandardCharsets.ISO_8859_1,
+                    unsignedCols: Array[Boolean] = null,
+                    endOffset: Long = Long.MaxValue): Iterator[BinlogEvent] =
     new Iterator[BinlogEvent] {
       private var tableMaps = initialTableMaps
       private var off = startOffset
       private var done = false
       private var nextEvent: BinlogEvent = _
+      private val csLen = checksumLen(buf)
 
       private def fetch(): Unit = {
         if (nextEvent == null && !done) {
           readEventHeader(buf, off) match {
             case None => done = true
-            case Some(h) =>
+            // events at/past endOffset are never DECODED (not merely
+            // dropped) — a budget-bounded micro-batch costs O(batch delta)
+            case Some(h0) if h0.offset >= endOffset => done = true
+            case Some(h0) =>
+              if (csLen > 0) verifyCrc32(buf, h0)
+              // body readers see the trailer-free length; `off` advances by
+              // the on-disk length so next_position stays consistent
+              val h = if (csLen > 0) h0.copy(eventLen = h0.eventLen - csLen) else h0
               val e: BinlogEvent = (h.eventType: @annotation.switch) match {
-                case EventType.FormatDescription => readFormatDescription(buf, h)
+                case EventType.FormatDescription => readFormatDescription(buf, h0)
                 case EventType.Query => readQuery(buf, h, charset)
                 case EventType.Rotate => readRotate(buf, h, charset)
                 case EventType.Xid => readXid(buf, h)
@@ -333,10 +412,10 @@ object BinlogReader {
                   tableMaps = tableMaps.updated(tm.tableId, tm)
                   tm
                 case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows =>
-                  readWudRows(buf, h, tableMaps, charset)
+                  readWudRows(buf, h, tableMaps, charset, unsignedCols)
                 case _ => OpaqueEvent(h)
               }
-              off = h.offset + h.eventLen
+              off = h0.offset + h0.eventLen
               if (e.isInstanceOf[RotateEvent]) done = true
               nextEvent = e
           }

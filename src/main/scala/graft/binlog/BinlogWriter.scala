@@ -34,7 +34,13 @@ object BinlogWriter {
     def bit(bits: Int): ColSpec = ColSpec(ColType.Bit, (bits % 8) | (((bits + 7) / 8) << 8))
   }
 
-  final class Writer(serverId: Long = 1L, charset: Charset = StandardCharsets.ISO_8859_1) {
+  /** `checksum = true` emits a post-5.6.6-style log: the FDE carries
+    * BINLOG_CHECKSUM_ALG_CRC32 and every event (FDE included) gets a
+    * 4-byte CRC32 trailer counted in event_len — the format any modern
+    * MySQL writes by default (`binlog_checksum=CRC32`).
+    */
+  final class Writer(serverId: Long = 1L, charset: Charset = StandardCharsets.ISO_8859_1,
+                     checksum: Boolean = false) {
     private val out = new ByteArrayOutputStream()
     out.write(BinlogReader.Magic)
     private var pos: Long = 4L
@@ -48,29 +54,41 @@ object BinlogWriter {
       a
     }
 
-    /** header + body; next_position = end of this event (v4). */
+    /** header + body [+ CRC32 trailer]; next_position = end of this event (v4). */
     private def event(eventType: Int, timestamp: Long, body: Array[Byte]): Unit = {
-      val len = 19L + body.length
-      out.write(le(4)(timestamp))
-      out.write(Array((eventType & 0xff).toByte))
-      out.write(le(4)(serverId))
-      out.write(le(4)(len))
-      out.write(le(4)(pos + len))
-      out.write(le(2)(0))
-      out.write(body)
+      val csLen = if (checksum) 4 else 0
+      val len = 19L + body.length + csLen
+      val e = new ByteArrayOutputStream()
+      e.write(le(4)(timestamp))
+      e.write(Array((eventType & 0xff).toByte))
+      e.write(le(4)(serverId))
+      e.write(le(4)(len))
+      e.write(le(4)(pos + len))
+      e.write(le(2)(0))
+      e.write(body)
+      if (checksum) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(e.toByteArray)
+        e.write(le(4)(crc.getValue))
+      }
+      out.write(e.toByteArray)
       pos += len
     }
 
-    def writeFormatDescription(ts: Long = 0L, serverVersion: String = "5.1.0-graft-fixture"): this.type = {
+    def writeFormatDescription(ts: Long = 0L, serverVersion: String = ""): this.type = {
+      // version string selects checksum-era parsing on the read side
+      val sv0 = if (serverVersion.nonEmpty) serverVersion
+                else if (checksum) "5.6.30-graft-fixture" else "5.1.0-graft-fixture"
       val b = new ByteArrayOutputStream()
       b.write(le(2)(4))
       val sv = new Array[Byte](50)
-      val svb = serverVersion.getBytes(StandardCharsets.UTF_8)
+      val svb = sv0.getBytes(StandardCharsets.UTF_8)
       System.arraycopy(svb, 0, sv, 0, math.min(svb.length, 50))
       b.write(sv)
       b.write(le(4)(ts))
       b.write(Array(19.toByte)) // header_length
       b.write(new Array[Byte](27)) // post-header length table (unused by reader)
+      if (checksum) b.write(Array(1.toByte)) // BINLOG_CHECKSUM_ALG_CRC32
       event(EventType.FormatDescription, ts, b.toByteArray)
       this
     }
@@ -195,7 +213,11 @@ object BinlogWriter {
         row.foreach { img =>
           require(img.length == usedSpecs.length,
             s"image has ${img.length} values for ${usedSpecs.length} used columns")
-          val nulls = new Array[Byte](usedBytes)
+          // per-image null bitmap covers only the USED columns (reader:
+          // `bitfield(b, countBits(usedCols))`, mirroring `read-row`,
+          // `mysql_binlog.clj:593-608`) — NOT the total column count; the
+          // two byte counts differ for partial images like 9 cols / 8 used
+          val nulls = new Array[Byte]((usedSpecs.length + 7) / 8)
           img.zipWithIndex.foreach { case (v, i) =>
             if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
           }

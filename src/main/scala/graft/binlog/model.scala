@@ -89,9 +89,14 @@ object RowImage {
 
 sealed trait BinlogEvent { def header: EventHeader }
 
+/** `checksumAlg`: BINLOG_CHECKSUM_ALG of every following event — 0 = off,
+  * 1 = CRC32 (4 trailing bytes per event, included in event_len). Present
+  * in the FDE only for server versions >= 5.6.1; older logs (the
+  * reference's 2010-era target) have no checksum notion.
+  */
 final case class FormatDescriptionEvent(
     header: EventHeader, binlogVersion: Int, serverVersion: String,
-    headerLen: Int) extends BinlogEvent
+    headerLen: Int, checksumAlg: Int = 0) extends BinlogEvent
 
 final case class QueryEvent(
     header: EventHeader, threadId: Long, execTime: Long, errorCode: Int,

@@ -10,10 +10,17 @@ import org.apache.spark.sql.expressions.Window
 import graft.binlog.BinlogWriter._
 
 /** Binlog CDC queries over deterministic generated fixtures — the engine's
-  * reference-parity surface wired into the driver contract. These are not
-  * DuckDB-expressible (the oracle reads parquet, not binlogs), so the
-  * driver records rows-only checks; full semantic checks live in
-  * `BinlogSourceSpec`/`BinlogDecoderSpec`.
+  * reference-parity surface wired into the driver contract.
+  *
+  * Oracle strategy: the fixture generator knows every change it encodes, so
+  * alongside the binlog bytes it emits `expected_changes.csv` (one row per
+  * decoded change row: full envelope + payload, with the exact `(log_file,
+  * log_pos, log_seq, xid, _delta_type)` the decoder must produce) and
+  * `expected_events.csv` (one row per event). The DuckDB oracle queries
+  * read those files directly — the ground truth comes from the *encoder's*
+  * arithmetic (writer positions, txn structure), never from the decoder
+  * under test, so a decode bug is a hash mismatch, not a self-consistent
+  * fixture.
   *
   * The fixture mirrors the reference's bench table `bench.big(id int, val
   * decimal(12,4), word varchar(50))` (`mysql_bench.clj:91-94`) and scales
@@ -42,48 +49,95 @@ object CdcBinlog {
   private def dec(i: Int): JBigDecimal =
     new JBigDecimal(((i.toLong * 7919) % 100000000L).toString).movePointLeft(4)
 
-  /** Generate (once) a rotated multi-file fixture for `sfDir`; returns the
-    * directory. Deterministic: same sf -> byte-identical files.
+  /** Directory of the most recently generated fixture — the oracle SQL
+    * embeds its absolute path (Verify dumps `oracleSql` after running the
+    * queries, so the path is always set by then).
+    */
+  @volatile private var lastDir: Option[String] = None
+
+  private def expectedDir: String = lastDir.getOrElse(
+    // driver gate default: sf0.01 -> 20000 rows
+    Paths.get(sys.props("java.io.tmpdir"), "graft-binlog-v3-20000").toString)
+
+  /** Generate (once) a rotated multi-file fixture for `sfDir` plus the
+    * expected-changes/-events ground truth; returns the directory.
+    * Deterministic: same sf -> byte-identical files.
     */
   def fixtureDir(sfDir: String): String = synchronized {
     val total = rowsFor(sfDir)
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-v2-$total")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-v3-$total")
     val marker = dir.resolve("_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)
+      val expC = Files.newBufferedWriter(dir.resolve("expected_changes.csv"))
+      val expE = Files.newBufferedWriter(dir.resolve("expected_events.csv"))
+      expC.write("log_file,log_pos,log_seq,xid,_delta_type,id,val,word\n")
+      expE.write("event_type,xid\n")
+      def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
+                 v: JBigDecimal, w: String): Unit =
+        expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
       val nFiles = 4
       val perFile = total / nFiles
       var id = 0
       for (f <- 1 to nFiles) {
+        val fname = f"binlog.$f%06d"
         val w = new Writer()
         w.writeFormatDescription(ts = 1700000000L)
+        expE.write("FORMAT_DESCRIPTION_EVENT,\n")
         var written = 0
         var txn = 0
         while (written < perFile) {
           val n = math.min(100, perFile - written)
           val ts = 1700000000L + id / 10
+          val xid = 100000L + id.toLong
           w.writeQuery("bench", "BEGIN", ts = ts)
+          expE.write("QUERY_EVENT,\n")
           w.writeTableMap(42, "bench", "big", cols, ts = ts)
+          expE.write("TABLE_MAP_EVENT,\n")
+          val insPos = w.position
           val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
           w.writeInsert(42, cols, rows, ts = ts)
-          if (txn % 5 == 3) // some txns also update their first 20 rows
+          expE.write("WRITE_ROWS_EVENT,\n")
+          (0 until n).foreach { k =>
+            change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
+          }
+          if (txn % 5 == 3) { // some txns also update their first 20 rows
+            val updPos = w.position
             w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
               (Seq[Any](id + k, dec(id + k), word(id + k)),
                Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
             }, ts = ts)
-          if (txn % 5 == 4) // and some delete 5
+            expE.write("UPDATE_ROWS_EVENT,\n")
+            (0 until math.min(20, n)).foreach { k =>
+              change(fname, updPos, 2 * k, xid, "update-before", id + k, dec(id + k), word(id + k))
+              change(fname, updPos, 2 * k + 1, xid, "update", id + k, dec(id + k + 1), word(id + k + 1))
+            }
+          }
+          if (txn % 5 == 4) { // and some delete 5
+            val delPos = w.position
             w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
               Seq[Any](id + k, dec(id + k), word(id + k))
             }, ts = ts)
-          w.writeXid(100000L + id.toLong, ts = ts)
+            expE.write("DELETE_ROWS_EVENT,\n")
+            (0 until math.min(5, n)).foreach { k =>
+              change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
+            }
+          }
+          w.writeXid(xid, ts = ts)
+          expE.write(s"XID_EVENT,$xid\n")
           id += n; written += n; txn += 1
         }
-        if (f < nFiles) w.writeRotate(f"binlog.${f + 1}%06d", ts = 1700000000L)
-        w.save(dir.resolve(f"binlog.$f%06d").toString)
+        if (f < nFiles) {
+          w.writeRotate(f"binlog.${f + 1}%06d", ts = 1700000000L)
+          expE.write("ROTATE_EVENT,\n")
+        }
+        w.save(dir.resolve(fname).toString)
       }
+      expC.close(); expE.close()
       Files.writeString(dir.resolve("binlog.index"), (1 to nFiles).map(i => f"binlog.$i%06d").mkString("", "\n", "\n"))
       Files.writeString(marker, "ok")
     }
+    lastDir = Some(dir.toString)
     dir.toString
   }
 
@@ -92,13 +146,25 @@ object CdcBinlog {
       .option("payloadDdl", payloadDdl)
       .load(fixtureDir(d))
 
+  // DuckDB relations over the generator-emitted ground truth
+  private def expectedChangesRel: String =
+    s"""read_csv('$expectedDir/expected_changes.csv', header=true, columns={
+       |  'log_file':'VARCHAR','log_pos':'BIGINT','log_seq':'INTEGER','xid':'BIGINT',
+       |  '_delta_type':'VARCHAR','id':'INTEGER','val':'DOUBLE','word':'VARCHAR'})""".stripMargin
+  private def expectedEventsRel: String =
+    s"""read_csv('$expectedDir/expected_events.csv', header=true, columns={
+       |  'event_type':'VARCHAR','xid':'BIGINT'})""".stripMargin
+
   // cdcb1 — the reference's conformance query shape (`jdbc.clj:117`):
-  // inserts of one table, pushed-down equality filters.
+  // inserts of one table, pushed-down equality filters. `val` is cast to
+  // double on both sides (DuckDB's pandas bridge hands CSV decimals over
+  // as float64, so double is the comparable type).
   def cdcb1InsertScan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     changes(s, d)
       .filter($"db" === "bench" && $"table" === "big" && $"_delta_type" === "insert")
-      .select($"log_file", $"log_pos", $"log_seq", $"xid", $"id", $"val", $"word")
+      .select($"log_file", $"log_pos", $"log_seq", $"xid", $"id",
+        $"val".cast("double").as("val"), $"word")
       .orderBy($"log_file", $"log_pos", $"log_seq")
   }
 
@@ -107,7 +173,8 @@ object CdcBinlog {
     import s.implicits._
     changes(s, d)
       .filter($"_delta_type".startsWith("update"))
-      .select($"log_file", $"log_pos", $"log_seq", $"_delta_type", $"id", $"val")
+      .select($"log_file", $"log_pos", $"log_seq", $"_delta_type", $"id",
+        $"val".cast("double").as("val"))
       .orderBy($"log_file", $"log_pos", $"log_seq")
   }
 
@@ -133,7 +200,7 @@ object CdcBinlog {
       .filter($"_delta_type" =!= "update-before")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1 && $"_delta_type" =!= "delete") // deleted keys drop out
-      .select($"id", $"val", $"word")
+      .select($"id", $"val".cast("double").as("val"), $"word")
       .orderBy($"id")
   }
 
@@ -143,6 +210,34 @@ object CdcBinlog {
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
     "cdcb4_binlog_latest_image" -> cdcb4LatestImage _)
 
-  /** Not SQL-expressible over the parquet tables — no oracle entries. */
-  def oracles: Map[String, String] = Map.empty
+  /** DuckDB oracles over the generator's expected_* ground truth (absolute
+    * paths — these tables live beside the binlog fixture, not in the sf
+    * parquet dir).
+    */
+  def oracles: Map[String, String] = Map(
+    "cdcb1_binlog_insert_scan" ->
+      s"""SELECT log_file, log_pos, log_seq, xid, id, val, word
+         |FROM $expectedChangesRel
+         |WHERE _delta_type = 'insert'
+         |ORDER BY log_file, log_pos, log_seq""".stripMargin,
+    "cdcb2_binlog_update_pairs" ->
+      s"""SELECT log_file, log_pos, log_seq, _delta_type, id, val
+         |FROM $expectedChangesRel
+         |WHERE _delta_type LIKE 'update%'
+         |ORDER BY log_file, log_pos, log_seq""".stripMargin,
+    "cdcb3_binlog_event_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT xid) AS n_xids
+         |FROM $expectedEventsRel
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    "cdcb4_binlog_latest_image" ->
+      s"""WITH ranked AS (
+         |  SELECT id, val, word, _delta_type,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |  FROM $expectedChangesRel
+         |  WHERE _delta_type <> 'update-before')
+         |SELECT id, val, word FROM ranked
+         |WHERE rn = 1 AND _delta_type <> 'delete'
+         |ORDER BY id""".stripMargin)
 }

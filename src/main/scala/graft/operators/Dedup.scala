@@ -48,6 +48,17 @@ object Dedup {
   def minhash(sh: Column, j: Int): Column =
     array_min(transform(sh, x => substring(md5(x), j * 8 + 1, 8)))
 
+  /** Spread the compute-heavy narrow signature stage across the cluster —
+    * but only when the scan arrives under-partitioned (small-SF local
+    * parquet lands as one split). At 100 TB the split count already
+    * exceeds core count and a round-robin shuffle of the full corpus text
+    * would be pure waste, so this is the identity there.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 1)) df.repartition(target) else df
+  }
+
   private val duckShingles: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
       |  list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
@@ -82,7 +93,7 @@ object Dedup {
     // signature computation is the compute-heavy narrow stage: the
     // single-pass graft_minhash expression (one md5 per shingle, all four
     // window minima in one traversal) spread over all cores
-    val docs = documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    val docs = spread(s, documents(s, d))
     val sigs = docs
       .select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
       .select($"doc_id",
@@ -147,8 +158,7 @@ object Dedup {
     // only (doc_id, sig) rows reach the cluster groupBy — no per-token
     // exchange. The explode+32-CASE-sum formulation lives on as the spec
     // baseline (dd03SigsHof) and the oracle SQL.
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(s, documents(s, d))
       .select($"doc_id", call_function("graft_simhash", split($"text", " ")).as("sig"))
       .groupBy($"sig")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
@@ -193,19 +203,37 @@ object Dedup {
   // |A∪B| = |A| + |B| − |A∩B|. Pairs sharing zero shingles never
   // materialize — at 100 TB that is the difference between "pairs that
   // might match" and "all pairs in the block".
+  //
+  // Hot-shingle guard: a shingle occurring in k docs of a block contributes
+  // k² rows to the self-join — on a self-similar corpus (license headers,
+  // "terms of service" boilerplate) single shingles reach k ≈ 10⁶ and the
+  // join explodes. Standard document-frequency cut: shingles with block-DF
+  // above max(50, 0.5% of block size) are dropped from BOTH the intersection
+  // and the per-doc set sizes (Jaccard over the filtered sets) — stop-shingle
+  // removal that barely moves Jaccard but caps per-shingle join fan-out at
+  // threshold², making the shuffle skew-proof by construction.
   def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val base = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val base = spread(s, documents(s, d))
       .select(
         $"doc_id", $"lang", $"source",
         floor(size(split($"text", " ")) / 10.0).cast("long").as("len_bucket"),
         shingles($"text").as("sh"))
-    val sizes = base.select($"doc_id", size($"sh").as("n_sh"))
+    val blockKeys = Seq("lang", "source", "len_bucket")
+    val blockSizes = base.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_docs_blk"))
     val ex = base.select($"lang", $"source", $"len_bucket", $"doc_id",
       explode($"sh").as("shingle"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // DF cut: keep only shingles rare within their block
+    val keep = ex.groupBy(blockKeys.map(col) :+ $"shingle": _*)
+      .agg(count(lit(1)).as("df"))
+      .join(blockSizes, blockKeys)
+      .filter($"df" <= greatest(lit(50.0), $"n_docs_blk" * 0.005))
+      .select($"lang", $"source", $"len_bucket", $"shingle")
+    val exK = ex.join(keep, blockKeys :+ "shingle")
+    val sizes = exK.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = exK.as("a").join(exK.as("b"),
         $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
           $"a.len_bucket" === $"b.len_bucket" && $"a.shingle" === $"b.shingle" &&
           $"a.doc_id" < $"b.doc_id")
@@ -223,15 +251,31 @@ object Dedup {
   val dd04Sql: String =
     s"""WITH base AS (SELECT doc_id, lang, source,
        |  CAST(floor(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS len_bucket,
-       |  $duckShingles AS sh FROM documents)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-       |FROM base a JOIN base b
-       |  ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
-       |  AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+       |  $duckShingles AS sh FROM documents),
+       |blk AS (SELECT lang, source, len_bucket, COUNT(*) AS n_docs_blk
+       |        FROM base GROUP BY 1, 2, 3),
+       |ex AS (SELECT lang, source, len_bucket, doc_id, unnest(sh) AS shingle FROM base),
+       |keep AS (
+       |  SELECT d.lang, d.source, d.len_bucket, d.shingle
+       |  FROM (SELECT lang, source, len_bucket, shingle, COUNT(*) AS df
+       |        FROM ex GROUP BY 1, 2, 3, 4) d
+       |  JOIN blk USING (lang, source, len_bucket)
+       |  WHERE d.df <= greatest(50.0, blk.n_docs_blk * 0.005)),
+       |exk AS (SELECT ex.* FROM ex JOIN keep USING (lang, source, len_bucket, shingle)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exk GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM exk a JOIN exk b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |    AND a.len_bucket = b.len_bucket AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.15
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // dd05 — embedding-cosine near-dup: sign-LSH bucket on the first 8 dims,

@@ -217,10 +217,30 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   // TABLE_MAP state (SURVEY §3.3), with emission gated on [startPos, endPos)
   private val decodeFrom =
     if (part.initialTableMaps.nonEmpty || part.startPos <= 4L) part.startPos else 4L
+  /** Schema-driven unsigned decode (reference TODO, `mysql_binlog.clj:548`):
+    * option `unsignedColumns` = comma-separated payload column names.
+    */
+  private val unsignedCols: Array[Boolean] =
+    options.get("unsignedcolumns").map { names =>
+      val set = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      payloadFields.map(f => set.contains(f.name))
+    }.orNull
   private val events =
-    BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset)
+    BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset, unsignedCols,
+      endOffset = part.endPos)
+
+  /** `fail` (default) stops the scan on ALTER/DROP/RENAME TABLE against a
+    * decoded table — `payloadDdl` no longer describes the rows that follow,
+    * so continuing would silently mis-decode (the reference only *planned*
+    * this guard, `mysql_binlog.clj:975-976`). `ignore` keeps the old
+    * behavior for logs whose DDL is known not to affect decoded columns.
+    */
+  private val onSchemaChange = options.getOrElse("onschemachange", "fail")
+  private val DdlPattern =
+    """(?is)\s*(?:ALTER|DROP|RENAME)\s+(?:ONLINE\s+|OFFLINE\s+|IGNORE\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w$]+)`?(?:\s*\.\s*`?([\w$]+)`?)?.*""".r
 
   private var txnBuffer = Vector.empty[Array[Any]] // change rows awaiting xid
+  private var txnOverflowed = false // oversized txn: stream rows, xid = null
   private var out: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -343,21 +363,54 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   private def deltaWanted(dt: String): Boolean = deltaFilter.forall(_ == dt)
 
+  /** ALTER/DROP/RENAME against a table this scan decodes invalidates
+    * `payloadDdl` mid-log — fail loudly rather than decode garbage.
+    */
+  private def checkDdl(q: QueryEvent): Unit =
+    if (onSchemaChange != "ignore") q.sql match {
+      case DdlPattern(a, b) =>
+        val (db, table) = if (b != null) (a, b) else (q.defaultDb, a)
+        if (tableWanted(db, table))
+          throw new IllegalStateException(
+            s"schema change for decoded table $db.$table at ${part.file}:${q.header.offset} — " +
+              s"payloadDdl no longer matches the rows that follow. Statement: ${q.sql.take(200)}. " +
+              "Set option onSchemaChange=ignore to decode anyway.")
+      case _ =>
+    }
+
   override def next(): Boolean = {
+    // the event iterator itself stops BEFORE decoding anything at or past
+    // part.endPos (O(batch delta), not O(remaining file)); endPos is a
+    // transaction-safe boundary (lastSafePos), so the tail flush below
+    // only fires for genuinely uncommitted/torn tails
     while (!out.hasNext && events.hasNext) {
       val e = events.next()
       if (eventsMode) {
         if (inRange(e.header)) out = Iterator.single(eventRow(e))
       } else e match {
         case re: RowsEvent if inRange(re.header) && tableWanted(re.dbName, re.tableName) =>
-          val fresh = expand(re).filter(a => deltaWanted(a(8).toString))
-          if (txnBuffer.size < maxTxnRows) txnBuffer ++= fresh
-          else out = fresh.map(new GenericInternalRow(_)) // overflow: xid stays null
+          // materialized per event — readWudRows already holds the decoded
+          // images, so this adds no asymptotic memory
+          val fresh = expand(re).filter(a => deltaWanted(a(8).toString)).toVector
+          if (txnOverflowed)
+            out = fresh.iterator.map(new GenericInternalRow(_))
+          else if (txnBuffer.size + fresh.size <= maxTxnRows) txnBuffer ++= fresh
+          else {
+            // Oversized transaction: flush what's buffered FIRST (keeps
+            // (log_pos, log_seq) emission monotonic), then stream the rest
+            // of the txn directly — xid degrades to null for the whole txn
+            // rather than interleaving its tail ahead of its head.
+            txnOverflowed = true
+            out = emitTxn(null) ++ fresh.iterator.map(new GenericInternalRow(_))
+          }
         case x: XidEvent =>
-          out = emitTxn(x.xid)
-        case _: RotateEvent | _: QueryEvent =>
-          // BEGIN/DDL boundaries don't commit; rotation flushes with no xid
-          if (e.isInstanceOf[RotateEvent] && txnBuffer.nonEmpty) out = emitTxn(null)
+          out = emitTxn(if (txnOverflowed) null else java.lang.Long.valueOf(x.xid))
+          txnOverflowed = false
+        case q: QueryEvent =>
+          checkDdl(q) // BEGIN/DDL boundaries don't commit
+        case _: RotateEvent =>
+          txnOverflowed = false
+          if (txnBuffer.nonEmpty) out = emitTxn(null) // rotation flushes, no xid
         case _ =>
       }
     }

@@ -73,6 +73,10 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   private def lastSafePos(file: String, from: Long, byteBudget: Long): Long = {
     val buf = BinlogReader.mapFile(file)
     val charset = java.nio.charset.Charset.forName(options.getOrElse("charset", "ISO-8859-1"))
+    // CRC32-era log: strip the 4 trailer bytes before reading QUERY sql —
+    // otherwise "BEGIN" + trailer fails the BEGIN check and a mid-txn
+    // position gets marked safe
+    val cs = BinlogReader.checksumLen(buf)
     var pos = math.max(from, 4L)
     var lastSafe = pos
     // resume table-map tracking from a prior snapshot when available
@@ -85,7 +89,8 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
         case Some(h) =>
           h.eventType match {
             case EventType.Query =>
-              val q = BinlogReader.readQuery(buf, h, charset)
+              val q = BinlogReader.readQuery(buf,
+                if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h, charset)
               txnOpen = q.sql.equalsIgnoreCase("BEGIN")
             case EventType.TableMap =>
               val tm = BinlogReader.readTableMap(buf, h, charset)
@@ -168,6 +173,18 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     new BinlogReaderFactory(schema, options, dbFilter, tableFilter, deltaFilter)
 
   override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()
+
+  /** Batches up to `end` are durable in the checkpoint: drop snapshots for
+    * positions strictly before it (keeping the one AT `end` — the next
+    * batch resumes there). Keeps the cache O(live files) for the lifetime
+    * of the stream instead of one entry per trigger.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[BinlogOffset]
+    tableMapCache.keys.foreach { case k @ (f, p) =>
+      if (f < e.file || (f == e.file && p < e.pos)) tableMapCache.remove(k)
+    }
+  }
+
   override def stop(): Unit = ()
 }

@@ -54,12 +54,16 @@ class CdcCursor private[streaming] (query: StreamingQuery,
 object CdcClient {
 
   /** Open a never-ending cursor over a streaming DataFrame. `capacity`
-    * bounds buffered batches (backpressure).
+    * bounds buffered ROWS: the sink blocks once `capacity` rows sit
+    * unconsumed, which stalls the micro-batch — backpressure. (The
+    * reference bounds batches — `LinkedBlockingQueue 10`, `jdbc.clj:41-48`
+    * — but a batch has unbounded row count, so a row bound is the stricter
+    * memory guarantee; 10k rows ≈ its 10 typical batches.)
     */
-  def cursor(stream: DataFrame, capacity: Int = 10,
+  def cursor(stream: DataFrame, capacity: Int = 10240,
              trigger: Trigger = Trigger.ProcessingTime("1 second"),
              checkpoint: Option[String] = None): CdcCursor = {
-    val queue = new ArrayBlockingQueue[AnyRef](capacity * 1024)
+    val queue = new ArrayBlockingQueue[AnyRef](capacity)
     var writer = stream.writeStream
       .outputMode("append")
       .trigger(trigger)

@@ -43,12 +43,13 @@ class CdcReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
 
+    // cdcb4 outputs val as double (the oracle-comparable type)
     val compacted = CdcBinlog.cdcb4LatestImage(spark, d).collect()
     assert(compacted.length === state.size)
     compacted.foreach { r =>
       val id = r.getAs[Int]("id")
       val (v, w) = state(id)
-      assert(r.getAs[java.math.BigDecimal]("val").compareTo(v) === 0, s"val mismatch id=$id")
+      assert(r.getAs[Double]("val") === v.doubleValue, s"val mismatch id=$id")
       assert(r.getAs[String]("word") === w, s"word mismatch id=$id")
     }
   }

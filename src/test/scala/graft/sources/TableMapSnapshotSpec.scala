@@ -98,4 +98,47 @@ class TableMapSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length === 1)
     assert(rows.head.getInt(9) === 2) // payload id of the appended row
   }
+
+  test("commit() prunes table-map snapshots below the committed offset") {
+    val dir = Files.createTempDirectory("tm-prune")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer().writeFormatDescription(ts = 1000)
+    val schema = BinlogSchemas.forOptions(Map("payloadddl" -> "id INT, value STRING"))
+    val stream = new BinlogMicroBatchStream(schema,
+      Map("path" -> dir.toString, "payloadddl" -> "id INT, value STRING"),
+      None, None, None)
+
+    // a long-running CDC stream: many triggers, each appending one txn —
+    // without commit-time pruning the cache grows one entry per trigger
+    // for the stream's lifetime (driver leak)
+    var off = {
+      w.writeTableMap(23, "foo", "auto", cols, ts = 1000)
+        .writeInsert(23, cols, Seq(Seq(0, "r")), ts = 1000)
+        .writeXid(1, ts = 1000).save(f1)
+      stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+        .asInstanceOf[BinlogOffset]
+    }
+    for (i <- 1 to 50) {
+      w.writeTableMap(23, "foo", "auto", cols, ts = 1000 + i)
+        .writeInsert(23, cols, Seq(Seq(i, s"r$i")), ts = 1000 + i)
+        .writeXid(1 + i, ts = 1000 + i).save(f1)
+      val next = stream.latestOffset(off, ReadLimit.allAvailable()).asInstanceOf[BinlogOffset]
+      stream.commit(next) // Spark commits each batch after it's durable
+      off = next
+    }
+    // bounded: only the snapshot at (or above) the committed offset survives
+    assert(stream.tableMapCache.size <= 2,
+      s"cache leaked: ${stream.tableMapCache.size} entries ${stream.tableMapCache.keys}")
+    assert(stream.tableMapCache.contains((f1, off.pos)),
+      s"snapshot at committed offset evicted; cache=${stream.tableMapCache.keys}")
+
+    // the surviving snapshot still powers the fast path for the next batch
+    w.writeTableMap(23, "foo", "auto", cols, ts = 2000)
+      .writeInsert(23, cols, Seq(Seq(999, "last")), ts = 2000)
+      .writeXid(99, ts = 2000).save(f1)
+    val fin = stream.latestOffset(off, ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(off, fin)
+    assert(parts.length === 1)
+    assert(parts.head.asInstanceOf[BinlogInputPartition].initialTableMaps.nonEmpty)
+  }
 }
