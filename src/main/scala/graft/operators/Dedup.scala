@@ -225,13 +225,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs_blk"))
     val ex = base.select($"lang", $"source", $"len_bucket", $"doc_id",
       explode($"sh").as("shingle"))
-    // DF cut: keep only shingles rare within their block
-    val keep = ex.groupBy(blockKeys.map(col) :+ $"shingle": _*)
+    // DF cut as a broadcast ANTI-join: the HOT set (df above threshold) is
+    // small by construction — at most total-occurrences/threshold shingles,
+    // i.e. the corpus boilerplate — so shipping it beats shuffling the full
+    // keep-set join (which is ~every shingle). AQE falls back to a shuffle
+    // anti-join if a pathological corpus ever makes it big.
+    val hot = ex.groupBy(blockKeys.map(col) :+ $"shingle": _*)
       .agg(count(lit(1)).as("df"))
       .join(blockSizes, blockKeys)
-      .filter($"df" <= greatest(lit(50.0), $"n_docs_blk" * 0.005))
+      .filter($"df" > greatest(lit(50.0), $"n_docs_blk" * 0.005))
       .select($"lang", $"source", $"len_bucket", $"shingle")
-    val exK = ex.join(keep, blockKeys :+ "shingle")
+    val exK = ex.join(broadcast(hot), blockKeys :+ "shingle", "left_anti")
     val sizes = exK.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = exK.as("a").join(exK.as("b"),
         $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
@@ -255,13 +259,17 @@ object Dedup {
        |blk AS (SELECT lang, source, len_bucket, COUNT(*) AS n_docs_blk
        |        FROM base GROUP BY 1, 2, 3),
        |ex AS (SELECT lang, source, len_bucket, doc_id, unnest(sh) AS shingle FROM base),
-       |keep AS (
+       |hot AS (
        |  SELECT d.lang, d.source, d.len_bucket, d.shingle
        |  FROM (SELECT lang, source, len_bucket, shingle, COUNT(*) AS df
        |        FROM ex GROUP BY 1, 2, 3, 4) d
        |  JOIN blk USING (lang, source, len_bucket)
-       |  WHERE d.df <= greatest(50.0, blk.n_docs_blk * 0.005)),
-       |exk AS (SELECT ex.* FROM ex JOIN keep USING (lang, source, len_bucket, shingle)),
+       |  WHERE d.df > greatest(50.0, blk.n_docs_blk * 0.005)),
+       |exk AS (
+       |  SELECT * FROM ex
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.lang = ex.lang AND h.source = ex.source
+       |    AND h.len_bucket = ex.len_bucket AND h.shingle = ex.shingle)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exk GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
