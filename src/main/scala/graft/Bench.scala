@@ -47,11 +47,50 @@ object Bench {
     val mbPerSec = fixBytes / 1e6 / decodeSec
 
     val latencyMs = cdcLatencyProbe(spark)
+    val tailerMs = tailerLatencyProbe()
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
-      s""""cdc_latency_ms_p50":$latencyMs,"sf":"$sfDir"}""")
+      s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Latency of the WatchService-armed tailer ([[graft.binlog.BinlogTailer]])
+    * — the reference's inotify-reactivity counterpart (`mysql_binlog.clj:
+    * 833-857`). Same append→arrival measurement as [[cdcLatencyProbe]], no
+    * micro-batch in the path.
+    */
+  private def tailerLatencyProbe(turns: Int = 15): Double = {
+    import graft.binlog.BinlogWriter._
+    import java.util.concurrent.ConcurrentHashMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-tailer-latency")
+    val f1 = dir.resolve("binlog.000001").toString
+    val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+    val w = new Writer()
+      .writeFormatDescription(ts = 1L)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1L)
+      .writeInsert(23, cols, Seq(Seq(0, "seed")), ts = 1L)
+      .writeXid(1, ts = 1L)
+    w.save(f1)
+    val arrivals = new ConcurrentHashMap[Int, java.lang.Long]()
+    val t = graft.binlog.BinlogTailer.start(dir.toString,
+      ch => arrivals.putIfAbsent(ch.row(0).asInstanceOf[Int], System.nanoTime()),
+      pollMs = 50)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!arrivals.containsKey(0) && System.nanoTime() < deadline) Thread.sleep(5)
+      val lats = (1 to turns).map { i =>
+        val t0 = System.nanoTime()
+        w.writeTableMap(23, "bench", "lat", cols, ts = 1L)
+          .writeInsert(23, cols, Seq(Seq(i, s"turn$i")), ts = 1L)
+          .writeXid(1L + i, ts = 1L)
+          .save(f1)
+        while (!arrivals.containsKey(i) && System.nanoTime() < deadline) Thread.sleep(0, 200000)
+        if (arrivals.containsKey(i)) (arrivals.get(i) - t0) / 1e6 else -1.0
+      }.filter(_ >= 0).sorted
+      if (lats.isEmpty) -1.0 else lats(lats.length / 2)
+    } finally t.close()
   }
 
   /** End-to-end CDC latency (the reference's binlog2 probe,

@@ -1,0 +1,144 @@
+package graft.binlog
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.{FileSystems, Files, Path, Paths, StandardWatchEventKinds, WatchService}
+import java.util.concurrent.TimeUnit
+
+/** Millisecond-reactivity CDC tail over a growing/rotating binlog directory
+  * — the engine's counterpart of the reference's inotify watcher + live
+  * re-read machinery (`mysql_binlog.clj:833-857` watcher, `888-905`
+  * rotation). Where the micro-batch source trades latency for exactly-once
+  * batch semantics (poll-bound: trigger/2 + batch overhead), the tailer is
+  * armed by a filesystem `WatchService`: append → wake → incremental decode
+  * from the last complete event → callback, typically single-digit ms.
+  *
+  * Semantics match the DSv2 changes mode: committed rows only (buffered
+  * until their XID, like the reference's txn stitching), torn tails held
+  * back (the resume offset never points into a half-written event),
+  * rotation followed automatically, CRC32 logs verified+stripped by the
+  * shared [[BinlogReader.eventIterator]].
+  *
+  * Driver-side by design: tailing a local binlog is inherently a
+  * single-process activity (so is the reference's watcher); the scale-out
+  * path is the DSv2/streaming source. Pure JVM — no Spark dependency.
+  */
+object BinlogTailer {
+  /** One committed change row. `row` holds decoded payload values in
+    * table-map column order ([[RowImage.Unused]] for absent columns).
+    */
+  final case class Change(logFile: String, logPos: Long, logSeq: Int,
+                          xid: Option[Long], db: String, table: String,
+                          deltaType: String, row: RowImage.Image)
+
+  def start(dir: String, onChange: Change => Unit,
+            db: Option[String] = None, table: Option[String] = None,
+            charset: Charset = StandardCharsets.ISO_8859_1,
+            pollMs: Long = 200L): Tailer =
+    new Tailer(Paths.get(dir), onChange, db, table, charset, pollMs)
+
+  final class Tailer private[BinlogTailer] (dir: Path, onChange: Change => Unit,
+      dbF: Option[String], tableF: Option[String], charset: Charset, pollMs: Long)
+    extends AutoCloseable {
+
+    @volatile private var closed = false
+    private var file: Path = _
+    private var pos: Long = 4L
+    private var tms: Map[Long, TableMapEvent] = Map.empty
+    private var txn = Vector.empty[Change] // committed-only emission
+    private val ws: WatchService = FileSystems.getDefault.newWatchService()
+    dir.register(ws, StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_CREATE)
+
+    private def binlogFiles(): Vector[Path] = {
+      val s = Files.list(dir)
+      try s.toArray.toVector.map(_.asInstanceOf[Path])
+        .filter(p => Files.isRegularFile(p) && BinlogReader.isBinlogFile(p.toString))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+    private def wanted(d: String, t: String): Boolean =
+      dbF.forall(_ == d) && tableF.forall(_ == t)
+
+    private def emit(re: RowsEvent): Unit = {
+      val h = re.header
+      val f = file.getFileName.toString
+      def c(seq: Int, dt: String, img: RowImage.Image) =
+        Change(f, h.offset, seq, None, re.dbName, re.tableName, dt, img)
+      val fresh: Seq[Change] = h.eventType match {
+        case EventType.WriteRows => re.rows.zipWithIndex.map { case (r, i) => c(i, "insert", r) }
+        case EventType.DeleteRows => re.rows.zipWithIndex.map { case (r, i) => c(i, "delete", r) }
+        case EventType.UpdateRows => re.rows.zip(re.afterRows).zipWithIndex.flatMap {
+          case ((b, a), i) => Seq(c(2 * i, "update-before", b), c(2 * i + 1, "update", a)) }
+        case _ => Nil
+      }
+      txn ++= fresh
+    }
+
+    /** Decode everything complete since the last drain; returns true if the
+      * tail advanced (more may follow immediately after a rotate).
+      */
+    private def drain(): Boolean = {
+      val start = pos
+      val buf = BinlogReader.mapFile(file.toString)
+      var rotateTo: Option[String] = None
+      BinlogReader.eventIterator(buf, pos, tms, charset).foreach { e =>
+        e match {
+          case tm: TableMapEvent => tms = tms.updated(tm.tableId, tm)
+          case re: RowsEvent if wanted(re.dbName, re.tableName) => emit(re)
+          case x: XidEvent =>
+            txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))
+            txn = Vector.empty
+          case r: RotateEvent => rotateTo = Some(r.nextFile)
+          case _ =>
+        }
+        // v4 next_position = end of this event on disk (trailer included),
+        // so it is the correct resume point even on checksummed logs where
+        // the decoded header's event_len excludes the CRC trailer
+        pos = if (e.header.nextPos > pos) e.header.nextPos
+              else e.header.offset + e.header.eventLen
+      }
+      rotateTo match {
+        case Some(next) if Files.exists(dir.resolve(next)) =>
+          // rotation at a txn boundary is the normal case; anything still
+          // buffered flushes uncommitted (xid None), matching the DSv2
+          // source's rotation flush
+          txn.foreach(onChange)
+          txn = Vector.empty
+          file = dir.resolve(next)
+          pos = 4L
+          tms = Map.empty // per-file state, like the reference's scan
+          true
+        case _ => pos > start
+      }
+    }
+
+    private val thread = new Thread(() => {
+      try {
+        // initial catch-up over pre-existing files, then live-tail the last
+        var fs = binlogFiles()
+        while (fs.isEmpty && !closed) { Thread.sleep(10); fs = binlogFiles() }
+        if (!closed) {
+          file = fs.head
+          while (drain()) ()
+          while (!closed) {
+            val key = ws.poll(pollMs, TimeUnit.MILLISECONDS) // timed poll = NFS fallback
+            if (key != null) { key.pollEvents(); key.reset() }
+            while (drain()) ()
+          }
+        }
+      } catch {
+        case _: InterruptedException | _: java.nio.file.ClosedWatchServiceException =>
+        case e: Throwable if !closed => throw e
+      }
+    }, s"binlog-tailer-$dir")
+    thread.setDaemon(true)
+    thread.start()
+
+    override def close(): Unit = {
+      closed = true
+      ws.close()
+      thread.interrupt()
+      thread.join(5000)
+    }
+  }
+}

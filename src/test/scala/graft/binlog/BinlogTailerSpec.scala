@@ -1,0 +1,107 @@
+package graft.binlog
+
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import BinlogWriter._
+
+/** The WatchService-armed live tail (reference: inotify watcher,
+  * `mysql_binlog.clj:833-857`): appended transactions arrive through the
+  * callback within the poll budget, only after their commit XID, across
+  * rotations, with torn tails held back.
+  */
+class BinlogTailerSpec extends AnyFunSuite {
+
+  private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+
+  private def await[A](q: ConcurrentLinkedQueue[A], n: Int, ms: Long = 15000): Vector[A] = {
+    val deadline = System.nanoTime() + ms * 1000000L
+    while (q.size < n && System.nanoTime() < deadline) Thread.sleep(2)
+    assert(q.size >= n, s"expected $n callbacks, got ${q.size}")
+    q.toArray.toVector.map(_.asInstanceOf[A])
+  }
+
+  test("appends arrive committed-only, in order, with their xid") {
+    val dir = Files.createTempDirectory("tailer")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(0, "seed")), ts = 1)
+      .writeXid(1, ts = 1)
+    w.save(f1)
+
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      val seed = await(got, 1)
+      assert(seed.head.row(1) === "seed")
+      assert(seed.head.xid === Some(1L))
+
+      // append rows + a torn XID: rows must NOT surface yet
+      w.writeTableMap(23, "bench", "lat", cols, ts = 2)
+        .writeInsert(23, cols, Seq(Seq(1, "one"), Seq(2, "two")), ts = 2)
+        .writeXid(2, ts = 2)
+      w.saveTruncated(f1, 7)
+      Thread.sleep(300)
+      assert(got.size === 1, "uncommitted/torn rows leaked")
+
+      w.save(f1) // XID completes -> the txn flushes
+      val all = await(got, 3)
+      assert(all.map(_.row(1)).drop(1) === Vector("one", "two"))
+      assert(all.drop(1).forall(_.xid === Some(2L)))
+      assert(all.map(c => (c.logPos, c.logSeq)) === all.map(c => (c.logPos, c.logSeq)).sorted)
+    } finally t.close()
+  }
+
+  test("rotation: tail follows to the next file") {
+    val dir = Files.createTempDirectory("tailer-rot")
+    val f1 = dir.resolve("binlog.000001").toString
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeRotate("binlog.000002", ts = 1)
+      .save(f1)
+    val w2 = new Writer()
+      .writeFormatDescription(ts = 2)
+      .writeTableMap(23, "bench", "lat", cols, ts = 2)
+      .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 2)
+      .writeXid(2, ts = 2)
+    w2.save(dir.resolve("binlog.000002").toString)
+
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      val first = await(got, 2)
+      assert(first.map(_.row(1)) === Vector("a", "b"))
+      assert(first.map(_.logFile) === Vector("binlog.000001", "binlog.000002"))
+      // live append to the rotated-to file
+      w2.writeTableMap(23, "bench", "lat", cols, ts = 3)
+        .writeInsert(23, cols, Seq(Seq(3, "c")), ts = 3)
+        .writeXid(3, ts = 3)
+        .save(dir.resolve("binlog.000002").toString)
+      assert(await(got, 3).last.row(1) === "c")
+    } finally t.close()
+  }
+
+  test("checksummed log tails identically") {
+    val dir = Files.createTempDirectory("tailer-crc")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(7, "crc")), ts = 1)
+      .writeXid(9, ts = 1)
+    w.save(f1)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      val c = await(got, 1).head
+      assert(c.row === Vector(7, "crc"))
+      assert(c.xid === Some(9L))
+    } finally t.close()
+  }
+}
