@@ -64,6 +64,32 @@ object BinlogReader {
     res
   }
 
+  /** n-byte BIG-endian unsigned → long. The 5.6+ temporal types
+    * (TIMESTAMP2/DATETIME2/TIME2) are stored big-endian so the packed
+    * values sort bytewise — unlike everything else in the log.
+    */
+  def nUintBE(a: Array[Byte]): Long = {
+    var res = 0L
+    var i = 0
+    while (i < a.length) { res = (res << 8) | (a(i) & 0xffL); i += 1 }
+    res
+  }
+
+  /** Fractional-seconds tail: ceil(fsp/2) big-endian bytes holding the
+    * fraction expressed in fsp digits; returns microseconds.
+    */
+  private def readFracMicros(b: ByteBuffer, fsp: Int): Int = {
+    val n = (fsp + 1) / 2
+    if (n == 0) 0
+    else {
+      val stored = nUintBE(bytes(b, n)) // = microseconds / 10^(6-fsp)
+      var scale = 1L
+      var i = fsp
+      while (i < 6) { scale *= 10; i += 1 }
+      (stored * scale).toInt
+    }
+  }
+
   /** MySQL packed integer (`mysql_binlog.clj:193-211`). */
   def packedInt(b: ByteBuffer): Long = {
     val x = ubyte(b)
@@ -282,8 +308,36 @@ object BinlogReader {
       java.time.LocalDateTime.of(
         (date / 10000L).toInt, ((date / 100L) % 100L).toInt, (date % 100L).toInt,
         (time / 10000L).toInt, ((time / 100L) % 100L).toInt, (time % 100L).toInt)
-    case ColType.Blob =>
-      // meta = number of length-prefix bytes (1, 2, 3 or 4)
+    // 5.6+ big-endian packed temporals with fractional seconds (meta = fsp).
+    // Layouts are the public MySQL on-disk formats (my_time semantics):
+    // DATETIME2: 5 BE bytes = 0x8000000000 + (((y*13+m) << 22) | (d << 17)
+    //            | (H << 12) | (M << 6) | S), then the frac tail.
+    case ColType.Datetime2 =>
+      val v = nUintBE(bytes(b, 5)) - 0x8000000000L
+      val usec = readFracMicros(b, meta)
+      val ym = ((v >> 22) & 0x1ffff).toInt
+      java.time.LocalDateTime.of(ym / 13, ym % 13, ((v >> 17) & 0x1f).toInt,
+        ((v >> 12) & 0x1f).toInt, ((v >> 6) & 0x3f).toInt, (v & 0x3f).toInt,
+        usec * 1000)
+    // TIMESTAMP2: 4 BE bytes epoch seconds + frac tail (always UTC)
+    case ColType.Timestamp2 =>
+      val sec = nUintBE(bytes(b, 4))
+      val usec = readFracMicros(b, meta)
+      java.time.LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
+    // TIME2: 3 BE bytes = 0x800000 + ((H << 12) | (M << 6) | S) + frac tail
+    case ColType.Time2 =>
+      val v = nUintBE(bytes(b, 3)) - 0x800000L
+      val usec = readFracMicros(b, meta)
+      java.time.LocalTime.of(((v >> 12) & 0x3ff).toInt, ((v >> 6) & 0x3f).toInt,
+        (v & 0x3f).toInt, usec * 1000)
+    case ColType.NewDate =>
+      // same 3-byte day|month<<5|year<<9 packing as DATE
+      val v = nUint(bytes(b, 3))
+      java.time.LocalDate.of((v >> 9).toInt, ((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+    case ColType.Blob | ColType.Geometry | ColType.Json =>
+      // meta = number of length-prefix bytes (1, 2, 3 or 4). GEOMETRY is
+      // WKB-with-SRID-prefix, JSON is the server's binary JSON — both
+      // surface as raw bytes (parse downstream; the envelope stays typed)
       val len = nUint(bytes(b, meta)).toInt
       bytes(b, len)
     case ColType.Bit =>

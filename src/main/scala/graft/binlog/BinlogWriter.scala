@@ -32,6 +32,10 @@ object BinlogWriter {
     def datetime: ColSpec = ColSpec(ColType.Datetime, 0)
     def blob(lenBytes: Int = 2): ColSpec = ColSpec(ColType.Blob, lenBytes)
     def bit(bits: Int): ColSpec = ColSpec(ColType.Bit, (bits % 8) | (((bits + 7) / 8) << 8))
+    // 5.6+ fractional-second temporals; meta = fsp (0..6)
+    def datetime2(fsp: Int = 0): ColSpec = ColSpec(ColType.Datetime2, fsp)
+    def timestamp2(fsp: Int = 0): ColSpec = ColSpec(ColType.Timestamp2, fsp)
+    def time2(fsp: Int = 0): ColSpec = ColSpec(ColType.Time2, fsp)
   }
 
   /** `checksum = true` emits a post-5.6.6-style log: the FDE carries
@@ -132,6 +136,25 @@ object BinlogWriter {
       this
     }
 
+    /** big-endian fixed-width write (5.6+ temporals only). */
+    private def be(n: Int)(v: Long): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { a(n - 1 - i) = ((v >> (i * 8)) & 0xff).toByte; i += 1 }
+      a
+    }
+
+    /** frac tail: ceil(fsp/2) BE bytes of micros / 10^(6-fsp). */
+    private def writeFrac(b: ByteArrayOutputStream, fsp: Int, usec: Int): Unit = {
+      val n = (fsp + 1) / 2
+      if (n > 0) {
+        var scale = 1L
+        var i = fsp
+        while (i < 6) { scale *= 10; i += 1 }
+        b.write(be(n)(usec / scale))
+      }
+    }
+
     private def writePackedInt(b: ByteArrayOutputStream, v: Long): Unit = {
       if (v <= 250) b.write(Array(v.toByte))
       else if (v <= 0xffff) { b.write(Array(252.toByte)); b.write(le(2)(v)) }
@@ -163,7 +186,7 @@ object BinlogWriter {
         val packed = (dt.getYear.toLong * 10000L + dt.getMonthValue * 100L + dt.getDayOfMonth) * 1000000L +
           dt.getHour * 10000L + dt.getMinute * 100L + dt.getSecond
         b.write(le(8)(packed))
-      case ColType.Blob =>
+      case ColType.Blob | ColType.Geometry | ColType.Json =>
         val a = v.asInstanceOf[Array[Byte]]
         b.write(le(spec.meta)(a.length.toLong))
         b.write(a)
@@ -174,6 +197,24 @@ object BinlogWriter {
         var i = 0
         while (i < nb) { a(nb - 1 - i) = ((x >> (i * 8)) & 0xff).toByte; i += 1 }
         b.write(a)
+      case ColType.Datetime2 =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        val packed = 0x8000000000L +
+          ((((dt.getYear.toLong * 13) + dt.getMonthValue) << 22) |
+            (dt.getDayOfMonth.toLong << 17) | (dt.getHour.toLong << 12) |
+            (dt.getMinute.toLong << 6) | dt.getSecond.toLong)
+        b.write(be(5)(packed))
+        writeFrac(b, spec.meta, dt.getNano / 1000)
+      case ColType.Timestamp2 =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        b.write(be(4)(dt.toEpochSecond(java.time.ZoneOffset.UTC)))
+        writeFrac(b, spec.meta, dt.getNano / 1000)
+      case ColType.Time2 =>
+        val lt = v.asInstanceOf[java.time.LocalTime]
+        val packed = 0x800000L +
+          ((lt.getHour.toLong << 12) | (lt.getMinute.toLong << 6) | lt.getSecond.toLong)
+        b.write(be(3)(packed))
+        writeFrac(b, spec.meta, lt.getNano / 1000)
       case ColType.NewDecimal =>
         val precision = spec.meta & 0xff
         val scale = spec.meta >> 8

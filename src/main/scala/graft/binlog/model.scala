@@ -50,8 +50,15 @@ object ColType {
   val Time = 11
   val Datetime = 12
   val Year = 13
+  val NewDate = 14
   val Varchar = 15
   val Bit = 16
+  // 5.6+ fractional-second temporals (what any modern server writes for
+  // new tables; the reference's id table predates them)
+  val Timestamp2 = 17
+  val Datetime2 = 18
+  val Time2 = 19
+  val Json = 245
   val NewDecimal = 246
   val Enum = 247
   val Set = 248
@@ -60,11 +67,15 @@ object ColType {
   val String = 254
   val Geometry = 255
 
-  /** Per-type metadata byte counts (`mysql_binlog.clj:462-485`). */
+  /** Per-type metadata byte counts (`mysql_binlog.clj:462-485`, extended
+    * with the 5.6+ temporals — 1 byte fsp each — and NEWDATE/JSON).
+    */
   val metadataLengths: Map[Int, Int] = Map(
     0x0 -> 0, 0x1 -> 0, 0x2 -> 0, 0x3 -> 0, 0x4 -> 1, 0x5 -> 1, 0x6 -> 0,
     0x7 -> 0, 0x8 -> 0, 0x9 -> 0, 0xa -> 0, 0xb -> 0, 0xc -> 0, 0xd -> 0,
-    0xf -> 2, 0x10 -> 2, 0xf6 -> 2, 0xfc -> 1, 0xfd -> 2, 0xfe -> 2, 0xff -> 1)
+    0xe -> 0, 0x11 -> 1, 0x12 -> 1, 0x13 -> 1,
+    0xf -> 2, 0x10 -> 2, 0xf5 -> 1, 0xf6 -> 2, 0xfc -> 1, 0xfd -> 2,
+    0xfe -> 2, 0xff -> 1)
 }
 
 /** 19-byte v4 event header (`mysql_binlog.clj:290-328`). */

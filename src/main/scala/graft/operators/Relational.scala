@@ -360,19 +360,21 @@ object Relational {
       |LIMIT 25""".stripMargin
 
   // q18 — correlated scalar subquery (TPC-H Q17 shape): lineitems below
-  // 20% of their part's average quantity. The correlation is expressed as
-  // a pre-aggregated threshold join (exactly what a decorrelation rewrite
-  // produces); thresholds use exact decimal means so both engines compare
-  // against identical doubles.
+  // 20% of their part's average quantity. Decorrelated to a per-partkey
+  // WINDOW over the broadcast-brand-filtered subset: the per-part mean only
+  // matters for the surviving partkeys, and every lineitem of a surviving
+  // part is already in the joined subset — so one lineitem scan and one
+  // l_partkey shuffle replace the naive rewrite's second full scan +
+  // threshold join. Thresholds use exact decimal means so both engines
+  // compare against identical doubles.
   def q18AvgThreshold(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = lineitem(s, d)
-    val thresholds = li.groupBy($"l_partkey".as("t_partkey"))
-      .agg(((sum($"l_quantity".cast(DecimalType(38, 10))).cast("double") /
-        count(lit(1))) * 0.2).as("q_threshold"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
     val p = part(s, d).filter($"p_brand" === "Brand#21")
-    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(thresholds, $"l_partkey" === $"t_partkey")
+    lineitem(s, d).join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .withColumn("q_threshold",
+        sum($"l_quantity".cast(DecimalType(38, 10))).over(w).cast("double") /
+          count(lit(1)).over(w) * 0.2)
       .filter($"l_quantity" < $"q_threshold")
       .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
@@ -381,11 +383,13 @@ object Relational {
   val q18Sql: String =
     """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) / 7.0 AS avg_yearly,
       |  COUNT(*) AS n_rows
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |JOIN (SELECT l_partkey AS t_partkey,
-      |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) * 0.2 AS q_threshold
-      |      FROM lineitem GROUP BY l_partkey) t ON l_partkey = t_partkey
-      |WHERE p_brand = 'Brand#21' AND l_quantity < q_threshold""".stripMargin
+      |FROM (
+      |  SELECT l_extendedprice, l_quantity,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY l_partkey) * 0.2 AS q_threshold
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#21')
+      |WHERE l_quantity < q_threshold""".stripMargin
 
   // q19 — disjunctive multi-predicate join (TPC-H Q19 shape): OR'd groups
   // of brand/size/quantity conditions; Catalyst extracts the common

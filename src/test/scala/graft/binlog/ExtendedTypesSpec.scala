@@ -60,6 +60,65 @@ class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Array[Byte]].toSeq === Seq[Byte](5, 1))
   }
 
+  test("5.6+ temporals: DATETIME2/TIMESTAMP2/TIME2 with fractional seconds") {
+    // big-endian packed formats + fsp frac tails — what every modern server
+    // writes for new tables (the v1 temporals above only appear on pre-5.6
+    // schemas)
+    val cols = Seq(ColSpec.datetime2(6), ColSpec.datetime2(0), ColSpec.datetime2(3),
+      ColSpec.timestamp2(4), ColSpec.time2(2), ColSpec.time2(0))
+    val row = Seq[Any](
+      LocalDateTime.of(2024, 2, 29, 23, 59, 58, 999999000),
+      LocalDateTime.of(1970, 1, 1, 0, 0, 1),
+      LocalDateTime.of(2099, 12, 31, 12, 0, 0, 123000000),
+      LocalDateTime.of(2024, 6, 1, 8, 30, 15, 420000000), // ts2: epoch UTC
+      LocalTime.of(13, 14, 15, 990000000),
+      LocalTime.of(0, 0, 0))
+    val dir = Files.createTempDirectory("v2-temporals")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(8, "d", "t2", cols)
+      .writeInsert(8, cols, Seq(row))
+      .save(dir.resolve("binlog.000001").toString)
+    val img = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent].rows.head
+    assert(img(0) === LocalDateTime.of(2024, 2, 29, 23, 59, 58, 999999000))
+    assert(img(1) === LocalDateTime.of(1970, 1, 1, 0, 0, 1))
+    assert(img(2) === LocalDateTime.of(2099, 12, 31, 12, 0, 0, 123000000))
+    assert(img(3) === LocalDateTime.of(2024, 6, 1, 8, 30, 15, 420000000))
+    assert(img(4) === LocalTime.of(13, 14, 15, 990000000))
+    assert(img(5) === LocalTime.of(0, 0, 0))
+  }
+
+  test("GEOMETRY and JSON arrive as raw bytes (WKB / binary JSON)") {
+    val cols = Seq(ColSpec.int, ColSpec(ColType.Geometry, 4), ColSpec(ColType.Json, 4))
+    val wkb = Array[Byte](0, 0, 0, 0, 1, 1, 0, 0, 0) // srid prefix + wkb header-ish
+    val jsb = Array[Byte](0, 1, 0, 12, 0)
+    val dir = Files.createTempDirectory("geo-json")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(9, "d", "gj", cols)
+      .writeInsert(9, cols, Seq(Seq[Any](1, wkb, jsb)))
+      .save(dir.resolve("binlog.000001").toString)
+    val img = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent].rows.head
+    assert(img(1).asInstanceOf[Array[Byte]].toSeq === wkb.toSeq)
+    assert(img(2).asInstanceOf[Array[Byte]].toSeq === jsb.toSeq)
+  }
+
+  test("typed arrival through the source: DATETIME2(6) as TIMESTAMP with micros") {
+    val cols = Seq(ColSpec.int, ColSpec.datetime2(6))
+    val dir = Files.createTempDirectory("dt2-src")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(7, "d", "t", cols, ts = 1000)
+      .writeInsert(7, cols, Seq(Seq[Any](1,
+        LocalDateTime.of(2024, 2, 29, 12, 30, 0, 123456000))), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val r = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, dt TIMESTAMP")
+      .load(dir.toString).head()
+    assert(r.getAs[java.sql.Timestamp]("dt").toInstant.toString === "2024-02-29T12:30:00.123456Z")
+  }
+
   test("typed arrival through the source: DATE/TIMESTAMP/BINARY/LONG columns") {
     val cols = Seq(ColSpec.int, ColSpec.date, ColSpec.datetime, ColSpec.blob(2), ColSpec.bit(12))
     val dir = Files.createTempDirectory("ext-src")
