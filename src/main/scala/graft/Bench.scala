@@ -46,11 +46,33 @@ object Bench {
     val decodeSec = decodeOnce()
     val mbPerSec = fixBytes / 1e6 / decodeSec
 
+    // Single-threaded pure-decoder throughput over ONE file — like-for-like
+    // with the reference's criterium bench (read-penultimate-binlog decodes
+    // one segment on one thread); the Spark number above adds job overhead
+    // but scales with file count.
+    val oneFile = new java.io.File(fixDir).listFiles()
+      .filter(_.getName.startsWith("binlog.0")).minBy(_.getName)
+    def decodeSingle(): Double = {
+      val t0 = System.nanoTime()
+      val it = graft.binlog.BinlogReader.eventIterator(
+        graft.binlog.BinlogReader.mapFile(oneFile.getPath), 4L)
+      var n = 0L
+      it.foreach {
+        case re: graft.binlog.RowsEvent => n += re.rows.length + re.afterRows.length
+        case _ =>
+      }
+      require(n > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    decodeSingle() // warm
+    val stMbPerSec = oneFile.length / 1e6 / decodeSingle()
+
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
+      s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan audits: the scale-critical plan properties are asserted,
+  * not just eyeballed — a regression that re-introduces a second lineitem
+  * scan, drops a broadcast, or turns the hot-shingle cut into a shuffle
+  * join fails here long before it melts a large cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.autoBroadcastJoinThreshold", (10 * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE wraps everything in AdaptiveSparkPlan — unwrap to the initial
+    * physical plan so scan nodes are reachable.
+    */
+  private def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame) =
+    physical(df).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+
+  test("q18: exactly one lineitem scan (window decorrelation, no threshold re-scan)") {
+    val p = Relational.q18AvgThreshold(spark, d)
+    val lineitemScans = fileScans(p)
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(lineitemScans === 1, plan(p).take(2000))
+    assert(plan(p).contains("BroadcastHashJoin"), "part side must broadcast")
+    assert(plan(p).contains("Window"), "threshold must come from a window, not a join")
+  }
+
+  test("dd04: hot-shingle cut is a broadcast LEFT ANTI join, not a shuffle join") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Dedup.dd04NgramJaccard(spark, d)
+    val s = plan(p)
+    assert(s.contains("LeftAnti"), s.take(1500))
+    assert(s.matches("(?s).*BroadcastHashJoin.*LeftAnti.*") ||
+      s.matches("(?s).*LeftAnti.*BroadcastHashJoin.*"),
+      "DF cut must ship the hot set, not shuffle the corpus")
+    assert(!s.contains("BroadcastNestedLoopJoin"), "no BNL anywhere in dd04")
+  }
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = Relational.q02FilterProject(spark, d)
+    val scans = fileScans(p)
+    assert(scans.nonEmpty, plan(p).take(1000))
+    val scan = scans.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(event_type,purchase)"),
+      s"equality filter must reach the scan: $pushed")
+    // pruned read schema: the 3-column projection (+2 filter columns) must
+    // not drag the full events row through the scan
+    assert(scan.requiredSchema.fields.length <= 4,
+      s"scan reads too many columns: ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q03: dimension side broadcasts; no shuffle of customer") {
+    val p = Relational.q03TopRevenue(spark, d)
+    val s = plan(p)
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(s.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
+    val dir = CdcBinlog.fixtureDir(d)
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl).load(dir)
+      .filter(col("db") === "bench" && col("table") === "big" && col("_delta_type") === "insert")
+    val scan = physical(df)
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .map(_.scan.description()).mkString
+    assert(scan.contains("db=Some(bench)") && scan.contains("table=Some(big)") &&
+      scan.contains("delta=Some(insert)"), scan.take(500))
+  }
+}
