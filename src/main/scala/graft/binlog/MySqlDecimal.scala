@@ -40,11 +40,62 @@ object MySqlDecimal {
     x
   }
 
+  private val pow10: Array[Long] =
+    Array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L, 10000000L, 100000000L, 1000000000L)
+
   /** Decode `binSize(precision, scale)` bytes at `off` into a BigDecimal.
     * Does not mutate the input (unlike the reference, which flips the sign
     * bit in place, `Decimal.java:153`).
+    *
+    * precision ≤ 18 (the overwhelmingly common case — every default-width
+    * money/metric column) takes a long-accumulator fast path: no array
+    * copy, no BigInteger, one `BigDecimal.valueOf`. Wider decimals fall
+    * back to the limb-by-limb BigInteger build.
     */
-  def decode(bytes: Array[Byte], off: Int, precision: Int, scale: Int): JBigDecimal = {
+  def decode(bytes: Array[Byte], off: Int, precision: Int, scale: Int): JBigDecimal =
+    if (precision <= 18) decodeLong(bytes, off, precision, scale)
+    else decodeBig(bytes, off, precision, scale)
+
+  private def decodeLong(bytes: Array[Byte], off: Int, precision: Int, scale: Int): JBigDecimal = {
+    val intg = precision - scale
+    val intg0 = intg / DigPerDec
+    val frac0 = scale / DigPerDec
+    val intg0x = intg - intg0 * DigPerDec
+    val frac0x = scale - frac0 * DigPerDec
+
+    val positive = (bytes(off) & 0x80) != 0
+    val mask = if (positive) 0 else -1
+    // first byte's sign bit flips BEFORE sign extension (matches the
+    // copy-then-flip of the wide path bit for bit)
+    def beField(from: Int, n: Int): Int = {
+      var x =
+        if (from == off) ((bytes(from) ^ 0x80).toByte).toInt
+        else bytes(from).toInt
+      var i = 1
+      while (i < n) { x = (x << 8) | (bytes(from + i) & 0xff); i += 1 }
+      x ^ mask
+    }
+
+    var unscaled = 0L
+    var p = off
+    if (intg0x > 0) {
+      val n = dig2bytes(intg0x)
+      unscaled = beField(p, n).toLong
+      p += n
+    }
+    var i = 0
+    while (i < intg0 + frac0) {
+      unscaled = unscaled * 1000000000L + beField(p, 4)
+      p += 4; i += 1
+    }
+    if (frac0x > 0) {
+      val n = dig2bytes(frac0x)
+      unscaled = unscaled * pow10(frac0x) + beField(p, n)
+    }
+    JBigDecimal.valueOf(if (positive) unscaled else -unscaled, scale)
+  }
+
+  private def decodeBig(bytes: Array[Byte], off: Int, precision: Int, scale: Int): JBigDecimal = {
     val intg = precision - scale
     val intg0 = intg / DigPerDec
     val frac0 = scale / DigPerDec

@@ -110,13 +110,49 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  // sim04 — LSH-bucketed k-NN JOIN: every 50th vector is a query; top-3
+  // neighbors within its sign bucket by exact cosine. The batch (many-query)
+  // version of sim02 and the cross-dataset dedup/enrichment shape: at scale
+  // the bucket is the shuffle key, per-query work is bucket-sized, and the
+  // query side is a peer dataset (NOT broadcast — it grows with the data).
+  def sim04KnnJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val base = embeddings(s, d).withColumn("bucket", signBucket($"embedding"))
+    val q = base.filter($"vec_id" % 50 === 0)
+      .select($"bucket", $"vec_id".as("qid"), $"embedding".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"cos".desc, $"cid")
+    base.join(q, "bucket")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), cosine($"embedding", $"qv").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .orderBy($"qid", $"rnk")
+  }
+
+  val sim04Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT bucket, vec_id AS qid, embedding AS qv FROM e WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS cid, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM pairs)
+       |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim02_lsh_topk" -> sim02LshTopK _,
-    "sim03_ivf_topk" -> sim03IvfTopK _)
+    "sim03_ivf_topk" -> sim03IvfTopK _,
+    "sim04_knn_join" -> sim04KnnJoin _)
 
   def oracles: Map[String, String] = Map(
     "sim01_brute_topk" -> sim01Sql,
     "sim02_lsh_topk" -> sim02Sql,
-    "sim03_ivf_topk" -> sim03Sql)
+    "sim03_ivf_topk" -> sim03Sql,
+    "sim04_knn_join" -> sim04Sql)
 }

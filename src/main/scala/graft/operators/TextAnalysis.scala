@@ -184,7 +184,40 @@ object TextAnalysis {
       |FROM red
       |ORDER BY doc_id""".stripMargin
 
+  // txt07 — deterministic train/val/test split assignment: hash-bucket on
+  // md5(doc_id) (content-independent, stable across runs and engines —
+  // the property a training pipeline needs so resharding or re-crawling
+  // never migrates a document between splits). 5% test / 10% val / 85%
+  // train; reported as per-(split, lang) doc and token counts. Pure
+  // narrow transform + one small agg — no shuffle of the corpus text.
+  def txt07SplitAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 5, "test").when(bucket < 15, "val").otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens($"text")).cast("long")).as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val txt07Sql: String =
+    """WITH assigned AS (
+      |  SELECT lang, text,
+      |    CASE WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 5 THEN 'test'
+      |         WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 15 THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM documents)
+      |SELECT split, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM assigned
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt07_split_assign" -> txt07SplitAssign _,
     "txt06_pii_redact" -> txt06PiiRedact _,
     "txt01_token_count" -> txt01TokenCount _,
     "txt02_quality" -> txt02Quality _,
@@ -193,6 +226,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt07_split_assign" -> txt07Sql,
     "txt06_pii_redact" -> txt06Sql,
     "txt01_token_count" -> txt01Sql,
     "txt02_quality" -> txt02Sql,
