@@ -52,8 +52,7 @@ object Bench {
     // but scales with file count.
     val oneFile = new java.io.File(fixDir).listFiles()
       .filter(_.getName.startsWith("binlog.0")).minBy(_.getName)
-    def decodeSingle(): Double = {
-      val t0 = System.nanoTime()
+    def decodeSingle(): Unit = {
       val it = graft.binlog.BinlogReader.eventIterator(
         graft.binlog.BinlogReader.mapFile(oneFile.getPath), 4L)
       var n = 0L
@@ -62,10 +61,16 @@ object Bench {
         case _ =>
       }
       require(n > 0)
-      (System.nanoTime() - t0) / 1e9
     }
-    decodeSingle() // warm
-    val stMbPerSec = oneFile.length / 1e6 / decodeSingle()
+    // one file is only a few MB (~10 ms): loop for a ≥1 s window and take
+    // the aggregate rate, or a single tiny run is all scheduler noise
+    (1 to 5).foreach(_ => decodeSingle()) // JIT warm
+    val stMbPerSec = {
+      val t0 = System.nanoTime()
+      var iters = 0
+      while (System.nanoTime() - t0 < 1000000000L) { decodeSingle(); iters += 1 }
+      oneFile.length * iters / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    }
 
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()

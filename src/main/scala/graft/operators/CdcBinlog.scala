@@ -57,84 +57,101 @@ object CdcBinlog {
 
   private def expectedDir: String = lastDir.getOrElse(
     // driver gate default: sf0.01 -> 20000 rows
-    Paths.get(sys.props("java.io.tmpdir"), "graft-binlog-v3-20000").toString)
+    Paths.get(sys.props("java.io.tmpdir"), "graft-binlog-v4-20000").toString)
+
+  /** One generation pass: writes the rotated binlog files into `dir` (with
+    * or without CRC32 checksums — positions differ, logical content is
+    * identical) and, when writers are given, the expected-changes/-events
+    * ground truth alongside.
+    */
+  private def writeFixture(dir: java.nio.file.Path, total: Int, checksum: Boolean,
+                           expC: java.io.Writer, expE: java.io.Writer): Unit = {
+    def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
+               v: JBigDecimal, w: String): Unit =
+      if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
+    def event(t: String, xid: String = ""): Unit =
+      if (expE != null) expE.write(s"$t,$xid\n")
+    val nFiles = 4
+    val perFile = total / nFiles
+    var id = 0
+    for (f <- 1 to nFiles) {
+      val fname = f"binlog.$f%06d"
+      val w = new Writer(checksum = checksum)
+      w.writeFormatDescription(ts = 1700000000L)
+      event("FORMAT_DESCRIPTION_EVENT")
+      var written = 0
+      var txn = 0
+      while (written < perFile) {
+        val n = math.min(100, perFile - written)
+        val ts = 1700000000L + id / 10
+        val xid = 100000L + id.toLong
+        w.writeQuery("bench", "BEGIN", ts = ts)
+        event("QUERY_EVENT")
+        w.writeTableMap(42, "bench", "big", cols, ts = ts)
+        event("TABLE_MAP_EVENT")
+        val insPos = w.position
+        val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
+        w.writeInsert(42, cols, rows, ts = ts)
+        event("WRITE_ROWS_EVENT")
+        (0 until n).foreach { k =>
+          change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
+        }
+        if (txn % 5 == 3) { // some txns also update their first 20 rows
+          val updPos = w.position
+          w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
+            (Seq[Any](id + k, dec(id + k), word(id + k)),
+             Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
+          }, ts = ts)
+          event("UPDATE_ROWS_EVENT")
+          (0 until math.min(20, n)).foreach { k =>
+            change(fname, updPos, 2 * k, xid, "update-before", id + k, dec(id + k), word(id + k))
+            change(fname, updPos, 2 * k + 1, xid, "update", id + k, dec(id + k + 1), word(id + k + 1))
+          }
+        }
+        if (txn % 5 == 4) { // and some delete 5
+          val delPos = w.position
+          w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
+            Seq[Any](id + k, dec(id + k), word(id + k))
+          }, ts = ts)
+          event("DELETE_ROWS_EVENT")
+          (0 until math.min(5, n)).foreach { k =>
+            change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
+          }
+        }
+        w.writeXid(xid, ts = ts)
+        event("XID_EVENT", xid.toString)
+        id += n; written += n; txn += 1
+      }
+      if (f < nFiles) {
+        w.writeRotate(f"binlog.${f + 1}%06d", ts = 1700000000L)
+        event("ROTATE_EVENT")
+      }
+      w.save(dir.resolve(fname).toString)
+    }
+    Files.writeString(dir.resolve("binlog.index"),
+      (1 to nFiles).map(i => f"binlog.$i%06d").mkString("", "\n", "\n"))
+  }
 
   /** Generate (once) a rotated multi-file fixture for `sfDir` plus the
-    * expected-changes/-events ground truth; returns the directory.
+    * expected-changes/-events ground truth AND a CRC32-checksummed twin
+    * (same logical content, under `crc/`); returns the directory.
     * Deterministic: same sf -> byte-identical files.
     */
   def fixtureDir(sfDir: String): String = synchronized {
     val total = rowsFor(sfDir)
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-v3-$total")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-v4-$total")
     val marker = dir.resolve("_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)
+      val crcDir = dir.resolve("crc")
+      Files.createDirectories(crcDir)
       val expC = Files.newBufferedWriter(dir.resolve("expected_changes.csv"))
       val expE = Files.newBufferedWriter(dir.resolve("expected_events.csv"))
       expC.write("log_file,log_pos,log_seq,xid,_delta_type,id,val,word\n")
       expE.write("event_type,xid\n")
-      def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
-                 v: JBigDecimal, w: String): Unit =
-        expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
-      val nFiles = 4
-      val perFile = total / nFiles
-      var id = 0
-      for (f <- 1 to nFiles) {
-        val fname = f"binlog.$f%06d"
-        val w = new Writer()
-        w.writeFormatDescription(ts = 1700000000L)
-        expE.write("FORMAT_DESCRIPTION_EVENT,\n")
-        var written = 0
-        var txn = 0
-        while (written < perFile) {
-          val n = math.min(100, perFile - written)
-          val ts = 1700000000L + id / 10
-          val xid = 100000L + id.toLong
-          w.writeQuery("bench", "BEGIN", ts = ts)
-          expE.write("QUERY_EVENT,\n")
-          w.writeTableMap(42, "bench", "big", cols, ts = ts)
-          expE.write("TABLE_MAP_EVENT,\n")
-          val insPos = w.position
-          val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
-          w.writeInsert(42, cols, rows, ts = ts)
-          expE.write("WRITE_ROWS_EVENT,\n")
-          (0 until n).foreach { k =>
-            change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
-          }
-          if (txn % 5 == 3) { // some txns also update their first 20 rows
-            val updPos = w.position
-            w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
-              (Seq[Any](id + k, dec(id + k), word(id + k)),
-               Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
-            }, ts = ts)
-            expE.write("UPDATE_ROWS_EVENT,\n")
-            (0 until math.min(20, n)).foreach { k =>
-              change(fname, updPos, 2 * k, xid, "update-before", id + k, dec(id + k), word(id + k))
-              change(fname, updPos, 2 * k + 1, xid, "update", id + k, dec(id + k + 1), word(id + k + 1))
-            }
-          }
-          if (txn % 5 == 4) { // and some delete 5
-            val delPos = w.position
-            w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
-              Seq[Any](id + k, dec(id + k), word(id + k))
-            }, ts = ts)
-            expE.write("DELETE_ROWS_EVENT,\n")
-            (0 until math.min(5, n)).foreach { k =>
-              change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
-            }
-          }
-          w.writeXid(xid, ts = ts)
-          expE.write(s"XID_EVENT,$xid\n")
-          id += n; written += n; txn += 1
-        }
-        if (f < nFiles) {
-          w.writeRotate(f"binlog.${f + 1}%06d", ts = 1700000000L)
-          expE.write("ROTATE_EVENT,\n")
-        }
-        w.save(dir.resolve(fname).toString)
-      }
+      writeFixture(dir, total, checksum = false, expC, expE)
       expC.close(); expE.close()
-      Files.writeString(dir.resolve("binlog.index"), (1 to nFiles).map(i => f"binlog.$i%06d").mkString("", "\n", "\n"))
+      writeFixture(crcDir, total, checksum = true, null, null)
       Files.writeString(marker, "ok")
     }
     lastDir = Some(dir.toString)
@@ -204,11 +221,30 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcb5 — full scan of the CRC32-checksummed twin fixture: every event
+  // trailer verified + stripped in the hot path, aggregated to
+  // position-independent totals the generator ground truth can oracle
+  // (the checksummed twin's offsets differ — 4 bytes per event — so the
+  // comparison is on content, which is identical by construction).
+  def cdcb5ChecksummedScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(Paths.get(fixtureDir(d), "crc").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"id".cast("long")).as("sum_id"),
+        round(sum($"val".cast(DecimalType(38, 10))), 2).cast("double").as("sum_val"))
+      .orderBy($"_delta_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
-    "cdcb4_binlog_latest_image" -> cdcb4LatestImage _)
+    "cdcb4_binlog_latest_image" -> cdcb4LatestImage _,
+    "cdcb5_checksummed_scan" -> cdcb5ChecksummedScan _)
 
   /** DuckDB oracles over the generator's expected_* ground truth (absolute
     * paths — these tables live beside the binlog fixture, not in the sf
@@ -230,6 +266,12 @@ object CdcBinlog {
          |FROM $expectedEventsRel
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    "cdcb5_checksummed_scan" ->
+      s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val
+         |FROM $expectedChangesRel
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
     "cdcb4_binlog_latest_image" ->
       s"""WITH ranked AS (
          |  SELECT id, val, word, _delta_type,

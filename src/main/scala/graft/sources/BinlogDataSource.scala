@@ -103,7 +103,7 @@ object BinlogSchemas {
   def resolveFiles(path: String): Vector[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory) {
-      f.listFiles().toVector.map(_.getPath).sorted
+      f.listFiles().toVector.filter(_.isFile).map(_.getPath).sorted
         .filter(p => BinlogReader.isBinlogFile(p))
     } else if (BinlogReader.isBinlogFile(path)) Vector(path)
     else // treat as index file: entries resolve relative to its directory
