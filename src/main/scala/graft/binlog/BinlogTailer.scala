@@ -33,11 +33,12 @@ object BinlogTailer {
   def start(dir: String, onChange: Change => Unit,
             db: Option[String] = None, table: Option[String] = None,
             charset: Charset = StandardCharsets.ISO_8859_1,
-            pollMs: Long = 200L): Tailer =
-    new Tailer(Paths.get(dir), onChange, db, table, charset, pollMs)
+            pollMs: Long = 200L, maxTxnRows: Int = 1000000): Tailer =
+    new Tailer(Paths.get(dir), onChange, db, table, charset, pollMs, maxTxnRows)
 
   final class Tailer private[BinlogTailer] (dir: Path, onChange: Change => Unit,
-      dbF: Option[String], tableF: Option[String], charset: Charset, pollMs: Long)
+      dbF: Option[String], tableF: Option[String], charset: Charset, pollMs: Long,
+      maxTxnRows: Int)
     extends AutoCloseable {
 
     @volatile private var closed = false
@@ -45,6 +46,7 @@ object BinlogTailer {
     private var pos: Long = 4L
     private var tms: Map[Long, TableMapEvent] = Map.empty
     private var txn = Vector.empty[Change] // committed-only emission
+    private var txnOverflowed = false      // oversized txn: stream, xid None
     private val ws: WatchService = FileSystems.getDefault.newWatchService()
     dir.register(ws, StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_CREATE)
 
@@ -71,7 +73,16 @@ object BinlogTailer {
           case ((b, a), i) => Seq(c(2 * i, "update-before", b), c(2 * i + 1, "update", a)) }
         case _ => Nil
       }
-      txn ++= fresh
+      if (txnOverflowed) fresh.foreach(onChange)
+      else if (txn.size + fresh.size <= maxTxnRows) txn ++= fresh
+      else {
+        // oversized txn: flush in log order, degrade xid to None for the
+        // whole txn (same policy as the DSv2 source's maxTxnRows)
+        txnOverflowed = true
+        txn.foreach(onChange)
+        txn = Vector.empty
+        fresh.foreach(onChange)
+      }
     }
 
     /** Decode everything complete since the last drain; returns true if the
@@ -86,7 +97,8 @@ object BinlogTailer {
           case tm: TableMapEvent => tms = tms.updated(tm.tableId, tm)
           case re: RowsEvent if wanted(re.dbName, re.tableName) => emit(re)
           case x: XidEvent =>
-            txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))
+            if (txnOverflowed) { txn.foreach(onChange); txnOverflowed = false }
+            else txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))
             txn = Vector.empty
           case r: RotateEvent => rotateTo = Some(r.nextFile)
           case _ =>
@@ -104,6 +116,7 @@ object BinlogTailer {
           // source's rotation flush
           txn.foreach(onChange)
           txn = Vector.empty
+          txnOverflowed = false
           file = dir.resolve(next)
           pos = 4L
           tms = Map.empty // per-file state, like the reference's scan

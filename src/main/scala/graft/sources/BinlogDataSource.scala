@@ -177,7 +177,8 @@ class BinlogScan(schema: StructType, options: Map[String, String],
     new BinlogReaderFactory(schema, options, dbFilter, tableFilter, deltaFilter)
 
   override def toMicroBatchStream(checkpointLocation: String) =
-    new BinlogMicroBatchStream(schema, options, dbFilter, tableFilter, deltaFilter)
+    new BinlogMicroBatchStream(schema, options, dbFilter, tableFilter, deltaFilter,
+      Option(checkpointLocation))
 }
 
 class BinlogReaderFactory(schema: StructType, options: Map[String, String],

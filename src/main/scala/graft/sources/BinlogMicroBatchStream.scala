@@ -42,7 +42,8 @@ object BinlogOffset {
   */
 class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
                              dbFilter: Option[String], tableFilter: Option[String],
-                             deltaFilter: Option[String])
+                             deltaFilter: Option[String],
+                             checkpointLocation: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private val path = options("path")
@@ -51,10 +52,53 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   /** Table-map snapshots learned by the offset walk: (file, pos) -> state
     * valid when decoding resumes at pos. Driver-side only; bounded by one
     * entry per latestOffset call per file (entries for stale offsets are
-    * dropped on commit).
+    * dropped on commit). The snapshot at each committed offset also
+    * persists under the streaming checkpoint, so a restarted driver
+    * resumes with O(batch delta) decode instead of replaying the current
+    * file from offset 4 to rebuild TABLE_MAP state.
     */
   private[sources] val tableMapCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Map[Long, TableMapEvent]]
+
+  private def snapshotFile: Option[java.nio.file.Path] =
+    checkpointLocation.map { c =>
+      java.nio.file.Paths.get(stripScheme(c), "graft-tablemap-snapshot.bin")
+    }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  // restart path: reload the snapshot persisted at the last commit
+  snapshotFile.foreach { f =>
+    if (java.nio.file.Files.exists(f)) {
+      try {
+        val in = new java.io.ObjectInputStream(java.nio.file.Files.newInputStream(f))
+        try {
+          val (key, tms) = in.readObject()
+            .asInstanceOf[((String, Long), Map[Long, TableMapEvent])]
+          tableMapCache.update(key, tms)
+        } finally in.close()
+      } catch {
+        case _: Exception => // unreadable snapshot: fall back to replay-from-4
+      }
+    }
+  }
+
+  private def persistSnapshot(key: (String, Long),
+                              tms: Map[Long, TableMapEvent]): Unit =
+    snapshotFile.foreach { f =>
+      try {
+        java.nio.file.Files.createDirectories(f.getParent)
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        val out = new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))
+        try out.writeObject((key, tms)) finally out.close()
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: Exception => // persistence is best-effort; restart replays
+      }
+    }
 
   private def files(): Vector[String] = BinlogSchemas.resolveFiles(path)
 
@@ -183,6 +227,11 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     val e = end.asInstanceOf[BinlogOffset]
     tableMapCache.keys.foreach { case k @ (f, p) =>
       if (f < e.file || (f == e.file && p < e.pos)) tableMapCache.remove(k)
+    }
+    // durable fast-path for restarts: the snapshot valid at the committed
+    // offset rides along with the checkpoint
+    tableMapCache.get((e.file, e.pos)).foreach { tms =>
+      if (tms.nonEmpty) persistSnapshot((e.file, e.pos), tms)
     }
   }
 

@@ -87,6 +87,32 @@ class BinlogTailerSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("oversized txn streams in order with xid None (maxTxnRows cap)") {
+    val dir = Files.createTempDirectory("tailer-overflow")
+    val f1 = dir.resolve("binlog.000001").toString
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(0, "small")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 2)
+      .writeInsert(23, cols, Seq(Seq(1, "a0"), Seq(2, "a1")), ts = 2)
+      .writeInsert(23, cols, Seq(Seq(3, "b0"), Seq(4, "b1"), Seq(5, "b2")), ts = 2)
+      .writeXid(2, ts = 2)
+      .writeTableMap(23, "bench", "lat", cols, ts = 3)
+      .writeInsert(23, cols, Seq(Seq(6, "tail")), ts = 3)
+      .writeXid(3, ts = 3)
+      .save(f1)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50, maxTxnRows = 3)
+    try {
+      val all = await(got, 7)
+      assert(all.map(_.row(1)) === Vector("small", "a0", "a1", "b0", "b1", "b2", "tail"))
+      assert(all.map(_.xid) ===
+        Vector(Some(1L), None, None, None, None, None, Some(3L)))
+    } finally t.close()
+  }
+
   test("checksummed log tails identically") {
     val dir = Files.createTempDirectory("tailer-crc")
     val f1 = dir.resolve("binlog.000001").toString

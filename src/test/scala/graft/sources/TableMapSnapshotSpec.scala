@@ -141,4 +141,36 @@ class TableMapSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.length === 1)
     assert(parts.head.asInstanceOf[BinlogInputPartition].initialTableMaps.nonEmpty)
   }
+
+  test("snapshot persists in the checkpoint: a restarted stream keeps the O(delta) fast path") {
+    val dir = Files.createTempDirectory("tm-persist")
+    val ckpt = Files.createTempDirectory("tm-persist-ckpt").toString
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer().writeFormatDescription(ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1000)
+      .writeXid(1, ts = 1000)
+    w.save(f1)
+    val opts = Map("path" -> dir.toString, "payloadddl" -> "id INT, value STRING")
+    val schema = BinlogSchemas.forOptions(opts)
+
+    val s1 = new BinlogMicroBatchStream(schema, opts, None, None, None, Some(ckpt))
+    val o1 = s1.latestOffset(s1.initialOffset(), ReadLimit.allAvailable())
+    s1.commit(o1) // writes the snapshot file
+
+    // "driver restart": a brand-new stream instance, empty in-memory cache,
+    // same checkpoint — Spark replays the last batch range (o0..o1) or
+    // continues (o1..o2); the persisted snapshot must make o1 a fast start
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 1001)
+      .writeXid(2, ts = 1001).save(f1)
+    val s2 = new BinlogMicroBatchStream(schema, opts, None, None, None, Some(ckpt))
+    val o2 = s2.latestOffset(o1, ReadLimit.allAvailable())
+    val parts = s2.planInputPartitions(o1, o2)
+    assert(parts.length === 1)
+    val p = parts.head.asInstanceOf[BinlogInputPartition]
+    assert(p.startPos > 4L)
+    assert(p.initialTableMaps.nonEmpty,
+      s"restarted stream lost the snapshot; cache=${s2.tableMapCache.keys}")
+  }
 }
