@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC → queryable table maintenance: the sink-side counterpart of the
+  * latest-image *query* (cdcb4). The reference leaves materialization to
+  * its callers (each JDBC consumer folds the change stream by hand,
+  * `jdbc.clj:205-331`); here one streaming job keeps a parquet table
+  * current — no lakehouse format needed.
+  *
+  * Scale design: the table is hash-partitioned on the primary key into
+  * `nBuckets` directories, and each micro-batch rewrites ONLY the buckets
+  * it touches (`partitionOverwriteMode=dynamic` + static bucket-id
+  * pruning on the read side). Per-trigger cost is
+  * O(touched buckets ÷ nBuckets × table), not O(table): a trickle of
+  * changes against a 100 TB table rewrites a few buckets, a bulk load
+  * rewrites them all — both the plan you'd want.
+  *
+  * Merge is latest-wins on the envelope's total order
+  * (log_file, log_pos, log_seq), which makes it idempotent: a replayed
+  * batch (foreachBatch's at-least-once corner) re-merges to the same
+  * table. Deletes persist as tombstone rows inside the table (so a
+  * bucket whose keys all die still produces output rows and its
+  * partition gets rewritten — dynamic overwrite skips partitions absent
+  * from the output); [[readTable]] filters them and a periodic compact
+  * (plain rewrite) can drop them.
+  */
+object CdcMaterializer {
+
+  /** Start maintaining `tablePath` from a CDC change stream (the
+    * mysql-binlog source's envelope: `_delta_type`, `log_file`, `log_pos`,
+    * `log_seq`, payload incl. `keyCol`).
+    */
+  def materialize(changes: DataFrame, keyCol: String, tablePath: String,
+                  checkpoint: String, nBuckets: Int = 64,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, keyCol, tablePath, nBuckets) }
+      .start()
+
+  /** One idempotent merge of a batch of change rows into the table. */
+  private[streaming] def mergeBatch(batch: DataFrame, keyCol: String,
+                                    tablePath: String, nBuckets: Int): Unit = {
+    val s = batch.sparkSession
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val b = batch.filter(col("_delta_type") =!= "update-before")
+      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+    if (!b.isEmpty) {
+      // touched bucket ids: bounded by nBuckets, safe to collect — and as
+      // literals they prune the existing-table read to those partitions
+      val touched = b.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+      val exists = new java.io.File(tablePath).exists()
+      val existing =
+        if (exists) s.read.parquet(tablePath).where(col("_bucket").isin(touched: _*))
+        else null
+      val all = if (existing != null) existing.unionByName(b) else b
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+        .orderBy(col("log_file").desc, col("log_pos").desc, col("log_seq").desc)
+      val merged = all
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      // materialize before writing: the write overwrites the very
+      // partitions the merge just read (touched buckets only, so the
+      // checkpointed footprint is the batch's working set, not the table)
+      val snap = merged.localCheckpoint(true)
+      snap.write.mode("overwrite").partitionBy("_bucket").parquet(tablePath)
+      snap.unpersist()
+    }
+  }
+
+  /** Current state of the materialized table (tombstones filtered). */
+  def readTable(s: SparkSession, tablePath: String): DataFrame =
+    s.read.parquet(tablePath).filter(col("_delta_type") =!= "delete")
+}

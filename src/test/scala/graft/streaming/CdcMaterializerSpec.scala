@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.binlog.BinlogWriter._
+
+/** CDC → parquet table maintenance: latest image per key after every
+  * trigger, deletes dropped from reads, idempotent re-merge, and — the
+  * scale property — untouched hash-bucket partitions are NOT rewritten by
+  * a batch that doesn't contain their keys.
+  */
+class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+  private val ddl = "id INT, word STRING"
+  private val nBuckets = 8
+
+  private def partFiles(table: String, bucket: Int): Set[String] = {
+    val d = new java.io.File(s"$table/_bucket=$bucket")
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+  }
+
+  test("materialize: upserts, deletes, untouched buckets keep their files") {
+    val dir = Files.createTempDirectory("mat-src")
+    val f1 = dir.resolve("binlog.000001").toString
+    val table = Files.createTempDirectory("mat-table").resolve("t").toString
+    val ckpt = Files.createTempDirectory("mat-ckpt").toString
+
+    val w = new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, "one"), Seq(2, "two"), Seq(3, "three"), Seq(4, "four")), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeUpdate(23, cols, Seq((Seq(1, "one"), Seq(1, "ONE"))), ts = 1001)
+      .writeDelete(23, cols, Seq(Seq(2, "two")), ts = 1001)
+      .writeXid(2, ts = 1001)
+    w.save(f1)
+
+    def run(): Unit = {
+      val changes = spark.readStream.format("mysql-binlog")
+        .option("payloadDdl", ddl).load(dir.toString)
+      val q = CdcMaterializer.materialize(changes, "id", table, ckpt,
+        nBuckets = nBuckets, trigger = Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    run()
+    val state1 = CdcMaterializer.readTable(spark, table)
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(state1.toSeq === Seq((1, "ONE"), (3, "three"), (4, "four")))
+
+    // pick a surviving key whose bucket batch 2 will NOT touch
+    def bucketOf(id: Int): Int =
+      spark.range(1).select(pmod(hash(lit(id)), lit(nBuckets))).head.getInt(0)
+    val touched2 = Set(bucketOf(3), bucketOf(10))
+    val untouchedId = Seq(1, 4).find(i => !touched2.contains(bucketOf(i)))
+    val before = untouchedId.map(i => partFiles(table, bucketOf(i)))
+
+    // batch 2: new key 10, update key 3
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1002)
+      .writeInsert(23, cols, Seq(Seq(10, "ten")), ts = 1002)
+      .writeUpdate(23, cols, Seq((Seq(3, "three"), Seq(3, "THREE"))), ts = 1002)
+      .writeXid(3, ts = 1002)
+      .save(f1)
+    run()
+    val state2 = CdcMaterializer.readTable(spark, table)
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(state2.toSeq === Seq((1, "ONE"), (3, "THREE"), (4, "four"), (10, "ten")))
+
+    // the scale property: a bucket batch 2 didn't touch still has the
+    // exact same part files (dynamic partition overwrite left it alone)
+    (untouchedId, before) match {
+      case (Some(i), Some(files)) =>
+        assert(files.nonEmpty)
+        assert(partFiles(table, bucketOf(i)) === files,
+          s"untouched bucket ${bucketOf(i)} was rewritten")
+      case _ => // all buckets collided at nBuckets=8; property untestable here
+    }
+
+    // idempotence: re-merging the last batch's rows changes nothing
+    val replay = spark.read.format("mysql-binlog")
+      .option("payloadDdl", ddl).load(dir.toString)
+      .filter(col("log_pos") >= 0) // full log replay, worst case
+    CdcMaterializer.mergeBatch(replay, "id", table, nBuckets)
+    val state3 = CdcMaterializer.readTable(spark, table)
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(state3.toSeq === state2.toSeq)
+  }
+}
