@@ -58,9 +58,50 @@ object RangeJoin {
       |GROUP BY owner
       |ORDER BY owner""".stripMargin
 
+  // rj02 — interval-OVERLAP self-join: per customer, pairs of orders whose
+  // 7-day fulfillment windows [orderdate, orderdate+7) overlap. A raw
+  // overlap predicate is again a nested loop; the scale shape is the same
+  // binning as rj01 with a twist: a pair can share MANY bins, so instead
+  // of a dedup shuffle the pair is kept only in its CANONICAL bin — the
+  // bin of max(a.lo, b.lo), which provably lies in both intervals' bin
+  // ranges. Equi-join on (custkey, bin), residual predicates codegen'd,
+  // one hash join, zero post-dedup.
+  def rj02OrderOverlaps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val binWidth = 7L
+    val o = orders(s, d).select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("lo"))
+      .withColumn("hi", $"lo" + 7)
+    val binned = o.withColumn("_bin",
+      explode(sequence(($"lo" / binWidth).cast("long"), ($"hi" / binWidth).cast("long"))))
+    binned.as("a").join(binned.as("b"),
+        $"a.o_custkey" === $"b.o_custkey" && $"a._bin" === $"b._bin" &&
+          $"a.o_orderkey" < $"b.o_orderkey" &&
+          $"a.lo" < $"b.hi" && $"b.lo" < $"a.hi" &&
+          $"a._bin" === (greatest($"a.lo", $"b.lo") / binWidth).cast("long"))
+      .select($"a.o_custkey".as("custkey"),
+        $"a.o_orderkey".as("order_a"), $"b.o_orderkey".as("order_b"),
+        (least($"a.hi", $"b.hi") - greatest($"a.lo", $"b.lo")).as("overlap_days"))
+      .orderBy($"custkey", $"order_a", $"order_b")
+  }
+
+  val rj02Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+      |    date_diff('day', DATE '1970-01-01', o_orderdate) + 7 AS hi
+      |  FROM orders)
+      |SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+      |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_days
+      |FROM o a JOIN o b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  AND a.lo < b.hi AND b.lo < a.hi
+      |ORDER BY custkey, order_a, order_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rj01_activity_windows" -> rj01ActivityWindows _)
+    "rj01_activity_windows" -> rj01ActivityWindows _,
+    "rj02_order_overlaps" -> rj02OrderOverlaps _)
 
   def oracles: Map[String, String] = Map(
-    "rj01_activity_windows" -> rj01Sql)
+    "rj01_activity_windows" -> rj01Sql,
+    "rj02_order_overlaps" -> rj02Sql)
 }
