@@ -76,4 +76,40 @@ object CdcMaterializer {
   /** Current state of the materialized table (tombstones filtered). */
   def readTable(s: SparkSession, tablePath: String): DataFrame =
     s.read.parquet(tablePath).filter(col("_delta_type") =!= "delete")
+
+  /** Maintain MANY tables from ONE binlog scan: the stream is the source's
+    * dynamic-payload mode (no `payloadDdl` — `row` is the positional
+    * string image), each trigger decodes the log exactly once, and the
+    * cached batch demultiplexes into per-table typed merges under
+    * `basePath/<db>.<table>`. This is the multi-table serving shape of the
+    * reference's single connection (`jdbc.clj:170-178`) as a materializer:
+    * N tables never cost N decodes.
+    *
+    * `schemas`: "db.table" -> (payload DDL, primary-key column). Payload
+    * types must stringify losslessly (numeric/decimal/text/temporal);
+    * binary columns need a dedicated typed scan instead.
+    */
+  def materializeAll(changes: DataFrame, schemas: Map[String, (String, String)],
+                     basePath: String, checkpoint: String, nBuckets: Int = 64,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist() // one decode serves every table below
+        try schemas.foreach { case (qualified, (ddl, keyCol)) =>
+          val Array(db, table) = qualified.split("\\.", 2)
+          val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+          val typed = cached
+            .filter(col("db") === db && col("table") === table)
+            .select(
+              (batch.columns.filterNot(_ == "row").map(col).toSeq ++
+                fields.zipWithIndex.map { case (f, i) =>
+                  col("row").getItem(i).cast(f.dataType).as(f.name)
+                }): _*)
+          mergeBatch(typed, keyCol, s"$basePath/$qualified", nBuckets)
+        } finally cached.unpersist()
+      }
+      .start()
 }

@@ -102,4 +102,57 @@ class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
     assert(state3.toSeq === state2.toSeq)
   }
+
+  test("materializeAll: one scan maintains several typed tables") {
+    val dcols = Seq(ColSpec.int, ColSpec.decimal(12, 4))
+    val dir = Files.createTempDirectory("matall-src")
+    val f1 = dir.resolve("binlog.000001").toString
+    val base = Files.createTempDirectory("matall-tables").toString
+    val ckpt = Files.createTempDirectory("matall-ckpt").toString
+
+    val w = new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, "one"), Seq(2, "two")), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .writeTableMap(24, "bar", "acct", dcols, ts = 1000)
+      .writeInsert(24, dcols, Seq(Seq(7, new JBigDecimal("12.5000"))), ts = 1000)
+      .writeXid(2, ts = 1000)
+    w.save(f1)
+
+    def run(): Unit = {
+      val changes = spark.readStream.format("mysql-binlog").load(dir.toString)
+      val q = CdcMaterializer.materializeAll(changes,
+        Map("foo.auto" -> (ddl, "id"),
+            "bar.acct" -> (("id INT, bal DECIMAL(12,4)", "id"))),
+        base, ckpt, nBuckets = 4, trigger = Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    run()
+    val auto1 = CdcMaterializer.readTable(spark, s"$base/foo.auto")
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(auto1.toSeq === Seq((1, "one"), (2, "two")))
+    val acct1 = CdcMaterializer.readTable(spark, s"$base/bar.acct")
+      .select("id", "bal").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).sortBy(_._1)
+    assert(acct1.toSeq === Seq((7, "12.5000")))
+
+    // batch 2 touches both tables through the same single scan
+    w.writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeDelete(23, cols, Seq(Seq(1, "one")), ts = 1001)
+      .writeXid(3, ts = 1001)
+      .writeTableMap(24, "bar", "acct", dcols, ts = 1001)
+      .writeUpdate(24, dcols, Seq((Seq(7, new JBigDecimal("12.5000")),
+        Seq(7, new JBigDecimal("99.0000")))), ts = 1001)
+      .writeXid(4, ts = 1001)
+      .save(f1)
+    run()
+    val auto2 = CdcMaterializer.readTable(spark, s"$base/foo.auto")
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(auto2.toSeq === Seq(2))
+    val acct2 = CdcMaterializer.readTable(spark, s"$base/bar.acct")
+      .select("id", "bal").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).sortBy(_._1)
+    assert(acct2.toSeq === Seq((7, "99.0000")))
+  }
 }
