@@ -432,11 +432,17 @@ object BinlogReader {
     * modern (>= 5.6.6) binlog silently decodes 4 garbage bytes into every
     * variable-length tail (QUERY sql, ROTATE file name, the last row image).
     */
+  /** `decodeRowImages = false` is events-mode projection pushdown: rows
+    * events resolve their (db, table) through the TABLE_MAP registry but
+    * skip per-row image decode entirely — an event-level consumer never
+    * reads the images, so decoding them is pure waste.
+    */
   def eventIterator(buf: ByteBuffer, startOffset: Long,
                     initialTableMaps: Map[Long, TableMapEvent] = Map.empty,
                     charset: Charset = StandardCharsets.ISO_8859_1,
                     unsignedCols: Array[Boolean] = null,
-                    endOffset: Long = Long.MaxValue): Iterator[BinlogEvent] =
+                    endOffset: Long = Long.MaxValue,
+                    decodeRowImages: Boolean = true): Iterator[BinlogEvent] =
     new Iterator[BinlogEvent] {
       private var tableMaps = initialTableMaps
       private var off = startOffset
@@ -466,7 +472,14 @@ object BinlogReader {
                   tableMaps = tableMaps.updated(tm.tableId, tm)
                   tm
                 case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows =>
-                  readWudRows(buf, h, tableMaps, charset, unsignedCols)
+                  if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols)
+                  else {
+                    buf.position(h.offset.toInt + HeaderLen)
+                    val tableId = nUint(bytes(buf, 6))
+                    val tm = tableMaps.getOrElse(tableId,
+                      throw new IllegalStateException(s"No TABLE_MAP event for table id $tableId"))
+                    RowsEvent(h, tableId, tm.dbName, tm.tableName, Vector.empty, Vector.empty)
+                  }
                 case _ => OpaqueEvent(h)
               }
               off = h0.offset + h0.eventLen

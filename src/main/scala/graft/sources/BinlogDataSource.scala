@@ -228,7 +228,10 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     }.orNull
   private val events =
     BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset, unsignedCols,
-      endOffset = part.endPos)
+      endOffset = part.endPos,
+      // events mode never reads row images — skip their decode (projection
+      // pushdown at the event level)
+      decodeRowImages = !eventsMode)
 
   /** `fail` (default) stops the scan on ALTER/DROP/RENAME TABLE against a
     * decoded table — `payloadDdl` no longer describes the rows that follow,
