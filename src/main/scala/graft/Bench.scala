@@ -55,12 +55,24 @@ object Bench {
     val decodeSec = decodeOnce()
     val mbPerSec = fixBytes / 1e6 / decodeSec
 
+    // events-mode scan rate (header + TABLE_MAP decode, row images skipped
+    // since the event-level projection never reads them) — NOT comparable
+    // to the full-decode numbers above by design
+    def eventScanOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("mysql-binlog").option("mode", "events").load(fixDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    eventScanOnce() // warm
+    val eventScanMbPerSec = fixBytes / 1e6 / eventScanOnce()
+
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
+      s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
