@@ -324,12 +324,20 @@ object BinlogReader {
       val sec = nUintBE(bytes(b, 4))
       val usec = readFracMicros(b, meta)
       java.time.LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
-    // TIME2: 3 BE bytes = 0x800000 + ((H << 12) | (M << 6) | S) + frac tail
+    // TIME2: 3 BE bytes = 0x800000 + signed packed ((H << 12)|(M << 6)|S)
+    // + frac tail. MySQL TIME is a duration in ±838:59:59 — values ≥ 24 h
+    // or negative cannot be a LocalTime and surface as java.time.Duration.
     case ColType.Time2 =>
-      val v = nUintBE(bytes(b, 3)) - 0x800000L
+      val v = nUintBE(bytes(b, 3)) - 0x800000L // signed offset-binary
       val usec = readFracMicros(b, meta)
-      java.time.LocalTime.of(((v >> 12) & 0x3ff).toInt, ((v >> 6) & 0x3f).toInt,
-        (v & 0x3f).toInt, usec * 1000)
+      val a = math.abs(v)
+      val (hh, mm, ss) = (((a >> 12) & 0x3ff).toInt, ((a >> 6) & 0x3f).toInt, (a & 0x3f).toInt)
+      if (v >= 0 && hh < 24)
+        java.time.LocalTime.of(hh, mm, ss, usec * 1000)
+      else {
+        val d = java.time.Duration.ofSeconds(hh * 3600L + mm * 60L + ss, usec * 1000L)
+        if (v < 0) d.negated() else d
+      }
     case ColType.NewDate =>
       // same 3-byte day|month<<5|year<<9 packing as DATE
       val v = nUint(bytes(b, 3))

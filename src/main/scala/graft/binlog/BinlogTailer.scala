@@ -42,7 +42,15 @@ object BinlogTailer {
     extends AutoCloseable {
 
     @volatile private var closed = false
+    @volatile private var failed: Option[Throwable] = None
     private var file: Path = _
+
+    /** The error that stopped the tail, if any — a CRC mismatch or missing
+      * TABLE_MAP kills the tailing thread; consumers poll this (or notice
+      * [[isAlive]] false) instead of mistaking a dead tail for a quiet log.
+      */
+    def failure: Option[Throwable] = failed
+    def isAlive: Boolean = failed.isEmpty && !closed && thread.isAlive
     private var pos: Long = 4L
     private var tms: Map[Long, TableMapEvent] = Map.empty
     private var txn = Vector.empty[Change] // committed-only emission
@@ -92,6 +100,7 @@ object BinlogTailer {
       val start = pos
       val buf = BinlogReader.mapFile(file.toString)
       var rotateTo: Option[String] = None
+      var rotateAt = -1L
       BinlogReader.eventIterator(buf, pos, tms, charset).foreach { e =>
         e match {
           case tm: TableMapEvent => tms = tms.updated(tm.tableId, tm)
@@ -100,7 +109,7 @@ object BinlogTailer {
             if (txnOverflowed) { txn.foreach(onChange); txnOverflowed = false }
             else txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))
             txn = Vector.empty
-          case r: RotateEvent => rotateTo = Some(r.nextFile)
+          case r: RotateEvent => rotateTo = Some(r.nextFile); rotateAt = r.header.offset
           case _ =>
         }
         // v4 next_position = end of this event on disk (trailer included),
@@ -121,7 +130,13 @@ object BinlogTailer {
           pos = 4L
           tms = Map.empty // per-file state, like the reference's scan
           true
-        case _ => pos > start
+        case Some(_) =>
+          // the rotated-to file is not visible yet (rotation races file
+          // creation): rewind to the ROTATE so the next wake re-observes it
+          // instead of forgetting the rotation forever
+          pos = rotateAt
+          rotateAt > start
+        case None => pos > start
       }
     }
 
@@ -141,7 +156,7 @@ object BinlogTailer {
         }
       } catch {
         case _: InterruptedException | _: java.nio.file.ClosedWatchServiceException =>
-        case e: Throwable if !closed => throw e
+        case e: Throwable if !closed => failed = Some(e)
       }
     }, s"binlog-tailer-$dir")
     thread.setDaemon(true)

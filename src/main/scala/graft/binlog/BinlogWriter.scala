@@ -83,6 +83,15 @@ object BinlogWriter {
       // version string selects checksum-era parsing on the read side
       val sv0 = if (serverVersion.nonEmpty) serverVersion
                 else if (checksum) "5.6.30-graft-fixture" else "5.1.0-graft-fixture"
+      if (checksum) {
+        // readers gate checksum detection on the version (the alg byte only
+        // exists post-5.6.1) — a checksummed log claiming an older server
+        // would decode 4 trailer bytes into every event tail downstream
+        val p = sv0.takeWhile(c => c.isDigit || c == '.').split('.')
+        def n(i: Int) = if (i < p.length && p(i).nonEmpty) p(i).toInt else 0
+        require(n(0) > 5 || (n(0) == 5 && (n(1) > 6 || (n(1) == 6 && n(2) >= 1))),
+          s"checksum=true requires serverVersion >= 5.6.1 (got '$sv0') — readers would not detect the trailers")
+      }
       val b = new ByteArrayOutputStream()
       b.write(le(2)(4))
       val sv = new Array[Byte](50)

@@ -225,17 +225,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs_blk"))
     val ex = base.select($"lang", $"source", $"len_bucket", $"doc_id",
       explode($"sh").as("shingle"))
-    // DF cut as a broadcast ANTI-join: the HOT set (df above threshold) is
-    // small by construction — at most total-occurrences/threshold shingles,
-    // i.e. the corpus boilerplate — so shipping it beats shuffling the full
-    // keep-set join (which is ~every shingle). AQE falls back to a shuffle
-    // anti-join if a pathological corpus ever makes it big.
+    // DF cut as an ANTI-join against the HOT set (df above threshold) —
+    // typically tiny (bounded by total-occurrences/threshold: the corpus
+    // boilerplate), so it beats joining the keep-set (~every shingle). No
+    // broadcast HINT on purpose: a hint is honored unconditionally and the
+    // hot set's size is data-dependent — AQE promotes the shuffle anti-join
+    // to broadcast at runtime when the measured size is small (the common
+    // case) and keeps the safe shuffle plan when a pathological corpus
+    // makes it big.
     val hot = ex.groupBy(blockKeys.map(col) :+ $"shingle": _*)
       .agg(count(lit(1)).as("df"))
       .join(blockSizes, blockKeys)
       .filter($"df" > greatest(lit(50.0), $"n_docs_blk" * 0.005))
       .select($"lang", $"source", $"len_bucket", $"shingle")
-    val exK = ex.join(broadcast(hot), blockKeys :+ "shingle", "left_anti")
+    val exK = ex.join(hot, blockKeys :+ "shingle", "left_anti")
     val sizes = exK.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = exK.as("a").join(exK.as("b"),
         $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&

@@ -276,6 +276,10 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case StringType => UTF8String.fromString(lt.toString)
       case _ => lt.toSecondOfDay.toLong
     }
+    case dur: java.time.Duration => dt match { // TIME2 beyond LocalTime range
+      case StringType => UTF8String.fromString(dur.toString) // ISO-8601, e.g. PT100H30M
+      case _ => dur.getSeconds
+    }
     case dtv: java.time.LocalDateTime => // TimestampType micros, UTC
       dtv.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dtv.getNano / 1000L
     case other => other

@@ -47,14 +47,17 @@ object CdcMaterializer {
   private[streaming] def mergeBatch(batch: DataFrame, keyCol: String,
                                     tablePath: String, nBuckets: Int): Unit = {
     val s = batch.sparkSession
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val b = batch.filter(col("_delta_type") =!= "update-before")
       .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
     if (!b.isEmpty) {
       // touched bucket ids: bounded by nBuckets, safe to collect — and as
       // literals they prune the existing-table read to those partitions
       val touched = b.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
-      val exists = new java.io.File(tablePath).exists()
+      // existence via the table's own filesystem (HDFS/S3/local alike —
+      // java.io.File would answer "no" for every non-local URI and silently
+      // drop the previously materialized rows of touched buckets)
+      val hPath = new org.apache.hadoop.fs.Path(tablePath)
+      val exists = hPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hPath)
       val existing =
         if (exists) s.read.parquet(tablePath).where(col("_bucket").isin(touched: _*))
         else null
@@ -68,7 +71,11 @@ object CdcMaterializer {
       // partitions the merge just read (touched buckets only, so the
       // checkpointed footprint is the batch's working set, not the table)
       val snap = merged.localCheckpoint(true)
-      snap.write.mode("overwrite").partitionBy("_bucket").parquet(tablePath)
+      // writer-scoped dynamic overwrite — never mutate the shared session
+      // conf (a sibling job's full-table overwrite must stay STATIC)
+      snap.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket").parquet(tablePath)
       snap.unpersist()
     }
   }

@@ -113,6 +113,53 @@ class BinlogTailerSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("rotation races file creation: the ROTATE is re-observed, not lost") {
+    val dir = Files.createTempDirectory("tailer-rot-race")
+    val f1 = dir.resolve("binlog.000001").toString
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeRotate("binlog.000002", ts = 1) // target does NOT exist yet
+      .save(f1)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      await(got, 1)
+      Thread.sleep(200) // several drains with the rotation target missing
+      new Writer()
+        .writeFormatDescription(ts = 2)
+        .writeTableMap(23, "bench", "lat", cols, ts = 2)
+        .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 2)
+        .writeXid(2, ts = 2)
+        .save(dir.resolve("binlog.000002").toString)
+      val all = await(got, 2)
+      assert(all.last.row(1) === "b")
+      assert(all.last.logFile === "binlog.000002")
+    } finally t.close()
+  }
+
+  test("decode failure surfaces via failure/isAlive instead of a silent stall") {
+    val dir = Files.createTempDirectory("tailer-fail")
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+    val bytes = w.toBytes
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte // corrupt
+    Files.write(dir.resolve("binlog.000001"), bytes)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while (t.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(t.failure.exists(_.getMessage.contains("CRC32 mismatch")), t.failure)
+      assert(!t.isAlive)
+    } finally t.close()
+  }
+
   test("checksummed log tails identically") {
     val dir = Files.createTempDirectory("tailer-crc")
     val f1 = dir.resolve("binlog.000001").toString

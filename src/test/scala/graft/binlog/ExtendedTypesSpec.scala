@@ -88,6 +88,33 @@ class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(img(5) === LocalTime.of(0, 0, 0))
   }
 
+  test("TIME2 durations beyond LocalTime: >= 24h and negative decode as Duration") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def be3(v: Long): ByteBuffer = ByteBuffer.wrap(Array(
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // TIME '100:30:00' — legal MySQL TIME (range ±838:59:59)
+    val big = be3(0x800000L + ((100L << 12) | (30L << 6) | 0L))
+    assert(BinlogReader.readType(big, ColType.Time2, 0, ISO_8859_1) ===
+      java.time.Duration.ofHours(100).plusMinutes(30))
+    // TIME '-01:02:03' — signed offset-binary below the 0x800000 midpoint
+    val neg = be3(0x800000L - ((1L << 12) | (2L << 6) | 3L))
+    assert(BinlogReader.readType(neg, ColType.Time2, 0, ISO_8859_1) ===
+      java.time.Duration.ofSeconds(-(3600L + 123L)))
+    // in-range values still arrive as LocalTime
+    val small = be3(0x800000L + ((13L << 12) | (14L << 6) | 15L))
+    assert(BinlogReader.readType(small, ColType.Time2, 0, ISO_8859_1) ===
+      LocalTime.of(13, 14, 15))
+  }
+
+  test("writer refuses checksum with a pre-5.6.1 server version") {
+    val ex = intercept[IllegalArgumentException] {
+      new Writer(checksum = true).writeFormatDescription(serverVersion = "5.1.0-custom")
+    }
+    assert(ex.getMessage.contains("5.6.1"))
+  }
+
   test("GEOMETRY and JSON arrive as raw bytes (WKB / binary JSON)") {
     val cols = Seq(ColSpec.int, ColSpec(ColType.Geometry, 4), ColSpec(ColType.Json, 4))
     val wkb = Array[Byte](0, 0, 0, 0, 1, 1, 0, 0, 0) // srid prefix + wkb header-ish

@@ -48,15 +48,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan(p).contains("Window"), "threshold must come from a window, not a join")
   }
 
-  test("dd04: hot-shingle cut is a broadcast LEFT ANTI join, not a shuffle join") {
+  test("dd04: hot-shingle cut is a LEFT ANTI join that AQE promotes to broadcast") {
     graft.functions.GraftFunctions.register(spark)
     val p = Dedup.dd04NgramJaccard(spark, d)
     val s = plan(p)
     assert(s.contains("LeftAnti"), s.take(1500))
-    assert(s.matches("(?s).*BroadcastHashJoin.*LeftAnti.*") ||
-      s.matches("(?s).*LeftAnti.*BroadcastHashJoin.*"),
-      "DF cut must ship the hot set, not shuffle the corpus")
     assert(!s.contains("BroadcastNestedLoopJoin"), "no BNL anywhere in dd04")
+    // no unconditional hint: the promotion must come from AQE's measured
+    // runtime size (small hot set → broadcast), visible in the final plan
+    // (collect() executes THIS dataset's QueryExecution, finalizing it)
+    p.collect()
+    val fin = p.queryExecution.executedPlan.toString
+    assert(fin.matches("(?s).*BroadcastHashJoin.*LeftAnti.*") ||
+      fin.matches("(?s).*LeftAnti.*BroadcastHashJoin.*"),
+      "AQE did not promote the anti-join to broadcast: " + fin.take(1500))
   }
 
   test("q02: filter and projection push into the parquet scan") {
