@@ -313,17 +313,102 @@ object Dedup {
        |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // dd06 — INCREMENTAL dedup: a new batch (doc_id % 10 >= 8 stands in for
+  // "today's crawl") deduplicates against the existing corpus (the other
+  // 80%) without ever re-pairing the corpus with itself. This is the shape
+  // that matters in production — the corpus is 100 TB and append-only; the
+  // batch is small. Two stages, both anti-joins against corpus-derived
+  // sets: (1) exact — md5 fingerprint; (2) near-dup — MinHash band buckets
+  // propose corpus candidates for the surviving batch docs, exact shingle
+  // Jaccard >= 0.5 within buckets confirms. Corpus-side cost is one
+  // signature pass + shuffles keyed by fingerprint/band (both incremental-
+  // izable as precomputed indexes at scale); nothing quadratic in corpus
+  // size anywhere.
+  def dd06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val docs = spread(s, documents(s, d))
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    val fresh = docs.filter($"doc_id" % 10 >= 8)
+    // stage 1: exact content dedup against the corpus fingerprint set
+    val corpusFp = corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+    val survivors = fresh
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    // stage 2: near-dup via LSH band buckets (dd02's slim-row banding —
+    // shingle arrays stay out of the band shuffle); the batch side only
+    // probes, corpus×corpus pairs never materialize
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
+      .select($"doc_id",
+        explode(array(
+          struct(lit(0).as("band_id"),
+            md5(concat_ws("|", element_at($"mh", 1), element_at($"mh", 2))).as("h")),
+          struct(lit(1).as("band_id"),
+            md5(concat_ws("|", element_at($"mh", 3), element_at($"mh", 4))).as("h")))).as("b"))
+      .select($"doc_id", $"b.band_id", $"b.h")
+    val candPairs = bandsOf(survivors).as("n")
+      .join(bandsOf(corpus).as("c"), Seq("band_id", "h"))
+      .select($"n.doc_id".as("new_id"), $"c.doc_id".as("corpus_id"))
+      .distinct()
+    val nsh = survivors.select($"doc_id".as("new_id"), shingles($"text").as("nsh"))
+    val csh = corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh"))
+    val nearDups = candPairs
+      .join(nsh, "new_id").join(csh, "corpus_id")
+      .select($"new_id",
+        (size(array_intersect($"nsh", $"csh")).cast("double") /
+          size(array_union($"nsh", $"csh"))).as("j"))
+      .filter($"j" >= 0.5)
+      .select($"new_id".as("doc_id")).distinct()
+    survivors.join(nearDups, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val dd06Sql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus),
+       |survivors AS (
+       |  SELECT doc_id, text FROM fresh
+       |  WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) NOT IN (SELECT fp FROM cfp)),
+       |nsh AS (SELECT doc_id, $duckShingles AS sh FROM survivors),
+       |csh AS (SELECT doc_id, $duckShingles AS sh FROM corpus),
+       |nb AS (
+       |  SELECT doc_id, 0 AS band_id, md5(${duckMinhash(0)} || '|' || ${duckMinhash(1)}) AS h FROM nsh
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_id, md5(${duckMinhash(2)} || '|' || ${duckMinhash(3)}) AS h FROM nsh),
+       |cb AS (
+       |  SELECT doc_id, 0 AS band_id, md5(${duckMinhash(0)} || '|' || ${duckMinhash(1)}) AS h FROM csh
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_id, md5(${duckMinhash(2)} || '|' || ${duckMinhash(3)}) AS h FROM csh),
+       |pairs AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM nb n JOIN cb c ON n.band_id = c.band_id AND n.h = c.h),
+       |neardup AS (
+       |  SELECT DISTINCT p.new_id AS doc_id
+       |  FROM pairs p
+       |  JOIN nsh ON nsh.doc_id = p.new_id
+       |  JOIN csh ON csh.doc_id = p.corpus_id
+       |  WHERE CAST(len(list_intersect(nsh.sh, csh.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(nsh.sh, csh.sh))) >= 0.5)
+       |SELECT doc_id FROM survivors
+       |WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd01_exact_dedup" -> dd01Exact _,
     "dd02_minhash_lsh" -> dd02MinhashLsh _,
     "dd03_simhash" -> dd03Simhash _,
     "dd04_ngram_jaccard" -> dd04NgramJaccard _,
-    "dd05_embedding_dup" -> dd05EmbeddingDup _)
+    "dd05_embedding_dup" -> dd05EmbeddingDup _,
+    "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
   def oracles: Map[String, String] = Map(
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
     "dd03_simhash" -> dd03Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
-    "dd05_embedding_dup" -> dd05Sql)
+    "dd05_embedding_dup" -> dd05Sql,
+    "dd06_incremental_dedup" -> dd06Sql)
 }
