@@ -158,13 +158,37 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY media_type""".stripMargin
 
+  // mm04 — exact media dedup on the content hash: md5 computed in the scan
+  // projection, so only slim (media_type, md5) rows reach the shuffle — the
+  // blobs themselves never move. Duplicate groups keep the smallest doc_id
+  // (the canonical copy a pipeline would retain).
+  def mm04MediaDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).toDF()
+      .groupBy($"media_type", md5($"payload").as("content_md5"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"media_type", $"keeper_doc_id")
+  }
+
+  // payload = the text's UTF-8 bytes, and DuckDB's md5(VARCHAR) hashes the
+  // string's UTF-8 bytes — identical digests by construction
+  val mm04Sql: String =
+    """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  md5(text) AS content_md5,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY media_type, keeper_doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_meta" -> mm01MediaMeta _,
     "mm02_media_stats" -> mm02MediaStats _,
-    "mm03_frame_sample" -> mm03FrameSample _)
+    "mm03_frame_sample" -> mm03FrameSample _,
+    "mm04_media_dedup" -> mm04MediaDedup _)
 
   def oracles: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_stats" -> mm02Sql,
-    "mm03_frame_sample" -> mm03Sql)
+    "mm03_frame_sample" -> mm03Sql,
+    "mm04_media_dedup" -> mm04Sql)
 }

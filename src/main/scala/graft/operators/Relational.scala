@@ -578,7 +578,28 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
 
+  // q27 — explicit GROUPING SETS through the SQL front end (the surface
+  // rollup/cube are sugar for), with grouping() flags disambiguating the
+  // per-set rows. One hash aggregation expanding each row into its sets.
+  def q27GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_gsets")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_grouping_sets" -> q27GroupingSets _,
     "q26_range_frame" -> q26RangeFrame _,
     "q24_unpivot" -> q24Unpivot _,
     "q25_json" -> q25Json _,
@@ -607,6 +628,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q27_grouping_sets" -> q27Sql,
     "q26_range_frame" -> q26Sql,
     "q24_unpivot" -> q24Sql,
     "q25_json" -> q25Sql,
