@@ -75,17 +75,21 @@ object BinlogReader {
     res
   }
 
-  /** Fractional-seconds tail: ceil(fsp/2) big-endian bytes holding the
-    * fraction expressed in fsp digits; returns microseconds.
+  /** Fractional-seconds tail: n = ceil(fsp/2) big-endian bytes. The stored
+    * unit is determined by the BYTE count, not fsp (my_time.cc
+    * my_datetime_packed_from_binary): 1 byte = micros/10000, 2 bytes =
+    * micros/100, 3 bytes = micros — i.e. scale = 100^(3-n). (Odd fsp only
+    * narrows the value range the server writes, not the storage unit.)
+    * Returns microseconds.
     */
   private def readFracMicros(b: ByteBuffer, fsp: Int): Int = {
     val n = (fsp + 1) / 2
     if (n == 0) 0
     else {
-      val stored = nUintBE(bytes(b, n)) // = microseconds / 10^(6-fsp)
+      val stored = nUintBE(bytes(b, n))
       var scale = 1L
-      var i = fsp
-      while (i < 6) { scale *= 10; i += 1 }
+      var i = n
+      while (i < 3) { scale *= 100; i += 1 }
       (stored * scale).toInt
     }
   }
@@ -324,19 +328,40 @@ object BinlogReader {
       val sec = nUintBE(bytes(b, 4))
       val usec = readFracMicros(b, meta)
       java.time.LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
-    // TIME2: 3 BE bytes = 0x800000 + signed packed ((H << 12)|(M << 6)|S)
-    // + frac tail. MySQL TIME is a duration in ±838:59:59 — values ≥ 24 h
-    // or negative cannot be a LocalTime and surface as java.time.Duration.
+    // TIME2: the on-disk value is ONE signed packed quantity
+    // ((H<<12|M<<6|S) << 24) + microseconds (my_time.cc
+    // my_time_packed_from_binary) — NOT an offset-binary int part plus an
+    // unsigned frac tail. fsp 0: 3 BE bytes offset 0x800000, shifted.
+    // fsp 1-4: 3 BE offset bytes + a frac tail that is NEGATIVE-adjusted
+    // when the int part is negative. fsp 5-6: all 6 bytes are one
+    // offset-binary quantity (offset 0x800000000000). MySQL TIME is a
+    // duration in ±838:59:59 — values ≥ 24 h or negative cannot be a
+    // LocalTime and surface as java.time.Duration.
     case ColType.Time2 =>
-      val v = nUintBE(bytes(b, 3)) - 0x800000L // signed offset-binary
-      val usec = readFracMicros(b, meta)
-      val a = math.abs(v)
-      val (hh, mm, ss) = (((a >> 12) & 0x3ff).toInt, ((a >> 6) & 0x3f).toInt, (a & 0x3f).toInt)
-      if (v >= 0 && hh < 24)
+      val nFrac = (meta + 1) / 2
+      val packed: Long = nFrac match {
+        case 0 => (nUintBE(bytes(b, 3)) - 0x800000L) << 24
+        case 1 =>
+          var intpart = nUintBE(bytes(b, 3)) - 0x800000L
+          var frac = ubyte(b).toLong
+          if (intpart < 0 && frac != 0) { intpart += 1; frac -= 0x100 }
+          (intpart << 24) + frac * 10000L
+        case 2 =>
+          var intpart = nUintBE(bytes(b, 3)) - 0x800000L
+          var frac = nUintBE(bytes(b, 2))
+          if (intpart < 0 && frac != 0) { intpart += 1; frac -= 0x10000 }
+          (intpart << 24) + frac * 100L
+        case _ => nUintBE(bytes(b, 6)) - 0x800000000000L
+      }
+      val a = math.abs(packed)
+      val usec = (a & 0xffffffL).toInt
+      val hms = a >> 24
+      val (hh, mm, ss) = (((hms >> 12) & 0x3ff).toInt, ((hms >> 6) & 0x3f).toInt, (hms & 0x3f).toInt)
+      if (packed >= 0 && hh < 24)
         java.time.LocalTime.of(hh, mm, ss, usec * 1000)
       else {
         val d = java.time.Duration.ofSeconds(hh * 3600L + mm * 60L + ss, usec * 1000L)
-        if (v < 0) d.negated() else d
+        if (packed < 0) d.negated() else d
       }
     case ColType.NewDate =>
       // same 3-byte day|month<<5|year<<9 packing as DATE

@@ -153,13 +153,15 @@ object BinlogWriter {
       a
     }
 
-    /** frac tail: ceil(fsp/2) BE bytes of micros / 10^(6-fsp). */
+    /** frac tail: n = ceil(fsp/2) BE bytes of micros / 100^(3-n) — the unit
+      * follows the BYTE count, not fsp (my_time.cc my_datetime_to_binary).
+      */
     private def writeFrac(b: ByteArrayOutputStream, fsp: Int, usec: Int): Unit = {
       val n = (fsp + 1) / 2
       if (n > 0) {
         var scale = 1L
-        var i = fsp
-        while (i < 6) { scale *= 10; i += 1 }
+        var i = n
+        while (i < 3) { scale *= 100; i += 1 }
         b.write(be(n)(usec / scale))
       }
     }
@@ -219,11 +221,33 @@ object BinlogWriter {
         b.write(be(4)(dt.toEpochSecond(java.time.ZoneOffset.UTC)))
         writeFrac(b, spec.meta, dt.getNano / 1000)
       case ColType.Time2 =>
-        val lt = v.asInstanceOf[java.time.LocalTime]
-        val packed = 0x800000L +
-          ((lt.getHour.toLong << 12) | (lt.getMinute.toLong << 6) | lt.getSecond.toLong)
-        b.write(be(3)(packed))
-        writeFrac(b, spec.meta, lt.getNano / 1000)
+        // one signed packed quantity ((H<<12|M<<6|S) << 24) + micros,
+        // stored per my_time.cc my_time_to_binary: negative values reach
+        // disk as the arithmetic-shifted int part + sign-adjusted frac
+        // (fsp 1-4) or as a single 6-byte offset-binary value (fsp 5-6)
+        val packed: Long = v match {
+          case lt: java.time.LocalTime =>
+            (((lt.getHour.toLong << 12) | (lt.getMinute.toLong << 6) | lt.getSecond.toLong) << 24) +
+              lt.getNano / 1000
+          case d: java.time.Duration =>
+            val ad = d.abs
+            val s = ad.getSeconds
+            val p = ((((s / 3600) << 12) | (((s % 3600) / 60) << 6) | (s % 60)) << 24) +
+              ad.getNano / 1000
+            if (d.isNegative) -p else p
+          case other => throw new IllegalArgumentException(
+            s"TIME2 fixture value must be LocalTime or Duration, got $other")
+        }
+        (spec.meta + 1) / 2 match {
+          case 0 => b.write(be(3)(0x800000L + (packed >> 24)))
+          case 1 =>
+            b.write(be(3)(0x800000L + (packed >> 24)))
+            b.write(Array(((packed % (1L << 24)) / 10000L).toByte))
+          case 2 =>
+            b.write(be(3)(0x800000L + (packed >> 24)))
+            b.write(be(2)(((packed % (1L << 24)) / 100L) & 0xffffL))
+          case _ => b.write(be(6)(0x800000000000L + packed))
+        }
       case ColType.NewDecimal =>
         val precision = spec.meta & 0xff
         val scale = spec.meta >> 8

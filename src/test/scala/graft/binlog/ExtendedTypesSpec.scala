@@ -108,6 +108,69 @@ class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
       LocalTime.of(13, 14, 15))
   }
 
+  test("golden frac bytes: odd fsp (1/3/5) decode from hand-computed my_time.cc layouts") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def buf(bytes: Int*) =
+      ByteBuffer.wrap(bytes.map(_.toByte).toArray).order(ByteOrder.LITTLE_ENDIAN)
+    // The frac tail's unit follows the BYTE count (1 byte = micros/10000,
+    // 2 = micros/100, 3 = micros), NOT 10^(6-fsp). Every byte below is
+    // hand-derived from the format definition — no writer involved.
+    //
+    // DATETIME2(3) '2024-01-02 03:04:05.5':
+    //   ym = 2024*13+1 = 26313; packed = 0x8000000000 +
+    //   (26313<<22 | 2<<17 | 3<<12 | 4<<6 | 5) = 0x99B2443105
+    //   frac (2 bytes) = 500000/100 = 5000 = 0x1388
+    val dt3 = buf(0x99, 0xB2, 0x44, 0x31, 0x05, 0x13, 0x88)
+    assert(BinlogReader.readType(dt3, ColType.Datetime2, 3, ISO_8859_1) ===
+      LocalDateTime.of(2024, 1, 2, 3, 4, 5, 500000000))
+    // DATETIME2(1), same instant: frac (1 byte) = 500000/10000 = 50 = 0x32
+    val dt1 = buf(0x99, 0xB2, 0x44, 0x31, 0x05, 0x32)
+    assert(BinlogReader.readType(dt1, ColType.Datetime2, 1, ISO_8859_1) ===
+      LocalDateTime.of(2024, 1, 2, 3, 4, 5, 500000000))
+    // TIMESTAMP2(5) epoch 0x1000000 = 16777216 (1970-07-14T04:20:16Z),
+    // frac .12345 -> 123450 micros stored verbatim in 3 bytes = 0x01E23A
+    val ts5 = buf(0x01, 0x00, 0x00, 0x00, 0x01, 0xE2, 0x3A)
+    assert(BinlogReader.readType(ts5, ColType.Timestamp2, 5, ISO_8859_1) ===
+      LocalDateTime.ofEpochSecond(16777216L, 123450000, java.time.ZoneOffset.UTC))
+    // TIME2(1) '-00:00:00.2': packed = -200000; int part stored =
+    // 0x800000 + (-200000 >> 24) = 0x7FFFFF; frac byte = -20 = 0xEC
+    val t1 = buf(0x7F, 0xFF, 0xFF, 0xEC)
+    assert(BinlogReader.readType(t1, ColType.Time2, 1, ISO_8859_1) ===
+      java.time.Duration.ofMillis(-200))
+    // TIME2(5) '-01:02:03.00045': magnitude = ((1<<12|2<<6|3)<<24) + 450
+    // = 0x10830001C2; stored (6 bytes) = 0x800000000000 - 0x10830001C2
+    // = 0x7FEF7CFFFE3E
+    val t5 = buf(0x7F, 0xEF, 0x7C, 0xFF, 0xFE, 0x3E)
+    assert(BinlogReader.readType(t5, ColType.Time2, 5, ISO_8859_1) ===
+      java.time.Duration.ofSeconds(3723, 450000).negated())
+    // TIME2(3) positive '13:14:15.456': int part = 0x800000 + 0xD38F;
+    // frac (2 bytes) = 456000/100 = 4560 = 0x11D0
+    val t3 = buf(0x80, 0xD3, 0x8F, 0x11, 0xD0)
+    assert(BinlogReader.readType(t3, ColType.Time2, 3, ISO_8859_1) ===
+      LocalTime.of(13, 14, 15, 456000000))
+  }
+
+  test("negative TIME2 with fractional seconds round-trips through the writer") {
+    val cols = Seq(ColSpec.time2(2), ColSpec.time2(4), ColSpec.time2(6), ColSpec.time2(1))
+    val row = Seq[Any](
+      java.time.Duration.ofSeconds(-3723).minusMillis(260),      // -01:02:03.26
+      java.time.Duration.ofSeconds(3723, 456700000).negated(),   // -01:02:03.4567
+      java.time.Duration.ofSeconds(-(838L * 3600 + 59 * 60 + 58), -999999000), // near range min
+      java.time.Duration.ofMillis(-200))                         // -00:00:00.2
+    val dir = Files.createTempDirectory("time2-neg")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(11, "d", "tn", cols)
+      .writeInsert(11, cols, Seq(row))
+      .save(dir.resolve("binlog.000001").toString)
+    val img = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent].rows.head
+    assert(img(0) === java.time.Duration.ofSeconds(-3723).minusMillis(260))
+    assert(img(1) === java.time.Duration.ofSeconds(3723, 456700000).negated())
+    assert(img(2) === java.time.Duration.ofSeconds(838L * 3600 + 59 * 60 + 58, 999999000).negated())
+    assert(img(3) === java.time.Duration.ofMillis(-200))
+  }
+
   test("writer refuses checksum with a pre-5.6.1 server version") {
     val ex = intercept[IllegalArgumentException] {
       new Writer(checksum = true).writeFormatDescription(serverVersion = "5.1.0-custom")
