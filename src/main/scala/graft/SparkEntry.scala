@@ -25,8 +25,16 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The cdcb oracles embed the binlog fixture's absolute path, derived
+    * deterministically from `sfDir` (same computation the fixture generator
+    * uses) — no process-global state, so rendering order doesn't matter.
     */
-  def oracleSql: Map[String, String] =
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ CdcBinlog.oracles ++ AsOf.oracles ++ RangeJoin.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles
+
+  /** No-arg contract form: the driver gate's sf0.01 fixture paths. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

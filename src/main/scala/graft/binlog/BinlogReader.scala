@@ -222,6 +222,44 @@ object BinlogReader {
   def readXid(b: ByteBuffer, h: EventHeader): XidEvent =
     XidEvent(h, b.getLong(h.offset.toInt + HeaderLen))
 
+  private def uuidStr(a: Array[Byte]): String = {
+    val hex = a.map(x => f"${x & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
+  /** GTID / ANONYMOUS_GTID (ids 33/34): 1-byte commit flag, 16-byte source
+    * UUID, 8-byte LE GNO. Later servers append logical timestamps — ignored
+    * (event_len covers them).
+    */
+  def readGtid(b: ByteBuffer, h: EventHeader): GtidEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val flag = ubyte(b)
+    val sid = bytes(b, 16)
+    val gno = b.getLong()
+    GtidEvent(h, flag, uuidStr(sid), gno)
+  }
+
+  /** PREVIOUS_GTIDS (id 35): 8-byte LE sid count, then per sid a 16-byte
+    * UUID + 8-byte interval count + (start, end) 8-byte pairs with
+    * exclusive end — rendered in canonical `uuid:a-b` text.
+    */
+  def readPreviousGtids(b: ByteBuffer, h: EventHeader): PreviousGtidsEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val nSids = b.getLong()
+    val parts = (0L until nSids).map { _ =>
+      val uuid = uuidStr(bytes(b, 16))
+      val nIv = b.getLong()
+      val ivs = (0L until nIv).map { _ =>
+        val start = b.getLong()
+        val endEx = b.getLong()
+        if (endEx - 1 == start) s"$start" else s"$start-${endEx - 1}"
+      }
+      s"$uuid:${ivs.mkString(":")}"
+    }
+    PreviousGtidsEvent(h, parts.mkString(","))
+  }
+
   def readTableMap(b: ByteBuffer, h: EventHeader, cs: Charset): TableMapEvent = {
     b.position(h.offset.toInt + HeaderLen)
     val tableId = nUint(bytes(b, 6))
@@ -425,21 +463,28 @@ object BinlogReader {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
-  /** WRITE/UPDATE/DELETE rows event (`read-wud-rows`,
-    * `mysql_binlog.clj:611-682`); UPDATE decodes before/after pairs.
+  /** WRITE/UPDATE/DELETE rows event, v1 and v2 (`read-wud-rows`,
+    * `mysql_binlog.clj:611-682`, which predates v2); UPDATE decodes
+    * before/after pairs. v2 (ids 30-32, every server >= 5.6.2) prepends a
+    * 2-byte extra-data length (self-inclusive) to the otherwise-identical
+    * body; the extra data itself (NDB info etc.) is skipped.
     */
   def readWudRows(b: ByteBuffer, h: EventHeader, tableMaps: Map[Long, TableMapEvent],
                   cs: Charset, unsignedCols: Array[Boolean] = null): RowsEvent = {
     b.position(h.offset.toInt + HeaderLen)
     val end = h.offset + h.eventLen
     val tableId = nUint(bytes(b, 6))
-    b.getShort() // reserved
+    b.getShort() // flags
+    if (EventType.isRowsV2(h.eventType)) {
+      val extraLen = ushort(b) // includes its own 2 bytes
+      if (extraLen > 2) bytes(b, extraLen - 2)
+    }
     val tm = tableMaps.getOrElse(tableId,
       throw new IllegalStateException(s"No TABLE_MAP event for table id $tableId"))
     val colCount = packedInt(b).toInt
     val usedCols = bitfield(b, colCount)
     val usedUpdateCols =
-      if (h.eventType == EventType.UpdateRows) bitfield(b, colCount) else null
+      if (EventType.isUpdateRows(h.eventType)) bitfield(b, colCount) else null
     val rows = Vector.newBuilder[RowImage.Image]
     val after = Vector.newBuilder[RowImage.Image]
     while (b.position() < end) {
@@ -495,7 +540,7 @@ object BinlogReader {
               // body readers see the trailer-free length; `off` advances by
               // the on-disk length so next_position stays consistent
               val h = if (csLen > 0) h0.copy(eventLen = h0.eventLen - csLen) else h0
-              val e: BinlogEvent = (h.eventType: @annotation.switch) match {
+              val e: BinlogEvent = h.eventType match {
                 case EventType.FormatDescription => readFormatDescription(buf, h0)
                 case EventType.Query => readQuery(buf, h, charset)
                 case EventType.Rotate => readRotate(buf, h, charset)
@@ -504,16 +549,30 @@ object BinlogReader {
                   val tm = readTableMap(buf, h, charset)
                   tableMaps = tableMaps.updated(tm.tableId, tm)
                   tm
-                case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows =>
+                case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows |
+                     EventType.WriteRowsV2 | EventType.UpdateRowsV2 | EventType.DeleteRowsV2 =>
                   if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols)
                   else {
+                    // table id leads the post-header in both v1 and v2
                     buf.position(h.offset.toInt + HeaderLen)
                     val tableId = nUint(bytes(buf, 6))
                     val tm = tableMaps.getOrElse(tableId,
                       throw new IllegalStateException(s"No TABLE_MAP event for table id $tableId"))
                     RowsEvent(h, tableId, tm.dbName, tm.tableName, Vector.empty, Vector.empty)
                   }
-                case _ => OpaqueEvent(h)
+                case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
+                case EventType.PreviousGtids => readPreviousGtids(buf, h)
+                case other =>
+                  // a rows-carrying format with no decode path must fail
+                  // loudly — opaque-skipping it would turn the scan into
+                  // "zero change rows, no error" on a log full of data
+                  if (EventType.isUnsupportedRows(other))
+                    throw new IllegalStateException(
+                      s"unsupported rows event ${EventType.name(other)} (type id $other) at " +
+                        s"offset ${h.offset} — this decoder handles ROWS_EVENT v1 (23-25) and " +
+                        "v2 (30-32) only; re-record without PARTIAL_JSON row values / " +
+                        "transaction compression, or pre-GA logs are not supported")
+                  else OpaqueEvent(h)
               }
               off = h0.offset + h0.eventLen
               if (e.isInstanceOf[RotateEvent]) done = true

@@ -75,10 +75,13 @@ object BinlogTailer {
       def c(seq: Int, dt: String, img: RowImage.Image) =
         Change(f, h.offset, seq, None, re.dbName, re.tableName, dt, img)
       val fresh: Seq[Change] = h.eventType match {
-        case EventType.WriteRows => re.rows.zipWithIndex.map { case (r, i) => c(i, "insert", r) }
-        case EventType.DeleteRows => re.rows.zipWithIndex.map { case (r, i) => c(i, "delete", r) }
-        case EventType.UpdateRows => re.rows.zip(re.afterRows).zipWithIndex.flatMap {
-          case ((b, a), i) => Seq(c(2 * i, "update-before", b), c(2 * i + 1, "update", a)) }
+        case t if EventType.isWriteRows(t) =>
+          re.rows.zipWithIndex.map { case (r, i) => c(i, "insert", r) }
+        case t if EventType.isDeleteRows(t) =>
+          re.rows.zipWithIndex.map { case (r, i) => c(i, "delete", r) }
+        case t if EventType.isUpdateRows(t) =>
+          re.rows.zip(re.afterRows).zipWithIndex.flatMap {
+            case ((b, a), i) => Seq(c(2 * i, "update-before", b), c(2 * i + 1, "update", a)) }
         case _ => Nil
       }
       if (txnOverflowed) fresh.foreach(onChange)

@@ -18,6 +18,10 @@ import java.nio.charset.{Charset, StandardCharsets}
   */
 object BinlogWriter {
 
+  /** Fixed source UUID for fixture GTIDs (deterministic logs). */
+  val FixtureUuid: Array[Byte] =
+    (0 until 16).map(i => ((i * 17 + 3) & 0xff).toByte).toArray
+
   final case class ColSpec(typeId: Int, meta: Int)
   object ColSpec {
     def varchar(maxLen: Int): ColSpec = ColSpec(ColType.Varchar, maxLen)
@@ -42,9 +46,14 @@ object BinlogWriter {
     * BINLOG_CHECKSUM_ALG_CRC32 and every event (FDE included) gets a
     * 4-byte CRC32 trailer counted in event_len — the format any modern
     * MySQL writes by default (`binlog_checksum=CRC32`).
+    *
+    * `rowsV2 = true` emits ROWS_EVENT v2 (ids 30-32, every server
+    * >= 5.6.2): same body behind a 2-byte extra-data-length post-header
+    * field. Combined with `checksum` this is the byte format a stock
+    * MySQL 5.7/8.x produces.
     */
   final class Writer(serverId: Long = 1L, charset: Charset = StandardCharsets.ISO_8859_1,
-                     checksum: Boolean = false) {
+                     checksum: Boolean = false, rowsV2: Boolean = false) {
     private val out = new ByteArrayOutputStream()
     out.write(BinlogReader.Magic)
     private var pos: Long = 4L
@@ -273,7 +282,8 @@ object BinlogWriter {
       // images: per row, 1 (write/delete) or 2 (update before+after) images
       val b = new ByteArrayOutputStream()
       b.write(le(6)(tableId))
-      b.write(le(2)(0)) // reserved
+      b.write(le(2)(0)) // flags
+      if (rowsV2) b.write(le(2)(2)) // extra-data length (self-inclusive, empty)
       writePackedInt(b, cols.length)
       val usedBytes = (cols.length + 7) / 8
       val used = new Array[Byte](usedBytes)
@@ -305,27 +315,57 @@ object BinlogWriter {
     }
 
     private def allUsed(n: Int): Seq[Boolean] = Seq.fill(n)(true)
+    private def writeT = if (rowsV2) EventType.WriteRowsV2 else EventType.WriteRows
+    private def updateT = if (rowsV2) EventType.UpdateRowsV2 else EventType.UpdateRows
+    private def deleteT = if (rowsV2) EventType.DeleteRowsV2 else EventType.DeleteRows
 
     def writeInsert(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
-      event(EventType.WriteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
+      event(writeT, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
       this
     }
 
     /** Partial-image insert: only masked-true columns appear in each row. */
     def writeInsertMasked(tableId: Long, cols: Seq[ColSpec], usedMask: Seq[Boolean],
                           rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
-      event(EventType.WriteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), usedMask))
+      event(writeT, ts, rowsBody(tableId, cols, rows.map(Seq(_)), usedMask))
       this
     }
 
     def writeDelete(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]], ts: Long = 0L): this.type = {
-      event(EventType.DeleteRows, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
+      event(deleteT, ts, rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)))
       this
     }
 
     def writeUpdate(tableId: Long, cols: Seq[ColSpec],
                     rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
-      event(EventType.UpdateRows, ts, rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), allUsed(cols.length)))
+      event(updateT, ts, rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), allUsed(cols.length)))
+      this
+    }
+
+    /** GTID / ANONYMOUS_GTID frame (ids 33/34): commit flag + 16-byte
+      * source UUID + 8-byte LE GNO.
+      */
+    def writeGtid(gno: Long, sourceUuid: Array[Byte] = BinlogWriter.FixtureUuid,
+                  anonymous: Boolean = false, ts: Long = 0L): this.type = {
+      require(sourceUuid.length == 16, "source UUID must be 16 bytes")
+      val b = new ByteArrayOutputStream()
+      b.write(Array(1.toByte)) // commit flag
+      b.write(sourceUuid)
+      b.write(le(8)(gno))
+      event(if (anonymous) EventType.AnonymousGtid else EventType.Gtid, ts, b.toByteArray)
+      this
+    }
+
+    /** PREVIOUS_GTIDS (id 35): one sid with the [1, gnoEnd] interval. */
+    def writePreviousGtids(gnoEnd: Long, sourceUuid: Array[Byte] = BinlogWriter.FixtureUuid,
+                           ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(8)(1)) // n_sids
+      b.write(sourceUuid)
+      b.write(le(8)(1)) // n_intervals
+      b.write(le(8)(1)) // start
+      b.write(le(8)(gnoEnd + 1)) // exclusive end
+      event(EventType.PreviousGtids, ts, b.toByteArray)
       this
     }
 

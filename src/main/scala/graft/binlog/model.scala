@@ -15,11 +15,46 @@ object EventType {
   val FormatDescription = 15
   val Xid = 16
   val TableMap = 19
+  // pre-GA (5.1.0-5.1.17) v0 rows events — unsupported, decode fails loudly
+  val PreGaWriteRows = 20
+  val PreGaUpdateRows = 21
+  val PreGaDeleteRows = 22
+  // v1 rows events (5.1.18 - 5.6.x; the 2010 reference's ids,
+  // `mysql_binlog.clj:401-428`)
   val WriteRows = 23
   val UpdateRows = 24
   val DeleteRows = 25
+  // v2 rows events — what every server >= 5.6.2 writes: identical body
+  // after a 2-byte extra-data-length post-header field
+  val WriteRowsV2 = 30
+  val UpdateRowsV2 = 31
+  val DeleteRowsV2 = 32
+  // GTID framing every >= 5.6 binlog interleaves with transactions
+  val Gtid = 33
+  val AnonymousGtid = 34
+  val PreviousGtids = 35
+  // rows-carrying formats the decoder does NOT understand — these fail
+  // loudly (a CDC engine must never silently emit zero rows)
+  val PartialUpdateRows = 39  // binlog_row_value_options=PARTIAL_JSON
+  val TransactionPayload = 40 // binlog_transaction_compression=ON
 
-  /** Symbolic names per `mysql_binlog.clj:222-259`. */
+  def isWriteRows(t: Int): Boolean = t == WriteRows || t == WriteRowsV2
+  def isUpdateRows(t: Int): Boolean = t == UpdateRows || t == UpdateRowsV2
+  def isDeleteRows(t: Int): Boolean = t == DeleteRows || t == DeleteRowsV2
+  def isRows(t: Int): Boolean =
+    (t >= WriteRows && t <= DeleteRows) || (t >= WriteRowsV2 && t <= DeleteRowsV2)
+  def isRowsV2(t: Int): Boolean = t >= WriteRowsV2 && t <= DeleteRowsV2
+
+  /** Row-carrying event formats with no decode path. Passing these through
+    * as [[OpaqueEvent]] would make a scan of such a log return zero change
+    * rows with no error — the silent-garbage class the CRC32 verification
+    * exists to kill, one layer up.
+    */
+  def isUnsupportedRows(t: Int): Boolean =
+    (t >= PreGaWriteRows && t <= PreGaDeleteRows) ||
+      t == PartialUpdateRows || t == TransactionPayload
+
+  /** Symbolic names per `mysql_binlog.clj:222-259` + the >= 5.6 additions. */
   def name(t: Int): String = t match {
     case Query => "QUERY_EVENT"
     case Stop => "STOP_EVENT"
@@ -27,9 +62,20 @@ object EventType {
     case FormatDescription => "FORMAT_DESCRIPTION_EVENT"
     case Xid => "XID_EVENT"
     case TableMap => "TABLE_MAP_EVENT"
+    case PreGaWriteRows => "PRE_GA_WRITE_ROWS_EVENT"
+    case PreGaUpdateRows => "PRE_GA_UPDATE_ROWS_EVENT"
+    case PreGaDeleteRows => "PRE_GA_DELETE_ROWS_EVENT"
     case WriteRows => "WRITE_ROWS_EVENT"
     case UpdateRows => "UPDATE_ROWS_EVENT"
     case DeleteRows => "DELETE_ROWS_EVENT"
+    case WriteRowsV2 => "WRITE_ROWS_EVENT_V2"
+    case UpdateRowsV2 => "UPDATE_ROWS_EVENT_V2"
+    case DeleteRowsV2 => "DELETE_ROWS_EVENT_V2"
+    case Gtid => "GTID_LOG_EVENT"
+    case AnonymousGtid => "ANONYMOUS_GTID_LOG_EVENT"
+    case PreviousGtids => "PREVIOUS_GTIDS_LOG_EVENT"
+    case PartialUpdateRows => "PARTIAL_UPDATE_ROWS_EVENT"
+    case TransactionPayload => "TRANSACTION_PAYLOAD_EVENT"
     case other => s"EVENT_$other"
   }
 }
@@ -129,8 +175,24 @@ final case class RowsEvent(
     header: EventHeader, tableId: Long, dbName: String, tableName: String,
     rows: Vector[RowImage.Image],
     afterRows: Vector[RowImage.Image]) extends BinlogEvent {
-  def isUpdate: Boolean = header.eventType == EventType.UpdateRows
+  def isUpdate: Boolean = EventType.isUpdateRows(header.eventType)
 }
+
+/** GTID_LOG_EVENT / ANONYMOUS_GTID_LOG_EVENT (ids 33/34): the transaction
+  * identity frame preceding every BEGIN on a >= 5.6 server. `gtid` is the
+  * canonical `source_uuid:gno` text ("ANONYMOUS" for id 34).
+  */
+final case class GtidEvent(header: EventHeader, commitFlag: Int,
+    sourceUuid: String, gno: Long) extends BinlogEvent {
+  def isAnonymous: Boolean = header.eventType == EventType.AnonymousGtid
+  def gtid: String = if (isAnonymous) "ANONYMOUS" else s"$sourceUuid:$gno"
+}
+
+/** PREVIOUS_GTIDS_LOG_EVENT (id 35): the GTID set executed before this
+  * file, in canonical `uuid:a-b[:c-d...]` text.
+  */
+final case class PreviousGtidsEvent(header: EventHeader, gtidSet: String)
+  extends BinlogEvent
 
 /** Recognized-but-undecoded event (passthrough, like the reference). */
 final case class OpaqueEvent(header: EventHeader) extends BinlogEvent

@@ -49,23 +49,22 @@ object CdcBinlog {
   private def dec(i: Int): JBigDecimal =
     new JBigDecimal(((i.toLong * 7919) % 100000000L).toString).movePointLeft(4)
 
-  /** Directory of the most recently generated fixture — the oracle SQL
-    * embeds its absolute path (Verify dumps `oracleSql` after running the
-    * queries, so the path is always set by then).
+  /** Fixture directory as a pure function of the sf dir — the oracle SQL
+    * embeds this absolute path, so it must be deterministic regardless of
+    * which queries ran first (or at all) in this process.
     */
-  @volatile private var lastDir: Option[String] = None
-
-  private def expectedDir: String = lastDir.getOrElse(
-    // driver gate default: sf0.01 -> 20000 rows
-    Paths.get(sys.props("java.io.tmpdir"), "graft-binlog-v4-20000").toString)
+  private def fixturePathFor(sfDir: String): java.nio.file.Path =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
-    * or without CRC32 checksums — positions differ, logical content is
-    * identical) and, when writers are given, the expected-changes/-events
-    * ground truth alongside.
+    * or without CRC32 checksums and v1 or v2 rows events — positions
+    * differ, logical content is identical; `gtid` interleaves the >= 5.6
+    * GTID framing) and, when writers are given, the
+    * expected-changes/-events ground truth alongside.
     */
   private def writeFixture(dir: java.nio.file.Path, total: Int, checksum: Boolean,
-                           expC: java.io.Writer, expE: java.io.Writer): Unit = {
+                           expC: java.io.Writer, expE: java.io.Writer,
+                           rowsV2: Boolean = false, gtid: Boolean = false): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
@@ -74,17 +73,21 @@ object CdcBinlog {
     val nFiles = 4
     val perFile = total / nFiles
     var id = 0
+    var gno = 0L
     for (f <- 1 to nFiles) {
       val fname = f"binlog.$f%06d"
-      val w = new Writer(checksum = checksum)
-      w.writeFormatDescription(ts = 1700000000L)
+      val w = new Writer(checksum = checksum, rowsV2 = rowsV2)
+      w.writeFormatDescription(ts = 1700000000L,
+        serverVersion = if (rowsV2) "8.0.36-graft-fixture" else "")
       event("FORMAT_DESCRIPTION_EVENT")
+      if (gtid) w.writePreviousGtids(gno, ts = 1700000000L)
       var written = 0
       var txn = 0
       while (written < perFile) {
         val n = math.min(100, perFile - written)
         val ts = 1700000000L + id / 10
         val xid = 100000L + id.toLong
+        if (gtid) { gno += 1; w.writeGtid(gno, ts = ts) }
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         w.writeTableMap(42, "bench", "big", cols, ts = ts)
@@ -133,18 +136,22 @@ object CdcBinlog {
   }
 
   /** Generate (once) a rotated multi-file fixture for `sfDir` plus the
-    * expected-changes/-events ground truth AND a CRC32-checksummed twin
-    * (same logical content, under `crc/`); returns the directory.
-    * Deterministic: same sf -> byte-identical files.
+    * expected-changes/-events ground truth AND two twins of identical
+    * logical content: CRC32-checksummed v1 rows under `crc/`, and the
+    * full modern-server shape — ROWS_EVENT v2 + CRC32 + GTID framing —
+    * under `v2/`. Returns the directory. Deterministic: same sf ->
+    * byte-identical files.
     */
   def fixtureDir(sfDir: String): String = synchronized {
     val total = rowsFor(sfDir)
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-v4-$total")
+    val dir = fixturePathFor(sfDir)
     val marker = dir.resolve("_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)
       val crcDir = dir.resolve("crc")
+      val v2Dir = dir.resolve("v2")
       Files.createDirectories(crcDir)
+      Files.createDirectories(v2Dir)
       val expC = Files.newBufferedWriter(dir.resolve("expected_changes.csv"))
       val expE = Files.newBufferedWriter(dir.resolve("expected_events.csv"))
       expC.write("log_file,log_pos,log_seq,xid,_delta_type,id,val,word\n")
@@ -152,9 +159,9 @@ object CdcBinlog {
       writeFixture(dir, total, checksum = false, expC, expE)
       expC.close(); expE.close()
       writeFixture(crcDir, total, checksum = true, null, null)
+      writeFixture(v2Dir, total, checksum = true, null, null, rowsV2 = true, gtid = true)
       Files.writeString(marker, "ok")
     }
-    lastDir = Some(dir.toString)
     dir.toString
   }
 
@@ -163,13 +170,14 @@ object CdcBinlog {
       .option("payloadDdl", payloadDdl)
       .load(fixtureDir(d))
 
-  // DuckDB relations over the generator-emitted ground truth
-  private def expectedChangesRel: String =
-    s"""read_csv('$expectedDir/expected_changes.csv', header=true, columns={
+  // DuckDB relations over the generator-emitted ground truth; path derived
+  // purely from the sf dir (order-independent — ADVICE r2)
+  private def expectedChangesRel(sfDir: String): String =
+    s"""read_csv('${fixturePathFor(sfDir)}/expected_changes.csv', header=true, columns={
        |  'log_file':'VARCHAR','log_pos':'BIGINT','log_seq':'INTEGER','xid':'BIGINT',
        |  '_delta_type':'VARCHAR','id':'INTEGER','val':'DOUBLE','word':'VARCHAR'})""".stripMargin
-  private def expectedEventsRel: String =
-    s"""read_csv('$expectedDir/expected_events.csv', header=true, columns={
+  private def expectedEventsRel(sfDir: String): String =
+    s"""read_csv('${fixturePathFor(sfDir)}/expected_events.csv', header=true, columns={
        |  'event_type':'VARCHAR','xid':'BIGINT'})""".stripMargin
 
   // cdcb1 — the reference's conformance query shape (`jdbc.clj:117`):
@@ -239,37 +247,64 @@ object CdcBinlog {
       .orderBy($"_delta_type")
   }
 
+  // cdcb6 — full scan of the modern-server twin (ROWS_EVENT v2 + CRC32 +
+  // GTID framing): the byte format a stock MySQL 5.7/8.x writes. Decode
+  // shares the v1 row-body path behind the 2-byte extra-data skip; content
+  // totals oracle against the same generator ground truth (offsets differ
+  // from both other twins, so the comparison is position-independent).
+  def cdcb6V2RowsScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(Paths.get(fixtureDir(d), "v2").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"id".cast("long")).as("sum_id"),
+        round(sum($"val".cast(DecimalType(38, 10))), 2).cast("double").as("sum_val"),
+        countDistinct($"xid").as("n_xids"))
+      .orderBy($"_delta_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
     "cdcb4_binlog_latest_image" -> cdcb4LatestImage _,
-    "cdcb5_checksummed_scan" -> cdcb5ChecksummedScan _)
+    "cdcb5_checksummed_scan" -> cdcb5ChecksummedScan _,
+    "cdcb6_v2_rows_scan" -> cdcb6V2RowsScan _)
 
   /** DuckDB oracles over the generator's expected_* ground truth (absolute
     * paths — these tables live beside the binlog fixture, not in the sf
-    * parquet dir).
+    * parquet dir; derived deterministically from `sfDir`).
     */
-  def oracles: Map[String, String] = Map(
+  def oracles(sfDir: String): Map[String, String] = Map(
     "cdcb1_binlog_insert_scan" ->
       s"""SELECT log_file, log_pos, log_seq, xid, id, val, word
-         |FROM $expectedChangesRel
+         |FROM ${expectedChangesRel(sfDir)}
          |WHERE _delta_type = 'insert'
          |ORDER BY log_file, log_pos, log_seq""".stripMargin,
     "cdcb2_binlog_update_pairs" ->
       s"""SELECT log_file, log_pos, log_seq, _delta_type, id, val
-         |FROM $expectedChangesRel
+         |FROM ${expectedChangesRel(sfDir)}
          |WHERE _delta_type LIKE 'update%'
          |ORDER BY log_file, log_pos, log_seq""".stripMargin,
     "cdcb3_binlog_event_stats" ->
       s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT xid) AS n_xids
-         |FROM $expectedEventsRel
+         |FROM ${expectedEventsRel(sfDir)}
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
     "cdcb5_checksummed_scan" ->
       s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
          |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val
-         |FROM $expectedChangesRel
+         |FROM ${expectedChangesRel(sfDir)}
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
+    "cdcb6_v2_rows_scan" ->
+      s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
+         |  COUNT(DISTINCT xid) AS n_xids
+         |FROM ${expectedChangesRel(sfDir)}
          |GROUP BY _delta_type
          |ORDER BY _delta_type""".stripMargin,
     "cdcb4_binlog_latest_image" ->
@@ -277,7 +312,7 @@ object CdcBinlog {
          |  SELECT id, val, word, _delta_type,
          |    row_number() OVER (PARTITION BY id
          |      ORDER BY log_file DESC, log_pos DESC, log_seq DESC) AS rn
-         |  FROM $expectedChangesRel
+         |  FROM ${expectedChangesRel(sfDir)}
          |  WHERE _delta_type <> 'update-before')
          |SELECT id, val, word FROM ranked
          |WHERE rn = 1 AND _delta_type <> 'delete'

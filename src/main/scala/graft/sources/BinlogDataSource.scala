@@ -84,7 +84,8 @@ object BinlogSchemas {
     StructField("table", StringType),
     StructField("sql", StringType),
     StructField("xid", LongType),
-    StructField("next_file", StringType)))
+    StructField("next_file", StringType),
+    StructField("gtid", StringType)))
 
   def forOptions(options: Map[String, String]): StructType =
     norm(options).getOrElse("mode", "changes") match {
@@ -330,13 +331,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private def expand(re: RowsEvent): Iterator[Array[Any]] = {
     val h = re.header
     re.header.eventType match {
-      case EventType.WriteRows =>
+      case t if EventType.isWriteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
           changeRow(h, re.dbName, re.tableName, i, "insert", img) }
-      case EventType.DeleteRows =>
+      case t if EventType.isDeleteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
           changeRow(h, re.dbName, re.tableName, i, "delete", img) }
-      case EventType.UpdateRows =>
+      case t if EventType.isUpdateRows(t) =>
         re.rows.iterator.zip(re.afterRows.iterator).zipWithIndex.flatMap {
           case ((before, after), i) =>
             Iterator(changeRow(h, re.dbName, re.tableName, 2 * i, "update-before", before),
@@ -364,6 +365,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
         a(7) = UTF8String.fromString(re.dbName); a(8) = UTF8String.fromString(re.tableName)
       case x: XidEvent => a(10) = x.xid
       case r: RotateEvent => a(11) = UTF8String.fromString(r.nextFile)
+      case g: GtidEvent => a(12) = UTF8String.fromString(g.gtid)
+      case pg: PreviousGtidsEvent => a(12) = UTF8String.fromString(pg.gtidSet)
       case _ =>
     }
     new GenericInternalRow(a)

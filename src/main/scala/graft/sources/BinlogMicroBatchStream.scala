@@ -140,7 +140,7 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               val tm = BinlogReader.readTableMap(buf, h, charset)
               tms = tms.updated(tm.tableId, tm)
               txnOpen = true
-            case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows =>
+            case t if EventType.isRows(t) =>
               txnOpen = true
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false

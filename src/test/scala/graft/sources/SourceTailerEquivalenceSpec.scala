@@ -90,4 +90,63 @@ class SourceTailerEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(viaTailer === viaSource)
   }
+
+  test("equivalence holds on a modern-shape log (ROWS_EVENT v2 + CRC32 + GTID)") {
+    val dir = Files.createTempDirectory("equiv-v2")
+    new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.0.36-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+      .writeGtid(1, ts = 1000)
+      .writeQuery("foo", "BEGIN", ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(
+        Seq(1, new JBigDecimal("1.5000"), "a"),
+        Seq(2, new JBigDecimal("2.5000"), "b")), ts = 1000)
+      .writeXid(11, ts = 1000)
+      .writeGtid(2, ts = 1001)
+      .writeQuery("foo", "BEGIN", ts = 1001)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1001)
+      .writeUpdate(23, cols, Seq(
+        (Seq(1, new JBigDecimal("1.5000"), "a"),
+         Seq(1, new JBigDecimal("7.7500"), "A"))), ts = 1001)
+      .writeDelete(23, cols, Seq(Seq(2, new JBigDecimal("2.5000"), "b")), ts = 1001)
+      .writeXid(21, ts = 1001)
+      .save(dir.resolve("binlog.000001").toString)
+
+    type Sig = (String, Long, Int, String, Int, String, String, Option[Long])
+    val viaSource: Seq[Sig] = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, val DECIMAL(12,4), word STRING")
+      .option("database", "foo").option("table", "auto")
+      .load(dir.toString)
+      .orderBy("log_file", "log_pos", "log_seq")
+      .collect().toSeq.map { r =>
+        (r.getAs[String]("log_file"), r.getAs[Long]("log_pos"), r.getAs[Int]("log_seq"),
+          r.getAs[String]("_delta_type"), r.getAs[Int]("id"),
+          r.getAs[JBigDecimal]("val").toPlainString, r.getAs[String]("word"),
+          Option(r.getAs[java.lang.Long]("xid")).map(_.toLong))
+      }
+    assert(viaSource.map(s => (s._4, s._5, s._6, s._7, s._8)) === Seq(
+      ("insert", 1, "1.5000", "a", Some(11L)),
+      ("insert", 2, "2.5000", "b", Some(11L)),
+      ("update-before", 1, "1.5000", "a", Some(21L)),
+      ("update", 1, "7.7500", "A", Some(21L)),
+      ("delete", 2, "2.5000", "b", Some(21L))))
+
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add,
+      db = Some("foo"), table = Some("auto"), pollMs = 50)
+    val viaTailer: Seq[Sig] =
+      try {
+        val deadline = System.nanoTime() + 15000000000L
+        while (got.size < viaSource.length && System.nanoTime() < deadline) Thread.sleep(5)
+        got.toArray.toSeq.map { c0 =>
+          val c = c0.asInstanceOf[BinlogTailer.Change]
+          (c.logFile, c.logPos, c.logSeq, c.deltaType,
+            c.row(0).asInstanceOf[Int],
+            c.row(1).asInstanceOf[JBigDecimal].toPlainString,
+            c.row(2).asInstanceOf[String], c.xid)
+        }
+      } finally t.close()
+    assert(viaTailer === viaSource)
+  }
 }
