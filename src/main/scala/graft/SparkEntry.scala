@@ -32,7 +32,7 @@ object SparkEntry {
     */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Dedup.oracles(sfDir) ++ Similarity.oracles(sfDir) ++ Multimodal.oracles ++
       CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles
 
   /** No-arg contract form: the driver gate's sf0.01 fixture paths. */

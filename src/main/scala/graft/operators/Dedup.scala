@@ -289,13 +289,17 @@ object Dedup {
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.15
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  // dd05 — embedding-cosine near-dup: sign-LSH bucket on the first 8 dims,
-  // pairwise exact cosine only within buckets, threshold 0.9.
+  // dd05 — embedding-cosine near-dup: sign-LSH buckets, pairwise exact
+  // cosine only within buckets, threshold 0.9. The bucket family SCALES
+  // with the corpus (nBitsFor: ~log₂(N/64), clamped [8, 24]) so
+  // within-bucket pair work stays ~N·64/2 — linear in N — instead of
+  // N²/2^const, which is quadratic at fixed resolution.
   def dd05EmbeddingDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
+    val nb = nBitsForDir(d)
     val base = embeddings(s, d)
-      .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
+      .select($"vec_id", $"embedding", signBucket($"embedding", nb).as("bucket"))
     val a = base.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = base.select($"bucket", $"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     a.join(b, Seq("bucket"))
@@ -305,8 +309,8 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  val dd05Sql: String =
-    s"""WITH base AS (SELECT vec_id, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings)
+  def dd05Sql(d: String): String =
+    s"""WITH base AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", nBitsForDir(d))} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${duckCosine("a.embedding", "b.embedding")} AS cos
        |FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -404,11 +408,11 @@ object Dedup {
     "dd05_embedding_dup" -> dd05EmbeddingDup _,
     "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
-  def oracles: Map[String, String] = Map(
+  def oracles(sfDir: String): Map[String, String] = Map(
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
     "dd03_simhash" -> dd03Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
-    "dd05_embedding_dup" -> dd05Sql,
+    "dd05_embedding_dup" -> dd05Sql(sfDir),
     "dd06_incremental_dedup" -> dd06Sql)
 }

@@ -38,30 +38,41 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
-  // sim02 — LSH-bucketed ANN: only vectors in the query's sign bucket are
-  // scored. At 100 TB the bucket id is the shuffle/partition key and the
-  // per-query cost is the bucket size.
+  // sim02 — LSH-bucketed ANN with Hamming-1 multi-probe: candidates are the
+  // query's sign bucket plus the nBits buckets one flipped hyperplane away
+  // — the standard recall repair for a bucket family that GROWS with the
+  // corpus (nBitsFor ~ log₂(N/64)): more buckets = fewer candidates per
+  // bucket, multi-probe wins back the neighbors that land just across a
+  // plane. At 100 TB the bucket id is the shuffle/partition key and
+  // per-query cost is (nBits+1)·bucket-size, not |table|.
   def sim02LshTopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val e = embeddings(s, d).withColumn("bucket", signBucket($"embedding"))
-    val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), $"bucket".as("qbucket"))
-    e.join(broadcast(q), $"bucket" === $"qbucket")
+    val nb = nBitsForDir(d)
+    val e = embeddings(s, d).withColumn("bucket", signBucket($"embedding", nb))
+    val probes = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), explode(array(
+        ($"bucket" +: (0 until nb).map(i => $"bucket".bitwiseXOR(lit(1 << i)))): _*
+      )).as("qbucket"))
+    e.join(broadcast(probes), $"bucket" === $"qbucket")
       .filter($"vec_id" =!= 0)
       .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
   }
 
-  val sim02Sql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings),
-       |q AS (SELECT embedding AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+  def sim02Sql(d: String): String = {
+    val nb = nBitsForDir(d)
+    val probeList = ("q0.bucket" +: (0 until nb).map(i => s"xor(q0.bucket, ${1 << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckSignBucket("embedding", nb)} AS bucket FROM embeddings),
+       |q AS (SELECT q0.embedding AS qv, unnest([$probeList]) AS qbucket
+       |      FROM e q0 WHERE q0.vec_id = 0)
        |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
-       |FROM e, q
-       |WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+       |FROM e JOIN q ON e.bucket = q.qbucket
+       |WHERE e.vec_id <> 0
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
+  }
 
   // sim03 — IVF probe: per-label centroids (exact decimal-mean per
   // dimension), rank cells by centroid distance to the query, search the
@@ -118,7 +129,7 @@ object Similarity {
   def sim04KnnJoin(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val base = embeddings(s, d).withColumn("bucket", signBucket($"embedding"))
+    val base = embeddings(s, d).withColumn("bucket", signBucket($"embedding", nBitsForDir(d)))
     val q = base.filter($"vec_id" % 50 === 0)
       .select($"bucket", $"vec_id".as("qid"), $"embedding".as("qv"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
@@ -131,8 +142,8 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  val sim04Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, ${duckSignBucket("embedding")} AS bucket FROM embeddings),
+  def sim04Sql(d: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", nBitsForDir(d))} AS bucket FROM embeddings),
        |q AS (SELECT bucket, vec_id AS qid, embedding AS qv FROM e WHERE vec_id % 50 = 0),
        |pairs AS (
        |  SELECT q.qid, e.vec_id AS cid, ${duckCosine("e.embedding", "q.qv")} AS cos
@@ -150,9 +161,9 @@ object Similarity {
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _)
 
-  def oracles: Map[String, String] = Map(
+  def oracles(sfDir: String): Map[String, String] = Map(
     "sim01_brute_topk" -> sim01Sql,
-    "sim02_lsh_topk" -> sim02Sql,
+    "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
-    "sim04_knn_join" -> sim04Sql)
+    "sim04_knn_join" -> sim04Sql(sfDir))
 }

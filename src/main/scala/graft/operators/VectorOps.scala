@@ -27,11 +27,56 @@ object VectorOps {
   /** Sign-bit LSH bucket from the first `nBits` dimensions: a crude but
     * deterministic random-hyperplane sketch (axis-aligned planes). At scale
     * this is the shuffle key that keeps candidate generation linear.
+    *
+    * `nBits` is the scale knob: within-bucket pairwise work is ~N²/2^nBits,
+    * so the family must GROW with the corpus — callers size it via
+    * [[nBitsFor]] (≈ log₂(N/targetBucket)) rather than a fixed constant,
+    * which would be quadratic at fixed resolution. Bounded by the vector
+    * dimensionality (axis-aligned planes use one leading dim per bit).
     */
-  def signBucket(v: Column, nBits: Int = 8): Column =
+  def signBucket(v: Column, nBits: Int): Column =
     (0 until nBits).map { i =>
       (element_at(v, i + 1) > lit(0f)).cast("int") * lit(1 << i)
     }.reduce(_ + _)
+
+  /** Bucket-family size for corpus size `n`: smallest nBits giving an
+    * expected bucket of ~`targetBucket` vectors, clamped to [8, 24]
+    * (2⁸ = min useful spread; 2²⁴ ≈ 16M buckets ≫ any executor count, and
+    * an int bucket id). Expected within-bucket pair work stays
+    * ~N·targetBucket/2 — linear in N — instead of N²/2^const.
+    */
+  def nBitsFor(n: Long, targetBucket: Long = 64L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(8, raw))
+  }
+
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact row count from parquet footers (file or directory of parts) —
+    * no Spark job, usable identically by the query builders and the oracle
+    * SQL renderers so both sides derive the SAME nBits. At production
+    * scale this is the table-stats lookup.
+    */
+  def parquetRowCount(path: String): Long = countCache.getOrElseUpdate(path, {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      else Seq(path)
+    files.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), new Configuration()))
+      try r.getRecordCount finally r.close()
+    }.sum
+  })
+
+  /** nBits for the embeddings table under `sfDir`. */
+  def nBitsForDir(sfDir: String): Int =
+    nBitsFor(parquetRowCount(s"$sfDir/embeddings.parquet"))
 
   // ---- DuckDB oracle SQL fragments (kept adjacent so the two stay in sync)
 
@@ -42,7 +87,7 @@ object VectorOps {
   def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def duckSignBucket(v: String, nBits: Int = 8): String =
+  def duckSignBucket(v: String, nBits: Int): String =
     (0 until nBits).map { i =>
       s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The sign-LSH bucket family must scale with corpus size: within-bucket
+  * pairwise work is ~N²/2^nBits, so nBits fixed = quadratic at 100 TB.
+  * [[VectorOps.nBitsFor]] sizes the family as ~log₂(N/targetBucket); this
+  * spec pins the sizing curve and demonstrates that growing the family
+  * shrinks the within-bucket pair count on real bucketed data.
+  */
+class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("nBitsFor grows ~log2(N) between the [8, 24] clamps") {
+    import VectorOps.nBitsFor
+    assert(nBitsFor(500) === 8)         // gate scale: unchanged behavior
+    assert(nBitsFor(2000) === 8)
+    assert(nBitsFor(100000) === 11)     // ceil(log2(100000/64))
+    assert(nBitsFor(10000000) === 18)
+    assert(nBitsFor(1L << 40) === 24)   // capped: int bucket id, ~16M buckets
+    // monotone non-decreasing and expected bucket load ~targetBucket:
+    val ns = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L, 10000000000L)
+    val bits = ns.map(nBitsFor(_))
+    assert(bits === bits.sorted)
+    ns.zip(bits).filter { case (_, b) => b > 8 && b < 24 }.foreach { case (n, b) =>
+      val expectedBucket = n.toDouble / (1L << b)
+      assert(expectedBucket <= 64.0 && expectedBucket > 16.0,
+        s"n=$n nBits=$b load=$expectedBucket")
+    }
+  }
+
+  test("growing the bucket family bounds within-bucket pair counts") {
+    import spark.implicits._
+    // deterministic pseudo-random ±500 vectors, 24 dims (strong 64-bit
+    // mixer so each dimension's sign is independent)
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      h
+    }
+    val vecs = (0 until 4096).map { i =>
+      (i, Array.tabulate(24) { j =>
+        (java.lang.Math.floorMod(mix(i * 31L + j), 1000L) - 500L).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    def pairStats(nBits: Int): (Long, Long) = {
+      val byBucket = vecs
+        .select(VectorOps.signBucket($"embedding", nBits).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("k"))
+        .select(count(lit(1)).as("n_buckets"),
+          sum(($"k" * ($"k" - 1)) / 2).cast("long").as("n_pairs"))
+        .head()
+      (byBucket.getLong(0), byBucket.getLong(1))
+    }
+    val (buckets8, pairs8) = pairStats(8)
+    val (buckets12, pairs12) = pairStats(12)
+    assert(buckets12 > buckets8)
+    assert(pairs12 < pairs8 / 4, // 16x more buckets should cut pairs far more than 4x
+      s"pairs at nBits=12 ($pairs12) not « pairs at nBits=8 ($pairs8)")
+  }
+}
