@@ -40,6 +40,13 @@ object BinlogWriter {
     def datetime2(fsp: Int = 0): ColSpec = ColSpec(ColType.Datetime2, fsp)
     def timestamp2(fsp: Int = 0): ColSpec = ColSpec(ColType.Timestamp2, fsp)
     def time2(fsp: Int = 0): ColSpec = ColSpec(ColType.Time2, fsp)
+    // ENUM/SET travel in TABLE_MAP as STRING with the real type danced into
+    // the metadata high byte (`mysql_binlog.clj:560-580`); values are the
+    // 1/2-byte ordinal (ENUM) or the meta-byte-wide LE bitset (SET)
+    def enum(nValues: Int): ColSpec =
+      ColSpec(ColType.String, (ColType.Enum << 8) | (if (nValues > 255) 2 else 1))
+    def set(nValues: Int): ColSpec =
+      ColSpec(ColType.String, (ColType.Set << 8) | ((nValues + 7) / 8))
   }
 
   /** `checksum = true` emits a post-5.6.6-style log: the FDE carries
@@ -183,6 +190,11 @@ object BinlogWriter {
     }
 
     private def encodeValue(b: ByteArrayOutputStream, spec: ColSpec, v: Any): Unit = spec.typeId match {
+      case ColType.String if spec.meta >= 256 && (spec.meta >> 8) == ColType.Enum =>
+        val n = v.asInstanceOf[Number].intValue
+        if ((spec.meta & 0xff) == 1) b.write(Array(n.toByte)) else b.write(le(2)(n.toLong))
+      case ColType.String if spec.meta >= 256 && (spec.meta >> 8) == ColType.Set =>
+        b.write(le(spec.meta & 0xff)(v.asInstanceOf[Number].longValue))
       case ColType.Varchar | ColType.VarString | ColType.String =>
         val s = v.toString.getBytes(charset)
         if (spec.meta < 256) b.write(Array(s.length.toByte))

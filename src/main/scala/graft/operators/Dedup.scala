@@ -328,22 +328,12 @@ object Dedup {
   // signature pass + shuffles keyed by fingerprint/band (both incremental-
   // izable as precomputed indexes at scale); nothing quadratic in corpus
   // size anywhere.
-  def dd06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val docs = spread(s, documents(s, d))
-    val corpus = docs.filter($"doc_id" % 10 < 8)
-    val fresh = docs.filter($"doc_id" % 10 >= 8)
-    // stage 1: exact content dedup against the corpus fingerprint set
-    val corpusFp = corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
-    val survivors = fresh
-      .withColumn("fp", TextAnalysis.fingerprint($"text"))
-      .join(corpusFp, Seq("fp"), "left_anti")
-    // stage 2: near-dup via LSH band buckets (dd02's slim-row banding —
-    // shingle arrays stay out of the band shuffle); the batch side only
-    // probes, corpus×corpus pairs never materialize
-    def bandsOf(df: DataFrame): DataFrame = df
-      .select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
+  /** MinHash band buckets as slim (doc_id, band_id, h) rows — shingle
+    * arrays stay out of the band shuffle (dd02's banding).
+    */
+  private def bandsOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
       .select($"doc_id",
         explode(array(
           struct(lit(0).as("band_id"),
@@ -351,14 +341,27 @@ object Dedup {
           struct(lit(1).as("band_id"),
             md5(concat_ws("|", element_at($"mh", 3), element_at($"mh", 4))).as("h")))).as("b"))
       .select($"doc_id", $"b.band_id", $"b.h")
+  }
+
+  /** The incremental-dedup core: batch-vs-corpus, corpus never re-paired
+    * with itself. `corpusFp`/`corpusBands`/`corpusShingles` are the three
+    * corpus-derived sets — computed inline by the gate query, or read from
+    * the persistent index by [[dd06ViaIndex]].
+    */
+  private def incrementalCore(fresh: DataFrame, corpusFp: DataFrame,
+                              corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    import fresh.sparkSession.implicits._
+    val survivors = fresh
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      .join(corpusFp, Seq("fp"), "left_anti")
     val candPairs = bandsOf(survivors).as("n")
-      .join(bandsOf(corpus).as("c"), Seq("band_id", "h"))
+      .join(corpusBands.as("c"), Seq("band_id", "h"))
       .select($"n.doc_id".as("new_id"), $"c.doc_id".as("corpus_id"))
       .distinct()
     val nsh = survivors.select($"doc_id".as("new_id"), shingles($"text").as("nsh"))
-    val csh = corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh"))
     val nearDups = candPairs
-      .join(nsh, "new_id").join(csh, "corpus_id")
+      .join(nsh, "new_id")
+      .join(corpusShingles, "corpus_id")
       .select($"new_id",
         (size(array_intersect($"nsh", $"csh")).cast("double") /
           size(array_union($"nsh", $"csh"))).as("j"))
@@ -367,6 +370,57 @@ object Dedup {
     survivors.join(nearDups, Seq("doc_id"), "left_anti")
       .select($"doc_id")
       .orderBy($"doc_id")
+  }
+
+  /** Recompute path: corpus-derived sets built inline from corpus text. */
+  def incrementalDedup(fresh: DataFrame, corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    incrementalCore(fresh,
+      corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct(),
+      bandsOf(corpus),
+      corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh")))
+  }
+
+  def dd06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val docs = spread(s, documents(s, d))
+    incrementalDedup(docs.filter($"doc_id" % 10 >= 8), docs.filter($"doc_id" % 10 < 8))
+  }
+
+  /** Persist the corpus-derived dedup index: `fp/` (distinct fingerprints),
+    * `bands/` (doc_id, band_id, h), `shingles/` (corpus_id, csh). Built
+    * once per corpus and APPENDED as accepted batches land (`mode =
+    * "append"`), so successive dd06 runs never rescan corpus text — the
+    * production shape for a 100 TB append-only corpus. Band/fingerprint
+    * files are repartitioned on their probe keys; on a cluster deployment
+    * use `bucketBy` + `saveAsTable` for the same layout with co-located
+    * joins.
+    */
+  def buildDedupIndex(corpus: DataFrame, indexDir: String,
+                      mode: String = "overwrite"): Unit = {
+    import corpus.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+      .write.mode(mode).parquet(s"$indexDir/fp")
+    bandsOf(corpus).repartition($"band_id", $"h")
+      .write.mode(mode).parquet(s"$indexDir/bands")
+    corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh"))
+      .write.mode(mode).parquet(s"$indexDir/shingles")
+  }
+
+  /** dd06 against the persistent index: identical semantics to
+    * [[dd06IncrementalDedup]]'s recompute path (spec-pinned), with the
+    * corpus side read from parquet — no corpus text scan, no corpus
+    * signature recompute.
+    */
+  def dd06ViaIndex(s: SparkSession, fresh: DataFrame, indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    incrementalCore(fresh,
+      s.read.parquet(s"$indexDir/fp"),
+      s.read.parquet(s"$indexDir/bands"),
+      s.read.parquet(s"$indexDir/shingles"))
   }
 
   val dd06Sql: String =

@@ -227,6 +227,21 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       val set = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
       payloadFields.map(f => set.contains(f.name))
     }.orNull
+  /** SURVEY §1.2 optional dictionary lookup: ENUM ordinals / SET bitsets
+    * decode to their labels when the user supplies the table's dictionaries
+    * (they live in the DDL, not the log). Option `enumDictionaries` =
+    * `col:a|b|c;col2:x|y`; declare the column STRING (ENUM) or
+    * ARRAY<STRING> (SET) in `payloadDdl`. Without a dictionary the raw
+    * ordinal/bitset surfaces (reference parity, `mysql_binlog.clj:530-536`).
+    */
+  private val enumDicts: Array[Array[String]] =
+    options.get("enumdictionaries").map { spec =>
+      val byName = spec.split(";").iterator.filter(_.nonEmpty).map { e =>
+        val Array(n, vs) = e.split(":", 2)
+        n.trim -> vs.split("\\|").map(_.trim)
+      }.toMap
+      payloadFields.map(f => byName.get(f.name).orNull)
+    }.getOrElse(payloadFields.map(_ => null: Array[String]))
   private val events =
     BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset, unsignedCols,
       endOffset = part.endPos,
@@ -255,8 +270,16 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private def tableWanted(db: String, table: String): Boolean =
     dbFilter.forall(_ == db) && tableFilter.forall(_ == table)
 
-  private def toCatalyst(v: Any, dt: DataType): Any = v match {
+  private def toCatalyst(v: Any, dt: DataType, dict: Array[String] = null): Any = v match {
     case null | RowImage.Unused => null
+    // dictionary decode (opt-in per column): ENUM ordinal -> label (1-based;
+    // 0 / out-of-range = MySQL's '' pseudo-value), SET bitset -> label array
+    case i: Int if dict != null =>
+      UTF8String.fromString(if (i >= 1 && i <= dict.length) dict(i - 1) else "")
+    case a: Array[Byte] if dict != null =>
+      new GenericArrayData(dict.indices
+        .filter(k => k / 8 < a.length && BinlogReader.nthBit(a, k) == 1)
+        .map(k => UTF8String.fromString(dict(k))).toArray[Any])
     case s: String => UTF8String.fromString(s)
     case d: java.math.BigDecimal =>
       val t = dt.asInstanceOf[DecimalType]
@@ -311,7 +334,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     } else {
       var i = 0
       while (i < payloadFields.length) {
-        if (i < img.length) a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType)
+        if (i < img.length)
+          a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i))
         i += 1
       }
     }

@@ -60,41 +60,51 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   private[sources] val tableMapCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Map[Long, TableMapEvent]]
 
-  private def snapshotFile: Option[java.nio.file.Path] =
-    checkpointLocation.map { c =>
-      java.nio.file.Paths.get(stripScheme(c), "graft-tablemap-snapshot.bin")
-    }
+  /** Snapshot IO goes through Hadoop FileSystem resolved from the
+    * checkpoint path itself, so hdfs:// / s3a:// / file: / bare local
+    * checkpoints all persist next to the real checkpoint data — a
+    * string-prefix strip would silently turn a remote URI into a bogus
+    * CWD-relative local path (wrong place AND shareable across unrelated
+    * driver runs).
+    */
+  private def snapshotPath: Option[org.apache.hadoop.fs.Path] =
+    checkpointLocation.map(c =>
+      new org.apache.hadoop.fs.Path(c, "graft-tablemap-snapshot.bin"))
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   // restart path: reload the snapshot persisted at the last commit
-  snapshotFile.foreach { f =>
-    if (java.nio.file.Files.exists(f)) {
-      try {
-        val in = new java.io.ObjectInputStream(java.nio.file.Files.newInputStream(f))
+  snapshotPath.foreach { p =>
+    try {
+      val fs = p.getFileSystem(hadoopConf)
+      if (fs.exists(p)) {
+        val in = new java.io.ObjectInputStream(fs.open(p))
         try {
           val (key, tms) = in.readObject()
             .asInstanceOf[((String, Long), Map[Long, TableMapEvent])]
           tableMapCache.update(key, tms)
         } finally in.close()
-      } catch {
-        case _: Exception => // unreadable snapshot: fall back to replay-from-4
       }
+    } catch {
+      case _: Exception => // unreadable snapshot: fall back to replay-from-4
     }
   }
 
   private def persistSnapshot(key: (String, Long),
                               tms: Map[Long, TableMapEvent]): Unit =
-    snapshotFile.foreach { f =>
+    snapshotPath.foreach { p =>
       try {
-        java.nio.file.Files.createDirectories(f.getParent)
-        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-        val out = new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))
+        val fs = p.getFileSystem(hadoopConf)
+        fs.mkdirs(p.getParent)
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+        val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
         try out.writeObject((key, tms)) finally out.close()
-        java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // rename is atomic on HDFS/local; on object stores it's copy+delete,
+        // which is fine — the read path tolerates a torn snapshot (replay)
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
       } catch {
         case _: Exception => // persistence is best-effort; restart replays
       }

@@ -171,6 +171,36 @@ class ExtendedTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(img(3) === java.time.Duration.ofMillis(-200))
   }
 
+  test("ENUM/SET dictionary decode to labels through the source (SURVEY §1.2)") {
+    val cols = Seq(ColSpec.int, ColSpec.enum(3), ColSpec.set(4))
+    val dir = Files.createTempDirectory("enum-dict")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(7, "d", "t", cols, ts = 1000)
+      .writeInsert(7, cols, Seq(
+        Seq[Any](1, 2, 0x5L),  // ordinal 2 = silver; bits 0,2 = {a, c}
+        Seq[Any](2, 0, 0x0L)), // ordinal 0 = MySQL '' pseudo-value; empty set
+        ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val rows = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, tier STRING, tags ARRAY<STRING>")
+      .option("enumDictionaries", "tier:bronze|silver|gold;tags:a|b|c|d")
+      .load(dir.toString)
+      .orderBy("id").collect()
+    assert(rows(0).getAs[String]("tier") === "silver")
+    assert(rows(0).getAs[Seq[String]]("tags") === Seq("a", "c"))
+    assert(rows(1).getAs[String]("tier") === "")
+    assert(rows(1).getAs[Seq[String]]("tags") === Seq.empty)
+    // without dictionaries the raw ordinal surfaces (reference parity)
+    val raw = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, tier INT, tags BINARY")
+      .load(dir.toString)
+      .orderBy("id").collect()
+    assert(raw(0).getAs[Int]("tier") === 2)
+    assert(raw(0).getAs[Array[Byte]]("tags").toSeq === Seq[Byte](5))
+  }
+
   test("writer refuses checksum with a pre-5.6.1 server version") {
     val ex = intercept[IllegalArgumentException] {
       new Writer(checksum = true).writeFormatDescription(serverVersion = "5.1.0-custom")
