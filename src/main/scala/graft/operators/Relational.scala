@@ -598,7 +598,36 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
 
+  // q28 — offset + distribution window functions (lead/lag/percent_rank/
+  // ntile), the remaining window family beyond q07 (rank) / q08 (ROWS
+  // frame) / q26 (RANGE frame). One window spec, unique total order inside
+  // each partition — all four functions compute in a single Window exec.
+  def q28LeadLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        $"o_totalprice".cast("double").as("price"),
+        lag($"o_totalprice".cast("double"), 1).over(w).as("prev_price"),
+        lead($"o_totalprice".cast("double"), 1).over(w).as("next_price"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS price,
+      |  lag(CAST(o_totalprice AS DOUBLE), 1) OVER w AS prev_price,
+      |  lead(CAST(o_totalprice AS DOUBLE), 1) OVER w AS next_price,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_lead_lag" -> q28LeadLag _,
     "q27_grouping_sets" -> q27GroupingSets _,
     "q26_range_frame" -> q26RangeFrame _,
     "q24_unpivot" -> q24Unpivot _,
@@ -628,6 +657,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q28_lead_lag" -> q28Sql,
     "q27_grouping_sets" -> q27Sql,
     "q26_range_frame" -> q26Sql,
     "q24_unpivot" -> q24Sql,
