@@ -242,6 +242,15 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       }.toMap
       payloadFields.map(f => byName.get(f.name).orNull)
     }.getOrElse(payloadFields.map(_ => null: Array[String]))
+  /** Option `jsonColumns` = comma-separated payload columns holding MySQL
+    * binary JSON (type 245): decode to JSON text (declare STRING in
+    * `payloadDdl`). Default stays raw-bytes passthrough.
+    */
+  private val jsonCols: Array[Boolean] =
+    options.get("jsoncolumns").map { names =>
+      val set = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      payloadFields.map(f => set.contains(f.name))
+    }.getOrElse(payloadFields.map(_ => false))
   private val events =
     BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset, unsignedCols,
       endOffset = part.endPos,
@@ -270,7 +279,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private def tableWanted(db: String, table: String): Boolean =
     dbFilter.forall(_ == db) && tableFilter.forall(_ == table)
 
-  private def toCatalyst(v: Any, dt: DataType, dict: Array[String] = null): Any = v match {
+  private def toCatalyst(v: Any, dt: DataType, dict: Array[String] = null,
+                         json: Boolean = false): Any = v match {
     case null | RowImage.Unused => null
     // dictionary decode (opt-in per column): ENUM ordinal -> label (1-based;
     // 0 / out-of-range = MySQL's '' pseudo-value), SET bitset -> label array
@@ -280,6 +290,9 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       new GenericArrayData(dict.indices
         .filter(k => k / 8 < a.length && BinlogReader.nthBit(a, k) == 1)
         .map(k => UTF8String.fromString(dict(k))).toArray[Any])
+    // binary JSON -> text (opt-in per column)
+    case a: Array[Byte] if json =>
+      UTF8String.fromString(MySqlJson.decodeToString(a))
     case s: String => UTF8String.fromString(s)
     case d: java.math.BigDecimal =>
       val t = dt.asInstanceOf[DecimalType]
@@ -335,7 +348,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       var i = 0
       while (i < payloadFields.length) {
         if (i < img.length)
-          a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i))
+          a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
         i += 1
       }
     }
