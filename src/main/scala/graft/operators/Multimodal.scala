@@ -180,15 +180,95 @@ object Multimodal {
       |GROUP BY 1, 2
       |ORDER BY media_type, keeper_doc_id""".stripMargin
 
+  // mm05 — banded perceptual-hash nearest-neighbors: "each media item's 3
+  // most visually similar peers". The 32-bit phash is the SimHash of the
+  // decoded content (the stub codec's stand-in for dHash —
+  // locality-sensitive, so near-identical media land a few bits apart;
+  // computed by the same codegen'd graft_simhash the dd03 oracle already
+  // pins). It splits into 4 8-bit bands; any shared band within a modality
+  // proposes a candidate (pigeonhole: hamming <= 3 bits guarantees >= 1
+  // identical band), exact bit-hamming <= 3 confirms, and a per-item
+  // row_number keeps the top 3 — output is LINEAR in corpus size even on a
+  // self-similar corpus (pairwise near-dup output is quadratic there, the
+  // dd03 lesson transplanted to hamming space). Only slim (type, band)
+  // rows shuffle; candidates — not all pairs — pay the verify.
+  def mm05PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val ph = mediaTable(s, d).toDF()
+      .select($"doc_id", $"media_type",
+        call_function("graft_simhash",
+          split(decode($"payload", "UTF-8"), " ")).as("phash"))
+    val bands = ph.select($"doc_id", $"media_type", $"phash",
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_id"), substring($"phash", k * 8 + 1, 8).as("band"))): _*)).as("b"))
+      .select($"doc_id", $"media_type", $"phash", $"b.band_id", $"b.band")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.media_type" === $"b.media_type" && $"a.band_id" === $"b.band_id" &&
+          $"a.band" === $"b.band" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.media_type".as("media_type"), $"a.doc_id".as("item"),
+        $"b.doc_id".as("peer"), $"a.phash".as("ph_a"), $"b.phash".as("ph_b"))
+      .distinct()
+    val hamming = (1 to 32).map(i =>
+      when(substring($"ph_a", i, 1) =!= substring($"ph_b", i, 1), 1).otherwise(0)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"hamming", $"peer")
+    cand.select($"media_type", $"item", $"peer", hamming.as("hamming"))
+      .filter($"hamming" <= 3)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .orderBy($"item", $"rnk")
+  }
+
+  val mm05Sql: String = {
+    // per-doc 32-bit simhash — identical formulation to the dd03 oracle
+    val bitSums = (1 to 32).map { j =>
+      s"SUM(CASE WHEN substring(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val sigConcat = (1 to 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val ham = (1 to 32).map(i =>
+      s"(CASE WHEN substring(ph_a, $i, 1) <> substring(ph_b, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents),
+       |bitsum AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |ph AS (
+       |  SELECT s.doc_id,
+       |    ['image','audio','video'][CAST(s.doc_id % 3 + 1 AS INT)] AS media_type,
+       |    $sigConcat AS phash
+       |  FROM bitsum s),
+       |bands AS (
+       |  SELECT doc_id, media_type, phash, k AS band_id,
+       |    substring(phash, k * 8 + 1, 8) AS band
+       |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_type, a.doc_id AS item, b.doc_id AS peer,
+       |    a.phash AS ph_a, b.phash AS ph_b
+       |  FROM bands a JOIN bands b ON a.media_type = b.media_type
+       |    AND a.band_id = b.band_id AND a.band = b.band AND a.doc_id <> b.doc_id),
+       |scored AS (
+       |  SELECT media_type, item, peer, CAST($ham AS INT) AS hamming
+       |  FROM cand WHERE $ham <= 3),
+       |ranked AS (
+       |  SELECT media_type, item, peer, hamming,
+       |    row_number() OVER (PARTITION BY item ORDER BY hamming, peer) AS rnk
+       |  FROM scored)
+       |SELECT media_type, item, peer, hamming, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY item, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_meta" -> mm01MediaMeta _,
     "mm02_media_stats" -> mm02MediaStats _,
     "mm03_frame_sample" -> mm03FrameSample _,
-    "mm04_media_dedup" -> mm04MediaDedup _)
+    "mm04_media_dedup" -> mm04MediaDedup _,
+    "mm05_phash_neardup" -> mm05PhashNearDup _)
 
   def oracles: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_stats" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,
-    "mm04_media_dedup" -> mm04Sql)
+    "mm04_media_dedup" -> mm04Sql,
+    "mm05_phash_neardup" -> mm05Sql)
 }
