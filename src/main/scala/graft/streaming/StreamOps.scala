@@ -99,4 +99,43 @@ object StreamOps {
       .groupBy($"table")
       .agg(count(lit(1)).as("n_updates"), sum($"val").as("sum_val"))
   }
+
+  /** Streaming ingest with dedup-at-the-door: each micro-batch of
+    * documents (doc_id, text) first dedups within itself (exact
+    * fingerprint, min doc_id wins), then against the persistent corpus
+    * index ([[graft.operators.Dedup.dd06ViaIndex]]: fingerprint anti-join
+    * + LSH band probe — corpus text is never rescanned). Accepted docs
+    * append to `acceptedDir` AND to the index, so later batches — in this
+    * run or any restart — dedup against everything already admitted. The
+    * maintenance is incremental by construction: per trigger the index
+    * grows by the accepted delta only, nothing is rebuilt.
+    *
+    * `localCheckpoint` pins the accepted set before the two appends — the
+    * second write must not re-evaluate the plan against the index files
+    * the first one just extended.
+    */
+  def dedupIngest(docs: DataFrame, indexDir: String, acceptedDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val w = Window.partitionBy($"fp").orderBy($"doc_id")
+        val batchUnique = batch
+          .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"text")
+        val keep = graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir)
+        val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
+        if (!accepted.isEmpty) {
+          accepted.write.mode("append").parquet(acceptedDir)
+          graft.operators.Dedup.buildDedupIndex(accepted, indexDir, mode = "append")
+        }
+        ()
+      }
+      .start()
+  }
 }

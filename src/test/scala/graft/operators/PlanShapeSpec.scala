@@ -85,6 +85,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("sim02 multi-probe: probe side broadcasts, base never cartesians") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Similarity.sim02LshTopK(spark, d)
+    val s = plan(p)
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "probe join must stay an equi-join: " + s.take(1500))
+    assert(s.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("mm05: band join is an equi-join (no cartesian/BNL), top-k via window") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Multimodal.mm05PhashNearDup(spark, d)
+    val s = plan(p)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "banded hamming join degenerated: " + s.take(1500))
+    assert(s.contains("Window"), "per-item top-k must be a window, not a global sort")
+  }
+
+  test("dd06ViaIndex: no corpus text scan, band probe stays an equi-join") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-idx")
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    (0L until 20L).map(i => (i, s"some corpus text number $i about topic ${i % 5}"))
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    val idx = dir.resolve("index").toString
+    Dedup.buildDedupIndex(spark.read.parquet(corpusPath), idx)
+    val fresh = Seq((100L, "a fresh doc"), (101L, "some corpus text number 3 about topic 3"))
+      .toDF("doc_id", "text")
+    val p = Dedup.dd06ViaIndex(spark, fresh, idx)
+    val s = plan(p)
+    assert(!s.contains("corpus.parquet"), "index path must not rescan corpus text")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(1500))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
