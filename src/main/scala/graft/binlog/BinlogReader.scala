@@ -609,6 +609,79 @@ object BinlogReader {
     ScanResult(events.result(), rotate, tms)
   }
 
+  /** Does a canonical GTID-set string (`uuid:a-b[:c-d...][,uuid2:...]`)
+    * contain `uuid:gno`?
+    */
+  def gtidSetContains(set: String, uuid: String, gno: Long): Boolean =
+    set.split(",").iterator.filter(_.nonEmpty).exists { part =>
+      val segs = part.split(":")
+      segs.head.equalsIgnoreCase(uuid) && segs.tail.exists { iv =>
+        iv.split("-") match {
+          case Array(a, b) => gno >= a.toLong && gno <= b.toLong
+          case Array(a) => gno == a.toLong
+          case _ => false
+        }
+      }
+    }
+
+  /** The PREVIOUS_GTIDS set at the head of `path` (the GTIDs committed
+    * BEFORE this file), or None for a pre-GTID log. Header-walk of the
+    * first non-transactional events only — this is what makes locating a
+    * GTID across a rotated set O(files) instead of O(bytes).
+    */
+  def previousGtidsOf(path: String): Option[String] = {
+    val buf = mapFile(path)
+    var pos = 4L
+    var res: Option[String] = None
+    var done = false
+    while (!done) {
+      readEventHeader(buf, pos) match {
+        case Some(h) =>
+          h.eventType match {
+            case EventType.PreviousGtids =>
+              res = Some(readPreviousGtids(buf, h).gtidSet); done = true
+            case EventType.FormatDescription | EventType.Rotate | EventType.Stop =>
+            case _ => done = true // txn content started: no PREVIOUS_GTIDS here
+          }
+          pos = h.offset + h.eventLen
+        case None => done = true
+      }
+    }
+    res
+  }
+
+  /** Byte position just after the commit of the transaction framed by GTID
+    * `uuid:gno` in `path`, or None if that GTID does not commit in this
+    * file. GTID/XID decode only — row bodies are never touched.
+    */
+  def positionAfterGtid(path: String, uuid: String, gno: Long): Option[Long] = {
+    val buf = mapFile(path)
+    var pos = 4L
+    var found = false
+    var result: Option[Long] = None
+    var done = false
+    while (!done) {
+      readEventHeader(buf, pos) match {
+        case Some(h) =>
+          h.eventType match {
+            case EventType.Gtid =>
+              if (found) { result = Some(h.offset); done = true } // DDL-committed txn
+              else {
+                val g = readGtid(buf, h)
+                if (g.sourceUuid.equalsIgnoreCase(uuid) && g.gno == gno) found = true
+              }
+            case EventType.Xid if found =>
+              result = Some(h.offset + h.eventLen); done = true
+            case EventType.Rotate => done = true
+            case _ =>
+          }
+          pos = h.offset + h.eventLen
+        case None => done = true
+      }
+    }
+    result
+  }
+
   /** Read the binlog index file; last line is the active log
     * (`most-recent-binlog`, `mysql_binlog.clj:813-817`).
     */

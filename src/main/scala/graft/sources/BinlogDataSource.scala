@@ -113,6 +113,30 @@ object BinlogSchemas {
         if (nf.isAbsolute) name else new java.io.File(f.getParentFile, name).getPath
       }
   }
+
+  /** Resolve option `startAfterGtid` = `uuid:gno` to (file, byte position
+    * just after that transaction's commit). Files whose PREVIOUS_GTIDS set
+    * already contains the target are skipped without scanning their bodies
+    * — locating a GTID across a rotated set is O(files), not O(bytes); the
+    * one candidate file gets a header-walk. Loud error if absent: resuming
+    * "after" a GTID the logs don't contain must never silently replay from
+    * the beginning (or skip to the end).
+    */
+  def resolveGtidStart(files: Vector[String], spec: String): (String, Long) = {
+    val (uuid, gno) = spec.split(":") match {
+      case Array(u, g) if g.nonEmpty && g.forall(_.isDigit) => (u, g.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"startAfterGtid must be 'uuid:gno', got '$spec'")
+    }
+    val candIdx = files.lastIndexWhere(f =>
+      !BinlogReader.previousGtidsOf(f).exists(s => BinlogReader.gtidSetContains(s, uuid, gno)))
+    val resolved =
+      if (candIdx < 0) None
+      else BinlogReader.positionAfterGtid(files(candIdx), uuid, gno)
+        .map(p => (files(candIdx), p))
+    resolved.getOrElse(throw new IllegalArgumentException(
+      s"startAfterGtid: GTID $spec not found in ${files.size} binlog file(s)"))
+  }
 }
 
 class BinlogTable(schema: StructType, options: Map[String, String])
@@ -167,11 +191,20 @@ class BinlogScan(schema: StructType, options: Map[String, String],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val start = options.getOrElse("startoffset", "4").toLong
     val files = BinlogSchemas.resolveFiles(options("path"))
-    files.zipWithIndex.map { case (f, i) =>
-      BinlogInputPartition(f, if (i == 0) start else 4L, Long.MaxValue)
-    }.toArray
+    options.get("startaftergtid") match {
+      case Some(spec) =>
+        val (startFile, startPos) = BinlogSchemas.resolveGtidStart(files, spec)
+        val from = files.indexOf(startFile)
+        files.drop(from).map { f =>
+          BinlogInputPartition(f, if (f == startFile) startPos else 4L, Long.MaxValue)
+        }.toArray
+      case None =>
+        val start = options.getOrElse("startoffset", "4").toLong
+        files.zipWithIndex.map { case (f, i) =>
+          BinlogInputPartition(f, if (i == 0) start else 4L, Long.MaxValue)
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

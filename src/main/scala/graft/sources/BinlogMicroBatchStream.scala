@@ -171,7 +171,13 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   override def initialOffset(): Offset = {
     val fs = files()
     require(fs.nonEmpty, s"no binlog files under $path")
-    BinlogOffset(fs.head, 4L) // offset 4 skips the magic (`mysql_binlog.clj:925-927`)
+    options.get("startaftergtid") match {
+      case Some(spec) => // GTID-addressed resume (only consulted when no checkpoint exists)
+        val (f, p) = BinlogSchemas.resolveGtidStart(fs, spec)
+        BinlogOffset(f, p)
+      case None =>
+        BinlogOffset(fs.head, 4L) // offset 4 skips the magic (`mysql_binlog.clj:925-927`)
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

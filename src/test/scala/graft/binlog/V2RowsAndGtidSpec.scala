@@ -108,6 +108,17 @@ class V2RowsAndGtidSpec extends AnyFunSuite {
     assert(evs.collectFirst { case r: RowsEvent => r.rows }.get === Vector(Vector(7)))
   }
 
+  test("gtidSetContains parses canonical interval sets") {
+    import BinlogReader.gtidSetContains
+    val u = "03142536-4758-697a-8b9c-adbecfe0f102"
+    assert(gtidSetContains(s"$u:1-41", u, 41))
+    assert(gtidSetContains(s"$u:1-41", u, 1))
+    assert(!gtidSetContains(s"$u:1-41", u, 42))
+    assert(gtidSetContains(s"$u:5", u, 5))
+    assert(gtidSetContains(s"other:1-3,$u:7-9", u, 8))
+    assert(!gtidSetContains(s"$u:1-41", "ffffffff-0000-0000-0000-000000000000", 3))
+  }
+
   test("unsupported rows-class events fail loudly instead of emitting zero rows") {
     // a log whose rows arrive as PRE_GA (v0, id 21) or PARTIAL_UPDATE (39)
     // must error with the event name — not scan to an empty result

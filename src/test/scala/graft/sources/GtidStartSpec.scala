@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.binlog.{BinlogReader, BinlogWriter}
+import BinlogWriter._
+
+/** `startAfterGtid` — resuming the scan just after a named transaction,
+  * the addressing scheme MySQL replication users actually hold. File
+  * selection goes through each file's PREVIOUS_GTIDS head (O(files));
+  * only the one candidate file is header-walked.
+  */
+class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val uuid = "03142536-4758-697a-8b9c-adbecfe0f102"
+  private val cols = Seq(ColSpec.int)
+
+  private def txn(w: Writer, gno: Long, id: Int): Writer = {
+    w.writeGtid(gno, ts = 1000)
+      .writeQuery("d", "BEGIN", ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](id)), ts = 1000)
+      .writeXid(gno, ts = 1000)
+    w
+  }
+
+  private def fixture(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("gtid-start")
+    val w1 = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.0.36-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    txn(w1, 1, 1); txn(w1, 2, 2)
+    w1.writeRotate("binlog.000002", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val w2 = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.0.36-graft-fixture")
+      .writePreviousGtids(2, ts = 1000)
+    txn(w2, 3, 3); txn(w2, 4, 4)
+    w2.save(dir.resolve("binlog.000002").toString)
+    dir
+  }
+
+  private def ids(dir: java.nio.file.Path, spec: String): Seq[Int] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT")
+      .option("startAfterGtid", spec)
+      .load(dir.toString)
+      .orderBy(col("log_file"), col("log_pos")).select("id")
+      .collect().map(_.getInt(0)).toSeq
+  }
+
+  test("start after a GTID mid-file and across files") {
+    val dir = fixture()
+    assert(ids(dir, s"$uuid:1") === Seq(2, 3, 4))
+    assert(ids(dir, s"$uuid:2") === Seq(3, 4)) // commits at end of file 1
+    assert(ids(dir, s"$uuid:3") === Seq(4))    // file 1 skipped via PREVIOUS_GTIDS
+    assert(ids(dir, s"$uuid:4") === Seq.empty)
+  }
+
+  test("PREVIOUS_GTIDS routes the walk to the right file") {
+    val dir = fixture()
+    assert(BinlogReader.previousGtidsOf(dir.resolve("binlog.000002").toString)
+      === Some(s"$uuid:1-2"))
+    // gno 3 committed in file 2: file 1 has no match, file 2 resolves
+    assert(BinlogReader.positionAfterGtid(dir.resolve("binlog.000001").toString, uuid, 3).isEmpty)
+    assert(BinlogReader.positionAfterGtid(dir.resolve("binlog.000002").toString, uuid, 3).isDefined)
+  }
+
+  test("a GTID the logs do not contain fails loudly") {
+    val dir = fixture()
+    val ex = intercept[Exception](ids(dir, s"$uuid:99"))
+    assert(ex.getMessage.contains("not found"))
+    val ex2 = intercept[Exception](ids(dir, "not-a-gtid"))
+    assert(ex2.getMessage.contains("uuid:gno"))
+  }
+
+  test("streaming initial offset honors startAfterGtid") {
+    val dir = fixture()
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("gtid-stream-out").toString
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", "id INT")
+      .option("startAfterGtid", s"$uuid:2")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("gtid_start_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gtid_start_mem").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(got === Seq(3, 4))
+    } finally q.stop()
+  }
+}
