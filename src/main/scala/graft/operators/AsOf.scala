@@ -29,7 +29,20 @@ object AsOf {
     * @return left rows + carried columns (null when no right row precedes)
     */
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
-           carry: Seq[String]): DataFrame = {
+           carry: Seq[String]): DataFrame =
+    joinImpl(left, right, key, time, carry, forward = false)
+
+  /** Forward AS-OF: for each left row, the EARLIEST right row with the
+    * same key and time >= the left row's time (next-event attribution —
+    * "the purchase that followed this click"). Same one-shuffle window
+    * composition as the backward join, mirrored.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, key: String, time: String,
+                  carry: Seq[String]): DataFrame =
+    joinImpl(left, right, key, time, carry, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String, time: String,
+                       carry: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // schema-align: left gets null carries, right gets null left-only cols
     val taggedLeft = carry.foldLeft(left.withColumn("_asof_tag", lit(1))) {
@@ -43,12 +56,22 @@ object AsOf {
       }
     val unioned = taggedRight.select(taggedLeft.columns.map(col): _*)
       .unionByName(taggedLeft)
-    // right rows (tag 0) sort before left rows at equal time -> "<=" semantics
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("_asof_tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Equal-time tiebreak puts the right row on the INCLUSIVE side of the
+    // frame: backward (<=) sorts right (tag 0) first so the trailing frame
+    // sees it; forward (>=) sorts right last so the leading frame does.
+    val w =
+      if (forward)
+        Window.partitionBy(col(key))
+          .orderBy(col(time).asc, col("_asof_tag").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col(key))
+          .orderBy(col(time).asc, col("_asof_tag").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_filled_$c", last(col(s"_carry_$c"), ignoreNulls = true).over(w))
+      val fill = if (forward) first(col(s"_carry_$c"), ignoreNulls = true)
+                 else last(col(s"_carry_$c"), ignoreNulls = true)
+      df.withColumn(s"_filled_$c", fill.over(w))
     }
     filled.filter(col("_asof_tag") === 1)
       .select((leftCols.map(col) ++ carry.map(c => col(s"_filled_$c").as(c))): _*)
@@ -82,9 +105,39 @@ object AsOf {
       |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
       |ORDER BY p.event_id""".stripMargin
 
+  // asof02 — forward as-of: attribute each click to the user's NEXT
+  // purchase (inner: clicks with no later purchase drop out). DuckDB's
+  // native ASOF with `<=` is the independent oracle.
+  def asof02NextPurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("purchase_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts_us", $"value")
+    joinForward(clicks, purchases, "user_id", "ts_us", Seq("purchase_value"))
+      .filter($"purchase_value".isNotNull)
+      .select($"event_id", $"user_id", $"value", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asof02Sql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.value, p.purchase_value
+      |FROM c ASOF JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+      |ORDER BY c.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof01_enrich" -> asof01Enrich _)
+    "asof01_enrich" -> asof01Enrich _,
+    "asof02_next_purchase" -> asof02NextPurchase _)
 
   def oracles: Map[String, String] = Map(
-    "asof01_enrich" -> asof01Sql)
+    "asof01_enrich" -> asof01Sql,
+    "asof02_next_purchase" -> asof02Sql)
 }

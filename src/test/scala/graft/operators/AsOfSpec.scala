@@ -30,6 +30,22 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 10L, "q1", null)))  // key with no right rows at all
   }
 
+  test("forward as-of picks earliest following row; equal time counts; none -> null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p3"), (2L, 10L, "q1"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 25L, "r25"), (3L, 1L, "rX"))
+      .toDF("k", "t", "v")
+    val out = AsOf.joinForward(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, "p1", "r10"),  // equal time counts (>= semantics)
+      (1L, 20L, "p2", "r25"),  // earliest following, not last
+      (1L, 30L, "p3", null),   // nothing at or after t=30
+      (2L, 10L, "q1", null)))  // key with no right rows at all
+  }
+
   test("multiple carried columns") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
