@@ -84,6 +84,36 @@ object CdcMaterializer {
   def readTable(s: SparkSession, tablePath: String): DataFrame =
     s.read.parquet(tablePath).filter(col("_delta_type") =!= "delete")
 
+  /** Periodic tombstone compaction: physically drops delete rows. Only
+    * buckets that CONTAIN a tombstone are rewritten (bucket-id pruning on
+    * the read, dynamic overwrite on the write — same O(touched) profile
+    * as the merge); a bucket whose keys all died gets its partition
+    * directory removed outright, since dynamic overwrite cannot express
+    * "rewrite to empty". Run between triggers (or from a maintenance
+    * job), not concurrently with the maintaining stream's own writes.
+    */
+  def compact(s: SparkSession, tablePath: String): Unit = {
+    val t = s.read.parquet(tablePath)
+    val tombBuckets = t.filter(col("_delta_type") === "delete")
+      .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (tombBuckets.nonEmpty) {
+      val live = t.where(col("_bucket").isin(tombBuckets: _*))
+        .filter(col("_delta_type") =!= "delete")
+        .localCheckpoint(true)
+      val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+      if (!live.isEmpty)
+        live.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket").parquet(tablePath)
+      live.unpersist()
+      val hPath = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      tombBuckets.filterNot(liveBuckets).foreach { bId =>
+        fs.delete(new org.apache.hadoop.fs.Path(hPath, s"_bucket=$bId"), true)
+      }
+    }
+  }
+
   /** Maintain MANY tables from ONE binlog scan: the stream is the source's
     * dynamic-payload mode (no `payloadDdl` — `row` is the positional
     * string image), each trigger decodes the log exactly once, and the

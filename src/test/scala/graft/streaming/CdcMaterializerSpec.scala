@@ -103,6 +103,53 @@ class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state3.toSeq === state2.toSeq)
   }
 
+  test("compact physically drops tombstones; clean buckets keep their files") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("mat-compact").resolve("t").toString
+    def bucketOf(id: Int): Int =
+      spark.range(1).select(pmod(hash(lit(id)), lit(nBuckets))).head.getInt(0)
+    // keys 1..4 live, then 2 dies; pick key ids so at least one bucket has
+    // no tombstone (bucketOf is deterministic, nBuckets=8)
+    val batch = Seq(
+      ("insert", "f", 1L, 0, 1, "one"),
+      ("insert", "f", 1L, 1, 2, "two"),
+      ("insert", "f", 1L, 2, 3, "three"),
+      ("insert", "f", 1L, 3, 4, "four"),
+      ("delete", "f", 2L, 0, 2, "two"))
+      .toDF("_delta_type", "log_file", "log_pos", "log_seq", "id", "word")
+    CdcMaterializer.mergeBatch(batch, "id", table, nBuckets)
+    assert(spark.read.parquet(table).filter($"_delta_type" === "delete").count() === 1)
+
+    val tombBucket = bucketOf(2)
+    val cleanKey = Seq(1, 3, 4).find(i => bucketOf(i) != tombBucket)
+    val cleanBefore = cleanKey.map(i => partFiles(table, bucketOf(i)))
+    val tombBucketAlive = Seq(1, 3, 4).exists(i => bucketOf(i) == tombBucket)
+
+    CdcMaterializer.compact(spark, table)
+
+    // tombstones are physically gone; logical state unchanged
+    assert(spark.read.parquet(table).filter($"_delta_type" === "delete").count() === 0)
+    val state = CdcMaterializer.readTable(spark, table)
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(state.toSeq === Seq((1, "one"), (3, "three"), (4, "four")))
+    // a bucket with no tombstone was not rewritten
+    (cleanKey, cleanBefore) match {
+      case (Some(i), Some(files)) =>
+        assert(files.nonEmpty)
+        assert(partFiles(table, bucketOf(i)) === files,
+          s"clean bucket ${bucketOf(i)} was rewritten by compact")
+      case _ =>
+    }
+    // a bucket whose keys all died loses its partition directory outright
+    if (!tombBucketAlive)
+      assert(!new java.io.File(s"$table/_bucket=$tombBucket").exists(),
+        "all-dead bucket directory should be removed")
+    // compacting an already-clean table is a no-op
+    val filesNow = (0 until nBuckets).map(partFiles(table, _))
+    CdcMaterializer.compact(spark, table)
+    assert((0 until nBuckets).map(partFiles(table, _)) === filesNow)
+  }
+
   test("materializeAll: one scan maintains several typed tables") {
     val dcols = Seq(ColSpec.int, ColSpec.decimal(12, 4))
     val dir = Files.createTempDirectory("matall-src")
