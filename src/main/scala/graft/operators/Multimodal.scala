@@ -185,13 +185,20 @@ object Multimodal {
   // decoded content (the stub codec's stand-in for dHash —
   // locality-sensitive, so near-identical media land a few bits apart;
   // computed by the same codegen'd graft_simhash the dd03 oracle already
-  // pins). It splits into 4 8-bit bands; any shared band within a modality
+  // pins). It splits into 4 8-bit bands; a shared band within a modality
   // proposes a candidate (pigeonhole: hamming <= 3 bits guarantees >= 1
   // identical band), exact bit-hamming <= 3 confirms, and a per-item
-  // row_number keeps the top 3 — output is LINEAR in corpus size even on a
-  // self-similar corpus (pairwise near-dup output is quadratic there, the
-  // dd03 lesson transplanted to hamming space). Only slim (type, band)
-  // rows shuffle; candidates — not all pairs — pay the verify.
+  // row_number keeps the top 3.
+  //
+  // Scale guards, BOTH load-bearing on a self-similar corpus: (1) the
+  // peer side of the band join is capped to the 8 smallest doc_ids per
+  // band bucket ("representatives" — standard ANN candidate bounding), so
+  // an identical-signature cluster of size k proposes k·8 candidates, not
+  // k²; the cap aligns with the (hamming, peer) tiebreak, so dense
+  // clusters still fill their top 3. (2) per-item top-3 output stays
+  // LINEAR in corpus size where raw pair output is quadratic (the dd03
+  // lesson transplanted to hamming space). Only slim (type, band) rows
+  // shuffle; bounded candidates — never all pairs — pay the verify.
   def mm05PhashNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
@@ -203,7 +210,11 @@ object Multimodal {
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_id"), substring($"phash", k * 8 + 1, 8).as("band"))): _*)).as("b"))
       .select($"doc_id", $"media_type", $"phash", $"b.band_id", $"b.band")
-    val cand = bands.as("a").join(bands.as("b"),
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_type", $"band_id", $"band").orderBy($"doc_id")
+    val reps = bands.withColumn("_r", row_number().over(wb))
+      .filter($"_r" <= 8).drop("_r")
+    val cand = bands.as("a").join(reps.as("b"),
         $"a.media_type" === $"b.media_type" && $"a.band_id" === $"b.band_id" &&
           $"a.band" === $"b.band" && $"a.doc_id" =!= $"b.doc_id")
       .select($"a.media_type".as("media_type"), $"a.doc_id".as("item"),
@@ -241,10 +252,16 @@ object Multimodal {
        |  SELECT doc_id, media_type, phash, k AS band_id,
        |    substring(phash, k * 8 + 1, 8) AS band
        |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |reps AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, media_type, phash, band_id, band,
+       |      row_number() OVER (PARTITION BY media_type, band_id, band
+       |                         ORDER BY doc_id) AS _r
+       |    FROM bands) WHERE _r <= 8),
        |cand AS (
        |  SELECT DISTINCT a.media_type, a.doc_id AS item, b.doc_id AS peer,
        |    a.phash AS ph_a, b.phash AS ph_b
-       |  FROM bands a JOIN bands b ON a.media_type = b.media_type
+       |  FROM bands a JOIN reps b ON a.media_type = b.media_type
        |    AND a.band_id = b.band_id AND a.band = b.band AND a.doc_id <> b.doc_id),
        |scored AS (
        |  SELECT media_type, item, peer, CAST($ham AS INT) AS hamming
