@@ -71,13 +71,23 @@ object Bench {
     eventScanOnce() // warm
     val eventScanMbPerSec = fixBytes / 1e6 / (1 to runs).map(_ => eventScanOnce()).min
 
+    // dd02 hash-choice twin: same pipeline with xxhash64 signatures (md5
+    // is the oracle-portability choice; this measures what it costs)
+    def dd02XxOnce(): Double = {
+      val t0 = System.nanoTime()
+      operators.Dedup.dd02MinhashLshXx(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    dd02XxOnce() // warm
+    val dd02XxSec = (1 to runs).map(_ => dd02XxOnce()).min
+
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
-      s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,""" +
+      s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,"dd02_xxhash64_sec":$dd02XxSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -139,6 +139,39 @@ object Dedup {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Bench-only twin of dd02 with xxhash64 signatures instead of md5.
+    * md5 is the ORACLE choice (DuckDB computes the identical digest);
+    * xxhash64 is what a production deployment would use when cross-engine
+    * determinism isn't required — same banding, same slim-row shuffle,
+    * same verify. The bench emits both so the hash cost is measured, not
+    * guessed.
+    */
+  def dd02MinhashLshXx(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val docs = spread(s, documents(s, d))
+    val shs = docs.select($"doc_id", shingles($"text").as("sh"))
+    val sigs = shs.select(($"doc_id" +:
+      (0 until 4).map(j => array_min(transform($"sh", x => xxhash64(lit(j), x))).as(s"mh$j"))): _*)
+    val bands = sigs.select($"doc_id",
+        explode(array(
+          struct(lit(0).as("band_id"), xxhash64($"mh0", $"mh1").as("h")),
+          struct(lit(1).as("band_id"), xxhash64($"mh2", $"mh3").as("h")))).as("b"))
+      .select($"doc_id", $"b.band_id", $"b.h")
+    val cands = bands.as("a").join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cands
+      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // dd03 — SimHash dedup. 32-bit signature: bit j is the sign of Σ over
   // distinct tokens of ±1, where +1 iff the j-th hex nibble of md5(token)
   // has its high bit set (nibble >= 8). Documents with identical

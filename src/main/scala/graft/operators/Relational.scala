@@ -626,7 +626,51 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // q29 — sessionization (gaps-and-islands): a new session starts after
+  // 30 min of inactivity; session id = running count of session starts.
+  // Two stacked windows (lag flag, running sum) + one aggregation — the
+  // batch counterpart of the streaming session_window in StreamOps, and
+  // the canonical event-log preprocessing step for behavioral data. All
+  // in one shuffle on user_id.
+  def q29Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val ev = events(s, d).select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+    ev.withColumn("prev_ts", lag($"ts_us", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1).otherwise(0))
+      .withColumn("sess_seq", sum($"new_sess")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("sess_start_us"),
+        (max($"ts_us") - min($"ts_us")).as("duration_us"))
+      .orderBy($"user_id", $"sess_seq")
+  }
+
+  val q29Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM f)
+      |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS sess_start_us,
+      |  MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM s
+      |GROUP BY user_id, sess_seq
+      |ORDER BY user_id, sess_seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_sessionize" -> q29Sessionize _,
     "q28_lead_lag" -> q28LeadLag _,
     "q27_grouping_sets" -> q27GroupingSets _,
     "q26_range_frame" -> q26RangeFrame _,
@@ -657,6 +701,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q29_sessionize" -> q29Sql,
     "q28_lead_lag" -> q28Sql,
     "q27_grouping_sets" -> q27Sql,
     "q26_range_frame" -> q26Sql,

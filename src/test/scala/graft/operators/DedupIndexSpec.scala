@@ -28,6 +28,28 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("dd02 xxhash64 bench twin finds the same near-dup pairs on a seeded corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dd02xx")
+    // filler docs share NO vocabulary (every token is doc-unique), so the
+    // only true pairs are the two seeded duplicates — which any hash
+    // family must band identically (identical shingle set -> identical
+    // signature), making the assertion deterministic, not recall-dependent
+    val rows = (0L until 30L).map(i =>
+      (i, (0 until 8).map(k => s"w${i}x$k").mkString(" "))) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog by the river"),
+      (101L, "the quick brown fox jumps over the lazy dog by the river"),
+      (200L, "spark partitions shuffle data between executors during wide transformations"),
+      (201L, "spark partitions shuffle data between executors during wide transformations"))
+    rows.toDF("doc_id", "text").write.parquet(dir.resolve("documents.parquet").toString)
+    def pairs(f: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      f(spark, dir.toString).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((100L, 101L), (200L, 201L))
+    assert(pairs(Dedup.dd02MinhashLsh) === expected)
+    assert(pairs(Dedup.dd02MinhashLshXx) === expected)
+  }
+
   test("index path matches recompute; no corpus scan; append stays consistent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dedup-idx")
