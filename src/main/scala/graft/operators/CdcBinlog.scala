@@ -54,7 +54,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3b-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -73,6 +73,7 @@ object CdcBinlog {
     val nFiles = 4
     val perFile = total / nFiles
     var id = 0
+    val v2Suffix = if (rowsV2) "_V2" else ""
     var gno = 0L
     for (f <- 1 to nFiles) {
       val fname = f"binlog.$f%06d"
@@ -80,14 +81,14 @@ object CdcBinlog {
       w.writeFormatDescription(ts = 1700000000L,
         serverVersion = if (rowsV2) "8.0.36-graft-fixture" else "")
       event("FORMAT_DESCRIPTION_EVENT")
-      if (gtid) w.writePreviousGtids(gno, ts = 1700000000L)
+      if (gtid) { w.writePreviousGtids(gno, ts = 1700000000L); event("PREVIOUS_GTIDS_LOG_EVENT") }
       var written = 0
       var txn = 0
       while (written < perFile) {
         val n = math.min(100, perFile - written)
         val ts = 1700000000L + id / 10
         val xid = 100000L + id.toLong
-        if (gtid) { gno += 1; w.writeGtid(gno, ts = ts) }
+        if (gtid) { gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT") }
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         w.writeTableMap(42, "bench", "big", cols, ts = ts)
@@ -95,7 +96,7 @@ object CdcBinlog {
         val insPos = w.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
         w.writeInsert(42, cols, rows, ts = ts)
-        event("WRITE_ROWS_EVENT")
+        event(s"WRITE_ROWS_EVENT$v2Suffix")
         (0 until n).foreach { k =>
           change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
         }
@@ -105,7 +106,7 @@ object CdcBinlog {
             (Seq[Any](id + k, dec(id + k), word(id + k)),
              Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
           }, ts = ts)
-          event("UPDATE_ROWS_EVENT")
+          event(s"UPDATE_ROWS_EVENT$v2Suffix")
           (0 until math.min(20, n)).foreach { k =>
             change(fname, updPos, 2 * k, xid, "update-before", id + k, dec(id + k), word(id + k))
             change(fname, updPos, 2 * k + 1, xid, "update", id + k, dec(id + k + 1), word(id + k + 1))
@@ -116,7 +117,7 @@ object CdcBinlog {
           w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
             Seq[Any](id + k, dec(id + k), word(id + k))
           }, ts = ts)
-          event("DELETE_ROWS_EVENT")
+          event(s"DELETE_ROWS_EVENT$v2Suffix")
           (0 until math.min(5, n)).foreach { k =>
             change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
           }
@@ -159,7 +160,10 @@ object CdcBinlog {
       writeFixture(dir, total, checksum = false, expC, expE)
       expC.close(); expE.close()
       writeFixture(crcDir, total, checksum = true, null, null)
-      writeFixture(v2Dir, total, checksum = true, null, null, rowsV2 = true, gtid = true)
+      val expE2 = Files.newBufferedWriter(dir.resolve("expected_events_v2.csv"))
+      expE2.write("event_type,xid\n")
+      writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true, gtid = true)
+      expE2.close()
       Files.writeString(marker, "ok")
     }
     dir.toString
@@ -176,8 +180,8 @@ object CdcBinlog {
     s"""read_csv('${fixturePathFor(sfDir)}/expected_changes.csv', header=true, columns={
        |  'log_file':'VARCHAR','log_pos':'BIGINT','log_seq':'INTEGER','xid':'BIGINT',
        |  '_delta_type':'VARCHAR','id':'INTEGER','val':'DOUBLE','word':'VARCHAR'})""".stripMargin
-  private def expectedEventsRel(sfDir: String): String =
-    s"""read_csv('${fixturePathFor(sfDir)}/expected_events.csv', header=true, columns={
+  private def expectedEventsRel(sfDir: String, file: String = "expected_events.csv"): String =
+    s"""read_csv('${fixturePathFor(sfDir)}/$file', header=true, columns={
        |  'event_type':'VARCHAR','xid':'BIGINT'})""".stripMargin
 
   // cdcb1 — the reference's conformance query shape (`jdbc.clj:117`):
@@ -266,13 +270,27 @@ object CdcBinlog {
       .orderBy($"_delta_type")
   }
 
+  // cdcb7 — events-mode stats over the MODERN twin: the full >= 5.6 event
+  // stream — GTID/PREVIOUS_GTIDS framing and _V2 rows event names — is
+  // legible and oracle-checked against the generator's event record, not
+  // just spec-checked.
+  def cdcb7V2EventStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "v2").toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"xid").as("n_xids"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
     "cdcb4_binlog_latest_image" -> cdcb4LatestImage _,
     "cdcb5_checksummed_scan" -> cdcb5ChecksummedScan _,
-    "cdcb6_v2_rows_scan" -> cdcb6V2RowsScan _)
+    "cdcb6_v2_rows_scan" -> cdcb6V2RowsScan _,
+    "cdcb7_v2_event_stats" -> cdcb7V2EventStats _)
 
   /** DuckDB oracles over the generator's expected_* ground truth (absolute
     * paths — these tables live beside the binlog fixture, not in the sf
@@ -307,6 +325,11 @@ object CdcBinlog {
          |FROM ${expectedChangesRel(sfDir)}
          |GROUP BY _delta_type
          |ORDER BY _delta_type""".stripMargin,
+    "cdcb7_v2_event_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT xid) AS n_xids
+         |FROM ${expectedEventsRel(sfDir, "expected_events_v2.csv")}
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "cdcb4_binlog_latest_image" ->
       s"""WITH ranked AS (
          |  SELECT id, val, word, _delta_type,
