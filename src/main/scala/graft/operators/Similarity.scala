@@ -74,22 +74,30 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
-  // sim03 — IVF probe: per-label centroids (exact decimal-mean per
-  // dimension), rank cells by centroid distance to the query, search the
-  // top-3 cells exhaustively. Centroid build = one tiny aggregation that
-  // at scale is computed once and broadcast.
-  def sim03IvfTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val e = embeddings(s, d)
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
-    // per-(label, dim) exact mean -> centroid arrays
-    val cent = e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+  /** Per-label centroids (exact decimal-mean per dimension) — sim03's
+    * coarse quantizer. One tiny aggregation; at 100 TB it is computed once
+    * (or k-means-refined), PERSISTED, and broadcast per query — see
+    * [[buildIvfIndex]] / [[sim03ViaIndex]].
+    */
+  def ivfCentroids(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg((sum($"v".cast("decimal(38,10)")).cast("double") / count(lit(1))).as("c"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"label", transform($"pc", p => p.getField("c")).as("centroid"))
+  }
+
+  /** Persist the IVF coarse-quantizer (per-cell centroid arrays) so query
+    * time never re-aggregates the corpus. Rebuild on corpus drift (or
+    * maintain incrementally — means compose from per-cell sums/counts).
+    */
+  def buildIvfIndex(e: DataFrame, indexDir: String): Unit =
+    ivfCentroids(e).write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+  private def ivfProbe(e: DataFrame, cent: DataFrame, q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val probed = cent.crossJoin(broadcast(q))
       .select($"label", aggregate( // centroid is array<double>: HOF fold here
         zip_with($"centroid", $"qv", (x, y) => x * y.cast("double")),
@@ -103,6 +111,27 @@ object Similarity {
       .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
+  }
+
+  // sim03 — IVF probe: rank cells by centroid distance to the query,
+  // search the top-3 cells exhaustively.
+  def sim03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    ivfProbe(e, ivfCentroids(e), q)
+  }
+
+  /** sim03 against the persisted index: identical semantics (spec-pinned),
+    * centroids read from parquet — the query path aggregates nothing.
+    */
+  def sim03ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    ivfProbe(e, s.read.parquet(s"$indexDir/centroids"), q)
   }
 
   val sim03Sql: String = {

@@ -39,6 +39,18 @@ class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim03 via the persisted IVF index equals the inline-centroid path") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(graft.core.Tables.embeddings(spark, d), idx)
+    val viaIndex = Similarity.sim03ViaIndex(spark, d, idx)
+    assert(viaIndex.collect().toSeq === Similarity.sim03IvfTopK(spark, d).collect().toSeq)
+    // the probe path reads centroids from parquet — no per-label
+    // re-aggregation of the corpus anywhere in the plan
+    assert(!viaIndex.queryExecution.executedPlan.toString.contains("posexplode"))
+  }
+
   test("growing the bucket family bounds within-bucket pair counts") {
     import spark.implicits._
     // deterministic pseudo-random ±500 vectors, 24 dims (strong 64-bit
