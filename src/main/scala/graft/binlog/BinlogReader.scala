@@ -222,6 +222,16 @@ object BinlogReader {
   def readXid(b: ByteBuffer, h: EventHeader): XidEvent =
     XidEvent(h, b.getLong(h.offset.toInt + HeaderLen))
 
+  /** ROWS_QUERY (id 29): 1-byte stored-length (ignored — the server may
+    * truncate and the event length is authoritative) + the SQL text.
+    */
+  def readRowsQuery(b: ByteBuffer, h: EventHeader, cs: Charset): RowsQueryEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    ubyte(b) // length byte
+    RowsQueryEvent(h, new String(
+      bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs))
+  }
+
   private def uuidStr(a: Array[Byte]): String = {
     val hex = a.map(x => f"${x & 0xff}%02x").mkString
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
@@ -562,6 +572,7 @@ object BinlogReader {
                   }
                 case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
+                case EventType.RowsQuery => readRowsQuery(buf, h, charset)
                 case other =>
                   // a rows-carrying format with no decode path must fail
                   // loudly — opaque-skipping it would turn the scan into

@@ -354,6 +354,16 @@ object BinlogWriter {
       this
     }
 
+    /** ROWS_QUERY (id 29): stored-length byte + SQL text. */
+    def writeRowsQuery(sql: String, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val sb = sql.getBytes(charset)
+      b.write(Array(math.min(sb.length, 255).toByte))
+      b.write(sb)
+      event(EventType.RowsQuery, ts, b.toByteArray)
+      this
+    }
+
     /** GTID / ANONYMOUS_GTID frame (ids 33/34): commit flag + 16-byte
       * source UUID + 8-byte LE GNO.
       */

@@ -24,6 +24,10 @@ object EventType {
   val WriteRows = 23
   val UpdateRows = 24
   val DeleteRows = 25
+  val Heartbeat = 27
+  // the original SQL statement accompanying row events when the server
+  // runs with binlog_rows_query_log_events=ON
+  val RowsQuery = 29
   // v2 rows events — what every server >= 5.6.2 writes: identical body
   // after a 2-byte extra-data-length post-header field
   val WriteRowsV2 = 30
@@ -68,6 +72,8 @@ object EventType {
     case WriteRows => "WRITE_ROWS_EVENT"
     case UpdateRows => "UPDATE_ROWS_EVENT"
     case DeleteRows => "DELETE_ROWS_EVENT"
+    case Heartbeat => "HEARTBEAT_LOG_EVENT"
+    case RowsQuery => "ROWS_QUERY_LOG_EVENT"
     case WriteRowsV2 => "WRITE_ROWS_EVENT_V2"
     case UpdateRowsV2 => "UPDATE_ROWS_EVENT_V2"
     case DeleteRowsV2 => "DELETE_ROWS_EVENT_V2"
@@ -192,6 +198,13 @@ final case class GtidEvent(header: EventHeader, commitFlag: Int,
   * file, in canonical `uuid:a-b[:c-d...]` text.
   */
 final case class PreviousGtidsEvent(header: EventHeader, gtidSet: String)
+  extends BinlogEvent
+
+/** ROWS_QUERY_LOG_EVENT (id 29): the original SQL that produced the rows
+  * events that follow (`binlog_rows_query_log_events=ON`) — possibly
+  * truncated by the server.
+  */
+final case class RowsQueryEvent(header: EventHeader, query: String)
   extends BinlogEvent
 
 /** Recognized-but-undecoded event (passthrough, like the reference). */

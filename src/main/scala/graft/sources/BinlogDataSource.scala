@@ -437,6 +437,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case r: RotateEvent => a(11) = UTF8String.fromString(r.nextFile)
       case g: GtidEvent => a(12) = UTF8String.fromString(g.gtid)
       case pg: PreviousGtidsEvent => a(12) = UTF8String.fromString(pg.gtidSet)
+      case rq: RowsQueryEvent => a(9) = UTF8String.fromString(rq.query)
       case _ =>
     }
     new GenericInternalRow(a)

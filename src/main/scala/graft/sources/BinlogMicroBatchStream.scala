@@ -150,7 +150,9 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               val tm = BinlogReader.readTableMap(buf, h, charset)
               tms = tms.updated(tm.tableId, tm)
               txnOpen = true
-            case t if EventType.isRows(t) =>
+            case t if EventType.isRows(t) || t == EventType.RowsQuery =>
+              // ROWS_QUERY sits between BEGIN and its rows events — it is
+              // inside the transaction, not a safe boundary
               txnOpen = true
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false

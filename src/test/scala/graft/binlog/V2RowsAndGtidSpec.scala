@@ -108,6 +108,23 @@ class V2RowsAndGtidSpec extends AnyFunSuite {
     assert(evs.collectFirst { case r: RowsEvent => r.rows }.get === Vector(Vector(7)))
   }
 
+  test("ROWS_QUERY (id 29) carries the originating SQL text") {
+    val dir = Files.createTempDirectory("rows-query")
+    val sql = "INSERT INTO d.t VALUES (7) /* original statement */"
+    val path = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.0.36-graft-fixture")
+      .writeQuery("d", "BEGIN", ts = 1000)
+      .writeTableMap(5, "d", "t", Seq(ColSpec.int), ts = 1000)
+      .writeRowsQuery(sql, ts = 1000)
+      .writeInsert(5, Seq(ColSpec.int), Seq(Seq[Any](7)), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val evs = BinlogReader.readBinlog(path).events
+    assert(evs.collectFirst { case r: RowsQueryEvent => r.query } === Some(sql))
+    // rows still decode around it; the txn stitches normally
+    assert(evs.collectFirst { case r: RowsEvent => r.rows } === Some(Vector(Vector(7))))
+  }
+
   test("gtidSetContains parses canonical interval sets") {
     import BinlogReader.gtidSetContains
     val u = "03142536-4758-697a-8b9c-adbecfe0f102"
