@@ -58,6 +58,18 @@ class MySqlJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"a":1,"b":[true,"x"]}""")
   }
 
+  test("large object (4-byte offsets) golden vector") {
+    // {"k":"v"} in the LARGE format: count/size/offsets are u32;
+    // header = 4+4 + (4+2 key entry) + (1+4 value entry) = 19;
+    // key "k" at 19, string value at 20; total size = 22 = 0x16
+    val doc = bytes(0x01,
+      0x01, 0x00, 0x00, 0x00, 0x16, 0x00, 0x00, 0x00,
+      0x13, 0x00, 0x00, 0x00, 0x01, 0x00,
+      0x0C, 0x14, 0x00, 0x00, 0x00,
+      'k', 0x01, 'v')
+    assert(MySqlJson.decodeToString(doc) === """{"k":"v"}""")
+  }
+
   test("large array with inlined int32") {
     // type 0x03: count=1 (u32), size=13 (u32), entry (0x07 inline 42)
     val doc = bytes(0x03,
