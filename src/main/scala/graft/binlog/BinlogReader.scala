@@ -663,10 +663,18 @@ object BinlogReader {
 
   /** Byte position just after the commit of the transaction framed by GTID
     * `uuid:gno` in `path`, or None if that GTID does not commit in this
-    * file. GTID/XID decode only — row bodies are never touched.
+    * file. Header walk + GTID/XID/QUERY decode only — row bodies are never
+    * touched. Commit boundaries recognized once the target frame is found:
+    * its XID; a DDL QUERY (implicit commit — anything but BEGIN); the next
+    * GTID or ANONYMOUS_GTID frame (so a following anonymous transaction is
+    * never skipped); or the end of the decoded region (ROTATE/EOF) — a
+    * DDL-committed target at end-of-file must resolve, not report
+    * "not found".
     */
-  def positionAfterGtid(path: String, uuid: String, gno: Long): Option[Long] = {
+  def positionAfterGtid(path: String, uuid: String, gno: Long,
+                        cs: Charset = StandardCharsets.ISO_8859_1): Option[Long] = {
     val buf = mapFile(path)
+    val csLen = checksumLen(buf)
     var pos = 4L
     var found = false
     var result: Option[Long] = None
@@ -675,19 +683,29 @@ object BinlogReader {
       readEventHeader(buf, pos) match {
         case Some(h) =>
           h.eventType match {
-            case EventType.Gtid =>
+            case EventType.Gtid | EventType.AnonymousGtid =>
               if (found) { result = Some(h.offset); done = true } // DDL-committed txn
-              else {
+              else if (h.eventType == EventType.Gtid) {
                 val g = readGtid(buf, h)
                 if (g.sourceUuid.equalsIgnoreCase(uuid) && g.gno == gno) found = true
               }
             case EventType.Xid if found =>
               result = Some(h.offset + h.eventLen); done = true
-            case EventType.Rotate => done = true
+            case EventType.Query if found =>
+              val q = readQuery(buf,
+                if (csLen > 0) h.copy(eventLen = h.eventLen - csLen) else h, cs)
+              if (!q.sql.equalsIgnoreCase("BEGIN")) { // DDL = implicit commit
+                result = Some(h.offset + h.eventLen); done = true
+              }
+            case EventType.Rotate =>
+              if (found) result = Some(h.offset + h.eventLen)
+              done = true
             case _ =>
           }
           pos = h.offset + h.eventLen
-        case None => done = true
+        case None =>
+          if (found) result = Some(pos) // target commits at end of decoded region
+          done = true
       }
     }
     result

@@ -245,16 +245,24 @@ object BinlogWriter {
         // one signed packed quantity ((H<<12|M<<6|S) << 24) + micros,
         // stored per my_time.cc my_time_to_binary: negative values reach
         // disk as the arithmetic-shifted int part + sign-adjusted frac
-        // (fsp 1-4) or as a single 6-byte offset-binary value (fsp 5-6)
+        // (fsp 1-4) or as a single 6-byte offset-binary value (fsp 5-6).
+        // Micros are truncated toward zero to the STORAGE unit
+        // (100^(3-ceil(fsp/2))) BEFORE packing — a real server never emits
+        // sub-unit precision, and packing an unaligned negative value
+        // would drop the remainder from the frac field while the
+        // arithmetic-shifted int part already floor-rounded: off by a
+        // whole second on disk, not merely truncated.
+        val unit = Array(1000000, 10000, 100, 1)((spec.meta + 1) / 2)
+        def trunc(usec: Int): Long = (usec / unit).toLong * unit
         val packed: Long = v match {
           case lt: java.time.LocalTime =>
             (((lt.getHour.toLong << 12) | (lt.getMinute.toLong << 6) | lt.getSecond.toLong) << 24) +
-              lt.getNano / 1000
+              trunc(lt.getNano / 1000)
           case d: java.time.Duration =>
             val ad = d.abs
             val s = ad.getSeconds
             val p = ((((s / 3600) << 12) | (((s % 3600) / 60) << 6) | (s % 60)) << 24) +
-              ad.getNano / 1000
+              trunc(ad.getNano / 1000)
             if (d.isNegative) -p else p
           case other => throw new IllegalArgumentException(
             s"TIME2 fixture value must be LocalTime or Duration, got $other")
@@ -378,15 +386,22 @@ object BinlogWriter {
       this
     }
 
-    /** PREVIOUS_GTIDS (id 35): one sid with the [1, gnoEnd] interval. */
+    /** PREVIOUS_GTIDS (id 35): one sid with the [1, gnoEnd] interval, or
+      * the EMPTY set when `gnoEnd < 1` (n_sids = 0 — never a degenerate
+      * descending interval like `uuid:1-0`, which is invalid GTID-set
+      * syntax downstream parsers reject).
+      */
     def writePreviousGtids(gnoEnd: Long, sourceUuid: Array[Byte] = BinlogWriter.FixtureUuid,
                            ts: Long = 0L): this.type = {
       val b = new ByteArrayOutputStream()
-      b.write(le(8)(1)) // n_sids
-      b.write(sourceUuid)
-      b.write(le(8)(1)) // n_intervals
-      b.write(le(8)(1)) // start
-      b.write(le(8)(gnoEnd + 1)) // exclusive end
+      if (gnoEnd < 1) b.write(le(8)(0)) // n_sids = 0: empty executed set
+      else {
+        b.write(le(8)(1)) // n_sids
+        b.write(sourceUuid)
+        b.write(le(8)(1)) // n_intervals
+        b.write(le(8)(1)) // start
+        b.write(le(8)(gnoEnd + 1)) // exclusive end
+      }
       event(EventType.PreviousGtids, ts, b.toByteArray)
       this
     }

@@ -54,7 +54,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3b-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3c-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions

@@ -36,7 +36,12 @@ object VectorOps {
     */
   def signBucket(v: Column, nBits: Int): Column =
     (0 until nBits).map { i =>
-      (element_at(v, i + 1) > lit(0f)).cast("int") * lit(1 << i)
+      // try_element_at + coalesce: a dim beyond the vector length
+      // contributes a 0 bit — identical to the SQL rendering's CASE WHEN
+      // NULL -> ELSE 0 — instead of an ANSI out-of-bounds error (or, with
+      // errors off, a NULL that would poison the bucket and silently empty
+      // every bucket-equality join when nBits exceeds the dimensionality)
+      coalesce(try_element_at(v, lit(i + 1)) > lit(0f), lit(false)).cast("int") * lit(1 << i)
     }.reduce(_ + _)
 
   /** Bucket-family size for corpus size `n`: smallest nBits giving an

@@ -94,6 +94,7 @@ object CdcMaterializer {
     */
   def compact(s: SparkSession, tablePath: String): Unit = {
     val t = s.read.parquet(tablePath)
+    val allBuckets = t.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     val tombBuckets = t.filter(col("_delta_type") === "delete")
       .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (tombBuckets.nonEmpty) {
@@ -101,6 +102,12 @@ object CdcMaterializer {
         .filter(col("_delta_type") =!= "delete")
         .localCheckpoint(true)
       val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+      // Degenerate case: EVERY key in the table is dead. Deleting all
+      // partition directories would leave a parquet root with no data
+      // files — unreadable by every subsequent read/merge. Tombstones are
+      // logically invisible anyway (readTable filters them), so skip:
+      // compaction is an optimization and must never break the table.
+      if (liveBuckets.isEmpty && tombBuckets.toSet == allBuckets) { live.unpersist(); return }
       if (!live.isEmpty)
         live.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -113,6 +113,17 @@ object StreamOps {
     * `localCheckpoint` pins the accepted set before the two appends — the
     * second write must not re-evaluate the plan against the index files
     * the first one just extended.
+    *
+    * Restart safety under foreachBatch's at-least-once replay: accepted
+    * docs land in a per-batch directory (`batch=<id>`) written with
+    * overwrite, so a replayed batch rewrites its own output instead of
+    * appending duplicates. The two crash windows are both benign — before
+    * the index append, the replay recomputes the identical accepted set
+    * (the index hasn't changed) and overwrites in place; after both
+    * writes, the replay's accepted set is empty (the index now rejects
+    * those docs) and the empty-guard leaves the existing batch directory
+    * untouched. Index-side duplicate fp/band rows from a replay are
+    * harmless by construction (anti-join + distinct candidates).
     */
   def dedupIngest(docs: DataFrame, indexDir: String, acceptedDir: String,
                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -120,7 +131,7 @@ object StreamOps {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
         val w = Window.partitionBy($"fp").orderBy($"doc_id")
@@ -131,7 +142,7 @@ object StreamOps {
         val keep = graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir)
         val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
         if (!accepted.isEmpty) {
-          accepted.write.mode("append").parquet(acceptedDir)
+          accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
           graft.operators.Dedup.buildDedupIndex(accepted, indexDir, mode = "append")
         }
         ()

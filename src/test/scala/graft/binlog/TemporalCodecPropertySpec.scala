@@ -72,6 +72,28 @@ class TemporalCodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TIME2 writer truncates unaligned negative micros toward zero (not a whole second off)") {
+    // -1.000001 s at fsp=2: sub-unit micros must truncate to -1.00 s;
+    // naive packing would floor the int part to -2 s while the frac field
+    // dropped its compensating remainder
+    val cols = Seq(ColSpec.time2(2), ColSpec.time2(4), ColSpec.time2(0))
+    val row = Seq[Any](
+      Duration.ofSeconds(-1).minusNanos(1000),      // -1.000001 s -> -1.00
+      Duration.ofSeconds(-2).minusNanos(55000),     // -2.000055 s -> -2.0000 (unit 100us)
+      Duration.ofSeconds(-3).minusMillis(999))      // -3.999 s -> -3 (fsp 0)
+    val dir = Files.createTempDirectory("t2-trunc")
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(5, "d", "t", cols)
+      .writeInsert(5, cols, Seq(row))
+      .save(dir.resolve("binlog.000001").toString)
+    val img = BinlogReader.readBinlog(path).events
+      .collectFirst { case r: RowsEvent => r.rows.head }.get
+    assert(img(0) === Duration.ofSeconds(-1))
+    assert(img(1) === Duration.ofSeconds(-2))
+    assert(img(2) === Duration.ofSeconds(-3))
+  }
+
   test("TIMESTAMP2 round-trips across fsp 0..6 over the 32-bit epoch range") {
     val rnd = new scala.util.Random(99)
     for (fsp <- 0 to 6) {

@@ -39,6 +39,19 @@ class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("signBucket beyond the vector dimensionality degrades to 0-bits, never NULL") {
+    import spark.implicits._
+    // 4-dim vectors, 8-bit family: dims 5..8 contribute 0 bits (matching
+    // the SQL rendering's CASE WHEN NULL -> ELSE 0), so the bucket stays
+    // non-null and bucket-equality joins keep working
+    val df = Seq((1, Array(1f, -1f, 1f, -1f)), (2, Array(1f, -1f, 1f, -1f)))
+      .toDF("id", "embedding")
+      .select($"id", VectorOps.signBucket($"embedding", 8).as("bucket"))
+    val rows = df.collect()
+    assert(rows.forall(!_.isNullAt(1)))
+    assert(rows.map(_.getInt(1)).toSet === Set(1 + 4)) // bits 0 and 2 only
+  }
+
   test("sim03 via the persisted IVF index equals the inline-centroid path") {
     graft.functions.GraftFunctions.register(spark)
     val d = "/root/testdata/sf0.001"

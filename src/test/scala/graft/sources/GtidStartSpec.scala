@@ -78,6 +78,31 @@ class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BinlogReader.positionAfterGtid(dir.resolve("binlog.000002").toString, uuid, 3).isDefined)
   }
 
+  test("DDL-committed target: following anonymous txn is preserved; EOF resolves") {
+    val dir = Files.createTempDirectory("gtid-ddl")
+    val w = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.0.36-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    txn(w, 1, 1)
+    // gno 2 commits via DDL (implicit commit, no XID)
+    w.writeGtid(2, ts = 1000)
+      .writeQuery("d", "CREATE TABLE d.other (x INT)", ts = 1000)
+    // an ANONYMOUS transaction follows — it must NOT be skipped
+    w.writeGtid(3, anonymous = true, ts = 1000)
+      .writeQuery("d", "BEGIN", ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](30)), ts = 1000)
+      .writeXid(30, ts = 1000)
+    // gno 4 commits via DDL as the LAST event of the file
+    w.writeGtid(4, ts = 1000)
+      .writeQuery("d", "CREATE INDEX ix ON d.other (x)", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    // resuming after the DDL-committed gno 2 keeps the anonymous txn's row
+    assert(ids(dir, s"$uuid:2") === Seq(30))
+    // a DDL-committed target at end-of-file resolves (empty, not an error)
+    assert(ids(dir, s"$uuid:4") === Seq.empty)
+  }
+
   test("a GTID the logs do not contain fails loudly") {
     val dir = fixture()
     val ex = intercept[Exception](ids(dir, s"$uuid:99"))

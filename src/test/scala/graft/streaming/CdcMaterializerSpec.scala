@@ -150,6 +150,28 @@ class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until nBuckets).map(partFiles(table, _)) === filesNow)
   }
 
+  test("compact on an all-dead table is a safe no-op (never an unreadable root)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("mat-alldead").resolve("t").toString
+    val batch = Seq(
+      ("insert", "f", 1L, 0, 1, "one"),
+      ("insert", "f", 1L, 1, 2, "two"),
+      ("delete", "f", 2L, 0, 1, "one"),
+      ("delete", "f", 2L, 1, 2, "two"))
+      .toDF("_delta_type", "log_file", "log_pos", "log_seq", "id", "word")
+    CdcMaterializer.mergeBatch(batch, "id", table, nBuckets)
+    CdcMaterializer.compact(spark, table)
+    // the table stays readable (tombstones retained rather than deleting
+    // every partition directory) and logically empty
+    assert(CdcMaterializer.readTable(spark, table).count() === 0)
+    // and a later merge over it still works
+    val revive = Seq(("insert", "g", 3L, 0, 1, "back"))
+      .toDF("_delta_type", "log_file", "log_pos", "log_seq", "id", "word")
+    CdcMaterializer.mergeBatch(revive, "id", table, nBuckets)
+    assert(CdcMaterializer.readTable(spark, table)
+      .select("word").collect().map(_.getString(0)).toSeq === Seq("back"))
+  }
+
   test("materializeAll: one scan maintains several typed tables") {
     val dcols = Seq(ColSpec.int, ColSpec.decimal(12, 4))
     val dir = Files.createTempDirectory("matall-src")
