@@ -43,7 +43,13 @@ object BinlogReader {
     val in = new FileInputStream(path)
     try {
       val ch = in.getChannel
-      ch.map(FileChannel.MapMode.READ_ONLY, offset, ch.size() - offset)
+      val len = ch.size() - offset
+      // one bulk-load transaction can push a file past max_binlog_size;
+      // fail with the real reason instead of a bare mmap size error
+      require(len <= Int.MaxValue,
+        s"binlog file '$path' is ${ch.size()} bytes — beyond the 2 GiB mmap " +
+          "window this decoder supports; split the transaction or rotate more often")
+      ch.map(FileChannel.MapMode.READ_ONLY, offset, len)
         .order(ByteOrder.LITTLE_ENDIAN)
     } finally in.close()
   }
@@ -144,7 +150,11 @@ object BinlogReader {
         nextPos = uint(b, o + 13),
         flags = b.getShort(o + 17) & 0xffff,
         offset = off)
-      if (off + h.eventLen <= b.capacity()) Some(h) else None
+      // eventLen below the header size is structurally impossible — a
+      // zero-filled tail (crashed server's partial IO_CACHE flush) parses
+      // as eventLen=0 and would loop the iterator at one offset forever;
+      // treat it as the torn tail it is
+      if (h.eventLen >= HeaderLen && off + h.eventLen <= b.capacity()) Some(h) else None
     }
   }
 
@@ -286,7 +296,16 @@ object BinlogReader {
         throw new IllegalArgumentException(s"unknown column type ${types(i)}")) match {
         case 0 =>
         case 1 => meta(i) = ubyte(b)
-        case 2 => meta(i) = ushort(b)
+        case 2 =>
+          // STRING metadata is written [real_type ^ len-bits, length] — a
+          // BIG-endian pair (Field_string::do_save_field_metadata; carries
+          // the danced CHAR/ENUM/SET real type in the FIRST byte). The
+          // other 2-byte metadata (VARCHAR max-len, BIT, NEWDECIMAL
+          // precision/scale) is little-endian.
+          if (types(i) == ColType.String) {
+            val b0 = ubyte(b); val b1 = ubyte(b)
+            meta(i) = (b0 << 8) | b1
+          } else meta(i) = ushort(b)
       }
       i += 1
     }
@@ -345,20 +364,27 @@ object BinlogReader {
     case ColType.Year => 1900 + ubyte(b)
     case ColType.Timestamp => b.getInt() & 0xffffffffL
     case ColType.Date =>
-      // 3-byte LE: day | month<<5 | year<<9
+      // 3-byte LE: day | month<<5 | year<<9. MySQL's zero dates
+      // ('0000-00-00', or day/month 0 under permissive sql_mode) have no
+      // java.time representation — they surface as SQL NULL rather than
+      // aborting the scan.
       val v = nUint(bytes(b, 3))
-      java.time.LocalDate.of((v >> 9).toInt, ((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+      val (m, dd) = (((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+      if (m == 0 || dd == 0) null
+      else java.time.LocalDate.of((v >> 9).toInt, m, dd)
     case ColType.Time =>
       // 3-byte LE packed decimal HHMMSS
       val v = nUint(bytes(b, 3))
       java.time.LocalTime.of((v / 10000).toInt, ((v / 100) % 100).toInt, (v % 100).toInt)
     case ColType.Datetime =>
-      // 8-byte LE packed decimal YYYYMMDDHHMMSS
+      // 8-byte LE packed decimal YYYYMMDDHHMMSS; zero dates -> null
       val v = b.getLong()
       val date = v / 1000000L
       val time = v % 1000000L
-      java.time.LocalDateTime.of(
-        (date / 10000L).toInt, ((date / 100L) % 100L).toInt, (date % 100L).toInt,
+      val (m, dd) = (((date / 100L) % 100L).toInt, (date % 100L).toInt)
+      if (m == 0 || dd == 0) null
+      else java.time.LocalDateTime.of(
+        (date / 10000L).toInt, m, dd,
         (time / 10000L).toInt, ((time / 100L) % 100L).toInt, (time % 100L).toInt)
     // 5.6+ big-endian packed temporals with fractional seconds (meta = fsp).
     // Layouts are the public MySQL on-disk formats (my_time semantics):
@@ -368,7 +394,9 @@ object BinlogReader {
       val v = nUintBE(bytes(b, 5)) - 0x8000000000L
       val usec = readFracMicros(b, meta)
       val ym = ((v >> 22) & 0x1ffff).toInt
-      java.time.LocalDateTime.of(ym / 13, ym % 13, ((v >> 17) & 0x1f).toInt,
+      val dd = ((v >> 17) & 0x1f).toInt
+      if (ym % 13 == 0 || dd == 0) null // zero date
+      else java.time.LocalDateTime.of(ym / 13, ym % 13, dd,
         ((v >> 12) & 0x1f).toInt, ((v >> 6) & 0x3f).toInt, (v & 0x3f).toInt,
         usec * 1000)
     // TIMESTAMP2: 4 BE bytes epoch seconds + frac tail (always UTC)
@@ -412,9 +440,11 @@ object BinlogReader {
         if (packed < 0) d.negated() else d
       }
     case ColType.NewDate =>
-      // same 3-byte day|month<<5|year<<9 packing as DATE
+      // same 3-byte day|month<<5|year<<9 packing as DATE (zero -> null)
       val v = nUint(bytes(b, 3))
-      java.time.LocalDate.of((v >> 9).toInt, ((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+      val (m, dd) = (((v >> 5) & 0xf).toInt, (v & 0x1f).toInt)
+      if (m == 0 || dd == 0) null
+      else java.time.LocalDate.of((v >> 9).toInt, m, dd)
     case ColType.Blob | ColType.Geometry | ColType.Json =>
       // meta = number of length-prefix bytes (1, 2, 3 or 4). GEOMETRY is
       // WKB-with-SRID-prefix, JSON is the server's binary JSON — both

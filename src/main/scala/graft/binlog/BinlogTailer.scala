@@ -143,6 +143,27 @@ object BinlogTailer {
       }
     }
 
+    /** Crash rotation: a server that died and restarted opens the next
+      * file WITHOUT appending a ROTATE to the old one. Once a strictly
+      * newer file exists, the current file is final (a server never
+      * appends after moving on) — cross to it, flushing anything buffered
+      * as uncommitted, exactly like the explicit-ROTATE path. Without
+      * this the tailer re-reads the old EOF forever: a silent stall.
+      */
+    private def crossCrashRotation(): Boolean = {
+      val fs = binlogFiles()
+      val i = fs.indexWhere(_.getFileName == file.getFileName)
+      if (i >= 0 && i < fs.size - 1) {
+        txn.foreach(onChange)
+        txn = Vector.empty
+        txnOverflowed = false
+        file = fs(i + 1)
+        pos = 4L
+        tms = Map.empty
+        true
+      } else false
+    }
+
     private val thread = new Thread(() => {
       try {
         // initial catch-up over pre-existing files, then live-tail the last
@@ -150,11 +171,11 @@ object BinlogTailer {
         while (fs.isEmpty && !closed) { Thread.sleep(10); fs = binlogFiles() }
         if (!closed) {
           file = fs.head
-          while (drain()) ()
+          while (drain() || crossCrashRotation()) ()
           while (!closed) {
             val key = ws.poll(pollMs, TimeUnit.MILLISECONDS) // timed poll = NFS fallback
             if (key != null) { key.pollEvents(); key.reset() }
-            while (drain()) ()
+            while (drain() || crossCrashRotation()) ()
           }
         }
       } catch {

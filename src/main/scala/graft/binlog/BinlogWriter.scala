@@ -47,6 +47,15 @@ object BinlogWriter {
       ColSpec(ColType.String, (ColType.Enum << 8) | (if (nValues > 255) 2 else 1))
     def set(nValues: Int): ColSpec =
       ColSpec(ColType.String, (ColType.Set << 8) | ((nValues + 7) / 8))
+    /** CHAR(n bytes): STRING with the len-bits dance in the metadata high
+      * byte (`Field_string::do_save_field_metadata` — lengths above 255
+      * fold two bits into byte0).
+      */
+    def char(maxLenBytes: Int): ColSpec = {
+      require(maxLenBytes <= 1023, s"CHAR metadata caps at 1023 bytes, got $maxLenBytes")
+      val b0 = ColType.String ^ ((maxLenBytes & 0x300) >> 4)
+      ColSpec(ColType.String, (b0 << 8) | (maxLenBytes & 0xff))
+    }
   }
 
   /** `checksum = true` emits a post-5.6.6-style log: the FDE carries
@@ -152,7 +161,12 @@ object BinlogWriter {
         ColType.metadataLengths(c.typeId) match {
           case 0 =>
           case 1 => metaBytes.write(Array((c.meta & 0xff).toByte))
-          case 2 => metaBytes.write(le(2)(c.meta.toLong))
+          case 2 =>
+            // STRING metadata travels big-endian [real_type ^ len-bits,
+            // length] on the wire (see readTableMap); the rest LE
+            if (c.typeId == ColType.String) {
+              metaBytes.write(Array(((c.meta >> 8) & 0xff).toByte, (c.meta & 0xff).toByte))
+            } else metaBytes.write(le(2)(c.meta.toLong))
         }
       }
       writePackedInt(b, metaBytes.size())
@@ -195,6 +209,16 @@ object BinlogWriter {
         if ((spec.meta & 0xff) == 1) b.write(Array(n.toByte)) else b.write(le(2)(n.toLong))
       case ColType.String if spec.meta >= 256 && (spec.meta >> 8) == ColType.Set =>
         b.write(le(spec.meta & 0xff)(v.asInstanceOf[Number].longValue))
+      case ColType.String if spec.meta >= 256 =>
+        // danced CHAR: real max length from the len-bits dance decides the
+        // 1- vs 2-byte length prefix (mirrors readField)
+        val byte0 = (spec.meta >> 8) & 0xff
+        val byte1 = spec.meta & 0xff
+        val maxLen =
+          if ((byte0 & 0x30) != 0x30) byte1 | (((byte0 & 0x30) ^ 0x30) << 4) else byte1
+        val s = v.toString.getBytes(charset)
+        if (maxLen < 256) b.write(Array(s.length.toByte)) else b.write(le(2)(s.length.toLong))
+        b.write(s)
       case ColType.Varchar | ColType.VarString | ColType.String =>
         val s = v.toString.getBytes(charset)
         if (spec.meta < 256) b.write(Array(s.length.toByte))

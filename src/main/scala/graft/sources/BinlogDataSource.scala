@@ -155,6 +155,11 @@ class BinlogScanBuilder(schema: StructType, options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // events mode never applies db/table/_delta_type filtering in the
+    // reader — accepting the pushdown there would make Spark drop the
+    // predicate and silently return unfiltered results; reject everything
+    // so Spark evaluates the filters itself
+    if (options.getOrElse("mode", "changes") == "events") return filters
     val (accepted, rejected) = filters.partition {
       case EqualTo(a, _) => Seq("db", "table", "_delta_type").contains(a)
       case _ => false
@@ -358,6 +363,11 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private def stringify(v: Any): UTF8String = v match {
     case null => null
     case RowImage.Unused => UTF8String.fromString("_")
+    case a: Array[Byte] => // BLOB/JSON/GEOMETRY/SET bytes: deterministic hex,
+      // not the JVM identity string Object.toString would produce
+      val sb = new java.lang.StringBuilder(a.length * 2)
+      a.foreach(x => sb.append(f"${x & 0xff}%02x"))
+      UTF8String.fromString(sb.toString)
     case other => UTF8String.fromString(other.toString)
   }
 
@@ -489,7 +499,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           out = emitTxn(if (txnOverflowed) null else java.lang.Long.valueOf(x.xid))
           txnOverflowed = false
         case q: QueryEvent =>
-          checkDdl(q) // BEGIN/DDL boundaries don't commit
+          // the DDL guard protects a TYPED payload (payloadDdl) against a
+          // schema that changed mid-log; dynamic array<string> mode is
+          // TABLE_MAP-driven and stays correct across DDL. It also only
+          // applies inside the emission range: a DDL in the replay-from-4
+          // prefix predates the requested start (startOffset/startAfterGtid)
+          // and cannot invalidate rows the scan will actually emit.
+          if (!dynamicPayload && inRange(q.header)) checkDdl(q)
         case _: RotateEvent =>
           txnOverflowed = false
           if (txnBuffer.nonEmpty) out = emitTxn(null) // rotation flushes, no xid

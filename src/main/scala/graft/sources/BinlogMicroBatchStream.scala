@@ -193,10 +193,24 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
+  /** A checkpointed file that disappeared means the logs were purged past
+    * the checkpoint — silently applying the old byte position to a
+    * DIFFERENT file would skip that file's prefix without any error.
+    */
+  private def fileIndexOrFail(fs: Vector[String], file: String): Int = {
+    require(fs.nonEmpty, s"no binlog files under $path")
+    val i = fs.indexOf(file)
+    if (i < 0) throw new IllegalStateException(
+      s"checkpointed binlog file '$file' is no longer present under $path — " +
+        "logs were purged past the checkpoint; clear the checkpoint (optionally " +
+        "with startAfterGtid to re-anchor) instead of silently skipping data")
+    i
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[BinlogOffset]
     val fs = files()
-    val idx = math.max(fs.indexOf(s.file), 0)
+    val idx = fileIndexOrFail(fs, s.file)
     val budget = maxBytes.getOrElse(Long.MaxValue)
     // advance within the current file first
     val newPos = lastSafePos(fs(idx), s.pos, budget)
@@ -220,11 +234,8 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     val s = start.asInstanceOf[BinlogOffset]
     val e = end.asInstanceOf[BinlogOffset]
     val fs = files()
-    val si = math.max(fs.indexOf(s.file), 0)
-    val ei = {
-      val i = fs.indexOf(e.file)
-      if (i < 0) fs.length - 1 else i
-    }
+    val si = fileIndexOrFail(fs, s.file)
+    val ei = fileIndexOrFail(fs, e.file)
     (si to ei).flatMap { i =>
       val startPos = if (i == si) s.pos else 4L
       val endPos = if (i == ei) e.pos else Long.MaxValue
