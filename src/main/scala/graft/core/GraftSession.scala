@@ -33,21 +33,36 @@ object GraftSession {
     *                log, as in the reference: `mysql_binlog.clj:505-508`)
     * @param streaming readStream (micro-batch) instead of batch
     */
+  /** Split a "db.table" key, with a named error instead of a MatchError
+    * when the dot is missing.
+    */
+  def splitQualified(qualified: String): (String, String) =
+    qualified.split("\\.", 2) match {
+      case Array(db, table) if db.nonEmpty && table.nonEmpty => (db, table)
+      case _ => throw new IllegalArgumentException(
+        s"table key must be 'db.table', got '$qualified'")
+    }
+
   def registerChangeViews(spark: SparkSession, binlogPath: String,
                           schemas: Map[String, String],
                           streaming: Boolean = false): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.col
-    schemas.map { case (qualified, ddl) =>
-      val Array(db, table) = qualified.split("\\.", 2)
+    val views = schemas.map { case (qualified, ddl) =>
+      val (db, table) = splitQualified(qualified)
       val loaded =
         if (streaming)
           spark.readStream.format("mysql-binlog").option("payloadDdl", ddl).load(binlogPath)
         else
           spark.read.format("mysql-binlog").option("payloadDdl", ddl).load(binlogPath)
       val df = loaded.filter(col("db") === db && col("table") === table)
-      val view = s"${db}_${table}_changes"
-      df.createOrReplaceTempView(view)
-      view -> df
+      s"${db}_${table}_changes" -> df
     }
+    // "a.b_c" and "a_b.c" would both map to a_b_c_changes — registering
+    // the second would silently shadow the first's filter
+    val dup = views.groupBy(_._1).collect { case (v, m) if m.size > 1 => v }
+    require(dup.isEmpty,
+      s"view name collision for ${dup.mkString(", ")} — rename the underlying tables")
+    views.foreach { case (view, df) => df.createOrReplaceTempView(view) }
+    views
   }
 }

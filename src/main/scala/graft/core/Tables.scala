@@ -21,15 +21,17 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** The events table carries a parquet TIMESTAMP(NANOS) column, which
     * Spark has no native type for. Read it as nano-longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate to a
-    * micros TimestampType — the same truncation DuckDB's `epoch_us`
-    * applies, so oracle comparisons stay exact.
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and FLOOR-divide to a
+    * micros TimestampType — `div` truncates toward zero, which differs
+    * from DuckDB's flooring `epoch_us` for pre-epoch nanos by 1 µs, so
+    * the negative remainder is compensated explicitly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "(ts div 1000) + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -35,11 +35,19 @@ class HeavyHitters(capacity: Int, k: Int)
     }
     if (sum.size <= capacity) sum
     else {
-      // keep the top `capacity` counters, offset by the evicted max —
-      // standard mergeable-summaries reduction
+      // standard mergeable-summaries reduction (Agarwal et al.): subtract
+      // the (capacity+1)-th largest count from everything and keep the
+      // positive remainder — never more than `capacity` survivors, and the
+      // per-merge undercount is bounded by that pivot (subtracting the
+      // capacity-th instead would slash genuinely heavy counts by the
+      // weight of the heaviest evictee's PEERS, destroying the n/capacity
+      // error bound across a merge tree)
       val sorted = sum.toSeq.sortBy { case (item, c) => (-c, item) }
-      val cut = sorted(capacity - 1)._2
-      sorted.take(capacity).map { case (item, c) => item -> math.max(c - cut + 1, 1L) }.toMap
+      val cut = sorted(capacity)._2
+      sorted.take(capacity)
+        .map { case (item, c) => item -> (c - cut) }
+        .filter(_._2 > 0L)
+        .toMap
     }
   }
 

@@ -148,26 +148,50 @@ object CdcBinlog {
     val dir = fixturePathFor(sfDir)
     val marker = dir.resolve("_COMPLETE")
     if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      val crcDir = dir.resolve("crc")
-      val v2Dir = dir.resolve("v2")
+      // Cross-JVM safety (parallel test/bench JVMs share /tmp): build into
+      // a process-unique staging dir, then move atomically into place. The
+      // loser of a race discards its copy; a half-written shared dir can
+      // never be observed (the marker travels inside the staged tree).
+      val staging = dir.resolveSibling(
+        s"${dir.getFileName}.tmp-${ProcessHandle.current().pid()}")
+      deleteRecursively(staging)
+      Files.createDirectories(staging)
+      val crcDir = staging.resolve("crc")
+      val v2Dir = staging.resolve("v2")
       Files.createDirectories(crcDir)
       Files.createDirectories(v2Dir)
-      val expC = Files.newBufferedWriter(dir.resolve("expected_changes.csv"))
-      val expE = Files.newBufferedWriter(dir.resolve("expected_events.csv"))
+      val expC = Files.newBufferedWriter(staging.resolve("expected_changes.csv"))
+      val expE = Files.newBufferedWriter(staging.resolve("expected_events.csv"))
       expC.write("log_file,log_pos,log_seq,xid,_delta_type,id,val,word\n")
       expE.write("event_type,xid\n")
-      writeFixture(dir, total, checksum = false, expC, expE)
+      writeFixture(staging, total, checksum = false, expC, expE)
       expC.close(); expE.close()
       writeFixture(crcDir, total, checksum = true, null, null)
-      val expE2 = Files.newBufferedWriter(dir.resolve("expected_events_v2.csv"))
+      val expE2 = Files.newBufferedWriter(staging.resolve("expected_events_v2.csv"))
       expE2.write("event_type,xid\n")
       writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true, gtid = true)
       expE2.close()
-      Files.writeString(marker, "ok")
+      Files.writeString(staging.resolve("_COMPLETE"), "ok")
+      try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: Exception =>
+          // another JVM won (or is mid-generation): wait for its marker,
+          // then discard our copy — never delete someone else's work
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (!Files.exists(marker) && System.nanoTime() < deadline) Thread.sleep(100)
+          deleteRecursively(staging)
+          if (!Files.exists(marker))
+            throw new IllegalStateException(s"binlog fixture at $dir incomplete after wait")
+      }
     }
     dir.toString
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
 
   private def changes(s: SparkSession, d: String): DataFrame =
     s.read.format("mysql-binlog")

@@ -92,32 +92,31 @@ object Dedup {
     import s.implicits._
     // signature computation is the compute-heavy narrow stage: the
     // single-pass graft_minhash expression (one md5 per shingle, all four
-    // window minima in one traversal) spread over all cores
+    // window minima in one traversal) spread over all cores. The banding
+    // is the SAME bandsOf dd06's incremental path indexes — one
+    // implementation, so the gate query and the index cannot drift.
     val docs = spread(s, documents(s, d))
-    val sigs = docs
-      .select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
-      .select($"doc_id",
-        md5(concat_ws("|", element_at($"mh", 1), element_at($"mh", 2))).as("band0"),
-        md5(concat_ws("|", element_at($"mh", 3), element_at($"mh", 4))).as("band1"))
-    // LSH bucket join runs on slim (doc_id, band, hash) rows — the shingle
-    // arrays stay out of the shuffle; they are re-joined only for the few
-    // surviving candidate pairs.
-    val bands = sigs.select($"doc_id",
-        explode(array(struct(lit(0).as("band_id"), $"band0".as("h")),
-                      struct(lit(1).as("band_id"), $"band1".as("h")))).as("b"))
-      .select($"doc_id", $"b.band_id", $"b.h")
+    val bands = bandsOf(docs)
     val cands = bands.as("a").join(bands.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val shSets = docs.select($"doc_id", shingles($"text").as("sh"))
+    verifyJaccard(cands, docs.select($"doc_id", shingles($"text").as("sh")), 0.2)
+  }
+
+  /** Exact shingle-Jaccard confirmation of candidate pairs: arrays are
+    * re-joined only for survivors of the banding, never shuffled wholesale.
+    */
+  private def verifyJaccard(cands: DataFrame, shSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    import cands.sparkSession.implicits._
     cands
       .join(shSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b",
         (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .filter($"jaccard" >= 0.2)
+      .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -162,14 +161,7 @@ object Dedup {
         $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cands
-      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .filter($"jaccard" >= 0.2)
-      .orderBy($"doc_a", $"doc_b")
+    verifyJaccard(cands, shs, 0.2)
   }
 
   // dd03 — SimHash dedup. 32-bit signature: bit j is the sign of Σ over

@@ -68,13 +68,20 @@ object VectorOps {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val f = new java.io.File(path)
+    // resolve through Hadoop FileSystem, not java.io.File — a remote table
+    // URI (s3a://, hdfs://) would look like a non-directory locally and
+    // produce a silently wrong bucket family
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet")).map(_.getPath).toSeq
-      else Seq(path)
-    files.map { p =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), new Configuration()))
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(p)
+    files.map { fp =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
       try r.getRecordCount finally r.close()
     }.sum
   })

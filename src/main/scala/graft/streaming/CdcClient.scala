@@ -27,12 +27,21 @@ class CdcCursor private[streaming] (query: StreamingQuery,
   private var nextRow: Row = _
   private var closed = false
 
-  /** Blocks until a row arrives (or the cursor/query is closed). */
+  /** Blocks until a row arrives (or the cursor/query is closed). A FAILED
+    * query surfaces as an exception — never as a clean end-of-stream: a
+    * consumer of a never-ending cursor that sees `false` would conclude
+    * "no more changes" and proceed over silently missing data.
+    */
   override def hasNext: Boolean = {
     while (nextRow == null && !closed) {
       queue.poll(100, TimeUnit.MILLISECONDS) match {
         case null =>
-          if (!query.isActive && queue.isEmpty) closed = true
+          if (!query.isActive && queue.isEmpty) {
+            query.exception.foreach { e =>
+              throw new IllegalStateException(s"CDC stream failed: ${e.getMessage}", e)
+            }
+            closed = true
+          }
         case r: Row => nextRow = r
         case _ =>
       }

@@ -143,7 +143,7 @@ object CdcMaterializer {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cached = batch.persist() // one decode serves every table below
         try schemas.foreach { case (qualified, (ddl, keyCol)) =>
-          val Array(db, table) = qualified.split("\\.", 2)
+          val (db, table) = graft.core.GraftSession.splitQualified(qualified)
           val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
           val typed = cached
             .filter(col("db") === db && col("table") === table)

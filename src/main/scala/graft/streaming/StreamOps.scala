@@ -22,17 +22,28 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource wants a directory; stage the table file into one
+    // FileStreamSource wants a directory; stage the table file into one.
+    // Key by a content hash of the PATH (hashCode collides across dirs ->
+    // silently streaming the wrong table) and re-link when the existing
+    // symlink dangles or points elsewhere (deleted temp fixtures).
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-events-stream-${dir.hashCode.toHexString}")
-    if (!java.nio.file.Files.exists(staged.resolve("events.parquet"))) {
+      sys.props("java.io.tmpdir"), s"graft-events-stream-$dirKey")
+    val link = staged.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == target &&
+      java.nio.file.Files.exists(target)
+    if (!linkOk) {
       java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.createSymbolicLink(
-        staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, target)
     }
     spark.readStream.schema(schema)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros( // floor-div (see Tables.events)
+        expr("(ts div 1000) + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
   }
 
   /** Watermarked tumbling-window aggregation: late data beyond 10 minutes
@@ -139,11 +150,19 @@ object StreamOps {
           .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
           .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
           .select($"doc_id", $"text")
-        val keep = graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir)
+        // bootstrap: a fresh pipeline has no index yet — the first batch
+        // is all-novel and CREATES it, rather than crashing on a missing
+        // parquet path
+        val fpPath = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
+        val indexExists = fpPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(fpPath)
+        val keep =
+          if (indexExists) graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir)
+          else batchUnique.select($"doc_id")
         val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
         if (!accepted.isEmpty) {
           accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
-          graft.operators.Dedup.buildDedupIndex(accepted, indexDir, mode = "append")
+          graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
+            mode = if (indexExists) "append" else "overwrite")
         }
         ()
       }

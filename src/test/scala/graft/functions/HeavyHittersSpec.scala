@@ -15,6 +15,20 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("merge subtracts the (capacity+1)-th count — heavy items survive light merges") {
+    val hh = new HeavyHitters(2, 2)
+    // the mergeable-summaries reduction: pivot is the LARGEST EVICTED
+    // count (1), not the smallest survivor (99) — otherwise one light
+    // merge would slash x from 100 to ~2
+    assert(hh.merge(Map("x" -> 100L, "y" -> 99L), Map("z" -> 1L)) ===
+      Map("x" -> 99L, "y" -> 98L))
+    // no overflow -> plain sum
+    assert(hh.merge(Map("x" -> 3L), Map("x" -> 2L, "y" -> 1L)) ===
+      Map("x" -> 5L, "y" -> 1L))
+    // ties with the pivot drop out
+    assert(hh.merge(Map("x" -> 5L, "y" -> 2L), Map("z" -> 2L)) === Map("x" -> 3L))
+  }
+
   test("MG sketch surfaces every true heavy token within the error bound") {
     import spark.implicits._
     val toks = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

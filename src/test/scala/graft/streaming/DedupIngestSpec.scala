@@ -21,6 +21,29 @@ class DedupIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("a fresh pipeline bootstraps its own index from batch 0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedup-ingest-boot")
+    val idx = dir.resolve("index").toString      // does not exist yet
+    val accepted = dir.resolve("accepted").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(mem.toDF().toDF("doc_id", "text"), idx, accepted,
+      dir.resolve("ckpt").toString)
+    try {
+      mem.addData(1L -> "first ever document", 2L -> "first ever document",
+        3L -> "a different one")
+      q.processAllAvailable()
+      assert(spark.read.parquet(accepted).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+      // batch 2 dedups against the index batch 0 created
+      mem.addData(10L -> "a different one", 11L -> "genuinely new again")
+      q.processAllAvailable()
+      assert(spark.read.parquet(accepted).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 11L))
+    } finally q.stop()
+  }
+
   test("micro-batches dedup against the growing index; accepted docs extend it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dedup-ingest")
