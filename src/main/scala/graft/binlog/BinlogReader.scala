@@ -362,7 +362,11 @@ object BinlogReader {
     case ColType.Float => b.getFloat()
     case ColType.Double => b.getDouble()
     case ColType.Year => 1900 + ubyte(b)
-    case ColType.Timestamp => b.getInt() & 0xffffffffL
+    case ColType.Timestamp =>
+      // epoch 0 can only be the zero timestamp ('0000-00-00 00:00:00'):
+      // TIMESTAMP's valid range starts at 1970-01-01 00:00:01
+      val v = b.getInt() & 0xffffffffL
+      if (v == 0L) null else v
     case ColType.Date =>
       // 3-byte LE: day | month<<5 | year<<9. MySQL's zero dates
       // ('0000-00-00', or day/month 0 under permissive sql_mode) have no
@@ -399,11 +403,13 @@ object BinlogReader {
       else java.time.LocalDateTime.of(ym / 13, ym % 13, dd,
         ((v >> 12) & 0x1f).toInt, ((v >> 6) & 0x3f).toInt, (v & 0x3f).toInt,
         usec * 1000)
-    // TIMESTAMP2: 4 BE bytes epoch seconds + frac tail (always UTC)
+    // TIMESTAMP2: 4 BE bytes epoch seconds + frac tail (always UTC);
+    // all-zero = the zero timestamp -> SQL NULL (range starts at epoch 1)
     case ColType.Timestamp2 =>
       val sec = nUintBE(bytes(b, 4))
       val usec = readFracMicros(b, meta)
-      java.time.LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
+      if (sec == 0L && usec == 0) null
+      else java.time.LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
     // TIME2: the on-disk value is ONE signed packed quantity
     // ((H<<12|M<<6|S) << 24) + microseconds (my_time.cc
     // my_time_packed_from_binary) — NOT an offset-binary int part plus an
@@ -727,17 +733,18 @@ object BinlogReader {
               if (!q.sql.equalsIgnoreCase("BEGIN")) { // DDL = implicit commit
                 result = Some(h.offset + h.eventLen); done = true
               }
-            case EventType.Rotate =>
-              if (found) result = Some(h.offset + h.eventLen)
-              done = true
+            case EventType.Rotate => done = true
             case _ =>
           }
           pos = h.offset + h.eventLen
-        case None =>
-          if (found) result = Some(pos) // target commits at end of decoded region
-          done = true
+        case None => done = true
       }
     }
+    // found-but-never-committed means the walk hit a torn/mid-write tail
+    // inside the target transaction (healthy commits always resolve via
+    // XID, a DDL QUERY, or the next GTID frame above) — returning a
+    // position here would resume INSIDE the transaction the caller asked
+    // to skip; None keeps resolveGtidStart's loud-error contract
     result
   }
 

@@ -47,7 +47,9 @@ object GraftSession {
                           schemas: Map[String, String],
                           streaming: Boolean = false): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val views = schemas.map { case (qualified, ddl) =>
+    // toSeq first: mapping the Map directly would collapse colliding view
+    // names BEFORE the collision check, making the guard dead code
+    val views = schemas.toSeq.map { case (qualified, ddl) =>
       val (db, table) = splitQualified(qualified)
       val loaded =
         if (streaming)
@@ -63,6 +65,6 @@ object GraftSession {
     require(dup.isEmpty,
       s"view name collision for ${dup.mkString(", ")} — rename the underlying tables")
     views.foreach { case (view, df) => df.createOrReplaceTempView(view) }
-    views
+    views.toMap
   }
 }

@@ -427,12 +427,19 @@ object Dedup {
                       mode: String = "overwrite"): Unit = {
     import corpus.sparkSession.implicits._
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
-      .write.mode(mode).parquet(s"$indexDir/fp")
+    // fp is written LAST on purpose: streaming maintenance
+    // (StreamOps.dedupIngest) replays a crashed batch only while its docs
+    // are still absent from fp/ — bands/shingles landing first means a
+    // crash between the three writes leaves a state the replay completes
+    // (re-appending bands/shingles merely duplicates rows, which the
+    // candidate `distinct()` absorbs), never a fingerprint that
+    // permanently suppresses its own bands
     bandsOf(corpus).repartition($"band_id", $"h")
       .write.mode(mode).parquet(s"$indexDir/bands")
     corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh"))
       .write.mode(mode).parquet(s"$indexDir/shingles")
+    corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+      .write.mode(mode).parquet(s"$indexDir/fp")
   }
 
   /** dd06 against the persistent index: identical semantics to

@@ -364,10 +364,18 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     case null => null
     case RowImage.Unused => UTF8String.fromString("_")
     case a: Array[Byte] => // BLOB/JSON/GEOMETRY/SET bytes: deterministic hex,
-      // not the JVM identity string Object.toString would produce
-      val sb = new java.lang.StringBuilder(a.length * 2)
-      a.foreach(x => sb.append(f"${x & 0xff}%02x"))
-      UTF8String.fromString(sb.toString)
+      // not the JVM identity string Object.toString would produce.
+      // char-table lookup, not String.format — this runs per byte on the
+      // dynamic-mode row decode hot path
+      val out = new Array[Char](a.length * 2)
+      var i = 0
+      while (i < a.length) {
+        val x = a(i) & 0xff
+        out(2 * i) = BinlogPartitionReader.HexChars(x >> 4)
+        out(2 * i + 1) = BinlogPartitionReader.HexChars(x & 0xf)
+        i += 1
+      }
+      UTF8String.fromString(new String(out))
     case other => UTF8String.fromString(other.toString)
   }
 
@@ -518,4 +526,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+object BinlogPartitionReader {
+  private[sources] val HexChars = "0123456789abcdef".toCharArray
 }

@@ -94,10 +94,12 @@ object CdcMaterializer {
     */
   def compact(s: SparkSession, tablePath: String): Unit = {
     val t = s.read.parquet(tablePath)
-    val allBuckets = t.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     val tombBuckets = t.filter(col("_delta_type") === "delete")
       .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (tombBuckets.nonEmpty) {
+      // only needed for the degenerate-case guard below — keep the
+      // common tombstone-free call to a single scan
+      val allBuckets = t.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
       val live = t.where(col("_bucket").isin(tombBuckets: _*))
         .filter(col("_delta_type") =!= "delete")
         .localCheckpoint(true)

@@ -38,7 +38,14 @@ object StreamOps {
     if (!linkOk) {
       java.nio.file.Files.createDirectories(staged)
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link, target)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch {
+        // two JVMs racing the same staging dir: the loser re-validates the
+        // winner's link (same target by construction of dirKey)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          require(java.nio.file.Files.readSymbolicLink(link) == target,
+            s"staging link $link points elsewhere")
+      }
     }
     spark.readStream.schema(schema)
       .parquet(staged.toString)
@@ -128,13 +135,14 @@ object StreamOps {
     * Restart safety under foreachBatch's at-least-once replay: accepted
     * docs land in a per-batch directory (`batch=<id>`) written with
     * overwrite, so a replayed batch rewrites its own output instead of
-    * appending duplicates. The two crash windows are both benign — before
-    * the index append, the replay recomputes the identical accepted set
-    * (the index hasn't changed) and overwrites in place; after both
-    * writes, the replay's accepted set is empty (the index now rejects
-    * those docs) and the empty-guard leaves the existing batch directory
-    * untouched. Index-side duplicate fp/band rows from a replay are
-    * harmless by construction (anti-join + distinct candidates).
+    * appending duplicates. Every crash window is benign: before the index
+    * writes, the replay recomputes the identical accepted set (the index
+    * hasn't changed) and overwrites in place; between the index's three
+    * writes, the replay still ADMITS the docs (buildDedupIndex lands
+    * fingerprints LAST, and admission is keyed on fp/) and re-appends —
+    * duplicate band/shingle rows are absorbed by the candidate
+    * `distinct()`; after all writes, the replay's accepted set is empty
+    * and the empty-guard leaves the batch directory untouched.
     */
   def dedupIngest(docs: DataFrame, indexDir: String, acceptedDir: String,
                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {

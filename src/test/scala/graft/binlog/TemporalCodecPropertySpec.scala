@@ -99,7 +99,8 @@ class TemporalCodecPropertySpec extends AnyFunSuite {
     for (fsp <- 0 to 6) {
       val unit = storageUnit(fsp)
       val vals = (1 to 120).map { _ =>
-        val sec = (rnd.nextLong() % 0xffffffffL).abs
+        // sec >= 1: epoch 0 is the zero timestamp and decodes as NULL
+        val sec = 1L + (rnd.nextLong() % 0xfffffffeL).abs
         val usec = (rnd.nextInt(1000000) / unit) * unit
         LocalDateTime.ofEpochSecond(sec, usec * 1000, java.time.ZoneOffset.UTC)
       }
