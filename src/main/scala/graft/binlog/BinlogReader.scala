@@ -242,8 +242,25 @@ object BinlogReader {
       bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs))
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Fast lowercase hex (char-table, no String.format) — shared by GTID
+    * uuid rendering and the dynamic-mode blob stringifier.
+    */
+  def toHex(a: Array[Byte]): String = {
+    val out = new Array[Char](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      out(2 * i) = HexChars(x >> 4)
+      out(2 * i + 1) = HexChars(x & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private def uuidStr(a: Array[Byte]): String = {
-    val hex = a.map(x => f"${x & 0xff}%02x").mkString
+    val hex = toHex(a)
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
       s"${hex.substring(16, 20)}-${hex.substring(20)}"
   }
@@ -698,14 +715,15 @@ object BinlogReader {
   }
 
   /** Byte position just after the commit of the transaction framed by GTID
-    * `uuid:gno` in `path`, or None if that GTID does not commit in this
+    * `uuid:gno` in `path`, or None if that GTID does not COMMIT in this
     * file. Header walk + GTID/XID/QUERY decode only — row bodies are never
     * touched. Commit boundaries recognized once the target frame is found:
-    * its XID; a DDL QUERY (implicit commit — anything but BEGIN); the next
-    * GTID or ANONYMOUS_GTID frame (so a following anonymous transaction is
-    * never skipped); or the end of the decoded region (ROTATE/EOF) — a
-    * DDL-committed target at end-of-file must resolve, not report
-    * "not found".
+    * its XID; a DDL QUERY (implicit commit — anything but BEGIN, which
+    * covers DDL-committed targets even as the last event of the file); or
+    * the next GTID / ANONYMOUS_GTID frame (so a following anonymous
+    * transaction is never skipped). Found-but-uncommitted at ROTATE/EOF is
+    * deliberately None: that state only arises from a torn or mid-write
+    * tail, and resolving it would resume INSIDE the target transaction.
     */
   def positionAfterGtid(path: String, uuid: String, gno: Long,
                         cs: Charset = StandardCharsets.ISO_8859_1): Option[Long] = {

@@ -379,8 +379,13 @@ object Dedup {
     val survivors = fresh
       .withColumn("fp", TextAnalysis.fingerprint($"text"))
       .join(corpusFp, Seq("fp"), "left_anti")
+    // new_id =!= corpus_id: a doc is never its own duplicate — and under
+    // streaming replay a crashed batch's own band rows may already sit in
+    // the index, which without this exclusion would self-match every
+    // replayed doc at jaccard 1.0 and permanently reject it
     val candPairs = bandsOf(survivors).as("n")
       .join(corpusBands.as("c"), Seq("band_id", "h"))
+      .filter($"n.doc_id" =!= $"c.doc_id")
       .select($"n.doc_id".as("new_id"), $"c.doc_id".as("corpus_id"))
       .distinct()
     val nsh = survivors.select($"doc_id".as("new_id"), shingles($"text").as("nsh"))
@@ -415,31 +420,27 @@ object Dedup {
   }
 
   /** Persist the corpus-derived dedup index: `fp/` (distinct fingerprints),
-    * `bands/` (doc_id, band_id, h), `shingles/` (corpus_id, csh). Built
-    * once per corpus and APPENDED as accepted batches land (`mode =
-    * "append"`), so successive dd06 runs never rescan corpus text — the
-    * production shape for a 100 TB append-only corpus. Band/fingerprint
-    * files are repartitioned on their probe keys; on a cluster deployment
-    * use `bucketBy` + `saveAsTable` for the same layout with co-located
-    * joins.
+    * `bands/` (doc_id, band_id, h), `shingles/` (corpus_id, csh). The
+    * index is SEGMENT-ADDRESSED: every build lands in `<table>/seg=<name>`
+    * subdirectories with overwrite, so re-running a segment (a replayed
+    * streaming batch, a re-ingested increment) rewrites exactly its own
+    * rows — idempotent by construction, no append-duplication, no partial-
+    * append ordering hazards. Successive dd06 runs never rescan corpus
+    * text — the production shape for a 100 TB append-only corpus.
+    * Band/fingerprint files are repartitioned on their probe keys; on a
+    * cluster deployment use `bucketBy` + `saveAsTable` for the same layout
+    * with co-located joins.
     */
   def buildDedupIndex(corpus: DataFrame, indexDir: String,
-                      mode: String = "overwrite"): Unit = {
+                      segment: String = "base"): Unit = {
     import corpus.sparkSession.implicits._
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // fp is written LAST on purpose: streaming maintenance
-    // (StreamOps.dedupIngest) replays a crashed batch only while its docs
-    // are still absent from fp/ — bands/shingles landing first means a
-    // crash between the three writes leaves a state the replay completes
-    // (re-appending bands/shingles merely duplicates rows, which the
-    // candidate `distinct()` absorbs), never a fingerprint that
-    // permanently suppresses its own bands
     bandsOf(corpus).repartition($"band_id", $"h")
-      .write.mode(mode).parquet(s"$indexDir/bands")
+      .write.mode("overwrite").parquet(s"$indexDir/bands/seg=$segment")
     corpus.select($"doc_id".as("corpus_id"), shingles($"text").as("csh"))
-      .write.mode(mode).parquet(s"$indexDir/shingles")
+      .write.mode("overwrite").parquet(s"$indexDir/shingles/seg=$segment")
     corpus.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
-      .write.mode(mode).parquet(s"$indexDir/fp")
+      .write.mode("overwrite").parquet(s"$indexDir/fp/seg=$segment")
   }
 
   /** dd06 against the persistent index: identical semantics to

@@ -363,19 +363,10 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private def stringify(v: Any): UTF8String = v match {
     case null => null
     case RowImage.Unused => UTF8String.fromString("_")
-    case a: Array[Byte] => // BLOB/JSON/GEOMETRY/SET bytes: deterministic hex,
-      // not the JVM identity string Object.toString would produce.
-      // char-table lookup, not String.format — this runs per byte on the
-      // dynamic-mode row decode hot path
-      val out = new Array[Char](a.length * 2)
-      var i = 0
-      while (i < a.length) {
-        val x = a(i) & 0xff
-        out(2 * i) = BinlogPartitionReader.HexChars(x >> 4)
-        out(2 * i + 1) = BinlogPartitionReader.HexChars(x & 0xf)
-        i += 1
-      }
-      UTF8String.fromString(new String(out))
+    case a: Array[Byte] => // BLOB/JSON/GEOMETRY/SET bytes: deterministic hex
+      // (shared char-table encoder — this runs per byte on the dynamic-mode
+      // row decode hot path), not the JVM identity string
+      UTF8String.fromString(BinlogReader.toHex(a))
     case other => UTF8String.fromString(other.toString)
   }
 
@@ -526,8 +517,4 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
-}
-
-object BinlogPartitionReader {
-  private[sources] val HexChars = "0123456789abcdef".toCharArray
 }

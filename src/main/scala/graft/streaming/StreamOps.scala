@@ -26,8 +26,8 @@ object StreamOps {
     // Key by a content hash of the PATH (hashCode collides across dirs ->
     // silently streaming the wrong table) and re-link when the existing
     // symlink dangles or points elsewhere (deleted temp fixtures).
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val dirKey = graft.binlog.BinlogReader.toHex(
+      java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))).take(16)
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-events-stream-$dirKey")
     val link = staged.resolve("events.parquet")
@@ -132,17 +132,14 @@ object StreamOps {
     * second write must not re-evaluate the plan against the index files
     * the first one just extended.
     *
-    * Restart safety under foreachBatch's at-least-once replay: accepted
-    * docs land in a per-batch directory (`batch=<id>`) written with
-    * overwrite, so a replayed batch rewrites its own output instead of
-    * appending duplicates. Every crash window is benign: before the index
-    * writes, the replay recomputes the identical accepted set (the index
-    * hasn't changed) and overwrites in place; between the index's three
-    * writes, the replay still ADMITS the docs (buildDedupIndex lands
-    * fingerprints LAST, and admission is keyed on fp/) and re-appends —
-    * duplicate band/shingle rows are absorbed by the candidate
-    * `distinct()`; after all writes, the replay's accepted set is empty
-    * and the empty-guard leaves the batch directory untouched.
+    * Restart safety under foreachBatch's at-least-once replay: BOTH the
+    * accepted output and the index writes are segment-addressed by batch
+    * id (`batch=<id>` / `seg=batch<id>`) with overwrite, so a replayed
+    * batch rewrites exactly its own rows — idempotent regardless of which
+    * of the four writes a crash interrupted. The index probe additionally
+    * excludes self-pairs (a doc never matches its own crashed-attempt
+    * band rows), so a partial segment can only tighten near-dup filtering
+    * within the replayed batch, never poison admission.
     */
   def dedupIngest(docs: DataFrame, indexDir: String, acceptedDir: String,
                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -169,8 +166,9 @@ object StreamOps {
         val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
         if (!accepted.isEmpty) {
           accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+          // segment-addressed: a replay overwrites exactly its own rows
           graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
-            mode = if (indexExists) "append" else "overwrite")
+            segment = s"batch$batchId")
         }
         ()
       }

@@ -88,7 +88,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // accept batch 1's survivors into the index (append mode), then batch 2
     val accepted1 = batch1.join(viaIndex, "doc_id").select($"doc_id", $"text")
-    Dedup.buildDedupIndex(accepted1, idx, mode = "append")
+    Dedup.buildDedupIndex(accepted1, idx, segment = "b1")
     val batch2 = docs(
       200L -> "entirely new content about spark partitioning strategies", // dup of accepted 102
       201L -> "completely different text that survives everything")
