@@ -443,17 +443,43 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexDir/fp/seg=$segment")
   }
 
+  /** Full rebuild: wipe the index directory and build `seg=base` from the
+    * given corpus — the only way stale segments (documents no longer in
+    * the corpus) leave the index.
+    */
+  def rebuildDedupIndex(corpus: DataFrame, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    buildDedupIndex(corpus, indexDir)
+  }
+
   /** dd06 against the persistent index: identical semantics to
     * [[dd06IncrementalDedup]]'s recompute path (spec-pinned), with the
     * corpus side read from parquet — no corpus text scan, no corpus
-    * signature recompute.
+    * signature recompute. `excludeSegment` drops one segment from the
+    * probe (partition-pruned): streaming replay uses it so a crashed
+    * attempt's own partial rows can never influence the replayed
+    * admission decision. Requires globally unique doc_ids across corpus
+    * and batches (the pipeline invariant the self-pair exclusion and the
+    * index itself are keyed on).
     */
-  def dd06ViaIndex(s: SparkSession, fresh: DataFrame, indexDir: String): DataFrame = {
+  def dd06ViaIndex(s: SparkSession, fresh: DataFrame, indexDir: String,
+                   excludeSegment: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    incrementalCore(fresh,
-      s.read.parquet(s"$indexDir/fp"),
-      s.read.parquet(s"$indexDir/bands"),
-      s.read.parquet(s"$indexDir/shingles"))
+    // refuse the pre-segment flat layout outright: mixing it with seg=
+    // subdirectories would fail partition discovery on every later read
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = bandsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(bandsPath) &&
+        fs.listStatus(bandsPath).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"dedup index at $indexDir uses the pre-segment flat layout — rebuild it " +
+          "(Dedup.rebuildDedupIndex) before probing")
+    def tbl(name: String): DataFrame = {
+      val df = s.read.parquet(s"$indexDir/$name")
+      excludeSegment.fold(df)(seg => df.filter(col("seg") =!= seg))
+    }
+    incrementalCore(fresh, tbl("fp"), tbl("bands"), tbl("shingles"))
   }
 
   val dd06Sql: String =
@@ -475,7 +501,8 @@ object Dedup {
        |  SELECT doc_id, 1 AS band_id, md5(${duckMinhash(2)} || '|' || ${duckMinhash(3)}) AS h FROM csh),
        |pairs AS (
        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-       |  FROM nb n JOIN cb c ON n.band_id = c.band_id AND n.h = c.h),
+       |  FROM nb n JOIN cb c ON n.band_id = c.band_id AND n.h = c.h
+       |    AND n.doc_id <> c.doc_id),
        |neardup AS (
        |  SELECT DISTINCT p.new_id AS doc_id
        |  FROM pairs p

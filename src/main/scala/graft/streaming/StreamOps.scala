@@ -132,14 +132,17 @@ object StreamOps {
     * second write must not re-evaluate the plan against the index files
     * the first one just extended.
     *
-    * Restart safety under foreachBatch's at-least-once replay: BOTH the
-    * accepted output and the index writes are segment-addressed by batch
-    * id (`batch=<id>` / `seg=batch<id>`) with overwrite, so a replayed
-    * batch rewrites exactly its own rows — idempotent regardless of which
-    * of the four writes a crash interrupted. The index probe additionally
-    * excludes self-pairs (a doc never matches its own crashed-attempt
-    * band rows), so a partial segment can only tighten near-dup filtering
-    * within the replayed batch, never poison admission.
+    * Restart safety under foreachBatch's at-least-once replay is a real
+    * commit protocol, not write ordering:
+    *  - every write is segment-addressed by batch id (`batch=<id>` /
+    *    `seg=batch<id>`, overwrite) — a replay rewrites exactly its rows;
+    *  - the replayed admission decision reads the index EXCLUDING the
+    *    current batch's own segment, so a crashed attempt's partial rows
+    *    (self OR cross pairs within the batch) can never change the
+    *    outcome — the replay recomputes the first attempt's exact result
+    *    from the exact same prior-batches-only view;
+    *  - a `_commits/batch=<id>` marker written after all four writes
+    *    makes a post-success replay a pure no-op.
     */
   def dedupIngest(docs: DataFrame, indexDir: String, acceptedDir: String,
                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -150,25 +153,32 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val w = Window.partitionBy($"fp").orderBy($"doc_id")
-        val batchUnique = batch
-          .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
-          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-          .select($"doc_id", $"text")
-        // bootstrap: a fresh pipeline has no index yet — the first batch
-        // is all-novel and CREATES it, rather than crashing on a missing
-        // parquet path
-        val fpPath = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
-        val indexExists = fpPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(fpPath)
-        val keep =
-          if (indexExists) graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir)
-          else batchUnique.select($"doc_id")
-        val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
-        if (!accepted.isEmpty) {
-          accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
-          // segment-addressed: a replay overwrites exactly its own rows
-          graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
-            segment = s"batch$batchId")
+        val hConf = s.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_commits/batch=$batchId")
+        val mfs = marker.getFileSystem(hConf)
+        if (!mfs.exists(marker)) { // marker present = fully processed before
+          val w = Window.partitionBy($"fp").orderBy($"doc_id")
+          val batchUnique = batch
+            .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
+            .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+            .select($"doc_id", $"text")
+          // bootstrap: a fresh pipeline has no index yet — the first batch
+          // is all-novel and CREATES it, rather than crashing on a missing
+          // parquet path
+          val fpPath = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
+          val indexExists = fpPath.getFileSystem(hConf).exists(fpPath)
+          val keep =
+            if (indexExists)
+              graft.operators.Dedup.dd06ViaIndex(s, batchUnique, indexDir,
+                excludeSegment = Some(s"batch$batchId"))
+            else batchUnique.select($"doc_id")
+          val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
+          if (!accepted.isEmpty) {
+            accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+            graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
+              segment = s"batch$batchId")
+          }
+          mfs.create(marker, true).close()
         }
         ()
       }
