@@ -84,12 +84,19 @@ object Bench {
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
       s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,"dd02_xxhash64_sec":$dd02XxSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // Stdout travels through sbt (historically with "[info] " prefixes that
+    // defeated line-oriented JSON parsing) — persist the same line verbatim
+    // so the metrics are recoverable regardless of how stdout was wrapped.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 

@@ -146,15 +146,32 @@ object BinlogTailer {
     /** Crash rotation: a server that died and restarted opens the next
       * file WITHOUT appending a ROTATE to the old one. Once a strictly
       * newer file exists, the current file is final (a server never
-      * appends after moving on) — cross to it, flushing anything buffered
-      * as uncommitted, exactly like the explicit-ROTATE path. Without
-      * this the tailer re-reads the old EOF forever: a silent stall.
+      * appends after moving on) — cross to it. Without this the tailer
+      * re-reads the old EOF forever: a silent stall.
+      *
+      * Unlike the explicit-ROTATE path (which flushes buffered rows as
+      * uncommitted), a transaction left open at a crash boundary is
+      * known-rolled-back — InnoDB recovery undoes it on restart — so the
+      * buffer is DROPPED, not flushed: consumers never see phantom
+      * changes for a transaction the server itself discarded. (If the
+      * same transaction had already overflowed `maxTxnRows`, its head was
+      * streamed with xid None before the crash was observable — that
+      * xid-absence is the uncommitted marker consumers already handle.)
+      *
+      * If the current file is no longer listed at all (purged under a
+      * live tail), fail loudly through [[failure]] — mirroring the
+      * micro-batch source's fileIndexOrFail — instead of re-polling
+      * forever on a file that can never advance.
       */
     private def crossCrashRotation(): Boolean = {
       val fs = binlogFiles()
       val i = fs.indexWhere(_.getFileName == file.getFileName)
-      if (i >= 0 && i < fs.size - 1) {
-        txn.foreach(onChange)
+      if (i < 0)
+        throw new IllegalStateException(
+          s"binlog file ${file.getFileName} disappeared from $dir (purged?); " +
+            s"remaining: ${fs.map(_.getFileName).mkString("[", ", ", "]")} — " +
+            "restart the tailer from a surviving file")
+      if (i < fs.size - 1) {
         txn = Vector.empty
         txnOverflowed = false
         file = fs(i + 1)

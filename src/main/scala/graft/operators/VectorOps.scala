@@ -56,14 +56,18 @@ object VectorOps {
     math.min(24, math.max(8, raw))
   }
 
-  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // Footer counts cached per FILE, keyed by (path, length, mtime): a table
+  // regenerated at a different size in the same JVM (test/bench harnesses do
+  // this) invalidates naturally instead of yielding a stale bucket family.
+  // The directory listing itself is re-done per call — metadata-only, cheap.
+  private val countCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
   /** Exact row count from parquet footers (file or directory of parts) —
     * no Spark job, usable identically by the query builders and the oracle
     * SQL renderers so both sides derive the SAME nBits. At production
     * scale this is the table-stats lookup.
     */
-  def parquetRowCount(path: String): Long = countCache.getOrElseUpdate(path, {
+  def parquetRowCount(path: String): Long = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -78,17 +82,35 @@ object VectorOps {
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
-      else Seq(p)
-    files.map { fp =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
-      try r.getRecordCount finally r.close()
+      else Seq(fs.getFileStatus(p))
+    files.map { st =>
+      countCache.getOrElseUpdate(
+        (st.getPath.toString, st.getLen, st.getModificationTime), {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        })
     }.sum
-  })
+  }
 
-  /** nBits for the embeddings table under `sfDir`. */
-  def nBitsForDir(sfDir: String): Int =
-    nBitsFor(parquetRowCount(s"$sfDir/embeddings.parquet"))
+  /** nBits when the backing table cannot be inspected — the clamp floor of
+    * [[nBitsFor]] (256 buckets). Only reachable when oracle SQL is rendered
+    * outside the gate environment (the sf dir absent); inside the gate both
+    * sides always derive nBits from the real footer counts.
+    */
+  val FallbackNBits: Int = 8
+
+  /** nBits for the embeddings table under `sfDir`; [[FallbackNBits]] when
+    * the table is absent so oracle rendering stays total.
+    */
+  def nBitsForDir(sfDir: String): Int = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    val exists =
+      try p.getFileSystem(new Configuration()).exists(p)
+      catch { case _: java.io.IOException => false }
+    if (exists) nBitsFor(parquetRowCount(p.toString)) else FallbackNBits
+  }
 
   // ---- DuckDB oracle SQL fragments (kept adjacent so the two stay in sync)
 

@@ -64,6 +64,24 @@ class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!viaIndex.queryExecution.executedPlan.toString.contains("posexplode"))
   }
 
+  test("parquetRowCount sees a table regenerated at a different size (no stale cache)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rowcount").toString + "/t.parquet"
+    (1 to 100).toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+    assert(VectorOps.parquetRowCount(dir) === 100L)
+    // regenerate at a different size in the SAME JVM — the footer cache is
+    // keyed by (path, length, mtime), so the new size must be observed
+    (1 to 5000).toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+    assert(VectorOps.parquetRowCount(dir) === 5000L)
+  }
+
+  test("nBitsForDir falls back to the documented floor when the table is absent") {
+    assert(VectorOps.nBitsForDir("/nonexistent/sfX") === VectorOps.FallbackNBits)
+    // and SparkEntry's no-arg contract form renders without the gate data dir
+    // present for every query (it must never throw at class-load or render time)
+    assert(graft.SparkEntry.oracleSqlFor("/nonexistent/sfX").nonEmpty)
+  }
+
   test("growing the bucket family bounds within-bucket pair counts") {
     import spark.implicits._
     // deterministic pseudo-random ±500 vectors, 24 dims (strong 64-bit

@@ -179,4 +179,61 @@ class RealServerCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.toArray.toSeq === Seq(1, 2), "tailer stalled on the crash-rotated file")
     } finally t.close()
   }
+
+  test("crash rotation drops the crash-torn transaction (InnoDB rolls it back)") {
+    val dir = Files.createTempDirectory("crash-phantom")
+    val cols = Seq(ColSpec.int)
+    // file 1: one COMMITTED txn, then a txn whose XID never made it to disk
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](1)), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1001)
+      .writeInsert(5, cols, Seq(Seq[Any](99)), ts = 1001) // crash-torn: no XID
+      .save(dir.resolve("binlog.000001").toString)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val t = BinlogTailer.start(dir.toString,
+      ch => got.add(ch.row(0).asInstanceOf[Int]), pollMs = 50)
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while (got.size < 1 && System.nanoTime() < deadline) Thread.sleep(5)
+      // restart opened file 2: recovery rolled back the torn txn, so row 99
+      // must NEVER surface — only the committed rows on either side
+      new Writer()
+        .writeFormatDescription(ts = 2000)
+        .writeTableMap(5, "d", "t", cols, ts = 2000)
+        .writeInsert(5, cols, Seq(Seq[Any](2)), ts = 2000)
+        .writeXid(2, ts = 2000)
+        .save(dir.resolve("binlog.000002").toString)
+      while (got.size < 2 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(got.toArray.toSeq === Seq(1, 2),
+        "crash-torn transaction leaked phantom rows (or tailer stalled)")
+    } finally t.close()
+  }
+
+  test("tailer fails loudly when its current file is purged") {
+    val dir = Files.createTempDirectory("purged-tail")
+    val cols = Seq(ColSpec.int)
+    val f1 = dir.resolve("binlog.000001")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](1)), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(f1.toString)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val t = BinlogTailer.start(dir.toString,
+      ch => got.add(ch.row(0).asInstanceOf[Int]), pollMs = 50)
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while (got.size < 1 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(got.toArray.toSeq === Seq(1))
+      Files.delete(f1) // PURGE BINARY LOGS under a live tail
+      while (t.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(t.failure.isDefined, "purged current file must surface an error, not stall")
+      assert(t.failure.get.getMessage.contains("binlog.000001"))
+      assert(!t.isAlive)
+    } finally t.close()
+  }
 }
