@@ -216,7 +216,93 @@ object TextAnalysis {
       |GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
 
+  /** Per-gram repeat statistics of a gram array, computed WITHOUT a
+    * shuffle: sort the array, then a single `aggregate` fold counts runs of
+    * identical grams — max run length = the top gram's count, and the sum
+    * of runs ≥ 2 = grams occurring more than once. O(g log g) per document
+    * inside whole-stage codegen; at 100 TB this keeps repetition scoring a
+    * narrow map over the corpus instead of a (doc, gram) shuffle.
+    * Returns struct(maxrun, dup).
+    */
+  private def runStats(grams: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("maxrun"), lit(0L).as("dup"))
+    def flushMax(acc: Column) = greatest(acc.getField("maxrun"), acc.getField("run"))
+    def flushDup(acc: Column) = acc.getField("dup") +
+      when(acc.getField("run") >= 2, acc.getField("run")).otherwise(lit(0L))
+    aggregate(
+      array_sort(grams),
+      zero,
+      (acc, x) => when(x === acc.getField("prev"),
+        struct(acc.getField("prev").as("prev"), (acc.getField("run") + 1).as("run"),
+          acc.getField("maxrun").as("maxrun"), acc.getField("dup").as("dup")))
+        .otherwise(
+          struct(x.as("prev"), lit(1L).as("run"),
+            flushMax(acc).as("maxrun"), flushDup(acc).as("dup"))),
+      acc => struct(flushMax(acc).as("maxrun"), flushDup(acc).as("dup")))
+  }
+
+  // txt08 — repetition-based quality signals (the Gopher-style "repetitive
+  // document" filters a training pipeline applies before dedup): fraction
+  // of bigrams taken by the single most frequent bigram, and fraction of
+  // trigrams that occur more than once. The corpus is single-space token
+  // text, so grams are token n-grams. Zero corpus shuffle (see runStats);
+  // the only exchange is the gate's output ORDER BY.
+  def txt08Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    // sliding n-grams via zip_with against the shifted array: the tail
+    // entries pair with null, concat propagates the null, filter drops it
+    val biRaw = zip_with(toks, slice(toks, lit(2), size(toks)),
+      (a, b) => concat(a, lit(" "), b))
+    val triRaw = zip_with(biRaw, slice(toks, lit(3), size(toks)),
+      (g, t) => concat(g, lit(" "), t))
+    def dense(g: Column): Column = filter(g, x => x.isNotNull)
+    documents(s, d)
+      .filter(size(toks) >= 3)
+      .select($"doc_id", dense(biRaw).as("bi"), dense(triRaw).as("tri"))
+      .select(
+        $"doc_id",
+        size($"bi").cast("long").as("n_bigrams"),
+        (runStats($"bi").getField("maxrun").cast("double") / size($"bi"))
+          .as("top_bigram_frac"),
+        (runStats($"tri").getField("dup").cast("double") / size($"tri"))
+          .as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val txt08Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tri
+      |  FROM t),
+      |bic AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(bi) AS gram FROM g) GROUP BY doc_id, gram),
+      |bis AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_bigram_frac
+      |  FROM bic GROUP BY doc_id),
+      |tric AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(tri) AS gram FROM g) GROUP BY doc_id, gram),
+      |tris AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt >= 2), 0) AS DOUBLE)
+      |      / CAST(SUM(cnt) AS DOUBLE) AS dup_trigram_frac
+      |  FROM tric GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_bigrams, b.top_bigram_frac, tris.dup_trigram_frac
+      |FROM bis b JOIN tris USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt08_repetition" -> txt08Repetition _,
     "txt07_split_assign" -> txt07SplitAssign _,
     "txt06_pii_redact" -> txt06PiiRedact _,
     "txt01_token_count" -> txt01TokenCount _,
@@ -226,6 +312,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt08_repetition" -> txt08Sql,
     "txt07_split_assign" -> txt07Sql,
     "txt06_pii_redact" -> txt06Sql,
     "txt01_token_count" -> txt01Sql,

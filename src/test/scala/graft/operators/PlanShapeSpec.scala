@@ -122,6 +122,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.take(1500))
   }
 
+  test("txt08: repetition metrics are a narrow map — only the output sort exchanges") {
+    val p = TextAnalysis.txt08Repetition(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one rangepartitioning exchange for the gate's ORDER BY doc_id;
+    // the repetition statistics themselves must not shuffle (doc, gram)
+    assert(exchanges.size === 1, plan(p).take(2000))
+    assert(exchanges.head.outputPartitioning.toString.toLowerCase.contains("range"),
+      "the only exchange must be the output sort: " + exchanges.head.outputPartitioning)
+    assert(!plan(p).contains("HashAggregate"),
+      "per-doc gram counting must fold inside the row, not aggregate: " + plan(p).take(1500))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
