@@ -184,15 +184,145 @@ object Similarity {
        |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 3
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- sim05: label-free k-means-style IVF -------------------------------
+  //
+  // sim03's cells are the label column — a quantizer the data happened to
+  // ship. sim05 derives cells from the GEOMETRY alone: k deterministic seed
+  // vectors (vec_id < k), every vector assigned to its max-cosine seed, cell
+  // centroids as exact decimal means, query probes the top-`nprobe` cells.
+  // Scale shape: assignment is a broadcast of k seeds + a per-row argmax
+  // fold (NO corpus shuffle); the one shuffle is the slim (cell, pos, v)
+  // centroid build, which happens at INDEX BUILD time — see buildAnnIndex,
+  // where the assignment is persisted cell-partitioned so a query's probe
+  // is a partition-pruned read of 3 of k directories.
+
+  /** One-row DataFrame holding the k seed vectors sorted by seed id. */
+  private def seedArray(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < k)
+      .agg(array_sort(collect_list(struct($"vec_id".as("sid"), $"embedding".as("sv"))))
+        .as("seeds"))
+  }
+
+  /** Assign every vector to its nearest (max-cosine) seed: broadcast the
+    * one-row seed array, argmax per row via array_max over (sim, -sid)
+    * structs — lexicographic struct order makes ties pick the SMALLEST
+    * seed id, mirroring the oracle's ORDER BY sim DESC, sid. Narrow: the
+    * corpus is never shuffled or exploded.
+    */
+  private[operators] def assignCells(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.crossJoin(broadcast(seedArray(e, k)))
+      .withColumn("best", array_max(transform($"seeds",
+        s => struct(cosine($"embedding", s.getField("sv")).as("sim"),
+          (-s.getField("sid")).as("nsid")))))
+      .select($"vec_id", $"label", $"embedding",
+        (-$"best".getField("nsid")).cast("int").as("cell"))
+  }
+
+  /** Exact decimal-mean centroid per cell (same math as [[ivfCentroids]]). */
+  private[operators] def cellCentroids(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos")
+      .agg((sum($"v".cast("decimal(38,10)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"cell", transform($"pc", p => p.getField("c")).as("centroid"))
+  }
+
+  private def cellProbe(assigned: DataFrame, cent: DataFrame, q: DataFrame,
+                        nprobe: Int = 3): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val probed = cent.crossJoin(broadcast(q))
+      .select($"cell", aggregate(
+        zip_with($"centroid", $"qv", (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("cdot"))
+      .orderBy($"cdot".desc, $"cell")
+      .limit(nprobe)
+      .select($"cell")
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", $"cell", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  def sim05KmeansIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val assigned = assignCells(e, 16)
+    cellProbe(assigned, cellCentroids(assigned), q)
+  }
+
+  /** Persist the full IVF index: the corpus CELL-PARTITIONED (the inverted
+    * file — probing reads only the probed cells' directories) plus the
+    * centroid table. Build cost: one broadcast-assign pass + the slim
+    * centroid shuffle; run on corpus drift, not per query.
+    */
+  def buildAnnIndex(e: DataFrame, indexDir: String, k: Int = 16): Unit = {
+    val assigned = assignCells(e, k).localCheckpoint(true)
+    try {
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/cells")
+      cellCentroids(assigned).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")
+    } finally assigned.unpersist()
+  }
+
+  /** sim05 against the persisted index: centroids are read (tiny), the
+    * cell scan is partition-pruned to the probed cells — the corpus table
+    * itself is touched only for the query vector.
+    */
+  def sim05ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    cellProbe(s.read.parquet(s"$indexDir/cells"),
+      s.read.parquet(s"$indexDir/centroids"), q)
+  }
+
+  val sim05Sql: String = {
+    val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE)))," +
+      " (x, y) -> x + y)"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, e.label, e.embedding, s.sid,
+       |             ${duckCosine("e.embedding", "s.sv")} AS sim
+       |           FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, CAST(sid AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, label, embedding, sid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cd AS (SELECT cell, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM assigned),
+       |cm AS (SELECT cell, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM cd GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |probed AS (SELECT c.cell FROM cent c, q ORDER BY $dotCQ DESC, c.cell LIMIT 3)
+       |SELECT a.vec_id, a.label, a.cell, ${duckCosine("a.embedding", "q.qv")} AS cos
+       |FROM assigned a JOIN probed p ON a.cell = p.cell, q
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
-    "sim04_knn_join" -> sim04KnnJoin _)
+    "sim04_knn_join" -> sim04KnnJoin _,
+    "sim05_kmeans_ivf" -> sim05KmeansIvf _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim01_brute_topk" -> sim01Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
-    "sim04_knn_join" -> sim04Sql(sfDir))
+    "sim04_knn_join" -> sim04Sql(sfDir),
+    "sim05_kmeans_ivf" -> sim05Sql)
 }

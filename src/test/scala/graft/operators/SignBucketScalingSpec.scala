@@ -64,6 +64,35 @@ class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!viaIndex.queryExecution.executedPlan.toString.contains("posexplode"))
   }
 
+  test("sim05 via the persisted ANN index: equal results, cell-pruned scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    Similarity.buildAnnIndex(graft.core.Tables.embeddings(spark, d), idx)
+    val viaIndex = Similarity.sim05ViaIndex(spark, d, idx)
+    assert(viaIndex.collect().toSeq === Similarity.sim05KmeansIvf(spark, d).collect().toSeq)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    // probe path: no seed assignment or centroid build — both persisted
+    assert(!plan.contains("posexplode"), plan.take(1500))
+    // the inverted file is partition-pruned: the cells scan carries a
+    // partition filter on the probed cell ids (dynamic pruning subquery
+    // or pushed IN-list), never a full-corpus read
+    val unwrapped = viaIndex.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val cellScan = unwrapped.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("cells") => f
+    }
+    assert(cellScan.nonEmpty, plan.take(1500))
+    cellScan.foreach { f =>
+      assert(f.partitionFilters.mkString.contains("dynamicpruning"),
+        "cells scan must be DYNAMICALLY pruned to the probed cells " +
+          "(isnotnull alone is not pruning): " + f.partitionFilters.mkString(" ; "))
+    }
+  }
+
   test("parquetRowCount sees a table regenerated at a different size (no stale cache)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rowcount").toString + "/t.parquet"
