@@ -54,7 +54,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r3c-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r4-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -64,12 +64,15 @@ object CdcBinlog {
     */
   private def writeFixture(dir: java.nio.file.Path, total: Int, checksum: Boolean,
                            expC: java.io.Writer, expE: java.io.Writer,
-                           rowsV2: Boolean = false, gtid: Boolean = false): Unit = {
+                           rowsV2: Boolean = false, gtid: Boolean = false,
+                           expG: java.io.Writer = null): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
     def event(t: String, xid: String = ""): Unit =
       if (expE != null) expE.write(s"$t,$xid\n")
+    def gtidRec(f: String, kind: String, g: Long): Unit =
+      if (expG != null) expG.write(s"$f,$kind,$g\n")
     val nFiles = 4
     val perFile = total / nFiles
     var id = 0
@@ -81,14 +84,20 @@ object CdcBinlog {
       w.writeFormatDescription(ts = 1700000000L,
         serverVersion = if (rowsV2) "8.0.36-graft-fixture" else "")
       event("FORMAT_DESCRIPTION_EVENT")
-      if (gtid) { w.writePreviousGtids(gno, ts = 1700000000L); event("PREVIOUS_GTIDS_LOG_EVENT") }
+      if (gtid) {
+        w.writePreviousGtids(gno, ts = 1700000000L); event("PREVIOUS_GTIDS_LOG_EVENT")
+        gtidRec(fname, "prev", gno)
+      }
       var written = 0
       var txn = 0
       while (written < perFile) {
         val n = math.min(100, perFile - written)
         val ts = 1700000000L + id / 10
         val xid = 100000L + id.toLong
-        if (gtid) { gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT") }
+        if (gtid) {
+          gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
+          gtidRec(fname, "txn", gno)
+        }
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         w.writeTableMap(42, "bench", "big", cols, ts = ts)
@@ -169,8 +178,11 @@ object CdcBinlog {
       writeFixture(crcDir, total, checksum = true, null, null)
       val expE2 = Files.newBufferedWriter(staging.resolve("expected_events_v2.csv"))
       expE2.write("event_type,xid\n")
-      writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true, gtid = true)
-      expE2.close()
+      val expG = Files.newBufferedWriter(staging.resolve("expected_gtids.csv"))
+      expG.write("log_file,kind,gno\n")
+      writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true,
+        gtid = true, expG = expG)
+      expE2.close(); expG.close()
       Files.writeString(staging.resolve("_COMPLETE"), "ok")
       try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -307,7 +319,39 @@ object CdcBinlog {
       .orderBy($"event_type")
   }
 
+  // cdcb8 — gtid_executed-style observability: fold the modern twin's GTID
+  // framing into the per-file executed summary a replication operator reads
+  // off SHOW MASTER STATUS — observed txn GTID range + count, contiguity
+  // of the executed set, and whether the file's PREVIOUS_GTIDS declaration
+  // matches what the prior files actually executed (resumes_prev). Pure
+  // events-mode aggregation; ground truth is the generator's GTID record.
+  def cdcb8GtidExecuted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "v2").toString)
+    val g = ev.filter($"event_type" === "GTID_LOG_EVENT")
+      .select($"log_file", substring_index($"gtid", ":", 1).as("source_uuid"),
+        substring_index($"gtid", ":", -1).cast("long").as("gno"))
+    val per = g.groupBy($"log_file", $"source_uuid")
+      .agg(count(lit(1)).as("n_txns"), min($"gno").as("first_gno"),
+        max($"gno").as("last_gno"),
+        (max($"gno") - min($"gno") + 1 === count(lit(1))).cast("int").as("contiguous"))
+    // the file's declared executed-set horizon: last GNO of the
+    // PREVIOUS_GTIDS interval ("uuid:1-N" / "uuid:1"), 0 for the empty set
+    val prev = ev.filter($"event_type" === "PREVIOUS_GTIDS_LOG_EVENT")
+      .select($"log_file",
+        when($"gtid" === "", lit(0L)) // empty executed set (first file)
+          .otherwise(substring_index(substring_index($"gtid", ":", -1), "-", -1)
+            .cast("long")).as("prev_end"))
+    per.join(prev, "log_file")
+      .select($"log_file", $"source_uuid", $"prev_end", $"first_gno", $"last_gno",
+        $"n_txns", $"contiguous",
+        ($"first_gno" === $"prev_end" + 1).cast("int").as("resumes_prev"))
+      .orderBy($"log_file")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb8_gtid_executed" -> cdcb8GtidExecuted _,
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
@@ -321,6 +365,22 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb8_gtid_executed" -> {
+      val rel =
+        s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids.csv', header=true, columns={
+           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT'})""".stripMargin
+      s"""WITH gt AS (SELECT log_file, gno FROM $rel WHERE kind = 'txn'),
+         |per AS (SELECT log_file, CAST(COUNT(*) AS BIGINT) AS n_txns,
+         |          MIN(gno) AS first_gno, MAX(gno) AS last_gno
+         |        FROM gt GROUP BY log_file),
+         |prev AS (SELECT log_file, gno AS prev_end FROM $rel WHERE kind = 'prev')
+         |SELECT p.log_file, '03142536-4758-697a-8b9c-adbecfe0f102' AS source_uuid,
+         |  prev.prev_end, p.first_gno, p.last_gno, p.n_txns,
+         |  CAST(CASE WHEN p.last_gno - p.first_gno + 1 = p.n_txns THEN 1 ELSE 0 END AS INTEGER) AS contiguous,
+         |  CAST(CASE WHEN p.first_gno = prev.prev_end + 1 THEN 1 ELSE 0 END AS INTEGER) AS resumes_prev
+         |FROM per p JOIN prev USING (log_file)
+         |ORDER BY log_file""".stripMargin
+    },
     "cdcb1_binlog_insert_scan" ->
       s"""SELECT log_file, log_pos, log_seq, xid, id, val, word
          |FROM ${expectedChangesRel(sfDir)}
