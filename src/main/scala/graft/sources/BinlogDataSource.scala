@@ -387,10 +387,19 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     if (dynamicPayload) {
       a(9) = new GenericArrayData(img.map(stringify).toArray[Any])
     } else {
+      // A TABLE_MAP whose column count drifted from payloadDdl (schema
+      // changed before this log, or mid-log without a DDL statement the
+      // guard could catch) must not silently truncate extra columns or
+      // null-pad missing ones — the typed projection would be garbage.
+      if (img.length != payloadFields.length)
+        throw new IllegalStateException(
+          s"$db.$table row image has ${img.length} column(s) but payloadDdl " +
+            s"declares ${payloadFields.length} — the table's schema differs from " +
+            "payloadDdl (schema change?). Update payloadDdl, or read this log " +
+            "without payloadDdl (positional row mode) to see the raw images.")
       var i = 0
       while (i < payloadFields.length) {
-        if (i < img.length)
-          a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
+        a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
         i += 1
       }
     }

@@ -107,6 +107,44 @@ class BinlogRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(Map("database" -> "bar", "table" -> "other")).count() === 0)
   }
 
+  test("mid-log TABLE_MAP schema change: positional mode follows it, typed mode fails loudly") {
+    val dir = Files.createTempDirectory("midlog-schema")
+    val colsWide = cols :+ ColSpec.int // ADD COLUMN extra INT, already applied
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeQuery("foo", "BEGIN", ts = 1000)
+      .writeTableMap(23, "foo", "auto", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, new JBigDecimal("1.0000"), "a")), ts = 1000)
+      .writeXid(1, ts = 1000)
+      // schema changed OUTSIDE this log (no QUERY/ALTER event for the DDL
+      // guard to catch): the next TABLE_MAP simply declares 4 columns
+      .writeQuery("foo", "BEGIN", ts = 1002)
+      .writeTableMap(23, "foo", "auto", colsWide, ts = 1002)
+      .writeInsert(23, colsWide,
+        Seq(Seq(2, new JBigDecimal("2.0000"), "b", 7)), ts = 1002)
+      .writeXid(2, ts = 1002)
+      .save(dir.resolve("binlog.000001").toString)
+
+    // positional (no payloadDdl) mode: each event decodes per ITS table
+    // map — the row arrays simply grow a column at the boundary
+    val rows = spark.read.format("mysql-binlog")
+      .load(dir.toString)
+      .orderBy("log_pos")
+      .select("row").collect()
+      .map(_.getSeq[String](0).toList)
+    assert(rows === List(List("1", "1.0000", "a"), List("2", "2.0000", "b", "7")))
+
+    // typed payloadDdl mode: the 4-column image cannot fit the 3-column
+    // DDL — a loud error naming both counts, never a truncated row
+    val e = intercept[Exception] {
+      spark.read.format("mysql-binlog").option("payloadDdl", ddl)
+        .load(dir.toString).collect()
+    }
+    assert(rootCauseChain(e).exists(m => m != null &&
+      m.contains("4 column(s)") && m.contains("declares 3")),
+      rootCauseChain(e).mkString(" | "))
+  }
+
   test("unsigned columns widen instead of sign-extending (mysql_binlog.clj:548 TODO)") {
     val ucols = Seq(ColSpec.tiny, ColSpec.int, ColSpec.bigint)
     val dir = Files.createTempDirectory("unsigned")
