@@ -21,11 +21,20 @@ object Bench {
 
     operators.CdcBinlog.fixtureDir(sfDir) // generate outside timing
 
+    // LARGE decode tier: the gate fixture (~5 MB at sf0.1) is dominated by
+    // per-job overhead, so its MB/s numbers are floors. This tier fixes the
+    // byte volume (~50 MB) independent of sf so the rates are real.
+    val bigRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_BIGROWS", "2000000").toInt
+    val bigDir = operators.CdcBinlog.benchFixtureDir(bigRows)
+    val bigBytes = new java.io.File(bigDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0")).map(_.length).sum
+
     // Single-threaded pure-decoder throughput, measured FIRST while the JVM
     // is quiet (no executor pools, no GC pressure from the query suite) —
     // like-for-like with the reference's criterium bench, which decodes one
     // segment on one otherwise-idle thread.
     val stMbPerSec = singleThreadDecodeMbPerSec(sfDir)
+    val stMbPerSecLarge = singleThreadDecodeMbPerSec(sfDir, overrideDir = bigDir)
 
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 1)
 
@@ -60,6 +69,15 @@ object Bench {
     val decodeSec = (1 to runs).map(_ => decodeOnce()).min
     val mbPerSec = fixBytes / 1e6 / decodeSec
 
+    def decodeLargeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("mysql-binlog")
+        .option("payloadDdl", operators.CdcBinlog.payloadDdl).load(bigDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decodeLargeOnce() // warm
+    val mbPerSecLarge = bigBytes / 1e6 / (1 to runs).map(_ => decodeLargeOnce()).min
+
     // events-mode scan rate (header + TABLE_MAP decode, row images skipped
     // since the event-level projection never reads them) — NOT comparable
     // to the full-decode numbers above by design
@@ -86,7 +104,9 @@ object Bench {
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
+      s""""binlog_decode_mb_per_sec_large":$mbPerSecLarge,"binlog_bytes_large":$bigBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
+      s""""binlog_decode_mb_per_sec_single_thread_large":$stMbPerSecLarge,""" +
       s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,"dd02_xxhash64_sec":$dd02XxSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}"""
@@ -103,8 +123,10 @@ object Bench {
   /** Full decode of one fixture file on one thread, looped over a ≥1 s
     * window (a single ~10 ms pass is all scheduler noise).
     */
-  private def singleThreadDecodeMbPerSec(sfDir: String): Double = {
-    val fixDir = operators.CdcBinlog.fixtureDir(sfDir)
+  private def singleThreadDecodeMbPerSec(sfDir: String,
+                                         overrideDir: String = null): Double = {
+    val fixDir =
+      if (overrideDir != null) overrideDir else operators.CdcBinlog.fixtureDir(sfDir)
     val oneFile = new java.io.File(fixDir).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("binlog.0")).minBy(_.getName)
     def decodeSingle(): Unit = {

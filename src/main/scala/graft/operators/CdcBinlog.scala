@@ -154,17 +154,7 @@ object CdcBinlog {
     */
   def fixtureDir(sfDir: String): String = synchronized {
     val total = rowsFor(sfDir)
-    val dir = fixturePathFor(sfDir)
-    val marker = dir.resolve("_COMPLETE")
-    if (!Files.exists(marker)) {
-      // Cross-JVM safety (parallel test/bench JVMs share /tmp): build into
-      // a process-unique staging dir, then move atomically into place. The
-      // loser of a race discards its copy; a half-written shared dir can
-      // never be observed (the marker travels inside the staged tree).
-      val staging = dir.resolveSibling(
-        s"${dir.getFileName}.tmp-${ProcessHandle.current().pid()}")
-      deleteRecursively(staging)
-      Files.createDirectories(staging)
+    generateCached(fixturePathFor(sfDir)) { staging =>
       val crcDir = staging.resolve("crc")
       val v2Dir = staging.resolve("v2")
       Files.createDirectories(crcDir)
@@ -183,6 +173,35 @@ object CdcBinlog {
       writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true,
         gtid = true, expG = expG)
       expE2.close(); expG.close()
+    }
+  }
+
+  /** Bench-only LARGE fixture tier (no ground-truth CSVs, no twins): the
+    * gate fixture is ~5 MB at sf0.1, where per-job overhead dominates any
+    * decode-throughput measurement. This tier sizes the byte volume to the
+    * measurement instead of the sf (2M rows ≈ 50 MB across 4 files).
+    */
+  def benchFixtureDir(rows: Int): String = synchronized {
+    generateCached(Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r4big-$rows")) {
+      staging => writeFixture(staging, rows, checksum = false, null, null)
+    }
+  }
+
+  /** Cross-JVM-safe cached generation (parallel test/bench JVMs share
+    * /tmp): build into a process-unique staging dir, then move atomically
+    * into place. The loser of a race discards its copy; a half-written
+    * shared dir can never be observed (the `_COMPLETE` marker travels
+    * inside the staged tree).
+    */
+  private def generateCached(dir: java.nio.file.Path)
+                            (build: java.nio.file.Path => Unit): String = {
+    val marker = dir.resolve("_COMPLETE")
+    if (!Files.exists(marker)) {
+      val staging = dir.resolveSibling(
+        s"${dir.getFileName}.tmp-${ProcessHandle.current().pid()}")
+      deleteRecursively(staging)
+      Files.createDirectories(staging)
+      build(staging)
       Files.writeString(staging.resolve("_COMPLETE"), "ok")
       try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
