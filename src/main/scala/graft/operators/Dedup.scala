@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
 import VectorOps._
 
@@ -514,7 +515,67 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
        |ORDER BY doc_id""".stripMargin
 
+  // dd07 — the end-to-end curation pipeline a training-data run actually
+  // executes, composed from the engine's own stages in ONE declarative
+  // plan: quality gate (length + stopword + repetition-adjacent type-token
+  // ratio) → exact dedup (keep smallest doc_id per fingerprint) → split
+  // assignment (txt07's stable hash buckets) → per-(split, lang) corpus
+  // stats. Catalyst pipelines the narrow stages into the dedup shuffle's
+  // map side; the only exchanges are the dedup groupBy and the final tiny
+  // agg — composition costs nothing over the stages run separately.
+  def dd07Pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val nTok = size(toks)
+    val quality = documents(s, d)
+      .filter(nTok >= 30 &&
+        (size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok) < 0.2 &&
+        (size(array_distinct(toks)).cast("double") / nTok) > 0.3)
+    val keepers = quality
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    keepers
+      .withColumn("split",
+        when(bucket < 5, "test").when(bucket < 15, "val").otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens($"text")).cast("long")).as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val dd07Sql: String =
+    """WITH toks_t AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      |quality AS (
+      |  SELECT doc_id, lang, text FROM toks_t
+      |  WHERE len(toks) >= 30
+      |    AND CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(toks) < 0.2
+      |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3),
+      |keepers AS (
+      |  SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, text,
+      |      row_number() OVER (
+      |        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |        ORDER BY doc_id) AS rn
+      |    FROM quality) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT lang, text,
+      |    CASE WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 5 THEN 'test'
+      |         WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 15 THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM keepers)
+      |SELECT split, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM assigned
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd07_pipeline" -> dd07Pipeline _,
     "dd01_exact_dedup" -> dd01Exact _,
     "dd02_minhash_lsh" -> dd02MinhashLsh _,
     "dd03_simhash" -> dd03Simhash _,
@@ -523,6 +584,7 @@ object Dedup {
     "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd07_pipeline" -> dd07Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
     "dd03_simhash" -> dd03Sql,

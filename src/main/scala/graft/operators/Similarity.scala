@@ -312,7 +312,65 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  // ---- sim06: int8 scalar quantization + exact rerank --------------------
+  //
+  // The memory-bandwidth lever every large ANN deployment pulls: store a
+  // 4x-smaller int8 view of each vector (per-vector symmetric scale =
+  // max|v|/127), scan CANDIDATES with the cheap integer dot (exact long
+  // arithmetic — engine-portable, unlike float SIMD accumulation order),
+  // then rerank only the top-50 with the exact float cosine. Quantization
+  // uses floor(), not round(): floor is bit-identical across engines,
+  // round's half-case tie rules are not. At 100 TB the quantized columns
+  // are what lives hot (16 GB/B vectors instead of 64), and the rerank
+  // touches 50 rows.
+  def sim06QuantRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val amax = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val qz = embeddings(s, d)
+      .withColumn("scale", greatest(amax / 127.0, lit(1e-30)))
+      .withColumn("q", transform($"embedding",
+        x => least(greatest(floor(x.cast("double") / $"scale"), lit(-127L)), lit(127L))))
+    val q = qz.filter($"vec_id" === 0)
+      .select($"q".as("qq"), $"scale".as("qscale"), $"embedding".as("qv"))
+    val cand = qz.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("approx",
+        aggregate(zip_with($"q", $"qq", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+          * $"scale" * $"qscale")
+      .orderBy($"approx".desc, $"vec_id")
+      .limit(50)
+    cand.select($"vec_id", $"label", $"approx", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim06Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding,
+       |    greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+       |             / 127.0, 1e-30) AS scale
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, label, embedding, scale,
+       |    list_transform(embedding,
+       |      x -> CAST(least(greatest(floor(CAST(x AS DOUBLE) / scale), -127.0), 127.0) AS BIGINT)) AS q
+       |  FROM base),
+       |qry AS (SELECT q AS qq, scale AS qscale, embedding AS qv FROM qz WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT z.vec_id, z.label, z.embedding, qry.qv,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(z.q, qry.qq), p -> p[1] * p[2])), (x, y) -> x + y)
+       |      * z.scale * qry.qscale AS approx
+       |  FROM qz z, qry WHERE z.vec_id <> 0
+       |  ORDER BY approx DESC, z.vec_id LIMIT 50)
+       |SELECT vec_id, label, approx, ${duckCosine("embedding", "qv")} AS cos
+       |FROM cand
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
@@ -320,6 +378,7 @@ object Similarity {
     "sim05_kmeans_ivf" -> sim05KmeansIvf _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
