@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
 
@@ -301,7 +302,140 @@ object TextAnalysis {
       |FROM bis b JOIN tris USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // txt09 — BPE-ish regex token counting (the brief's second tokenizer
+  // class beside whitespace tokens): letter runs, digit runs, and single
+  // punctuation marks, GPT-2-pretokenizer style. The corpus is pure
+  // [a-z ] text, so (txt06 precedent) a deterministic raw suffix with
+  // version numbers / prices / punctuation is appended per doc before
+  // tokenizing — that is exactly the text shape a crawled corpus has and
+  // the whitespace tokenizer undercounts. Patterns stay in the Java∩RE2
+  // subset so Spark and DuckDB agree. Narrow codegen'd map, no shuffle.
+  def txt09BpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = concat($"text", lit(" v"), $"doc_id", lit(".2 costs $"),
+      $"doc_id" % 100, lit(".99, ok!"))
+    def n(pat: String): Column = size(regexp_extract_all(raw, lit(pat), lit(0)))
+    val nWord = n("[a-z]+")
+    val nNum = n("[0-9]+")
+    val nPunct = n("[^a-z0-9 ]")
+    documents(s, d)
+      .select(
+        $"doc_id",
+        (nWord + nNum + nPunct).cast("long").as("n_bpe_tokens"),
+        nWord.cast("long").as("n_word_runs"),
+        nNum.cast("long").as("n_digit_runs"),
+        nPunct.cast("long").as("n_punct"),
+        ((nWord + nNum + nPunct).cast("double") / size(tokens($"text")))
+          .as("bpe_per_ws_token"))
+      .orderBy($"doc_id")
+  }
+
+  val txt09Sql: String =
+    """WITH raw_t AS (
+      |  SELECT doc_id, text,
+      |    text || ' v' || doc_id || '.2 costs $' || (doc_id % 100) || '.99, ok!' AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z]+')) + len(regexp_extract_all(raw, '[0-9]+'))
+      |     + len(regexp_extract_all(raw, '[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(raw, '[a-z]+')) AS BIGINT) AS n_word_runs,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(regexp_extract_all(raw, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+      |  CAST(len(regexp_extract_all(raw, '[a-z]+')) + len(regexp_extract_all(raw, '[0-9]+'))
+      |     + len(regexp_extract_all(raw, '[^a-z0-9 ]')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS bpe_per_ws_token
+      |FROM raw_t
+      |ORDER BY doc_id""".stripMargin
+
+  // txt10 — deterministic domain-mixture sampling: each source gets a
+  // target keep-rate (here a formula over the source id; in production a
+  // broadcast weights table — same plan), and a doc survives iff its
+  // content-independent md5(doc_id) bucket clears the rate. Uses a
+  // DIFFERENT md5 window (chars 5-8) than txt07's split assignment so
+  // sampling and split membership stay independent. This is how a
+  // training pipeline hits a target mixture reproducibly: resharding,
+  // re-crawling, or engine swaps never change which docs are kept.
+  // Narrow filter + one slim agg — the corpus text never shuffles.
+  def txt10MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rate = lit(100) - lit(4) * substring($"source", 4, 10).cast("int")
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 5, 4), 16, 10)
+      .cast("long") % 100
+    documents(s, d)
+      .withColumn("keep_rate", rate)
+      .filter(bucket < rate)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(size(tokens($"text")).cast("long")).as("n_tokens_kept"),
+        first($"keep_rate").cast("long").as("keep_rate_pct"))
+      .orderBy($"source")
+  }
+
+  val txt10Sql: String =
+    """WITH sampled AS (
+      |  SELECT source, text,
+      |    100 - 4 * CAST(source[4:] AS INT) AS keep_rate
+      |  FROM documents
+      |  WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[5:8])::BIGINT % 100
+      |        < 100 - 4 * CAST(source[4:] AS INT))
+      |SELECT source, COUNT(*) AS n_docs_kept,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_kept,
+      |  CAST(MIN(keep_rate) AS BIGINT) AS keep_rate_pct
+      |FROM sampled
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // txt11 — token-budget sequence packing: assign each doc to a pack
+  // bucket by a third md5 window (chars 9-12), order docs within the
+  // bucket deterministically, and cut sequences where the running token
+  // count crosses the budget. seq_id = floor((cumsum - n_tok) / budget)
+  // is the "chunked greedy" packing a per-writer-task packer produces.
+  // The window is PER-BUCKET (buckets ≈ writer parallelism), so no
+  // global sort and every window's state is bounded — the shape that
+  // holds at 100 TB, where a single ORDER BY over the corpus would not.
+  def txt11SeqPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 9, 4), 16, 10)
+      .cast("long") % 8
+    val nTok = size(tokens($"text")).cast("long")
+    val w = Window.partitionBy($"pack_bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select($"doc_id", bucket.as("pack_bucket"), nTok.as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("seq_id", (($"cum" - $"n_tok") / budget).cast("long"))
+      .groupBy($"pack_bucket", $"seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        (sum($"n_tok").cast("double") / budget).as("fill_frac"))
+      .orderBy($"pack_bucket", $"seq_id")
+  }
+
+  val txt11Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    ('0x' || md5(CAST(doc_id AS VARCHAR))[9:12])::BIGINT % 8 AS pack_bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT pack_bucket, n_tok,
+      |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS seq_id
+      |  FROM toks)
+      |SELECT pack_bucket, seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tok) AS DOUBLE) / 2048 AS fill_frac
+      |FROM packed
+      |GROUP BY pack_bucket, seq_id
+      |ORDER BY pack_bucket, seq_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt09_bpe_tokens" -> txt09BpeTokens _,
+    "txt10_mixture_sample" -> txt10MixtureSample _,
+    "txt11_seq_pack" -> txt11SeqPack _,
     "txt08_repetition" -> txt08Repetition _,
     "txt07_split_assign" -> txt07SplitAssign _,
     "txt06_pii_redact" -> txt06PiiRedact _,
@@ -312,6 +446,9 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt09_bpe_tokens" -> txt09Sql,
+    "txt10_mixture_sample" -> txt10Sql,
+    "txt11_seq_pack" -> txt11Sql,
     "txt08_repetition" -> txt08Sql,
     "txt07_split_assign" -> txt07Sql,
     "txt06_pii_redact" -> txt06Sql,
