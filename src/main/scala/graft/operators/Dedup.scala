@@ -574,7 +574,56 @@ object Dedup {
       |GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
 
+  // dd08 — benchmark decontamination: flag training docs that share any
+  // word-3-gram shingle with an eval/benchmark doc (here the txt07 "test"
+  // split, so the gate stays self-contained; in production the benchmark
+  // suite is an external table with the same shape). The eval side is
+  // SMALL BY CONSTRUCTION — benchmarks have a fixed absolute size and do
+  // not grow with the corpus — so its (shingle, eval_id) pairs broadcast
+  // and the 100 TB train side stays a narrow explode feeding a
+  // broadcast-hash join; only slim (doc_id, sh, eval_id) survivor rows
+  // reach the final aggregation shuffle. This is the canonical
+  // "n-gram overlap with eval" decontamination pass a training pipeline
+  // runs after dedup.
+  def dd08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val docs = documents(s, d).withColumn("bkt", bucket)
+    val evalSh = docs.filter($"bkt" < 5)
+      .select($"doc_id".as("eval_id"), explode(shingles($"text")).as("sh"))
+      .distinct()
+    val trainSh = docs.filter($"bkt" >= 5)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"sh").as("n_shared_shingles"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  val dd08Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 AS bkt
+       |  FROM documents),
+       |esh AS (
+       |  SELECT DISTINCT doc_id AS eval_id, unnest($duckShingles) AS sh
+       |  FROM b WHERE bkt < 5),
+       |tsh AS (
+       |  SELECT doc_id, unnest($duckShingles) AS sh
+       |  FROM b WHERE bkt >= 5)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
+       |  CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+       |FROM tsh t JOIN esh e ON t.sh = e.sh
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd08_decontaminate" -> dd08Decontaminate _,
     "dd07_pipeline" -> dd07Pipeline _,
     "dd01_exact_dedup" -> dd01Exact _,
     "dd02_minhash_lsh" -> dd02MinhashLsh _,
@@ -584,6 +633,7 @@ object Dedup {
     "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd08_decontaminate" -> dd08Sql,
     "dd07_pipeline" -> dd07Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
