@@ -54,7 +54,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r4-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r5-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -65,7 +65,8 @@ object CdcBinlog {
   private def writeFixture(dir: java.nio.file.Path, total: Int, checksum: Boolean,
                            expC: java.io.Writer, expE: java.io.Writer,
                            rowsV2: Boolean = false, gtid: Boolean = false,
-                           expG: java.io.Writer = null): Unit = {
+                           expG: java.io.Writer = null,
+                           rowsQuery: Boolean = false): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
@@ -98,10 +99,19 @@ object CdcBinlog {
           gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
           gtidRec(fname, "txn", gno)
         }
+        // per-statement ROWS_QUERY (binlog_rows_query_log_events=ON): the
+        // server logs the original SQL right before each statement's rows
+        // events; text is deterministic in (kind, xid) so the oracle can
+        // derive it from the ground truth alone
+        def stmt(kind: String, verb: String): Unit = if (rowsQuery) {
+          w.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
+          event("ROWS_QUERY_LOG_EVENT")
+        }
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         w.writeTableMap(42, "bench", "big", cols, ts = ts)
         event("TABLE_MAP_EVENT")
+        stmt("insert", "INSERT INTO")
         val insPos = w.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
         w.writeInsert(42, cols, rows, ts = ts)
@@ -110,6 +120,7 @@ object CdcBinlog {
           change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
         }
         if (txn % 5 == 3) { // some txns also update their first 20 rows
+          stmt("update", "UPDATE")
           val updPos = w.position
           w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
             (Seq[Any](id + k, dec(id + k), word(id + k)),
@@ -122,6 +133,7 @@ object CdcBinlog {
           }
         }
         if (txn % 5 == 4) { // and some delete 5
+          stmt("delete", "DELETE FROM")
           val delPos = w.position
           w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
             Seq[Any](id + k, dec(id + k), word(id + k))
@@ -171,7 +183,7 @@ object CdcBinlog {
       val expG = Files.newBufferedWriter(staging.resolve("expected_gtids.csv"))
       expG.write("log_file,kind,gno\n")
       writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true,
-        gtid = true, expG = expG)
+        gtid = true, expG = expG, rowsQuery = true)
       expE2.close(); expG.close()
     }
   }
@@ -369,7 +381,32 @@ object CdcBinlog {
       .orderBy($"log_file")
   }
 
+  // cdcb9 — Debezium include.query parity: changes-mode scan with
+  // `attachRowsQuery=true` over the modern twin (whose every statement is
+  // preceded by a ROWS_QUERY event). The oracle derives each row's expected
+  // statement text purely from the generator ground truth — n_xid_matched
+  // must equal n_rows, which fails if the reader attaches a neighbor
+  // statement's (or neighbor transaction's) SQL to a row.
+  def cdcb9RowsQueryAttach(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = concat(
+      when($"_delta_type" === "insert", lit("INSERT INTO bench.big /* xid="))
+        .when($"_delta_type" === "delete", lit("DELETE FROM bench.big /* xid="))
+        .otherwise(lit("UPDATE bench.big /* xid=")),
+      $"xid", lit(" */"))
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .option("attachRowsQuery", "true")
+      .load(Paths.get(fixtureDir(d), "v2").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"rows_query").as("n_statements"),
+        sum(($"rows_query" === expected).cast("long")).as("n_xid_matched"))
+      .orderBy($"_delta_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb9_rows_query_attach" -> cdcb9RowsQueryAttach _,
     "cdcb8_gtid_executed" -> cdcb8GtidExecuted _,
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
@@ -384,6 +421,19 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb9_rows_query_attach" ->
+      s"""WITH c AS (
+         |  SELECT _delta_type,
+         |    CASE WHEN _delta_type = 'insert' THEN 'INSERT INTO bench.big /* xid=' || xid || ' */'
+         |         WHEN _delta_type = 'delete' THEN 'DELETE FROM bench.big /* xid=' || xid || ' */'
+         |         ELSE 'UPDATE bench.big /* xid=' || xid || ' */' END AS rows_query
+         |  FROM ${expectedChangesRel(sfDir)})
+         |SELECT _delta_type, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT rows_query) AS n_statements,
+         |  CAST(COUNT(*) AS BIGINT) AS n_xid_matched
+         |FROM c
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
     "cdcb8_gtid_executed" -> {
       val rel =
         s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids.csv', header=true, columns={

@@ -91,9 +91,17 @@ object BinlogSchemas {
     norm(options).getOrElse("mode", "changes") match {
       case "events" => eventsSchema
       case _ =>
+        // `attachRowsQuery` (Debezium include.query parity): change rows
+        // carry the originating SQL statement captured from ROWS_QUERY
+        // events (binlog_rows_query_log_events=ON), null when the server
+        // didn't log one
+        val env =
+          if (norm(options).get("attachrowsquery").exists(_.toBoolean))
+            envelope.add(StructField("rows_query", StringType))
+          else envelope
         norm(options).get("payloadddl") match {
-          case Some(ddl) => StructType(envelope.fields ++ StructType.fromDDL(ddl).fields)
-          case None => envelope.add(StructField("row", ArrayType(StringType)))
+          case Some(ddl) => StructType(env.fields ++ StructType.fromDDL(ddl).fields)
+          case None => env.add(StructField("row", ArrayType(StringType)))
         }
     }
 
@@ -244,8 +252,15 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private val charset = Charset.forName(options.getOrElse("charset", "ISO-8859-1"))
   private val eventsMode = options.getOrElse("mode", "changes") == "events"
   private val maxTxnRows = options.getOrElse("maxtxnrows", "1000000").toInt
+  private val attachRowsQuery =
+    !eventsMode && options.get("attachrowsquery").exists(_.toBoolean)
+  /** envelope column count in THIS scan's schema (the optional `rows_query`
+    * column sits between the fixed envelope and the payload)
+    */
+  private val envWidth =
+    BinlogSchemas.envelope.fields.length + (if (attachRowsQuery) 1 else 0)
   private val payloadFields: Array[StructField] =
-    schema.fields.drop(BinlogSchemas.envelope.fields.length)
+    schema.fields.drop(envWidth)
   private val dynamicPayload =
     payloadFields.length == 1 && payloadFields.head.name == "row" &&
       payloadFields.head.dataType.isInstanceOf[ArrayType]
@@ -308,6 +323,10 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   private var txnBuffer = Vector.empty[Array[Any]] // change rows awaiting xid
   private var txnOverflowed = false // oversized txn: stream rows, xid = null
+  // last ROWS_QUERY statement text, attached to following change rows;
+  // per-statement in real logs (each statement logs its own), so it only
+  // needs clearing at transaction boundaries
+  private var rowsQueryText: UTF8String = null
   private var out: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -373,7 +392,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   /** envelope + payload for one image */
   private def changeRow(h: EventHeader, db: String, table: String, seq: Int,
                         deltaType: String, img: RowImage.Image): Array[Any] = {
-    val n = BinlogSchemas.envelope.fields.length + (if (dynamicPayload) 1 else payloadFields.length)
+    val n = envWidth + (if (dynamicPayload) 1 else payloadFields.length)
     val a = new Array[Any](n)
     a(0) = UTF8String.fromString(db)
     a(1) = UTF8String.fromString(table)
@@ -384,8 +403,9 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     a(6) = h.offset
     a(7) = seq
     a(8) = UTF8String.fromString(deltaType)
+    if (attachRowsQuery) a(9) = rowsQueryText
     if (dynamicPayload) {
-      a(9) = new GenericArrayData(img.map(stringify).toArray[Any])
+      a(envWidth) = new GenericArrayData(img.map(stringify).toArray[Any])
     } else {
       // A TABLE_MAP whose column count drifted from payloadDdl (schema
       // changed before this log, or mid-log without a DDL statement the
@@ -399,7 +419,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
             "without payloadDdl (positional row mode) to see the raw images.")
       var i = 0
       while (i < payloadFields.length) {
-        a(9 + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
+        a(envWidth + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
         i += 1
       }
     }
@@ -503,9 +523,12 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
             txnOverflowed = true
             out = emitTxn(null) ++ fresh.iterator.map(new GenericInternalRow(_))
           }
+        case rq: RowsQueryEvent if attachRowsQuery =>
+          rowsQueryText = UTF8String.fromString(rq.query)
         case x: XidEvent =>
           out = emitTxn(if (txnOverflowed) null else java.lang.Long.valueOf(x.xid))
           txnOverflowed = false
+          rowsQueryText = null
         case q: QueryEvent =>
           // the DDL guard protects a TYPED payload (payloadDdl) against a
           // schema that changed mid-log; dynamic array<string> mode is
@@ -516,6 +539,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           if (!dynamicPayload && inRange(q.header)) checkDdl(q)
         case _: RotateEvent =>
           txnOverflowed = false
+          rowsQueryText = null
           if (txnBuffer.nonEmpty) out = emitTxn(null) // rotation flushes, no xid
         case _ =>
       }

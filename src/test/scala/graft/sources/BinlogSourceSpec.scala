@@ -219,4 +219,41 @@ class BinlogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.save(f1) // now complete
     assert(run("torn2") === 2L)
   }
+
+  test("attachRowsQuery: per-statement SQL attribution, null after txn boundary") {
+    val dir = fixtureDir()
+    // txn 1: two statements, each with its own ROWS_QUERY; txn 2: the
+    // server logged none (feature toggled off mid-log) -> rows_query null
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeQuery("foo", "BEGIN", ts = 1000)
+      .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1000)
+      .writeRowsQuery("INSERT INTO foo.auto VALUES (1, 'a')", ts = 1000)
+      .writeInsert(23, fooAutoCols, Seq(Seq[Any](1, "a")), ts = 1000)
+      .writeRowsQuery("UPDATE foo.auto SET v = 'z' WHERE id = 1", ts = 1000)
+      .writeUpdate(23, fooAutoCols, Seq(
+        (Seq[Any](1, "a"), Seq[Any](1, "z"))), ts = 1000)
+      .writeXid(7, ts = 1000)
+      .writeQuery("foo", "BEGIN", ts = 1001)
+      .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1001)
+      .writeInsert(23, fooAutoCols, Seq(Seq[Any](2, "b")), ts = 1001)
+      .writeXid(8, ts = 1001)
+      .save(dir.resolve("binlog.000001").toString)
+    val got = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, v STRING")
+      .option("attachRowsQuery", "true")
+      .load(dir.toString)
+      .select("_delta_type", "id", "rows_query")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("insert", 1, "INSERT INTO foo.auto VALUES (1, 'a')"),
+      ("update-before", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1"),
+      ("update", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1"),
+      ("insert", 2, null)))
+    // without the option the schema is unchanged (no rows_query column)
+    val plain = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, v STRING")
+      .load(dir.toString)
+    assert(!plain.columns.contains("rows_query"))
+  }
 }
