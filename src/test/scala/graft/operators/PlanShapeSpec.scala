@@ -136,6 +136,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-doc gram counting must fold inside the row, not aggregate: " + plan(p).take(1500))
   }
 
+  test("dd08: eval side broadcasts; train side never cartesians") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Dedup.dd08Decontaminate(spark, d)
+    val s = plan(p)
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "shingle-overlap join must stay a broadcast equi-join: " + s.take(1500))
+  }
+
+  test("txt11: packing window + per-sequence agg share ONE bucket shuffle") {
+    val p = TextAnalysis.txt11SeqPack(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one hash exchange on pack_bucket feeds BOTH the running-sum window
+    // and the (pack_bucket, seq_id) aggregation (subset co-partitioning);
+    // the second exchange is the gate's output ORDER BY only
+    assert(exchanges.size === 2, plan(p).take(2000))
+    assert(exchanges.count(_.outputPartitioning.toString.toLowerCase.contains("range")) === 1,
+      "exactly one range exchange (output sort): " + plan(p).take(1500))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
