@@ -275,7 +275,55 @@ object Multimodal {
        |ORDER BY item, rnk""".stripMargin
   }
 
+  // mm06 — paired-sample manifest assembly: the join that builds a
+  // (caption, media, embedding) training set from three modalities. The
+  // media side is projected to (doc_id, media_type, n_bytes) BEFORE the
+  // join — blobs never enter a shuffle; a production run joins manifests
+  // and fetches payloads partition-locally at write time. Caption side is
+  // quality-gated (>= 30 tokens); embedding side simulates encoder
+  // failures (label 0) with a left join so coverage is measurable. All
+  // three joins are slim id-equi joins — co-partitionable / bucketable on
+  // doc_id at 100 TB.
+  def mm06PairManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, d)
+      .select($"doc_id", $"media_type", length($"payload").cast("long").as("n_bytes"))
+    val caps = documents(s, d)
+      .filter(size(split($"text", " ")) >= 30)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_cap_tokens"))
+    val emb = embeddings(s, d).filter($"label" =!= 0)
+      .select($"vec_id".as("doc_id"), lit(1L).as("has_emb"))
+    media.join(caps, "doc_id")
+      .join(emb, Seq("doc_id"), "left")
+      .groupBy($"media_type", $"lang")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce($"has_emb", lit(0L))).as("n_with_embedding"),
+        sum($"n_bytes").as("total_payload_bytes"),
+        avg($"n_cap_tokens".cast("double")).as("avg_caption_tokens"))
+      .orderBy($"media_type", $"lang")
+  }
+
+  val mm06Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |caps AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_cap_tokens
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 30),
+      |e AS (
+      |  SELECT vec_id AS doc_id, 1 AS has_emb FROM embeddings WHERE label <> 0)
+      |SELECT m.media_type, c.lang, COUNT(*) AS n_pairs,
+      |  CAST(SUM(COALESCE(e.has_emb, 0)) AS BIGINT) AS n_with_embedding,
+      |  CAST(SUM(m.n_bytes) AS BIGINT) AS total_payload_bytes,
+      |  AVG(CAST(c.n_cap_tokens AS DOUBLE)) AS avg_caption_tokens
+      |FROM m JOIN caps c USING (doc_id) LEFT JOIN e USING (doc_id)
+      |GROUP BY m.media_type, c.lang
+      |ORDER BY m.media_type, c.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm06_pair_manifest" -> mm06PairManifest _,
     "mm01_media_meta" -> mm01MediaMeta _,
     "mm02_media_stats" -> mm02MediaStats _,
     "mm03_frame_sample" -> mm03FrameSample _,
@@ -283,6 +331,7 @@ object Multimodal {
     "mm05_phash_neardup" -> mm05PhashNearDup _)
 
   def oracles: Map[String, String] = Map(
+    "mm06_pair_manifest" -> mm06Sql,
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_stats" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,
