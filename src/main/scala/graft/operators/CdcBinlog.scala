@@ -54,7 +54,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r5-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r5a-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -99,19 +99,20 @@ object CdcBinlog {
           gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
           gtidRec(fname, "txn", gno)
         }
-        // per-statement ROWS_QUERY (binlog_rows_query_log_events=ON): the
-        // server logs the original SQL right before each statement's rows
-        // events; text is deterministic in (kind, xid) so the oracle can
-        // derive it from the ground truth alone
-        def stmt(kind: String, verb: String): Unit = if (rowsQuery) {
+        // per-statement ROWS_QUERY (binlog_rows_query_log_events=ON): real
+        // server order is QUERY(BEGIN), ROWS_QUERY, TABLE_MAP, rows events
+        // — the SQL precedes its statement's table map; text is
+        // deterministic in (verb, xid) so the oracle can derive it from
+        // the ground truth alone
+        def stmt(verb: String): Unit = if (rowsQuery) {
           w.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
           event("ROWS_QUERY_LOG_EVENT")
         }
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
+        stmt("INSERT INTO")
         w.writeTableMap(42, "bench", "big", cols, ts = ts)
         event("TABLE_MAP_EVENT")
-        stmt("insert", "INSERT INTO")
         val insPos = w.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
         w.writeInsert(42, cols, rows, ts = ts)
@@ -120,7 +121,7 @@ object CdcBinlog {
           change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
         }
         if (txn % 5 == 3) { // some txns also update their first 20 rows
-          stmt("update", "UPDATE")
+          stmt("UPDATE")
           val updPos = w.position
           w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
             (Seq[Any](id + k, dec(id + k), word(id + k)),
@@ -133,7 +134,7 @@ object CdcBinlog {
           }
         }
         if (txn % 5 == 4) { // and some delete 5
-          stmt("delete", "DELETE FROM")
+          stmt("DELETE FROM")
           val delPos = w.position
           w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
             Seq[Any](id + k, dec(id + k), word(id + k))

@@ -591,9 +591,10 @@ object Dedup {
     val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
     val docs = documents(s, d).withColumn("bkt", bucket)
+    // graft_shingles is per-doc distinct, so (eval_id, sh) needs no
+    // dedup stage before the broadcast
     val evalSh = docs.filter($"bkt" < 5)
       .select($"doc_id".as("eval_id"), explode(shingles($"text")).as("sh"))
-      .distinct()
     val trainSh = docs.filter($"bkt" >= 5)
       .select($"doc_id", explode(shingles($"text")).as("sh"))
     trainSh.join(broadcast(evalSh), "sh")

@@ -323,9 +323,12 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   private var txnBuffer = Vector.empty[Array[Any]] // change rows awaiting xid
   private var txnOverflowed = false // oversized txn: stream rows, xid = null
-  // last ROWS_QUERY statement text, attached to following change rows;
-  // per-statement in real logs (each statement logs its own), so it only
-  // needs clearing at transaction boundaries
+  // last ROWS_QUERY statement text, attached to following change rows.
+  // Per-statement in real logs (each statement logs its own immediately
+  // before its TABLE_MAP/rows events); cleared at every transaction
+  // boundary — XID, ROTATE, and any QUERY statement (BEGIN/COMMIT — the
+  // latter is how non-XID transactions end), so a statement the server
+  // logged without ROWS_QUERY can never inherit a predecessor's SQL
   private var rowsQueryText: UTF8String = null
   private var out: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -403,7 +406,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     a(6) = h.offset
     a(7) = seq
     a(8) = UTF8String.fromString(deltaType)
-    if (attachRowsQuery) a(9) = rowsQueryText
+    if (attachRowsQuery) a(envWidth - 1) = rowsQueryText
     if (dynamicPayload) {
       a(envWidth) = new GenericArrayData(img.map(stringify).toArray[Any])
     } else {
@@ -530,6 +533,16 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           txnOverflowed = false
           rowsQueryText = null
         case q: QueryEvent =>
+          rowsQueryText = null // statement boundary (BEGIN / COMMIT / DDL)
+          // any non-BEGIN QUERY is a commit boundary — QUERY(COMMIT) ends
+          // non-XID transactions (non-transactional/mixed-engine writes),
+          // ROLLBACK on mixed engines still commits the logged rows, and
+          // DDL implicitly commits; same rule lastSafePos uses. Flush like
+          // XID but with no transaction id.
+          if (!q.sql.equalsIgnoreCase("BEGIN")) {
+            txnOverflowed = false
+            if (txnBuffer.nonEmpty) out = emitTxn(null)
+          }
           // the DDL guard protects a TYPED payload (payloadDdl) against a
           // schema that changed mid-log; dynamic array<string> mode is
           // TABLE_MAP-driven and stays correct across DDL. It also only

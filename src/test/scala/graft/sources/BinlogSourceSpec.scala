@@ -222,34 +222,46 @@ class BinlogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("attachRowsQuery: per-statement SQL attribution, null after txn boundary") {
     val dir = fixtureDir()
-    // txn 1: two statements, each with its own ROWS_QUERY; txn 2: the
-    // server logged none (feature toggled off mid-log) -> rows_query null
+    // txn 1 (real server order — ROWS_QUERY precedes its statement's
+    // TABLE_MAP): two statements, each with its own ROWS_QUERY, XID
+    // commit. txn 2: ends with QUERY(COMMIT) — non-transactional-engine
+    // shape, no XID — so its rows flush with xid null. txn 3: the server
+    // logged no ROWS_QUERY (feature off) -> rows_query null, never
+    // inherited across either boundary kind.
     new Writer()
       .writeFormatDescription(ts = 1000)
       .writeQuery("foo", "BEGIN", ts = 1000)
-      .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1000)
       .writeRowsQuery("INSERT INTO foo.auto VALUES (1, 'a')", ts = 1000)
+      .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1000)
       .writeInsert(23, fooAutoCols, Seq(Seq[Any](1, "a")), ts = 1000)
       .writeRowsQuery("UPDATE foo.auto SET v = 'z' WHERE id = 1", ts = 1000)
       .writeUpdate(23, fooAutoCols, Seq(
         (Seq[Any](1, "a"), Seq[Any](1, "z"))), ts = 1000)
       .writeXid(7, ts = 1000)
       .writeQuery("foo", "BEGIN", ts = 1001)
+      .writeRowsQuery("INSERT INTO foo.auto VALUES (2, 'b')", ts = 1001)
       .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1001)
       .writeInsert(23, fooAutoCols, Seq(Seq[Any](2, "b")), ts = 1001)
-      .writeXid(8, ts = 1001)
+      .writeQuery("foo", "COMMIT", ts = 1001)
+      .writeQuery("foo", "BEGIN", ts = 1002)
+      .writeTableMap(23, "foo", "auto", fooAutoCols, ts = 1002)
+      .writeInsert(23, fooAutoCols, Seq(Seq[Any](3, "c")), ts = 1002)
+      .writeXid(9, ts = 1002)
       .save(dir.resolve("binlog.000001").toString)
     val got = spark.read.format("mysql-binlog")
       .option("payloadDdl", "id INT, v STRING")
       .option("attachRowsQuery", "true")
       .load(dir.toString)
-      .select("_delta_type", "id", "rows_query")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      .select("_delta_type", "id", "rows_query", "xid")
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))).toSeq
     assert(got === Seq(
-      ("insert", 1, "INSERT INTO foo.auto VALUES (1, 'a')"),
-      ("update-before", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1"),
-      ("update", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1"),
-      ("insert", 2, null)))
+      ("insert", 1, "INSERT INTO foo.auto VALUES (1, 'a')", 7L: java.lang.Long),
+      ("update-before", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1", 7L: java.lang.Long),
+      ("update", 1, "UPDATE foo.auto SET v = 'z' WHERE id = 1", 7L: java.lang.Long),
+      ("insert", 2, "INSERT INTO foo.auto VALUES (2, 'b')", null),
+      ("insert", 3, null, 9L: java.lang.Long)))
     // without the option the schema is unchanged (no rows_query column)
     val plain = spark.read.format("mysql-binlog")
       .option("payloadDdl", "id INT, v STRING")
