@@ -112,6 +112,14 @@ object BinlogTailer {
             if (txnOverflowed) { txn.foreach(onChange); txnOverflowed = false }
             else txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))
             txn = Vector.empty
+          case q: QueryEvent if TxnBoundary.closes(q.sql) =>
+            // QUERY(COMMIT) ends non-XID transactions (non-transactional /
+            // mixed-engine writes); DDL implicitly commits. Flush with no
+            // xid — same boundary rule as the DSv2 source — so these rows
+            // are neither withheld nor stamped with the NEXT txn's xid.
+            txn.foreach(onChange)
+            txn = Vector.empty
+            txnOverflowed = false
           case r: RotateEvent => rotateTo = Some(r.nextFile); rotateAt = r.header.offset
           case _ =>
         }

@@ -86,6 +86,46 @@ object EventType {
   }
 }
 
+/** Transaction-boundary classification of a QUERY event's SQL — the ONE
+  * definition shared by the DSv2 reader's flush, the micro-batch stream's
+  * `lastSafePos` walk, and the tailer. A row-format binlog logs these
+  * statement shapes as QUERY events:
+  *  - `BEGIN` / `XA START ...` open a transaction;
+  *  - `COMMIT` / `ROLLBACK` / `XA COMMIT|ROLLBACK ...` close one (mixed-
+  *    engine ROLLBACK still commits the *logged* non-transactional rows);
+  *  - `SAVEPOINT` / `ROLLBACK TO` / `RELEASE SAVEPOINT` / `XA END|PREPARE`
+  *    occur INSIDE a transaction and are not boundaries;
+  *  - anything else (DDL, statement-logged writes) implicitly commits.
+  */
+object TxnBoundary {
+  sealed trait Kind
+  case object Begin extends Kind
+  case object Commit extends Kind          // explicit txn end
+  case object IntraTxn extends Kind        // inside an open txn
+  case object ImplicitCommit extends Kind  // DDL etc: auto-committing
+
+  private def startsWith(s: String, p: String): Boolean =
+    s.length >= p.length && s.regionMatches(true, 0, p, 0, p.length)
+
+  def classify(sql: String): Kind = {
+    val s = sql.trim
+    if (s.equalsIgnoreCase("BEGIN")) Begin
+    else if (startsWith(s, "XA START")) Begin
+    else if (s.equalsIgnoreCase("COMMIT") || s.equalsIgnoreCase("ROLLBACK")) Commit
+    else if (startsWith(s, "XA COMMIT") || startsWith(s, "XA ROLLBACK")) Commit
+    else if (startsWith(s, "SAVEPOINT") || startsWith(s, "ROLLBACK TO") ||
+             startsWith(s, "RELEASE SAVEPOINT") ||
+             startsWith(s, "XA END") || startsWith(s, "XA PREPARE")) IntraTxn
+    else ImplicitCommit
+  }
+
+  /** True when this QUERY ends any open transaction (flush point). */
+  def closes(sql: String): Boolean = classify(sql) match {
+    case Commit | ImplicitCommit => true
+    case _ => false
+  }
+}
+
 /** MySQL column type ids (`mysql_binlog.clj:401-428`). */
 object ColType {
   val Decimal = 0

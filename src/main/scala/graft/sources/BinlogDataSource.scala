@@ -435,6 +435,17 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     rows.iterator.map { a => a(4) = xid; new GenericInternalRow(a) }
   }
 
+  /** The ONE commit-boundary reset: flush buffered rows with `xid` (null =
+    * no transaction id available) and clear all per-transaction state.
+    * Callers: XID commit, closing QUERY ([[graft.binlog.TxnBoundary]]),
+    * rotation.
+    */
+  private def commitBoundary(xid: java.lang.Long): Unit = {
+    out = emitTxn(xid)
+    txnOverflowed = false
+    rowsQueryText = null
+  }
+
   /** `rows-delta-type` (N1, `jdbc.clj:104-115`) at the source: WRITE → 1
     * "insert" row, DELETE → 1 "delete" row, UPDATE → "update-before" +
     * "update" per pair, in log order.
@@ -529,20 +540,18 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
         case rq: RowsQueryEvent if attachRowsQuery =>
           rowsQueryText = UTF8String.fromString(rq.query)
         case x: XidEvent =>
-          out = emitTxn(if (txnOverflowed) null else java.lang.Long.valueOf(x.xid))
-          txnOverflowed = false
-          rowsQueryText = null
+          commitBoundary(if (txnOverflowed) null else java.lang.Long.valueOf(x.xid))
         case q: QueryEvent =>
-          rowsQueryText = null // statement boundary (BEGIN / COMMIT / DDL)
-          // any non-BEGIN QUERY is a commit boundary — QUERY(COMMIT) ends
-          // non-XID transactions (non-transactional/mixed-engine writes),
-          // ROLLBACK on mixed engines still commits the logged rows, and
-          // DDL implicitly commits; same rule lastSafePos uses. Flush like
-          // XID but with no transaction id.
-          if (!q.sql.equalsIgnoreCase("BEGIN")) {
-            txnOverflowed = false
-            if (txnBuffer.nonEmpty) out = emitTxn(null)
-          }
+          // a QUERY that CLOSES a transaction — COMMIT (how non-XID
+          // transactions end: non-transactional/mixed-engine writes),
+          // ROLLBACK (mixed engines: the logged rows still applied), or an
+          // implicitly-committing DDL — flushes like XID but with no
+          // transaction id. BEGIN and intra-txn statements (SAVEPOINT,
+          // ROLLBACK TO, XA END...) leave the buffer and overflow state
+          // untouched — flushing there would split one committed
+          // transaction. Classification shared with lastSafePos.
+          if (TxnBoundary.closes(q.sql)) commitBoundary(null)
+          else rowsQueryText = null // statement boundary: no SQL inherit
           // the DDL guard protects a TYPED payload (payloadDdl) against a
           // schema that changed mid-log; dynamic array<string> mode is
           // TABLE_MAP-driven and stays correct across DDL. It also only
@@ -551,9 +560,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           // and cannot invalidate rows the scan will actually emit.
           if (!dynamicPayload && inRange(q.header)) checkDdl(q)
         case _: RotateEvent =>
-          txnOverflowed = false
-          rowsQueryText = null
-          if (txnBuffer.nonEmpty) out = emitTxn(null) // rotation flushes, no xid
+          commitBoundary(null) // rotation flushes, no xid
         case _ =>
       }
     }

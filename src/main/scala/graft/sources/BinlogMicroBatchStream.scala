@@ -4,7 +4,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
-import graft.binlog.{BinlogReader, EventType, TableMapEvent}
+import graft.binlog.{BinlogReader, EventType, TableMapEvent, TxnBoundary}
 
 /** Streaming offset: (binlog file name, byte position of the next unread
   * event). Files order lexicographically (MySQL's `binlog.NNNNNN` naming),
@@ -145,7 +145,13 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
             case EventType.Query =>
               val q = BinlogReader.readQuery(buf,
                 if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h, charset)
-              txnOpen = q.sql.equalsIgnoreCase("BEGIN")
+              TxnBoundary.classify(q.sql) match {
+                case TxnBoundary.Begin => txnOpen = true
+                case TxnBoundary.IntraTxn => // SAVEPOINT etc: stays inside
+                                             // any open txn — NOT a safe
+                                             // boundary to park on
+                case _ => txnOpen = false // COMMIT/ROLLBACK/DDL close it
+              }
             case EventType.TableMap =>
               val tm = BinlogReader.readTableMap(buf, h, charset)
               tms = tms.updated(tm.tableId, tm)

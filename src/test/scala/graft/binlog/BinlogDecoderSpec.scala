@@ -247,4 +247,26 @@ class BinlogDecoderSpec extends AnyFunSuite {
     val files = BinlogReader.binlogFilesFromIndex(idx.toString)
     assert(files.last === "binlog.000003" && files.length === 3)
   }
+
+  test("TxnBoundary classifies QUERY statements (one shared definition)") {
+    import TxnBoundary._
+    assert(classify("BEGIN") === Begin)
+    assert(classify("begin") === Begin)
+    assert(classify("XA START 'x1'") === Begin)
+    assert(classify("COMMIT") === Commit)
+    assert(classify(" commit ") === Commit)
+    assert(classify("ROLLBACK") === Commit) // mixed-engine: logged rows applied
+    assert(classify("XA COMMIT 'x1'") === Commit)
+    assert(classify("XA ROLLBACK 'x1'") === Commit)
+    assert(classify("SAVEPOINT s1") === IntraTxn)
+    assert(classify("savepoint `s1`") === IntraTxn)
+    assert(classify("ROLLBACK TO SAVEPOINT s1") === IntraTxn)
+    assert(classify("RELEASE SAVEPOINT s1") === IntraTxn)
+    assert(classify("XA END 'x1'") === IntraTxn)
+    assert(classify("XA PREPARE 'x1'") === IntraTxn)
+    assert(classify("CREATE TABLE t (i INT)") === ImplicitCommit)
+    assert(classify("ALTER TABLE t ADD c INT") === ImplicitCommit)
+    assert(!closes("BEGIN") && !closes("SAVEPOINT a"))
+    assert(closes("COMMIT") && closes("DROP TABLE t"))
+  }
 }

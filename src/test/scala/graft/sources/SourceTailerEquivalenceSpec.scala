@@ -55,6 +55,19 @@ class SourceTailerEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
          Seq(1, new JBigDecimal("7.7500"), "A"))), ts = 2000)
       .writeDelete(23, cols, Seq(Seq(2, new JBigDecimal("2.5000"), "b")), ts = 2000)
       .writeXid(21, ts = 2000)
+      // non-XID transaction (non-transactional engine): QUERY(COMMIT) ends
+      // it — rows must flush with no xid, not inherit the next txn's
+      .writeQuery("foo", "BEGIN", ts = 2001)
+      .writeTableMap(23, "foo", "auto", cols, ts = 2001)
+      .writeInsert(23, cols, Seq(Seq(3, new JBigDecimal("3.0000"), "c")), ts = 2001)
+      .writeQuery("foo", "COMMIT", ts = 2001)
+      // SAVEPOINT inside a txn is NOT a boundary: both rows share xid 22
+      .writeQuery("foo", "BEGIN", ts = 2002)
+      .writeTableMap(23, "foo", "auto", cols, ts = 2002)
+      .writeInsert(23, cols, Seq(Seq(4, new JBigDecimal("4.0000"), "d")), ts = 2002)
+      .writeQuery("foo", "SAVEPOINT s1", ts = 2002)
+      .writeInsert(23, cols, Seq(Seq(5, new JBigDecimal("5.0000"), "e")), ts = 2002)
+      .writeXid(22, ts = 2002)
       .save(dir.resolve("binlog.000002").toString)
 
     // canonical shape: (file, pos, seq, delta, id, val-string, word, xid)
@@ -89,6 +102,11 @@ class SourceTailerEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally t.close()
 
     assert(viaTailer === viaSource)
+    // ground-truth xid attribution, not just cross-implementation equality:
+    // COMMIT-terminated txn has no xid; SAVEPOINT doesn't split xid 22
+    val byId = viaSource.map(s => s._5 -> s._8).toMap
+    assert(byId(3) === None)
+    assert(byId(4) === Some(22L) && byId(5) === Some(22L))
   }
 
   test("equivalence holds on a modern-shape log (ROWS_EVENT v2 + CRC32 + GTID)") {
