@@ -78,6 +78,28 @@ class MySqlJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MySqlJson.decodeToString(doc) === "[42]")
   }
 
+  test("large array past 64 KiB: u32 offsets beyond the u16 range decode") {
+    // 1000 strings x 100 chars => value entries point past 0xFFFF, which
+    // only the 4-byte large-format offsets can express. Assembled directly
+    // from json_binary.h's layout (count u32, size u32, [type u8, offset
+    // u32] entries, then varint-length string blobs) — no encoder.
+    val n = 1000
+    val strs = (0 until n).map(i => f"$i%04d" + "x" * 96)
+    val blobs = strs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val headerLen = 8 + 5 * n
+    val total = headerLen + blobs.map(_.length + 1).sum
+    assert(total > 0x10000, "fixture must actually exceed 64 KiB")
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = (0 until 4).foreach(k => bb.write((v >> (8 * k)) & 0xff))
+    bb.write(0x03) // document type: large array
+    u32(n); u32(total)
+    var off = headerLen
+    blobs.foreach { b => bb.write(0x0C); u32(off); off += 1 + b.length }
+    blobs.foreach { b => bb.write(b.length); bb.write(b) }
+    val expected = strs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    assert(MySqlJson.decodeToString(bb.toByteArray) === expected)
+  }
+
   test("opaque NEWDECIMAL decodes through MySqlDecimal") {
     val dec = MySqlDecimal.encode(new java.math.BigDecimal("12.5"), 4, 1)
     val doc = bytes(0x0F, 0xF6, dec.length + 2) ++ bytes(4, 1) ++ dec
