@@ -39,17 +39,21 @@ object Bench {
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 1)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed run must surface in the machine-readable output, not just
+      // stderr — a swallowed exception would otherwise publish its tiny
+      // elapsed time as a legitimately fast result
       def once(): Long = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        try { fn(spark, sfDir).count(); System.nanoTime() - t0 }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        System.nanoTime() - t0
       }
       once() // warm-up
-      name -> (1 to runs).map(_ => once()).min / 1e9
+      val times = (1 to runs).map(_ => once())
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min / 1e9)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Binlog decode throughput — the reference's headline metric
     // (`read-penultimate-binlog` criterium bench, mysql_bench.clj:166-181):
@@ -102,7 +106,8 @@ object Bench {
     val latencyMs = cdcLatencyProbe(spark)
     val tailerMs = tailerLatencyProbe()
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
       s""""binlog_decode_mb_per_sec_large":$mbPerSecLarge,"binlog_bytes_large":$bigBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +

@@ -14,6 +14,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must leave NO output: stale parquet from a prior
+        // run in the same outDir would make the DuckDB compare silently
+        // validate results the current code cannot produce
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

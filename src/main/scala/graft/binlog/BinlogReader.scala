@@ -27,6 +27,18 @@ object BinlogReader {
   val HeaderLen = 19
   val Magic: Array[Byte] = Array(0xfe, 'b', 'i', 'n').map(_.toByte)
 
+  /** Numeric binlog extension for file ORDERING: "binlog.999999" must sort
+    * before "binlog.1000000", which plain string ordering breaks at
+    * MySQL's 6→7 digit extension rollover. -1 when the extension is not
+    * numeric (such files order first, name as tiebreak).
+    */
+  def fileOrdinal(path: String): Long = {
+    val base = new java.io.File(path).getName
+    val i = base.lastIndexOf('.')
+    val ext = if (i >= 0) base.substring(i + 1) else ""
+    if (ext.nonEmpty && ext.length <= 18 && ext.forall(_.isDigit)) ext.toLong else -1L
+  }
+
   /** Magic-number check (`mysql_binlog.clj:47-53`). */
   def isBinlogFile(path: String): Boolean = {
     val in = new FileInputStream(path)

@@ -62,7 +62,8 @@ object BinlogTailer {
       val s = Files.list(dir)
       try s.toArray.toVector.map(_.asInstanceOf[Path])
         .filter(p => Files.isRegularFile(p) && BinlogReader.isBinlogFile(p.toString))
-        .sortBy(_.getFileName.toString)
+        // numeric-extension order (999999 → 1000000 rollover-safe)
+        .sortBy(p => (BinlogReader.fileOrdinal(p.toString), p.getFileName.toString))
       finally s.close()
     }
 

@@ -112,7 +112,10 @@ object BinlogSchemas {
   def resolveFiles(path: String): Vector[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory) {
-      f.listFiles().toVector.filter(_.isFile).map(_.getPath).sorted
+      // numeric-extension order, not string order: a directory holding the
+      // 999999→1000000 rollover must still scan in write order
+      f.listFiles().toVector.filter(_.isFile).map(_.getPath)
+        .sortBy(p => (BinlogReader.fileOrdinal(p), p))
         .filter(p => BinlogReader.isBinlogFile(p))
     } else if (BinlogReader.isBinlogFile(path)) Vector(path)
     else // treat as index file: entries resolve relative to its directory

@@ -24,8 +24,12 @@ class CdcCursor private[streaming] (query: StreamingQuery,
                                     queue: ArrayBlockingQueue[AnyRef])
   extends Iterator[Row] with AutoCloseable {
 
+  // nextRow is confined to the consumer thread (hasNext/next); `closed`
+  // is ALSO written by close() from other threads — the AutoCloseable
+  // escape hatch for a consumer blocked in the poll loop — so it must be
+  // volatile for the write to become visible to the poller promptly
   private var nextRow: Row = _
-  private var closed = false
+  @volatile private var closed = false
 
   /** Blocks until a row arrives (or the cursor/query is closed). A FAILED
     * query surfaces as an exception — never as a clean end-of-stream: a

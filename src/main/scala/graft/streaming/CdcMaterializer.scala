@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -43,41 +43,60 @@ object CdcMaterializer {
       .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, keyCol, tablePath, nBuckets) }
       .start()
 
+  /** Numeric binlog extension for latest-wins ordering. MySQL extends the
+    * suffix past 6 digits at binlog.999999 → binlog.1000000, where STRING
+    * ordering inverts ("1000000" < "999999" lexicographically) and a stale
+    * image would win the merge. Non-numeric extensions order first (-1)
+    * with the raw name as tiebreak.
+    */
+  private[streaming] def fileSeq(c: Column): Column = {
+    val ext = regexp_extract(c, "\\.([0-9]+)$", 1)
+    when(ext === "", lit(-1L)).otherwise(ext.cast("long"))
+  }
+
   /** One idempotent merge of a batch of change rows into the table. */
   private[streaming] def mergeBatch(batch: DataFrame, keyCol: String,
                                     tablePath: String, nBuckets: Int): Unit = {
     val s = batch.sparkSession
+    // persist: isEmpty, the touched-bucket collect, and the merge would
+    // otherwise each re-decode the batch's binlog span from the source —
+    // ~3x decode per trigger (materializeAll already persists for the same
+    // reason)
     val b = batch.filter(col("_delta_type") =!= "update-before")
       .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
-    if (!b.isEmpty) {
-      // touched bucket ids: bounded by nBuckets, safe to collect — and as
-      // literals they prune the existing-table read to those partitions
-      val touched = b.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
-      // existence via the table's own filesystem (HDFS/S3/local alike —
-      // java.io.File would answer "no" for every non-local URI and silently
-      // drop the previously materialized rows of touched buckets)
-      val hPath = new org.apache.hadoop.fs.Path(tablePath)
-      val exists = hPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hPath)
-      val existing =
-        if (exists) s.read.parquet(tablePath).where(col("_bucket").isin(touched: _*))
-        else null
-      val all = if (existing != null) existing.unionByName(b) else b
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-        .orderBy(col("log_file").desc, col("log_pos").desc, col("log_seq").desc)
-      val merged = all
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-      // materialize before writing: the write overwrites the very
-      // partitions the merge just read (touched buckets only, so the
-      // checkpointed footprint is the batch's working set, not the table)
-      val snap = merged.localCheckpoint(true)
-      // writer-scoped dynamic overwrite — never mutate the shared session
-      // conf (a sibling job's full-table overwrite must stay STATIC)
-      snap.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket").parquet(tablePath)
-      snap.unpersist()
-    }
+      .persist()
+    try {
+      if (!b.isEmpty) {
+        // touched bucket ids: bounded by nBuckets, safe to collect — and as
+        // literals they prune the existing-table read to those partitions
+        val touched = b.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+        // existence via the table's own filesystem (HDFS/S3/local alike —
+        // java.io.File would answer "no" for every non-local URI and silently
+        // drop the previously materialized rows of touched buckets)
+        val hPath = new org.apache.hadoop.fs.Path(tablePath)
+        val exists = hPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hPath)
+        val existing =
+          if (exists) s.read.parquet(tablePath).where(col("_bucket").isin(touched: _*))
+          else null
+        val all = if (existing != null) existing.unionByName(b) else b
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          .orderBy(fileSeq(col("log_file")).desc, col("log_file").desc,
+            col("log_pos").desc, col("log_seq").desc)
+        val merged = all
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        // materialize before writing: the write overwrites the very
+        // partitions the merge just read (touched buckets only, so the
+        // checkpointed footprint is the batch's working set, not the table)
+        val snap = merged.localCheckpoint(true)
+        // writer-scoped dynamic overwrite — never mutate the shared session
+        // conf (a sibling job's full-table overwrite must stay STATIC)
+        snap.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket").parquet(tablePath)
+        snap.unpersist()
+      }
+    } finally b.unpersist()
   }
 
   /** Current state of the materialized table (tombstones filtered). */

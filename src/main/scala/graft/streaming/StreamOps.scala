@@ -20,6 +20,12 @@ object StreamOps {
     * `graft.core.Tables.events`).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // session-wide by necessity: nanosAsLong has no per-read option (it
+    // changes schema INFERENCE, which runs under the session conf), same
+    // trade-off as graft.core.Tables.events. It is additive — nanos
+    // columns surface as longs instead of failing — and this engine's
+    // sessions read TIMESTAMP(NANOS) only through these two entry points,
+    // which both expect it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory; stage the table file into one.
@@ -85,28 +91,49 @@ object StreamOps {
   /** Arbitrary keyed state — the Spark-native form of the reference's
     * running-sum callback demo (`mysql_bench.clj:315-334`): per-user event
     * count + running value sum, emitted on every update.
+    *
+    * State is BOUNDED: a user idle for `idleTtl` is evicted
+    * (processing-time timeout) — without it, state grows with every
+    * user_id ever seen, which is unbounded on a churning id space. The
+    * cost is inherent to evicting a cumulative aggregate: an evicted user
+    * who returns restarts from zero (a production pipeline that needs
+    * exact forever-totals keeps them in a durable sink and treats this
+    * state as a cache).
     */
-  def runningTotals(events: DataFrame): Dataset[UserRunning] = {
+  private[streaming] def runningUpdate(idleTtl: String)(
+      userId: Long, rows: Iterator[UserEvent],
+      state: GroupState[UserRunning]): Iterator[UserRunning] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+      var n = prev.n_events
+      var s = prev.running_sum
+      rows.foreach { e => n += 1; s += e.value }
+      val next = UserRunning(userId, n, s)
+      state.update(next)
+      state.setTimeoutDuration(idleTtl)
+      Iterator(next)
+    }
+
+  def runningTotals(events: DataFrame,
+                    idleTtl: String = "7 days"): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select($"user_id", $"event_type", $"value").as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
-          var n = prev.n_events
-          var s = prev.running_sum
-          rows.foreach { e => n += 1; s += e.value }
-          val next = UserRunning(userId, n, s)
-          state.update(next)
-          Iterator(next)
-      }
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        runningUpdate(idleTtl))
   }
 
-  /** CDC change stream from binlog files → streaming latest-image upsert
-    * into an in-memory view via foreachBatch (the `event-fn` sink shape,
-    * `mysql_binlog.clj:804-811`, done the exactly-once way).
+  /** CDC change stream from binlog files → cumulative running aggregate
+    * over the update stream (per table: update count + sum of after-image
+    * `val`) — the Spark-native form of the reference's callback
+    * running-sum demo (`mysql_bench.clj:315-334`), which likewise folds
+    * EVERY arriving after-image (superseded images included) into the
+    * running figure. State is one aggregate row per table — bounded by
+    * table count, not row count, so no watermark is needed. For
+    * latest-image-per-KEY semantics use [[CdcMaterializer]] instead.
     */
   def cdcRunningSum(spark: SparkSession, binlogDir: String, payloadDdl: String): DataFrame = {
     import spark.implicits._
@@ -173,12 +200,16 @@ object StreamOps {
                 excludeSegment = Some(s"batch$batchId"))
             else batchUnique.select($"doc_id")
           val accepted = batchUnique.join(keep, "doc_id").localCheckpoint(true)
-          if (!accepted.isEmpty) {
-            accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
-            graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
-              segment = s"batch$batchId")
-          }
-          mfs.create(marker, true).close()
+          try {
+            if (!accepted.isEmpty) {
+              accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+              graft.operators.Dedup.buildDedupIndex(accepted, indexDir,
+                segment = s"batch$batchId")
+            }
+            mfs.create(marker, true).close()
+          } finally accepted.unpersist() // drop the checkpoint blocks NOW —
+          // a long-running ingest must not accumulate one orphaned RDD per
+          // trigger waiting for the driver's GC-driven ContextCleaner
         }
         ()
       }

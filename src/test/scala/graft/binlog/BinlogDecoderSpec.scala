@@ -248,6 +248,21 @@ class BinlogDecoderSpec extends AnyFunSuite {
     assert(files.last === "binlog.000003" && files.length === 3)
   }
 
+  test("file ordering survives the 999999 -> 1000000 extension rollover") {
+    import BinlogReader.fileOrdinal
+    assert(fileOrdinal("binlog.000001") === 1L)
+    assert(fileOrdinal("/a/b/binlog.999999") === 999999L)
+    assert(fileOrdinal("binlog.1000000") === 1000000L)
+    assert(fileOrdinal("binlog.index") === -1L)
+    // directory discovery orders numerically, not lexicographically
+    val dir = Files.createTempDirectory("rollover")
+    for (n <- Seq("binlog.999999", "binlog.1000000"))
+      Files.write(dir.resolve(n), BinlogReader.Magic)
+    val resolved = graft.sources.BinlogSchemas.resolveFiles(dir.toString)
+      .map(p => new java.io.File(p).getName)
+    assert(resolved === Vector("binlog.999999", "binlog.1000000"))
+  }
+
   test("TxnBoundary classifies QUERY statements (one shared definition)") {
     import TxnBoundary._
     assert(classify("BEGIN") === Begin)

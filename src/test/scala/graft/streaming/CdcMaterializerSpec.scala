@@ -103,6 +103,22 @@ class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state3.toSeq === state2.toSeq)
   }
 
+  test("merge latest-wins survives the 999999 -> 1000000 file rollover") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("mat-rollover").resolve("t").toString
+    // same key, one image per side of MySQL's 6->7 digit extension
+    // rollover; string ordering would rank binlog.999999 ABOVE
+    // binlog.1000000 and keep the stale image
+    val batch = Seq(
+      ("insert", "binlog.999999", 900L, 0, 1, "stale"),
+      ("update", "binlog.1000000", 500L, 0, 1, "fresh"))
+      .toDF("_delta_type", "log_file", "log_pos", "log_seq", "id", "word")
+    CdcMaterializer.mergeBatch(batch, "id", table, nBuckets)
+    val got = CdcMaterializer.readTable(spark, table)
+      .select("id", "word").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "fresh")))
+  }
+
   test("compact physically drops tombstones; clean buckets keep their files") {
     import spark.implicits._
     val table = Files.createTempDirectory("mat-compact").resolve("t").toString

@@ -76,6 +76,28 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() === 0L)
   }
 
+  test("running totals evict idle users on timeout (bounded state)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // timed-out group: state removed, nothing emitted
+    val timedOut = TestGroupState.create[StreamOps.UserRunning](
+      Optional.of(StreamOps.UserRunning(1L, 2L, 5.0)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val emitted = StreamOps.runningUpdate("1 hour")(1L, Iterator.empty, timedOut)
+    assert(emitted.isEmpty)
+    assert(!timedOut.exists)
+    // live group: totals accumulate AND the eviction clock is re-armed
+    val live = TestGroupState.create[StreamOps.UserRunning](
+      Optional.of(StreamOps.UserRunning(1L, 2L, 5.0)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out = StreamOps.runningUpdate("1 hour")(
+      1L, Iterator(StreamOps.UserEvent(1L, "purchase", 2.0)), live).toSeq
+    assert(out === Seq(StreamOps.UserRunning(1L, 3L, 7.0)))
+    assert(live.getTimeoutTimestampMs.isPresent)
+  }
+
   test("CDC stream aggregation over binlog source (running update sum)") {
     val tmp = java.nio.file.Files.createTempDirectory("cdc-stream")
     val cols = Seq(ColSpec.int, ColSpec.decimal(12, 4), ColSpec.varchar(10))
