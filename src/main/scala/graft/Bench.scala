@@ -49,11 +49,20 @@ object Bench {
       }
       once() // warm-up
       val times = (1 to runs).map(_ => once())
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min / 1e9)
+      val ok = !times.exists(_ < 0)
+      (name, if (ok) times.min / 1e9 else -1.0, if (ok) times.max / 1e9 else -1.0)
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query max/min ratio across the timed runs: host contention during
+    // a run is self-evident in the artifact (a 1.0-ish ratio says the min
+    // is representative; a 3x ratio says the host was noisy), so a slow
+    // outlier never needs a controlled re-run to adjudicate
+    val spreads = results.map { case (k, v, mx) =>
+      val r = if (v > 0) mx / v else -1.0
+      "\"" + k + "\":" + math.round(r * 100.0) / 100.0
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // Binlog decode throughput — the reference's headline metric
     // (`read-penultimate-binlog` criterium bench, mysql_bench.clj:166-181):
@@ -108,6 +117,7 @@ object Bench {
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
+      s""""bench_runs":$runs,"run_spread_max_over_min":$spreads,""" +
       s""""binlog_decode_mb_per_sec":$mbPerSec,"binlog_bytes":$fixBytes,""" +
       s""""binlog_decode_mb_per_sec_large":$mbPerSecLarge,"binlog_bytes_large":$bigBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +

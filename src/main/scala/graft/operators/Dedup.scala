@@ -57,7 +57,11 @@ object Dedup {
     */
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(target / 2, 1)) df.repartition(target) else df
+    // probe the physical RDD directly (no job runs); df.rdd would add a
+    // row-deserialization stage on top just to ask for the partition count
+    if (df.queryExecution.toRdd.getNumPartitions < math.max(target / 2, 1))
+      df.repartition(target)
+    else df
   }
 
   private val duckShingles: String =

@@ -202,14 +202,19 @@ object Multimodal {
   def mm05PhashNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
+    // phash travels twice: as the bit STRING (band extraction — the LSH
+    // key) and as the 32-bit INTEGER (verify — one xor + popcount per
+    // candidate instead of 32 substring compares; computed once per doc,
+    // never per pair)
     val ph = mediaTable(s, d).toDF()
       .select($"doc_id", $"media_type",
         call_function("graft_simhash",
           split(decode($"payload", "UTF-8"), " ")).as("phash"))
-    val bands = ph.select($"doc_id", $"media_type", $"phash",
+      .withColumn("phi", conv($"phash", 2, 10).cast("long"))
+    val bands = ph.select($"doc_id", $"media_type", $"phi",
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_id"), substring($"phash", k * 8 + 1, 8).as("band"))): _*)).as("b"))
-      .select($"doc_id", $"media_type", $"phash", $"b.band_id", $"b.band")
+      .select($"doc_id", $"media_type", $"phi", $"b.band_id", $"b.band")
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy($"media_type", $"band_id", $"band").orderBy($"doc_id")
     val reps = bands.withColumn("_r", row_number().over(wb))
@@ -218,10 +223,9 @@ object Multimodal {
         $"a.media_type" === $"b.media_type" && $"a.band_id" === $"b.band_id" &&
           $"a.band" === $"b.band" && $"a.doc_id" =!= $"b.doc_id")
       .select($"a.media_type".as("media_type"), $"a.doc_id".as("item"),
-        $"b.doc_id".as("peer"), $"a.phash".as("ph_a"), $"b.phash".as("ph_b"))
+        $"b.doc_id".as("peer"), $"a.phi".as("ph_a"), $"b.phi".as("ph_b"))
       .distinct()
-    val hamming = (1 to 32).map(i =>
-      when(substring($"ph_a", i, 1) =!= substring($"ph_b", i, 1), 1).otherwise(0)).reduce(_ + _)
+    val hamming = bit_count($"ph_a".bitwiseXOR($"ph_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"item").orderBy($"hamming", $"peer")
     cand.select($"media_type", $"item", $"peer", hamming.as("hamming"))
@@ -237,9 +241,8 @@ object Multimodal {
       s"SUM(CASE WHEN substring(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
     val sigConcat = (1 to 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    val ham = (1 to 32).map(i =>
-      s"(CASE WHEN substring(ph_a, $i, 1) <> substring(ph_b, $i, 1) THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    // same popcount-of-xor the Spark side computes (int phash)
+    val ham = "bit_count(xor(CAST(ph_a AS BIT), CAST(ph_b AS BIT)))"
     s"""WITH tok AS (
        |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents),
        |bitsum AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
@@ -307,7 +310,7 @@ object Multimodal {
   val mm06Sql: String =
     """WITH m AS (
       |  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-      |    CAST(LENGTH(text) AS BIGINT) AS n_bytes
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |  FROM documents),
       |caps AS (
       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_cap_tokens
