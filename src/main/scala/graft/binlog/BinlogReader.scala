@@ -338,7 +338,160 @@ object BinlogReader {
       }
       i += 1
     }
-    TableMapEvent(h, tableId, db, table, types, meta)
+    // After the metadata array comes the null-default bitmap, then (MySQL
+    // 8.0, binlog_row_metadata=MINIMAL|FULL) the optional-metadata TLV
+    // block. The reference's 2010 layout ends at the metadata array — for
+    // such events the remainder is empty and both steps are no-ops. NOTE:
+    // `h.eventLen` must already exclude any CRC32 trailer (eventIterator
+    // strips it) or the trailer bytes would parse as TLV garbage.
+    val end = (h.offset + h.eventLen).toInt
+    val nullBytes = (colCount + 7) / 8
+    val opt =
+      if (end - b.position() >= nullBytes) {
+        bytes(b, nullBytes) // null-default bitmap (unused for decode)
+        if (b.position() < end) Some(readOptionalMeta(b, end, types, meta))
+        else None
+      } else None
+    TableMapEvent(h, tableId, db, table, types, meta, opt)
+  }
+
+  // Optional-metadata field type codes (public MySQL 8.0 on-disk format,
+  // WL#4618 / rows_event.h Table_map_event::Optional_metadata_field_type).
+  private object OptMetaField {
+    val Signedness = 1
+    val DefaultCharset = 2
+    val ColumnCharset = 3
+    val ColumnName = 4
+    val SetStrValue = 5
+    val EnumStrValue = 6
+    val GeometryType = 7
+    val SimplePrimaryKey = 8
+    val PrimaryKeyWithPrefix = 9
+    val EnumAndSetDefaultCharset = 10
+    val EnumAndSetColumnCharset = 11
+    val ColumnVisibility = 12
+  }
+
+  /** Parse the TABLE_MAP optional-metadata TLV block (`[type, packed-int
+    * length, value]*` until event end). Indexing conventions of the wire
+    * format: SIGNEDNESS is an MSB-first bitmap over NUMERIC columns only;
+    * DEFAULT_CHARSET pairs and COLUMN_CHARSET entries index/enumerate
+    * CHARACTER columns only (ENUM/SET have their own charset fields, 10/11);
+    * COLUMN_NAME lists every column. Everything re-indexes to full column
+    * position here so consumers never repeat the filtered-column dance.
+    */
+  private def readOptionalMeta(b: ByteBuffer, end: Int, types: Array[Int],
+                               meta: Array[Int]): TableOptionalMeta = {
+    val n = types.length
+    val numericIdx = (0 until n).filter(i => ColType.isNumeric(ColType.realType(types(i), meta(i))))
+    val charIdx = (0 until n).filter(i => ColType.isCharacter(types(i), meta(i)))
+    val enumIdx = (0 until n).filter(i => ColType.realType(types(i), meta(i)) == ColType.Enum)
+    val setIdx = (0 until n).filter(i => ColType.realType(types(i), meta(i)) == ColType.Set)
+    var signedness: Array[Boolean] = null
+    val charsets = new Array[Int](n)
+    var names: Array[String] = null
+    var enumSet: Array[Array[String]] = null
+    val pk = Vector.newBuilder[Int]
+    def packedStr(): String = {
+      val len = packedInt(b).toInt
+      new String(bytes(b, len), StandardCharsets.UTF_8)
+    }
+    while (b.position() < end) {
+      val fieldType = ubyte(b)
+      val len = packedInt(b).toInt
+      val fieldEnd = b.position() + len
+      if (fieldEnd > end)
+        throw new IllegalStateException(
+          s"TABLE_MAP optional metadata field $fieldType overruns the event " +
+            s"(${fieldEnd - end} byte(s) past the end) — corrupt TLV block")
+      fieldType match {
+        case OptMetaField.Signedness =>
+          val bits = bytes(b, len)
+          signedness = new Array[Boolean](n)
+          numericIdx.zipWithIndex.foreach { case (col, k) =>
+            // MSB-first within bytes (server Bit_writer order)
+            if (k / 8 < bits.length && ((bits(k / 8) >> (7 - k % 8)) & 1) == 1)
+              signedness(col) = true
+          }
+        case OptMetaField.DefaultCharset =>
+          val default = packedInt(b).toInt
+          charIdx.foreach(col => if (charsets(col) == 0) charsets(col) = default)
+          while (b.position() < fieldEnd) {
+            val k = packedInt(b).toInt // index among character columns
+            val coll = packedInt(b).toInt
+            if (k < charIdx.length) charsets(charIdx(k)) = coll
+          }
+        case OptMetaField.ColumnCharset =>
+          var k = 0
+          while (b.position() < fieldEnd) {
+            val coll = packedInt(b).toInt
+            if (k < charIdx.length) charsets(charIdx(k)) = coll
+            k += 1
+          }
+        case OptMetaField.ColumnName =>
+          names = new Array[String](n)
+          var k = 0
+          while (b.position() < fieldEnd && k < n) { names(k) = packedStr(); k += 1 }
+        case OptMetaField.EnumStrValue | OptMetaField.SetStrValue =>
+          if (enumSet == null) enumSet = new Array[Array[String]](n)
+          val idx = if (fieldType == OptMetaField.EnumStrValue) enumIdx else setIdx
+          var k = 0
+          while (b.position() < fieldEnd && k < idx.length) {
+            val nVals = packedInt(b).toInt
+            enumSet(idx(k)) = Array.fill(nVals)(packedStr())
+            k += 1
+          }
+        case OptMetaField.SimplePrimaryKey =>
+          while (b.position() < fieldEnd) pk += packedInt(b).toInt
+        case OptMetaField.EnumAndSetDefaultCharset =>
+          val default = packedInt(b).toInt
+          val esIdx = (enumIdx ++ setIdx).sorted
+          esIdx.foreach(col => if (charsets(col) == 0) charsets(col) = default)
+          while (b.position() < fieldEnd) {
+            val k = packedInt(b).toInt
+            val coll = packedInt(b).toInt
+            if (k < esIdx.length) charsets(esIdx(k)) = coll
+          }
+        case OptMetaField.EnumAndSetColumnCharset =>
+          val esIdx = (enumIdx ++ setIdx).sorted
+          var k = 0
+          while (b.position() < fieldEnd) {
+            val coll = packedInt(b).toInt
+            if (k < esIdx.length) charsets(esIdx(k)) = coll
+            k += 1
+          }
+        case OptMetaField.GeometryType | OptMetaField.PrimaryKeyWithPrefix |
+             OptMetaField.ColumnVisibility =>
+          b.position(fieldEnd) // recognized, not consumed by this engine
+        case other =>
+          // an unknown field id is a format we don't understand — skipping
+          // it silently is safe (TLV framing delimits it), newer servers
+          // may append fields
+          b.position(fieldEnd)
+      }
+      // tolerate fields whose inner parse stopped early (defensive)
+      if (b.position() < fieldEnd) b.position(fieldEnd)
+    }
+    TableOptionalMeta(signedness, charsets, names, enumSet, pk.result().toArray)
+  }
+
+  /** MySQL collation id → JVM charset for string decode; null when unknown
+    * (callers fall back to the scan charset). Covers the families a
+    * 5.x/8.x server actually writes: latin1, ascii, binary (byte-
+    * preserving), utf8mb3, utf8mb4 (incl. the 8.0 0900 block), utf16/32.
+    */
+  def collationCharset(id: Int): Charset = id match {
+    case 5 | 8 | 15 | 31 | 47 | 48 | 49 | 94 => StandardCharsets.ISO_8859_1 // latin1_*
+    case 11 | 65 => StandardCharsets.US_ASCII
+    case 63 => StandardCharsets.ISO_8859_1 // binary: byte-preserving decode
+    case 33 | 76 | 83 => StandardCharsets.UTF_8 // utf8mb3 general/tolower/bin
+    case i if i >= 192 && i <= 223 => StandardCharsets.UTF_8 // utf8mb3_unicode_*
+    case 45 | 46 => StandardCharsets.UTF_8 // utf8mb4_general/bin
+    case i if i >= 224 && i <= 247 => StandardCharsets.UTF_8 // utf8mb4_unicode_*
+    case i if i >= 255 && i <= 323 => StandardCharsets.UTF_8 // utf8mb4_0900_* block
+    case 54 | 55 | 101 | 102 => StandardCharsets.UTF_16BE // utf16
+    case 35 | 90 => StandardCharsets.UTF_16BE // ucs2 (BMP subset of UTF-16BE)
+    case _ => null
   }
 
   /** Decode one field value (`read-type`, `mysql_binlog.clj:528-558`, plus
@@ -514,12 +667,40 @@ object BinlogReader {
     } else readType(b, typeId, meta, cs, unsigned)
   }
 
+  /** Effective per-column decode policy for one table: log metadata wins
+    * when present (the server that WROTE the log is authoritative on its
+    * own columns' signedness and charsets), then the caller's per-column
+    * options (`unsignedColumns` / `columnCharsets`), then the scan-wide
+    * charset default. Computed once per rows event, not per field.
+    */
+  def colPolicy(tm: TableMapEvent, cs: Charset, unsignedCols: Array[Boolean],
+                colCharsets: Array[Charset]): (Array[Charset], Array[Boolean]) = {
+    val n = tm.columnTypes.length
+    val css = new Array[Charset](n)
+    val uns = new Array[Boolean](n)
+    val om = tm.optionalMeta.orNull
+    var i = 0
+    while (i < n) {
+      val metaCs = if (om != null && om.charsets(i) != 0) collationCharset(om.charsets(i)) else null
+      css(i) =
+        if (metaCs != null) metaCs
+        else if (colCharsets != null && i < colCharsets.length && colCharsets(i) != null) colCharsets(i)
+        else cs
+      uns(i) =
+        if (om != null && om.signedness != null) om.signedness(i)
+        else unsignedCols != null && i < unsignedCols.length && unsignedCols(i)
+      i += 1
+    }
+    (css, uns)
+  }
+
   /** Decode one row image (`read-row`, `mysql_binlog.clj:582-609`): null
     * bitmap covers only the used columns; unused columns yield
-    * [[RowImage.Unused]].
+    * [[RowImage.Unused]]. `css`/`uns` are the per-column charset and
+    * signedness from [[colPolicy]].
     */
-  def readRow(b: ByteBuffer, tm: TableMapEvent, usedCols: Array[Byte], cs: Charset,
-              unsignedCols: Array[Boolean] = null): RowImage.Image = {
+  def readRow(b: ByteBuffer, tm: TableMapEvent, usedCols: Array[Byte],
+              css: Array[Charset], uns: Array[Boolean]): RowImage.Image = {
     val nulls = bitfield(b, countBits(usedCols))
     val out = new Array[Any](tm.columnTypes.length)
     var colIdx = 0
@@ -528,8 +709,8 @@ object BinlogReader {
       if (nthBit(usedCols, colIdx) != 0) {
         out(colIdx) =
           if (nthBit(nulls, nullIdx) == 0)
-            readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx), cs,
-              unsignedCols != null && colIdx < unsignedCols.length && unsignedCols(colIdx))
+            readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx), css(colIdx),
+              uns(colIdx))
           else null
         nullIdx += 1
       } else out(colIdx) = RowImage.Unused
@@ -545,7 +726,8 @@ object BinlogReader {
     * body; the extra data itself (NDB info etc.) is skipped.
     */
   def readWudRows(b: ByteBuffer, h: EventHeader, tableMaps: Map[Long, TableMapEvent],
-                  cs: Charset, unsignedCols: Array[Boolean] = null): RowsEvent = {
+                  cs: Charset, unsignedCols: Array[Boolean] = null,
+                  colCharsets: Array[Charset] = null): RowsEvent = {
     b.position(h.offset.toInt + HeaderLen)
     val end = h.offset + h.eventLen
     val tableId = nUint(bytes(b, 6))
@@ -560,11 +742,12 @@ object BinlogReader {
     val usedCols = bitfield(b, colCount)
     val usedUpdateCols =
       if (EventType.isUpdateRows(h.eventType)) bitfield(b, colCount) else null
+    val (css, uns) = colPolicy(tm, cs, unsignedCols, colCharsets)
     val rows = Vector.newBuilder[RowImage.Image]
     val after = Vector.newBuilder[RowImage.Image]
     while (b.position() < end) {
-      rows += readRow(b, tm, usedCols, cs, unsignedCols)
-      if (usedUpdateCols != null) after += readRow(b, tm, usedUpdateCols, cs, unsignedCols)
+      rows += readRow(b, tm, usedCols, css, uns)
+      if (usedUpdateCols != null) after += readRow(b, tm, usedUpdateCols, css, uns)
     }
     RowsEvent(h, tableId, tm.dbName, tm.tableName, rows.result(), after.result())
   }
@@ -595,7 +778,8 @@ object BinlogReader {
                     charset: Charset = StandardCharsets.ISO_8859_1,
                     unsignedCols: Array[Boolean] = null,
                     endOffset: Long = Long.MaxValue,
-                    decodeRowImages: Boolean = true): Iterator[BinlogEvent] =
+                    decodeRowImages: Boolean = true,
+                    colCharsets: Array[Charset] = null): Iterator[BinlogEvent] =
     new Iterator[BinlogEvent] {
       private var tableMaps = initialTableMaps
       private var off = startOffset
@@ -626,7 +810,7 @@ object BinlogReader {
                   tm
                 case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows |
                      EventType.WriteRowsV2 | EventType.UpdateRowsV2 | EventType.DeleteRowsV2 =>
-                  if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols)
+                  if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols, colCharsets)
                   else {
                     // table id leads the post-header in both v1 and v2
                     buf.position(h.offset.toInt + HeaderLen)

@@ -4,6 +4,26 @@ import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.{Charset, StandardCharsets}
 
+/** Optional TABLE_MAP metadata for fixture logs (`binlog_row_metadata`):
+  * what a MySQL 8.0 server emits alongside the 2010 layout. `unsigned` is
+  * the set of FULL column indexes flagged UNSIGNED; `charsetOverrides`
+  * maps full column index → collation id for DEFAULT_CHARSET pairs;
+  * `columnCharsets` is the per-character-column collation list for the
+  * COLUMN_CHARSET (3) representation (mutually exclusive with
+  * defaultCharset on a real server; the writer emits whichever is set).
+  * `enumValues`/`setValues` list literals per ENUM/SET column in column
+  * order.
+  */
+final case class TableMeta(
+    names: Seq[String] = Nil,
+    unsigned: Set[Int] = Set.empty,
+    defaultCharset: Int = 0,
+    charsetOverrides: Map[Int, Int] = Map.empty,
+    columnCharsets: Seq[Int] = Nil,
+    enumValues: Seq[Seq[String]] = Nil,
+    setValues: Seq[Seq[String]] = Nil,
+    primaryKey: Seq[Int] = Nil)
+
 /** v4 binlog fixture encoder (test/demo side of the engine).
   *
   * No live mysqld exists in this environment, so tests synthesize binlog
@@ -146,7 +166,8 @@ object BinlogWriter {
     }
 
     def writeTableMap(tableId: Long, db: String, table: String,
-                      cols: Seq[ColSpec], ts: Long = 0L): this.type = {
+                      cols: Seq[ColSpec], ts: Long = 0L,
+                      optMeta: TableMeta = null): this.type = {
       val b = new ByteArrayOutputStream()
       b.write(le(6)(tableId))
       b.write(le(2)(0)) // flags
@@ -171,8 +192,83 @@ object BinlogWriter {
       }
       writePackedInt(b, metaBytes.size())
       b.write(metaBytes.toByteArray)
+      // null-default bitmap — present in every real server's TABLE_MAP
+      // (readers that predate it, like the reference, simply stop early)
+      b.write(new Array[Byte]((cols.length + 7) / 8))
+      if (optMeta != null) writeOptionalMeta(b, cols, optMeta)
       event(EventType.TableMap, ts, b.toByteArray)
       this
+    }
+
+    /** `binlog_row_metadata` TLV block (MySQL 8.0 WL#4618 wire format). */
+    private def writeOptionalMeta(b: ByteArrayOutputStream, cols: Seq[ColSpec],
+                                  m: TableMeta): Unit = {
+      def tlv(fieldType: Int, body: Array[Byte]): Unit = {
+        b.write(Array(fieldType.toByte))
+        writePackedInt(b, body.length.toLong)
+        b.write(body)
+      }
+      def packedStr(o: ByteArrayOutputStream, s: String): Unit = {
+        val a = s.getBytes(StandardCharsets.UTF_8)
+        writePackedInt(o, a.length.toLong)
+        o.write(a)
+      }
+      val real = cols.map(c => ColType.realType(c.typeId, c.meta))
+      val numericIdx = real.zipWithIndex.collect { case (t, i) if ColType.isNumeric(t) => i }
+      if (numericIdx.nonEmpty) {
+        // real servers always write SIGNEDNESS when numeric columns exist
+        // (all-false is meaningful: it overrides any reader-side unsigned
+        // configuration); MSB-first bitmap over numeric columns only
+        val bits = new Array[Byte]((numericIdx.length + 7) / 8)
+        numericIdx.zipWithIndex.foreach { case (col, k) =>
+          if (m.unsigned.contains(col)) bits(k / 8) = (bits(k / 8) | (1 << (7 - k % 8))).toByte
+        }
+        tlv(1, bits)
+      }
+      if (m.defaultCharset > 0) {
+        val o = new ByteArrayOutputStream()
+        writePackedInt(o, m.defaultCharset.toLong)
+        // pairs re-index to character-column position, as the server writes
+        val charIdx = cols.zipWithIndex.collect {
+          case (c, i) if ColType.isCharacter(c.typeId, c.meta) => i }
+        m.charsetOverrides.toSeq.sortBy(_._1).foreach { case (col, coll) =>
+          val k = charIdx.indexOf(col)
+          require(k >= 0, s"charset override for non-character column $col")
+          writePackedInt(o, k.toLong)
+          writePackedInt(o, coll.toLong)
+        }
+        tlv(2, o.toByteArray)
+      }
+      if (m.columnCharsets.nonEmpty) {
+        val o = new ByteArrayOutputStream()
+        m.columnCharsets.foreach(coll => writePackedInt(o, coll.toLong))
+        tlv(3, o.toByteArray)
+      }
+      if (m.names.nonEmpty) {
+        require(m.names.length == cols.length,
+          s"TableMeta.names has ${m.names.length} entries for ${cols.length} columns")
+        val o = new ByteArrayOutputStream()
+        m.names.foreach(packedStr(o, _))
+        tlv(4, o.toByteArray)
+      }
+      def strValues(fieldType: Int, colType: Int, values: Seq[Seq[String]]): Unit =
+        if (values.nonEmpty) {
+          val o = new ByteArrayOutputStream()
+          require(values.length == real.count(_ == colType),
+            s"need one literal list per ${if (colType == ColType.Enum) "ENUM" else "SET"} column")
+          values.foreach { vs =>
+            writePackedInt(o, vs.length.toLong)
+            vs.foreach(packedStr(o, _))
+          }
+          tlv(fieldType, o.toByteArray)
+        }
+      strValues(5, ColType.Set, m.setValues)
+      strValues(6, ColType.Enum, m.enumValues)
+      if (m.primaryKey.nonEmpty) {
+        val o = new ByteArrayOutputStream()
+        m.primaryKey.foreach(i => writePackedInt(o, i.toLong))
+        tlv(8, o.toByteArray)
+      }
     }
 
     /** big-endian fixed-width write (5.6+ temporals only). */

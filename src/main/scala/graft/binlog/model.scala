@@ -168,7 +168,59 @@ object ColType {
     0xe -> 0, 0x11 -> 1, 0x12 -> 1, 0x13 -> 1,
     0xf -> 2, 0x10 -> 2, 0xf5 -> 1, 0xf6 -> 2, 0xfc -> 1, 0xfd -> 2,
     0xfe -> 2, 0xff -> 1)
+
+  /** The real column type behind the TABLE_MAP's declared byte: CHAR, ENUM
+    * and SET all travel as STRING(254) with the real type danced into the
+    * metadata high byte (`mysql_binlog.clj:560-580`); CHAR lengths above
+    * 255 additionally fold two length bits into it.
+    */
+  def realType(typeId: Int, meta: Int): Int =
+    if (typeId == String && meta >= 256) {
+      val byte0 = (meta >> 8) & 0xff
+      if ((byte0 & 0x30) != 0x30) byte0 | 0x30 else byte0
+    } else typeId
+
+  /** Numeric for the SIGNEDNESS optional-metadata bitmap (the set the
+    * server's `is_numeric_type` covers — one bit per such column).
+    */
+  def isNumeric(t: Int): Boolean = t match {
+    case Decimal | Tiny | Short | Long | Float | Double | LongLong | Int24 |
+         NewDecimal => true
+    case _ => false
+  }
+
+  /** Character-typed for the DEFAULT_CHARSET / COLUMN_CHARSET optional
+    * metadata (the server's `is_character_type`: VARCHAR, the STRING
+    * family, BLOB/TEXT) — ENUM/SET have their own charset TLVs.
+    */
+  def isCharacter(typeId: Int, meta: Int): Boolean = realType(typeId, meta) match {
+    case Varchar | VarString | String | Blob => true
+    case _ => false
+  }
 }
+
+/** MySQL 8.0 `binlog_row_metadata` TLV block decoded from a TABLE_MAP
+  * event — the in-log answer to the reference's hardest limitation
+  * ("column names are absent from the log", `mysql_binlog.clj:505-508`).
+  * `binlog_row_metadata=MINIMAL` carries signedness + charsets;
+  * `FULL` adds column names, ENUM/SET literals and primary-key info.
+  *
+  * All arrays are indexed by FULL column position (length = column count);
+  * absent information is null / 0 so a consumer can fall back to its own
+  * configuration per column.
+  */
+final case class TableOptionalMeta(
+    /** per-column UNSIGNED flag (numeric columns; false elsewhere), or
+      * null when the SIGNEDNESS field is absent */
+    signedness: Array[Boolean],
+    /** per-column collation id (character columns; 0 elsewhere/absent) */
+    charsets: Array[Int],
+    /** per-column name, or null when COLUMN_NAME is absent (MINIMAL) */
+    names: Array[String],
+    /** per-column ENUM/SET literal dictionaries (null for other columns) */
+    enumSetValues: Array[Array[String]],
+    /** full-column indexes of the primary key (empty when absent) */
+    primaryKey: Array[Int])
 
 /** 19-byte v4 event header (`mysql_binlog.clj:290-328`). */
 final case class EventHeader(
@@ -212,7 +264,8 @@ final case class XidEvent(header: EventHeader, xid: Long) extends BinlogEvent
 
 final case class TableMapEvent(
     header: EventHeader, tableId: Long, dbName: String, tableName: String,
-    columnTypes: Array[Int], columnMeta: Array[Int]) extends BinlogEvent
+    columnTypes: Array[Int], columnMeta: Array[Int],
+    optionalMeta: Option[TableOptionalMeta] = None) extends BinlogEvent
 
 /** WRITE/DELETE rows carry one image per row; UPDATE carries before/after
   * pairs (`mysql_binlog.clj:666-677`).

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.binlog.BinlogWriter._
+import graft.binlog.TableMeta
 
 /** Binlog CDC queries over deterministic generated fixtures — the engine's
   * reference-parity surface wired into the driver contract.
@@ -54,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r5a-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6a-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -66,7 +67,8 @@ object CdcBinlog {
                            expC: java.io.Writer, expE: java.io.Writer,
                            rowsV2: Boolean = false, gtid: Boolean = false,
                            expG: java.io.Writer = null,
-                           rowsQuery: Boolean = false): Unit = {
+                           rowsQuery: Boolean = false,
+                           fullMeta: Boolean = false): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
@@ -108,10 +110,16 @@ object CdcBinlog {
           w.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
           event("ROWS_QUERY_LOG_EVENT")
         }
+        // binlog_row_metadata=FULL twin: every TABLE_MAP carries column
+        // names, signedness and charsets in-log (MySQL 8.0 TLV block)
+        val tmMeta =
+          if (fullMeta) TableMeta(names = Seq("id", "val", "word"),
+            unsigned = Set.empty, defaultCharset = 8 /* latin1_swedish_ci */)
+          else null
         w.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         stmt("INSERT INTO")
-        w.writeTableMap(42, "bench", "big", cols, ts = ts)
+        w.writeTableMap(42, "bench", "big", cols, ts = ts, optMeta = tmMeta)
         event("TABLE_MAP_EVENT")
         val insPos = w.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
@@ -170,8 +178,10 @@ object CdcBinlog {
     generateCached(fixturePathFor(sfDir)) { staging =>
       val crcDir = staging.resolve("crc")
       val v2Dir = staging.resolve("v2")
+      val fullDir = staging.resolve("full")
       Files.createDirectories(crcDir)
       Files.createDirectories(v2Dir)
+      Files.createDirectories(fullDir)
       val expC = Files.newBufferedWriter(staging.resolve("expected_changes.csv"))
       val expE = Files.newBufferedWriter(staging.resolve("expected_events.csv"))
       expC.write("log_file,log_pos,log_seq,xid,_delta_type,id,val,word\n")
@@ -186,6 +196,11 @@ object CdcBinlog {
       writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true,
         gtid = true, expG = expG, rowsQuery = true)
       expE2.close(); expG.close()
+      // binlog_row_metadata=FULL twin: the modern-server shape (v2 rows +
+      // CRC32 + GTID) whose TABLE_MAPs are self-describing — cdcb10 reads
+      // it WITHOUT payloadDdl
+      writeFixture(fullDir, total, checksum = true, null, null, rowsV2 = true,
+        gtid = true, fullMeta = true)
     }
   }
 
@@ -195,7 +210,7 @@ object CdcBinlog {
     * measurement instead of the sf (2M rows ≈ 50 MB across 4 files).
     */
   def benchFixtureDir(rows: Int): String = synchronized {
-    generateCached(Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r4big-$rows")) {
+    generateCached(Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6big-$rows")) {
       staging => writeFixture(staging, rows, checksum = false, null, null)
     }
   }
@@ -406,7 +421,30 @@ object CdcBinlog {
       .orderBy($"_delta_type")
   }
 
+  // cdcb10 — self-describing scan (binlog_row_metadata=FULL): NO payloadDdl
+  // — the payload schema (names `id`, `val`, `word` and their types) comes
+  // from the log's own TABLE_MAP optional metadata. The $"id"/$"val"/$"word"
+  // references below fail analysis outright if auto-naming breaks; content
+  // totals oracle against the generator ground truth (position-independent,
+  // like the other twins).
+  def cdcb10RowMetadataScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    s.read.format("mysql-binlog")
+      .option("useMetadataNames", "true")
+      .option("database", "bench")
+      .option("table", "big")
+      .load(Paths.get(fixtureDir(d), "full").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"id".cast("long")).as("sum_id"),
+        round(sum($"val".cast(DecimalType(38, 10))), 2).cast("double").as("sum_val"),
+        countDistinct($"word").as("n_words"))
+      .orderBy($"_delta_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb10_row_metadata_scan" -> cdcb10RowMetadataScan _,
     "cdcb9_rows_query_attach" -> cdcb9RowsQueryAttach _,
     "cdcb8_gtid_executed" -> cdcb8GtidExecuted _,
     "cdcb1_binlog_insert_scan" -> cdcb1InsertScan _,
@@ -422,6 +460,13 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb10_row_metadata_scan" ->
+      s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
+         |  COUNT(DISTINCT word) AS n_words
+         |FROM ${expectedChangesRel(sfDir)}
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
     "cdcb9_rows_query_attach" ->
       s"""WITH c AS (
          |  SELECT _delta_type,

@@ -101,9 +101,76 @@ object BinlogSchemas {
           else envelope
         norm(options).get("payloadddl") match {
           case Some(ddl) => StructType(env.fields ++ StructType.fromDDL(ddl).fields)
+          case None if norm(options).get("usemetadatanames").exists(_.toBoolean) =>
+            StructType(env.fields ++ metadataPayloadSchema(norm(options)).fields)
           case None => env.add(StructField("row", ArrayType(StringType)))
         }
     }
+
+  /** `useMetadataNames=true`: derive the typed payload schema from the
+    * log's own TABLE_MAP optional metadata (`binlog_row_metadata=FULL`,
+    * MySQL 8.0) — no `payloadDdl` required; the log is self-describing.
+    * Head-walks the files (row images skipped) to the first TABLE_MAP
+    * matching the `database`/`table` options. Loud errors when the log
+    * carries no metadata or no names: silently falling back to positional
+    * mode would flip the schema underneath the user's query.
+    */
+  def metadataPayloadSchema(o: Map[String, String]): StructType = {
+    val files = resolveFiles(o("path"))
+    val dbF = o.get("database")
+    val tableF = o.get("table")
+    val tm = files.iterator
+      .map { f =>
+        BinlogReader.eventIterator(BinlogReader.mapFile(f), 4L, decodeRowImages = false)
+          .collectFirst { case t: TableMapEvent
+            if dbF.forall(_ == t.dbName) && tableF.forall(_ == t.tableName) => t }
+      }
+      .collectFirst { case Some(t) => t }
+      .getOrElse(throw new IllegalArgumentException(
+        s"useMetadataNames: no TABLE_MAP for ${dbF.getOrElse("*")}.${tableF.getOrElse("*")} " +
+          s"in ${files.size} binlog file(s)"))
+    val om = tm.optionalMeta.getOrElse(throw new IllegalArgumentException(
+      s"useMetadataNames: TABLE_MAP for ${tm.dbName}.${tm.tableName} carries no optional " +
+        "metadata — the server wrote this log without binlog_row_metadata; supply payloadDdl"))
+    if (om.names == null) throw new IllegalArgumentException(
+      s"useMetadataNames: TABLE_MAP for ${tm.dbName}.${tm.tableName} has optional metadata " +
+        "but no column names — binlog_row_metadata=MINIMAL; FULL is required (or supply payloadDdl)")
+    StructType(tm.columnTypes.indices.map(i =>
+      StructField(om.names(i), sparkTypeFor(tm, i))))
+  }
+
+  /** Spark type for one TABLE_MAP column, used by the self-describing
+    * schema path. Conservative: types whose decode is byte-preserving stay
+    * binary; ENUM/SET surface as labels only when the log carries the
+    * literal dictionaries.
+    */
+  private def sparkTypeFor(tm: TableMapEvent, i: Int): DataType = {
+    val m = tm.columnMeta(i)
+    val om = tm.optionalMeta.orNull
+    val unsigned = om != null && om.signedness != null && om.signedness(i)
+    val literals = om != null && om.enumSetValues != null && om.enumSetValues(i) != null
+    ColType.realType(tm.columnTypes(i), m) match {
+      case ColType.Tiny | ColType.Short | ColType.Int24 | ColType.Year => IntegerType
+      case ColType.Long => if (unsigned) LongType else IntegerType
+      case ColType.LongLong => if (unsigned) DecimalType(20, 0) else LongType
+      case ColType.Float => FloatType
+      case ColType.Double => DoubleType
+      case ColType.NewDecimal => DecimalType(m & 0xff, m >> 8)
+      case ColType.Timestamp | ColType.Timestamp2 | ColType.Datetime |
+           ColType.Datetime2 => TimestampType
+      case ColType.Date | ColType.NewDate => DateType
+      case ColType.Time | ColType.Time2 => StringType // beyond-24h TIME has no Spark time type
+      case ColType.Varchar | ColType.VarString | ColType.String => StringType
+      case ColType.Enum => if (literals) StringType else IntegerType
+      case ColType.Set => if (literals) ArrayType(StringType) else BinaryType
+      case ColType.Json => StringType // decoded to JSON text (type-driven)
+      case ColType.Blob | ColType.Geometry => BinaryType
+      case ColType.Bit => LongType
+      case other => throw new IllegalArgumentException(
+        s"useMetadataNames: no Spark type mapping for column type $other " +
+          s"(column ${Option(om).flatMap(o => Option(o.names)).map(_(i)).getOrElse(i.toString)})")
+    }
+  }
 
   /** Resolve `path` into the ordered list of binlog files: a single file, a
     * directory of magic-checked files, or an index file
@@ -307,12 +374,51 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       val set = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
       payloadFields.map(f => set.contains(f.name))
     }.getOrElse(payloadFields.map(_ => false))
+  /** Option `columnCharsets` = `col:charset;col2:charset` (payload column
+    * names): per-column string decode for tables mixing e.g. latin1 and
+    * utf8mb4 columns. TABLE_MAP optional metadata, when the log carries it,
+    * overrides this (see [[graft.binlog.BinlogReader.colPolicy]]).
+    */
+  private val colCharsets: Array[Charset] =
+    options.get("columncharsets").map { spec =>
+      val byName = spec.split(";").iterator.filter(_.nonEmpty).map { e =>
+        val Array(nm, cs) = e.split(":", 2)
+        nm.trim -> Charset.forName(cs.trim)
+      }.toMap
+      payloadFields.map(f => byName.get(f.name).orNull)
+    }.orNull
   private val events =
     BinlogReader.eventIterator(buf, decodeFrom, part.initialTableMaps, charset, unsignedCols,
       endOffset = part.endPos,
       // events mode never reads row images — skip their decode (projection
       // pushdown at the event level)
-      decodeRowImages = !eventsMode)
+      decodeRowImages = !eventsMode,
+      colCharsets = colCharsets)
+
+  /** Per-table decode policy derived from TABLE_MAP optional metadata
+    * (ENUM/SET literal dictionaries; JSON-typed columns declared STRING
+    * decode to text). Metadata wins over the scan-level options — the
+    * server that wrote the log is authoritative. Seeded from the streaming
+    * table-map snapshot, refreshed as TABLE_MAP events stream past.
+    */
+  private var dictsByTable = Map.empty[Long, Array[Array[String]]]
+  private var jsonByTable = Map.empty[Long, Array[Boolean]]
+  private def observeTableMap(tm: graft.binlog.TableMapEvent): Unit = {
+    val es = tm.optionalMeta.map(_.enumSetValues).orNull
+    if (es != null)
+      dictsByTable = dictsByTable.updated(tm.tableId,
+        tm.columnTypes.indices.map { i =>
+          if (es(i) != null) es(i)
+          else if (i < enumDicts.length) enumDicts(i) else null
+        }.toArray)
+    val jsons = tm.columnTypes.indices.map { i =>
+      (i < jsonCols.length && jsonCols(i)) ||
+        (tm.columnTypes(i) == ColType.Json && i < payloadFields.length &&
+          payloadFields(i).dataType == StringType)
+    }.toArray
+    if (jsons.exists(identity)) jsonByTable = jsonByTable.updated(tm.tableId, jsons)
+  }
+  part.initialTableMaps.values.foreach(observeTableMap)
 
   /** `fail` (default) stops the scan on ALTER/DROP/RENAME TABLE against a
     * decoded table — `payloadDdl` no longer describes the rows that follow,
@@ -369,6 +475,11 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     case l: Long => dt match {
       case IntegerType => l.toInt
       case TimestampType => l * 1000000L
+      // unsigned BIGINT declared DECIMAL(20,0): in-range values decode as
+      // Long and must still land as Decimal
+      case t: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(l), t.precision, t.scale)
       case _ => l
     }
     case ld: java.time.LocalDate => ld.toEpochDay.toInt // DateType days
@@ -395,9 +506,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     case other => UTF8String.fromString(other.toString)
   }
 
-  /** envelope + payload for one image */
+  /** envelope + payload for one image; `dicts`/`jsons` are the effective
+    * per-column ENUM/SET dictionaries and JSON-decode flags for this row's
+    * table (option-level defaults overridden by TABLE_MAP metadata)
+    */
   private def changeRow(h: EventHeader, db: String, table: String, seq: Int,
-                        deltaType: String, img: RowImage.Image): Array[Any] = {
+                        deltaType: String, img: RowImage.Image,
+                        dicts: Array[Array[String]], jsons: Array[Boolean]): Array[Any] = {
     val n = envWidth + (if (dynamicPayload) 1 else payloadFields.length)
     val a = new Array[Any](n)
     a(0) = UTF8String.fromString(db)
@@ -425,7 +540,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
             "without payloadDdl (positional row mode) to see the raw images.")
       var i = 0
       while (i < payloadFields.length) {
-        a(envWidth + i) = toCatalyst(img(i), payloadFields(i).dataType, enumDicts(i), jsonCols(i))
+        a(envWidth + i) = toCatalyst(img(i), payloadFields(i).dataType, dicts(i), jsons(i))
         i += 1
       }
     }
@@ -455,18 +570,21 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     */
   private def expand(re: RowsEvent): Iterator[Array[Any]] = {
     val h = re.header
+    val dicts = dictsByTable.getOrElse(re.tableId, enumDicts)
+    val jsons = jsonByTable.getOrElse(re.tableId, jsonCols)
     re.header.eventType match {
       case t if EventType.isWriteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
-          changeRow(h, re.dbName, re.tableName, i, "insert", img) }
+          changeRow(h, re.dbName, re.tableName, i, "insert", img, dicts, jsons) }
       case t if EventType.isDeleteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
-          changeRow(h, re.dbName, re.tableName, i, "delete", img) }
+          changeRow(h, re.dbName, re.tableName, i, "delete", img, dicts, jsons) }
       case t if EventType.isUpdateRows(t) =>
         re.rows.iterator.zip(re.afterRows.iterator).zipWithIndex.flatMap {
           case ((before, after), i) =>
-            Iterator(changeRow(h, re.dbName, re.tableName, 2 * i, "update-before", before),
-              changeRow(h, re.dbName, re.tableName, 2 * i + 1, "update", after))
+            Iterator(changeRow(h, re.dbName, re.tableName, 2 * i, "update-before", before,
+              dicts, jsons),
+              changeRow(h, re.dbName, re.tableName, 2 * i + 1, "update", after, dicts, jsons))
         }
     }
   }
@@ -540,6 +658,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
             txnOverflowed = true
             out = emitTxn(null) ++ fresh.iterator.map(new GenericInternalRow(_))
           }
+        case tm: TableMapEvent =>
+          observeTableMap(tm) // refresh metadata-driven per-table policy
         case rq: RowsQueryEvent if attachRowsQuery =>
           rowsQueryText = UTF8String.fromString(rq.query)
         case x: XidEvent =>

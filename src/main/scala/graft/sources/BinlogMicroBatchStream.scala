@@ -153,7 +153,11 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
                 case _ => txnOpen = false // COMMIT/ROLLBACK/DDL close it
               }
             case EventType.TableMap =>
-              val tm = BinlogReader.readTableMap(buf, h, charset)
+              // trailer-stripped, like QUERY above: readTableMap now parses
+              // the optional-metadata TLV block to the event END, so a CRC32
+              // trailer left in eventLen would decode as TLV garbage
+              val tm = BinlogReader.readTableMap(buf,
+                if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h, charset)
               tms = tms.updated(tm.tableId, tm)
               txnOpen = true
             case t if EventType.isRows(t) || t == EventType.RowsQuery =>
