@@ -752,6 +752,80 @@ object BinlogReader {
     RowsEvent(h, tableId, tm.dbName, tm.tableName, rows.result(), after.result())
   }
 
+  /** TRANSACTION_PAYLOAD (type 40, `binlog_transaction_compression=ON`,
+    * MySQL >= 8.0.20): the transaction's entire event stream wrapped in one
+    * envelope. Body is a TLV sequence — 1 END_MARK(0) terminated — of
+    * [field-type, packed length, value]: SIZE(1) = payload byte count,
+    * COMPRESSION_TYPE(2) = 0 (zstd) | 255 (none), UNCOMPRESSED_SIZE(3);
+    * the (possibly compressed) inner event bytes follow the END_MARK.
+    * Returns the UNCOMPRESSED inner event stream (19-byte headers, no
+    * magic, no per-event checksums — the server writes inner events
+    * un-checksummed regardless of binlog_checksum).
+    */
+  def readTransactionPayload(b: ByteBuffer, h: EventHeader): ByteBuffer = {
+    b.position(h.offset.toInt + HeaderLen)
+    val end = (h.offset + h.eventLen).toInt
+    var compression = 255 // uncompressed unless declared
+    var uncompressedSize = -1L
+    var payloadSize = -1L
+    var done = false
+    while (!done) {
+      val t = packedInt(b).toInt
+      if (t == 0) done = true // OTW_PAYLOAD_HEADER_END_MARK
+      else {
+        val len = packedInt(b).toInt
+        val fieldEnd = b.position() + len
+        t match {
+          case 1 => payloadSize = packedInt(b)
+          case 2 => compression = packedInt(b).toInt
+          case 3 => uncompressedSize = packedInt(b)
+          case _ => // unknown TLV field: skip by framing
+        }
+        b.position(fieldEnd)
+      }
+    }
+    val n = if (payloadSize >= 0) payloadSize.toInt else end - b.position()
+    val payload = bytes(b, n)
+    val inner = compression match {
+      case 255 => payload
+      case 0 =>
+        require(uncompressedSize >= 0,
+          s"TRANSACTION_PAYLOAD at offset ${h.offset}: zstd payload without UNCOMPRESSED_SIZE")
+        com.github.luben.zstd.Zstd.decompress(payload, uncompressedSize.toInt)
+      case other => throw new IllegalStateException(
+        s"TRANSACTION_PAYLOAD at offset ${h.offset}: unknown compression type $other " +
+          "(0 = zstd, 255 = none)")
+    }
+    ByteBuffer.wrap(inner).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  /** Copy `e` with its header's (offset, eventLen, nextPos) rebound to the
+    * OUTER envelope event — inner events of a TRANSACTION_PAYLOAD must
+    * carry resumable log positions (the payload's own; a transaction is
+    * atomic, so resuming replays it whole). eventLen is rebound TOO so the
+    * `offset + event_len == next_pos` on-disk invariant keeps holding —
+    * consumers advance their cursor by either expression, and an inner
+    * length would park the cursor MID-envelope (where the next header read
+    * sees compressed garbage: a stall at best, misdecode at worst). Event
+    * type, timestamp and server id stay the inner event's own.
+    */
+  private def rebind(e: BinlogEvent, outer: EventHeader): BinlogEvent = {
+    val h2 = e.header.copy(offset = outer.offset, eventLen = outer.eventLen,
+      nextPos = outer.nextPos)
+    e match {
+      case x: FormatDescriptionEvent => x.copy(header = h2)
+      case x: QueryEvent => x.copy(header = h2)
+      case x: RotateEvent => x.copy(header = h2)
+      case x: XidEvent => x.copy(header = h2)
+      case x: TableMapEvent => x.copy(header = h2)
+      case x: RowsEvent => x.copy(header = h2)
+      case x: GtidEvent => x.copy(header = h2)
+      case x: PreviousGtidsEvent => x.copy(header = h2)
+      case x: RowsQueryEvent => x.copy(header = h2)
+      case x: OpaqueEvent => x.copy(header = h2)
+    }
+  }
+
   /** Result of one scan pass (`read-binlog`, `mysql_binlog.clj:707-752`). */
   final case class ScanResult(
       events: Vector[BinlogEvent],
@@ -773,23 +847,38 @@ object BinlogReader {
     * skip per-row image decode entirely — an event-level consumer never
     * reads the images, so decoding them is pure waste.
     */
+  /** `forceChecksumLen` >= 0 skips the FDE peek — the TRANSACTION_PAYLOAD
+    * inner stream has no magic/FDE at offset 4 and its events are never
+    * checksummed, so the nested decode passes 0 explicitly.
+    */
   def eventIterator(buf: ByteBuffer, startOffset: Long,
                     initialTableMaps: Map[Long, TableMapEvent] = Map.empty,
                     charset: Charset = StandardCharsets.ISO_8859_1,
                     unsignedCols: Array[Boolean] = null,
                     endOffset: Long = Long.MaxValue,
                     decodeRowImages: Boolean = true,
-                    colCharsets: Array[Charset] = null): Iterator[BinlogEvent] =
+                    colCharsets: Array[Charset] = null,
+                    forceChecksumLen: Int = -1): Iterator[BinlogEvent] =
     new Iterator[BinlogEvent] {
       private var tableMaps = initialTableMaps
       private var off = startOffset
       private var done = false
       private var nextEvent: BinlogEvent = _
-      private val csLen = checksumLen(buf)
+      private val csLen = if (forceChecksumLen >= 0) forceChecksumLen else checksumLen(buf)
+      // inner event stream of the TRANSACTION_PAYLOAD currently being
+      // drained; its TABLE_MAPs also update THIS scan's registry
+      private var inner: Iterator[BinlogEvent] = Iterator.empty
 
       private def fetch(): Unit = {
-        if (nextEvent == null && !done) {
-          readEventHeader(buf, off) match {
+        while (nextEvent == null && !done) {
+          if (inner.hasNext) {
+            val e = inner.next()
+            e match {
+              case tm: TableMapEvent => tableMaps = tableMaps.updated(tm.tableId, tm)
+              case _ =>
+            }
+            nextEvent = e
+          } else readEventHeader(buf, off) match {
             case None => done = true
             // events at/past endOffset are never DECODED (not merely
             // dropped) — a budget-bounded micro-batch costs O(batch delta)
@@ -822,6 +911,20 @@ object BinlogReader {
                 case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
                 case EventType.RowsQuery => readRowsQuery(buf, h, charset)
+                case EventType.TransactionPayload =>
+                  // decompress and re-enter the event loop over the inner
+                  // stream; inner events surface with their log position
+                  // rebound to the envelope's (offset, next_pos) — the
+                  // transaction is atomic, so that is the resume contract.
+                  // The envelope itself is not emitted: the inner events
+                  // ARE its content (so a compressed log's event stats
+                  // match its uncompressed twin's).
+                  inner = eventIterator(readTransactionPayload(buf, h), 0L,
+                    tableMaps, charset, unsignedCols,
+                    decodeRowImages = decodeRowImages, colCharsets = colCharsets,
+                    forceChecksumLen = 0)
+                    .map(rebind(_, h0))
+                  null
                 case other =>
                   // a rows-carrying format with no decode path must fail
                   // loudly — opaque-skipping it would turn the scan into
@@ -829,14 +932,16 @@ object BinlogReader {
                   if (EventType.isUnsupportedRows(other))
                     throw new IllegalStateException(
                       s"unsupported rows event ${EventType.name(other)} (type id $other) at " +
-                        s"offset ${h.offset} — this decoder handles ROWS_EVENT v1 (23-25) and " +
-                        "v2 (30-32) only; re-record without PARTIAL_JSON row values / " +
-                        "transaction compression, or pre-GA logs are not supported")
+                        s"offset ${h.offset} — this decoder handles ROWS_EVENT v1 (23-25), " +
+                        "v2 (30-32) and TRANSACTION_PAYLOAD (40) only; re-record without " +
+                        "PARTIAL_JSON row values, or pre-GA logs are not supported")
                   else OpaqueEvent(h)
               }
               off = h0.offset + h0.eventLen
-              if (e.isInstanceOf[RotateEvent]) done = true
-              nextEvent = e
+              if (e != null) {
+                if (e.isInstanceOf[RotateEvent]) done = true
+                nextEvent = e
+              }
           }
         }
       }

@@ -126,9 +126,11 @@ object BinlogTailer {
         }
         // v4 next_position = end of this event on disk (trailer included),
         // so it is the correct resume point even on checksummed logs where
-        // the decoded header's event_len excludes the CRC trailer
-        pos = if (e.header.nextPos > pos) e.header.nextPos
-              else e.header.offset + e.header.eventLen
+        // the decoded header's event_len excludes the CRC trailer. max():
+        // the cursor must never move backward — a TRANSACTION_PAYLOAD's
+        // inner events all carry the envelope's position
+        pos = math.max(pos, if (e.header.nextPos > pos) e.header.nextPos
+                            else e.header.offset + e.header.eventLen)
       }
       rotateTo match {
         case Some(next) if Files.exists(dir.resolve(next)) =>

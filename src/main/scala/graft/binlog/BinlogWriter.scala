@@ -88,11 +88,17 @@ object BinlogWriter {
     * field. Combined with `checksum` this is the byte format a stock
     * MySQL 5.7/8.x produces.
     */
+  /** `nested = true` produces a TRANSACTION_PAYLOAD inner stream: no magic,
+    * positions from 0, and never checksummed (the server writes inner
+    * events un-checksummed regardless of binlog_checksum).
+    */
   final class Writer(serverId: Long = 1L, charset: Charset = StandardCharsets.ISO_8859_1,
-                     checksum: Boolean = false, rowsV2: Boolean = false) {
+                     checksum: Boolean = false, rowsV2: Boolean = false,
+                     nested: Boolean = false) {
+    require(!(nested && checksum), "inner payload events are never checksummed")
     private val out = new ByteArrayOutputStream()
-    out.write(BinlogReader.Magic)
-    private var pos: Long = 4L
+    if (!nested) out.write(BinlogReader.Magic)
+    private var pos: Long = if (nested) 0L else 4L
 
     def position: Long = pos
 
@@ -529,6 +535,32 @@ object BinlogWriter {
     def writeXid(xid: Long, ts: Long = 0L): this.type = {
       val b = le(8)(xid)
       event(EventType.Xid, ts, b)
+      this
+    }
+
+    /** TRANSACTION_PAYLOAD (type 40): TLV header (compression type,
+      * uncompressed size when compressed, payload size) + END_MARK + the
+      * inner event bytes (from a `nested = true` Writer), zstd-compressed
+      * when `compress`.
+      */
+    def writeTransactionPayload(innerBytes: Array[Byte], compress: Boolean,
+                                ts: Long = 0L): this.type = {
+      val payload =
+        if (compress) com.github.luben.zstd.Zstd.compress(innerBytes) else innerBytes
+      val b = new ByteArrayOutputStream()
+      def field(t: Int, v: Long): Unit = {
+        val enc = new ByteArrayOutputStream()
+        writePackedInt(enc, v)
+        b.write(Array(t.toByte))
+        writePackedInt(b, enc.size().toLong)
+        b.write(enc.toByteArray)
+      }
+      field(2, if (compress) 0L else 255L) // COMPRESSION_TYPE
+      if (compress) field(3, innerBytes.length.toLong) // UNCOMPRESSED_SIZE
+      field(1, payload.length.toLong) // PAYLOAD_SIZE
+      b.write(Array(0.toByte)) // END_MARK
+      b.write(payload)
+      event(EventType.TransactionPayload, ts, b.toByteArray)
       this
     }
 

@@ -37,10 +37,13 @@ object EventType {
   val Gtid = 33
   val AnonymousGtid = 34
   val PreviousGtids = 35
-  // rows-carrying formats the decoder does NOT understand — these fail
-  // loudly (a CDC engine must never silently emit zero rows)
-  val PartialUpdateRows = 39  // binlog_row_value_options=PARTIAL_JSON
-  val TransactionPayload = 40 // binlog_transaction_compression=ON
+  // binlog_row_value_options=PARTIAL_JSON — no decode path yet, fails loudly
+  val PartialUpdateRows = 39
+  // binlog_transaction_compression=ON (MySQL >= 8.0.20): the whole
+  // transaction's event stream, zstd-compressed (or uncompressed) inside
+  // one envelope event — decoded by re-entering the event loop over the
+  // inner byte stream
+  val TransactionPayload = 40
 
   def isWriteRows(t: Int): Boolean = t == WriteRows || t == WriteRowsV2
   def isUpdateRows(t: Int): Boolean = t == UpdateRows || t == UpdateRowsV2
@@ -55,8 +58,7 @@ object EventType {
     * exists to kill, one layer up.
     */
   def isUnsupportedRows(t: Int): Boolean =
-    (t >= PreGaWriteRows && t <= PreGaDeleteRows) ||
-      t == PartialUpdateRows || t == TransactionPayload
+    (t >= PreGaWriteRows && t <= PreGaDeleteRows) || t == PartialUpdateRows
 
   /** Symbolic names per `mysql_binlog.clj:222-259` + the >= 5.6 additions. */
   def name(t: Int): String = t match {

@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6a-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6b-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -68,7 +68,8 @@ object CdcBinlog {
                            rowsV2: Boolean = false, gtid: Boolean = false,
                            expG: java.io.Writer = null,
                            rowsQuery: Boolean = false,
-                           fullMeta: Boolean = false): Unit = {
+                           fullMeta: Boolean = false,
+                           ctp: Boolean = false): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
@@ -101,13 +102,19 @@ object CdcBinlog {
           gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
           gtidRec(fname, "txn", gno)
         }
+        // `binlog_transaction_compression=ON` twin: the transaction's
+        // events (BEGIN..XID) go into a nested inner stream and wrap in
+        // one TRANSACTION_PAYLOAD on the outer log — alternating zstd /
+        // uncompressed payloads so both decode modes are exercised. The
+        // GTID frame stays OUTER (as the server writes it).
+        val tw = if (ctp) new Writer(rowsV2 = rowsV2, nested = true) else w
         // per-statement ROWS_QUERY (binlog_rows_query_log_events=ON): real
         // server order is QUERY(BEGIN), ROWS_QUERY, TABLE_MAP, rows events
         // — the SQL precedes its statement's table map; text is
         // deterministic in (verb, xid) so the oracle can derive it from
         // the ground truth alone
         def stmt(verb: String): Unit = if (rowsQuery) {
-          w.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
+          tw.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
           event("ROWS_QUERY_LOG_EVENT")
         }
         // binlog_row_metadata=FULL twin: every TABLE_MAP carries column
@@ -116,22 +123,22 @@ object CdcBinlog {
           if (fullMeta) TableMeta(names = Seq("id", "val", "word"),
             unsigned = Set.empty, defaultCharset = 8 /* latin1_swedish_ci */)
           else null
-        w.writeQuery("bench", "BEGIN", ts = ts)
+        tw.writeQuery("bench", "BEGIN", ts = ts)
         event("QUERY_EVENT")
         stmt("INSERT INTO")
-        w.writeTableMap(42, "bench", "big", cols, ts = ts, optMeta = tmMeta)
+        tw.writeTableMap(42, "bench", "big", cols, ts = ts, optMeta = tmMeta)
         event("TABLE_MAP_EVENT")
-        val insPos = w.position
+        val insPos = tw.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
-        w.writeInsert(42, cols, rows, ts = ts)
+        tw.writeInsert(42, cols, rows, ts = ts)
         event(s"WRITE_ROWS_EVENT$v2Suffix")
         (0 until n).foreach { k =>
           change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
         }
         if (txn % 5 == 3) { // some txns also update their first 20 rows
           stmt("UPDATE")
-          val updPos = w.position
-          w.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
+          val updPos = tw.position
+          tw.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
             (Seq[Any](id + k, dec(id + k), word(id + k)),
              Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
           }, ts = ts)
@@ -143,8 +150,8 @@ object CdcBinlog {
         }
         if (txn % 5 == 4) { // and some delete 5
           stmt("DELETE FROM")
-          val delPos = w.position
-          w.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
+          val delPos = tw.position
+          tw.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
             Seq[Any](id + k, dec(id + k), word(id + k))
           }, ts = ts)
           event(s"DELETE_ROWS_EVENT$v2Suffix")
@@ -152,8 +159,9 @@ object CdcBinlog {
             change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
           }
         }
-        w.writeXid(xid, ts = ts)
+        tw.writeXid(xid, ts = ts)
         event("XID_EVENT", xid.toString)
+        if (ctp) w.writeTransactionPayload(tw.toBytes, compress = txn % 2 == 0, ts = ts)
         id += n; written += n; txn += 1
       }
       if (f < nFiles) {
@@ -201,6 +209,13 @@ object CdcBinlog {
       // it WITHOUT payloadDdl
       writeFixture(fullDir, total, checksum = true, null, null, rowsV2 = true,
         gtid = true, fullMeta = true)
+      // binlog_transaction_compression=ON twin: each transaction wrapped in
+      // a TRANSACTION_PAYLOAD (alternating zstd / uncompressed), GTID
+      // frames outer, outer events CRC32-checksummed — cdcb11's input
+      val ctpDir = staging.resolve("ctp")
+      Files.createDirectories(ctpDir)
+      writeFixture(ctpDir, total, checksum = true, null, null, rowsV2 = true,
+        gtid = true, ctp = true)
     }
   }
 
@@ -443,7 +458,28 @@ object CdcBinlog {
       .orderBy($"_delta_type")
   }
 
+  // cdcb11 — compressed-transaction scan (binlog_transaction_compression=ON):
+  // every transaction arrives as a TRANSACTION_PAYLOAD envelope (alternating
+  // zstd / uncompressed payloads in this twin); the decoder re-enters the
+  // event loop over the inner stream, so content totals AND transaction
+  // stitching (n_xids — inner XIDs must attach to inner rows) hash-match
+  // the uncompressed generator ground truth.
+  def cdcb11CompressedTxnScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(Paths.get(fixtureDir(d), "ctp").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"id".cast("long")).as("sum_id"),
+        round(sum($"val".cast(DecimalType(38, 10))), 2).cast("double").as("sum_val"),
+        countDistinct($"xid").as("n_xids"))
+      .orderBy($"_delta_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
     "cdcb10_row_metadata_scan" -> cdcb10RowMetadataScan _,
     "cdcb9_rows_query_attach" -> cdcb9RowsQueryAttach _,
     "cdcb8_gtid_executed" -> cdcb8GtidExecuted _,
@@ -460,6 +496,13 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb11_compressed_txn_scan" ->
+      s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
+         |  COUNT(DISTINCT xid) AS n_xids
+         |FROM ${expectedChangesRel(sfDir)}
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
     "cdcb10_row_metadata_scan" ->
       s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
          |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
