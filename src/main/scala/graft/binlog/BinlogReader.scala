@@ -743,13 +743,87 @@ object BinlogReader {
     val usedUpdateCols =
       if (EventType.isUpdateRows(h.eventType)) bitfield(b, colCount) else null
     val (css, uns) = colPolicy(tm, cs, unsignedCols, colCharsets)
+    val isPartial = h.eventType == EventType.PartialUpdateRows
+    // full-column indexes of JSON columns — the after-image's partial_bits
+    // bitmap has one bit per JSON column in the table, LSB-first
+    val jsonCols: Array[Int] =
+      if (isPartial) tm.columnTypes.indices.filter(i =>
+        ColType.realType(tm.columnTypes(i), tm.columnMeta(i)) == ColType.Json).toArray
+      else null
     val rows = Vector.newBuilder[RowImage.Image]
     val after = Vector.newBuilder[RowImage.Image]
     while (b.position() < end) {
-      rows += readRow(b, tm, usedCols, css, uns)
-      if (usedUpdateCols != null) after += readRow(b, tm, usedUpdateCols, css, uns)
+      val before = readRow(b, tm, usedCols, css, uns)
+      rows += before
+      if (usedUpdateCols != null)
+        after += (if (isPartial)
+          readPartialAfterRow(b, tm, usedUpdateCols, css, uns, before, jsonCols)
+        else readRow(b, tm, usedUpdateCols, css, uns))
     }
     RowsEvent(h, tableId, tm.dbName, tm.tableName, rows.result(), after.result())
+  }
+
+  /** PARTIAL_UPDATE_ROWS after-image (`binlog_row_value_options=
+    * PARTIAL_JSON`): a packed `value_options` precedes each after-image;
+    * when its PARTIAL_JSON bit is set, a `partial_bits` bitmap (one bit
+    * per JSON column in the table) flags which JSON values arrive as a
+    * DIFF SEQUENCE instead of a full document. Flagged values decode as
+    * [length (meta-width), then per diff: op byte (0 replace / 1 insert /
+    * 2 remove), packed path, packed binary-JSON value (absent for
+    * remove)] and are applied to the BEFORE-image value — the surfaced
+    * after-image is always the full document, byte-compatible with the
+    * non-partial path.
+    */
+  private def readPartialAfterRow(b: ByteBuffer, tm: TableMapEvent,
+      usedCols: Array[Byte], css: Array[Charset], uns: Array[Boolean],
+      before: RowImage.Image, jsonCols: Array[Int]): RowImage.Image = {
+    val valueOptions = packedInt(b).toInt
+    if ((valueOptions & 1) == 0) return readRow(b, tm, usedCols, css, uns)
+    val partialBits = bitfield(b, jsonCols.length)
+    val nulls = bitfield(b, countBits(usedCols))
+    val out = new Array[Any](tm.columnTypes.length)
+    var colIdx = 0
+    var nullIdx = 0
+    while (colIdx < tm.columnTypes.length) {
+      if (nthBit(usedCols, colIdx) != 0) {
+        out(colIdx) =
+          if (nthBit(nulls, nullIdx) != 0) null
+          else {
+            val jsonOrd = if (jsonCols == null) -1 else jsonCols.indexOf(colIdx)
+            if (jsonOrd >= 0 && nthBit(partialBits, jsonOrd) != 0)
+              applyPartialJson(b, tm.columnMeta(colIdx), before(colIdx),
+                tm.dbName + "." + tm.tableName, colIdx)
+            else readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx),
+              css(colIdx), uns(colIdx))
+          }
+        nullIdx += 1
+      } else out(colIdx) = RowImage.Unused
+      colIdx += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  private def applyPartialJson(b: ByteBuffer, meta: Int, beforeVal: Any,
+                               table: String, colIdx: Int): Array[Byte] = {
+    import MySqlJsonAst._
+    val total = nUint(bytes(b, meta)).toInt
+    val diffEnd = b.position() + total
+    val diffs = Vector.newBuilder[JsonDiff]
+    while (b.position() < diffEnd) {
+      val op = ubyte(b)
+      val path = new String(bytes(b, packedInt(b).toInt), StandardCharsets.UTF_8)
+      val value =
+        if (op != DiffOp.Remove) Some(decode(bytes(b, packedInt(b).toInt)))
+        else None
+      diffs += JsonDiff(op, path, value)
+    }
+    val beforeBytes = beforeVal match {
+      case a: Array[Byte] => a
+      case other => throw new IllegalStateException(
+        s"partial JSON update for $table column $colIdx needs the before-image " +
+          s"JSON value (binlog_row_image=FULL); before image holds $other")
+    }
+    encode(applyDiffs(decode(beforeBytes), diffs.result()))
   }
 
   /** TRANSACTION_PAYLOAD (type 40, `binlog_transaction_compression=ON`,
@@ -898,7 +972,8 @@ object BinlogReader {
                   tableMaps = tableMaps.updated(tm.tableId, tm)
                   tm
                 case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows |
-                     EventType.WriteRowsV2 | EventType.UpdateRowsV2 | EventType.DeleteRowsV2 =>
+                     EventType.WriteRowsV2 | EventType.UpdateRowsV2 | EventType.DeleteRowsV2 |
+                     EventType.PartialUpdateRows =>
                   if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols, colCharsets)
                   else {
                     // table id leads the post-header in both v1 and v2
@@ -933,8 +1008,8 @@ object BinlogReader {
                     throw new IllegalStateException(
                       s"unsupported rows event ${EventType.name(other)} (type id $other) at " +
                         s"offset ${h.offset} — this decoder handles ROWS_EVENT v1 (23-25), " +
-                        "v2 (30-32) and TRANSACTION_PAYLOAD (40) only; re-record without " +
-                        "PARTIAL_JSON row values, or pre-GA logs are not supported")
+                        "v2 (30-32), PARTIAL_UPDATE (39) and TRANSACTION_PAYLOAD (40); " +
+                        "pre-GA (v0) logs are not supported")
                   else OpaqueEvent(h)
               }
               off = h0.offset + h0.eventLen

@@ -14,6 +14,11 @@ import java.nio.charset.{Charset, StandardCharsets}
   * `enumValues`/`setValues` list literals per ENUM/SET column in column
   * order.
   */
+/** After-image marker for [[BinlogWriter.Writer.writePartialUpdate]]: this
+  * JSON column's value travels as a diff sequence, not a full document.
+  */
+final case class PartialJson(diffs: Seq[MySqlJsonAst.JsonDiff])
+
 final case class TableMeta(
     names: Seq[String] = Nil,
     unsigned: Set[Int] = Set.empty,
@@ -55,6 +60,8 @@ object BinlogWriter {
     def time: ColSpec = ColSpec(ColType.Time, 0)
     def datetime: ColSpec = ColSpec(ColType.Datetime, 0)
     def blob(lenBytes: Int = 2): ColSpec = ColSpec(ColType.Blob, lenBytes)
+    /** JSON column (type 245): server meta = 4 length-prefix bytes. */
+    def json: ColSpec = ColSpec(ColType.Json, 4)
     def bit(bits: Int): ColSpec = ColSpec(ColType.Bit, (bits % 8) | (((bits + 7) / 8) << 8))
     // 5.6+ fractional-second temporals; meta = fsp (0..6)
     def datetime2(fsp: Int = 0): ColSpec = ColSpec(ColType.Datetime2, fsp)
@@ -486,6 +493,91 @@ object BinlogWriter {
                     rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
       event(updateT, ts, rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), allUsed(cols.length)))
       this
+    }
+
+    /** PARTIAL_UPDATE_ROWS (type 39, `binlog_row_value_options=
+      * PARTIAL_JSON`): UPDATE whose after-image JSON values may be
+      * [[MySqlJsonAst.JsonDiff]] sequences (pass
+      * `PartialJson(diffs)` in the after image at that column) instead of
+      * full documents. Layout = UPDATE v2 with each after-image preceded
+      * by packed value_options (+ partial_bits over the table's JSON
+      * columns when any diff is present).
+      */
+    def writePartialUpdate(tableId: Long, cols: Seq[ColSpec],
+                           rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
+      val jsonCols = cols.zipWithIndex.collect {
+        case (c, i) if ColType.realType(c.typeId, c.meta) == ColType.Json => i }
+      val b = new ByteArrayOutputStream()
+      b.write(le(6)(tableId))
+      b.write(le(2)(0)) // flags
+      b.write(le(2)(2)) // v2 extra-data length (self-inclusive, empty)
+      writePackedInt(b, cols.length)
+      val used = new Array[Byte]((cols.length + 7) / 8)
+      cols.indices.foreach(i => used(i / 8) = (used(i / 8) | (1 << (i % 8))).toByte)
+      b.write(used); b.write(used) // before + after bitmaps (all columns)
+      rows.foreach { case (before, after) =>
+        writeImage(b, cols, before)
+        val partialCols = after.zipWithIndex.collect {
+          case (PartialJson(_), i) => i }.toSet
+        if (partialCols.isEmpty) {
+          writePackedInt(b, 0L) // value_options: plain full after-image
+          writeImage(b, cols, after)
+        } else {
+          writePackedInt(b, 1L) // PARTIAL_JSON
+          val bits = new Array[Byte]((jsonCols.length + 7) / 8)
+          jsonCols.zipWithIndex.foreach { case (col, ord) =>
+            if (partialCols.contains(col))
+              bits(ord / 8) = (bits(ord / 8) | (1 << (ord % 8))).toByte
+          }
+          b.write(bits)
+          val nulls = new Array[Byte]((cols.length + 7) / 8)
+          after.zipWithIndex.foreach { case (v, i) =>
+            if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+          }
+          b.write(nulls)
+          after.zipWithIndex.foreach {
+            case (null, _) =>
+            case (PartialJson(diffs), i) =>
+              val body = encodeJsonDiffs(diffs)
+              b.write(le(cols(i).meta)(body.length.toLong))
+              b.write(body)
+            case (v, i) => encodeValue(b, cols(i), v)
+          }
+        }
+      }
+      event(EventType.PartialUpdateRows, ts, b.toByteArray)
+      this
+    }
+
+    /** One full row image: null bitmap over all columns + values. */
+    private def writeImage(b: ByteArrayOutputStream, cols: Seq[ColSpec],
+                           img: Seq[Any]): Unit = {
+      require(img.length == cols.length,
+        s"image has ${img.length} values for ${cols.length} columns")
+      val nulls = new Array[Byte]((cols.length + 7) / 8)
+      img.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+      }
+      b.write(nulls)
+      img.zipWithIndex.foreach { case (v, i) =>
+        if (v != null) encodeValue(b, cols(i), v)
+      }
+    }
+
+    private def encodeJsonDiffs(diffs: Seq[MySqlJsonAst.JsonDiff]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      diffs.foreach { d =>
+        o.write(Array(d.op.toByte))
+        val p = d.path.getBytes(StandardCharsets.UTF_8)
+        writePackedInt(o, p.length.toLong)
+        o.write(p)
+        d.value.foreach { v =>
+          val enc = MySqlJsonAst.encode(v)
+          writePackedInt(o, enc.length.toLong)
+          o.write(enc)
+        }
+      }
+      o.toByteArray
     }
 
     /** ROWS_QUERY (id 29): stored-length byte + SQL text. */

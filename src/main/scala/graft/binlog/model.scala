@@ -37,7 +37,10 @@ object EventType {
   val Gtid = 33
   val AnonymousGtid = 34
   val PreviousGtids = 35
-  // binlog_row_value_options=PARTIAL_JSON — no decode path yet, fails loudly
+  // binlog_row_value_options=PARTIAL_JSON (MySQL >= 8.0.3): UPDATE whose
+  // after-image may carry JSON columns as a DIFF sequence instead of the
+  // full value; the decoder applies the diffs to the before-image so the
+  // surfaced after-image is always the full document
   val PartialUpdateRows = 39
   // binlog_transaction_compression=ON (MySQL >= 8.0.20): the whole
   // transaction's event stream, zstd-compressed (or uncompressed) inside
@@ -46,11 +49,16 @@ object EventType {
   val TransactionPayload = 40
 
   def isWriteRows(t: Int): Boolean = t == WriteRows || t == WriteRowsV2
-  def isUpdateRows(t: Int): Boolean = t == UpdateRows || t == UpdateRowsV2
+  def isUpdateRows(t: Int): Boolean =
+    t == UpdateRows || t == UpdateRowsV2 || t == PartialUpdateRows
   def isDeleteRows(t: Int): Boolean = t == DeleteRows || t == DeleteRowsV2
   def isRows(t: Int): Boolean =
-    (t >= WriteRows && t <= DeleteRows) || (t >= WriteRowsV2 && t <= DeleteRowsV2)
-  def isRowsV2(t: Int): Boolean = t >= WriteRowsV2 && t <= DeleteRowsV2
+    (t >= WriteRows && t <= DeleteRows) ||
+      (t >= WriteRowsV2 && t <= DeleteRowsV2) || t == PartialUpdateRows
+  /** v2-family post-header (2-byte extra-data length) — PARTIAL_UPDATE
+    * shares it. */
+  def isRowsV2(t: Int): Boolean =
+    (t >= WriteRowsV2 && t <= DeleteRowsV2) || t == PartialUpdateRows
 
   /** Row-carrying event formats with no decode path. Passing these through
     * as [[OpaqueEvent]] would make a scan of such a log return zero change
@@ -58,7 +66,7 @@ object EventType {
     * exists to kill, one layer up.
     */
   def isUnsupportedRows(t: Int): Boolean =
-    (t >= PreGaWriteRows && t <= PreGaDeleteRows) || t == PartialUpdateRows
+    t >= PreGaWriteRows && t <= PreGaDeleteRows
 
   /** Symbolic names per `mysql_binlog.clj:222-259` + the >= 5.6 additions. */
   def name(t: Int): String = t match {

@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6b-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6c-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -216,7 +216,71 @@ object CdcBinlog {
       Files.createDirectories(ctpDir)
       writeFixture(ctpDir, total, checksum = true, null, null, rowsV2 = true,
         gtid = true, ctp = true)
+      // binlog_row_value_options=PARTIAL_JSON family: JSON docs inserted
+      // full, then updated via PARTIAL_UPDATE_ROWS diff sequences —
+      // cdcb12's input + its generator-computed final-image ground truth
+      val pjDir = staging.resolve("pj")
+      Files.createDirectories(pjDir)
+      writePartialJsonFixture(pjDir, math.max(total / 40, 50),
+        Files.newBufferedWriter(staging.resolve("expected_partial.csv")))
     }
+  }
+
+  /** PARTIAL_JSON fixture: `nDocs` JSON documents inserted FULL, then the
+    * even-id half updated via PARTIAL_UPDATE_ROWS diff sequences (REPLACE
+    * a nested member; every 3rd also INSERTs an array element; every 5th
+    * REMOVEs a member). The ground-truth CSV holds each id's expected
+    * FINAL document text (md5, CSV-safe) computed by applying the same
+    * diff algebra generator-side — so reader-side diff application is
+    * checked against the encoder's arithmetic, not against itself.
+    */
+  private def writePartialJsonFixture(dir: java.nio.file.Path, nDocs: Int,
+                                      exp: java.io.Writer): Unit = {
+    import graft.binlog.MySqlJsonAst._
+    import graft.binlog.PartialJson
+    val cols = Seq(ColSpec.int, ColSpec.json)
+    def docFor(i: Int): JVal = JObj(Vector(
+      "id" -> JInt(i.toLong),
+      "title" -> JStr(s"doc $i"),
+      "tags" -> JArr(Vector(JStr("a"), JStr("b"))),
+      "meta" -> JObj(Vector("views" -> JInt(i.toLong * 10), "lang" -> JStr("en")))))
+    def diffsFor(i: Int): Seq[JsonDiff] =
+      Seq(JsonDiff(DiffOp.Replace, "$.meta.views", Some(JInt(i.toLong * 10 + 1)))) ++
+        (if (i % 3 == 0) Seq(JsonDiff(DiffOp.Insert, "$.tags[2]", Some(JStr("c")))) else Nil) ++
+        (if (i % 5 == 0) Seq(JsonDiff(DiffOp.Remove, "$.meta.lang", None)) else Nil)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+    exp.write("id,doc_md5\n")
+    val w = new Writer(checksum = true, rowsV2 = true)
+    w.writeFormatDescription(ts = 1700000000L, serverVersion = "8.0.36-graft-fixture")
+    var i = 0
+    while (i < nDocs) {
+      val batch = (i until math.min(i + 50, nDocs)).toVector
+      w.writeQuery("bench", "BEGIN", ts = 1700000000L)
+      w.writeTableMap(43, "bench", "docs", cols, ts = 1700000000L)
+      w.writeInsert(43, cols, batch.map(k => Seq[Any](k, encode(docFor(k)))),
+        ts = 1700000000L)
+      w.writeXid(500000L + i, ts = 1700000000L)
+      val updated = batch.filter(_ % 2 == 0)
+      if (updated.nonEmpty) {
+        w.writeQuery("bench", "BEGIN", ts = 1700000000L)
+        w.writeTableMap(43, "bench", "docs", cols, ts = 1700000000L)
+        w.writePartialUpdate(43, cols, updated.map { k =>
+          (Seq[Any](k, encode(docFor(k))), Seq[Any](k, PartialJson(diffsFor(k))))
+        }, ts = 1700000000L)
+        w.writeXid(500001L + i, ts = 1700000000L)
+      }
+      batch.foreach { k =>
+        val finalDoc =
+          if (k % 2 == 0) applyDiffs(docFor(k), diffsFor(k)) else docFor(k)
+        exp.write(s"$k,${md5hex(toText(finalDoc))}\n")
+      }
+      i += 50
+    }
+    w.save(dir.resolve("binlog.000001").toString)
+    exp.close()
   }
 
   /** Bench-only LARGE fixture tier (no ground-truth CSVs, no twins): the
@@ -478,7 +542,27 @@ object CdcBinlog {
       .orderBy($"_delta_type")
   }
 
+  // cdcb12 — partial-JSON final images (binlog_row_value_options=
+  // PARTIAL_JSON): docs insert full, then update via diff sequences; the
+  // reader applies each diff to the before-image, so the latest image per
+  // id must hash-match the generator's own application of the same diffs.
+  def cdcb12PartialJsonLatest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"id")
+      .orderBy($"log_pos".desc, $"log_seq".desc)
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, doc STRING")
+      .option("jsonColumns", "doc")
+      .load(Paths.get(fixtureDir(d), "pj").toString)
+      .filter($"_delta_type" === "insert" || $"_delta_type" === "update")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"id", md5($"doc").as("doc_md5"))
+      .orderBy($"id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
     "cdcb10_row_metadata_scan" -> cdcb10RowMetadataScan _,
     "cdcb9_rows_query_attach" -> cdcb9RowsQueryAttach _,
@@ -496,6 +580,11 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb12_partial_json_latest" ->
+      s"""SELECT id, doc_md5
+         |FROM read_csv('${fixturePathFor(sfDir)}/expected_partial.csv', header=true,
+         |  columns={'id':'INTEGER','doc_md5':'VARCHAR'})
+         |ORDER BY id""".stripMargin,
     "cdcb11_compressed_txn_scan" ->
       s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
          |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,

@@ -137,11 +137,11 @@ class V2RowsAndGtidSpec extends AnyFunSuite {
   }
 
   test("unsupported rows-class events fail loudly instead of emitting zero rows") {
-    // a log whose rows arrive as PRE_GA (v0, id 21) or PARTIAL_UPDATE (39)
-    // must error with the event name — not scan to an empty result.
-    // (TRANSACTION_PAYLOAD (40) left this list in round 6: it decodes now —
-    // TransactionPayloadSpec covers it.)
-    for (badType <- Seq(EventType.PreGaUpdateRows, EventType.PartialUpdateRows)) {
+    // a log whose rows arrive as PRE_GA (v0, id 21) must error with the
+    // event name — not scan to an empty result. (PARTIAL_UPDATE (39) and
+    // TRANSACTION_PAYLOAD (40) left this list in round 6: both decode now —
+    // PartialUpdateRowsSpec / TransactionPayloadSpec cover them.)
+    for (badType <- Seq(EventType.PreGaUpdateRows)) {
       val dir = Files.createTempDirectory(s"badrows-$badType")
       val pre = new Writer().writeFormatDescription(ts = 1000)
       val header = new ByteArrayOutputStream()
