@@ -627,7 +627,19 @@ object Dedup {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // dd06b — the persisted-index path as a first-class gate query: the
+  // corpus index is built ONCE per sf (cached on disk, like production
+  // build-on-drift), the query itself only probes parquet — and must
+  // produce the same admissions as the inline recompute twin (same oracle).
+  def dd06bViaIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = PersistedIndexes.dedupIndex(s, d)
+    dd06ViaIndex(s, documents(s, d).filter($"doc_id" % 10 >= 8), idx)
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd06b_via_index" -> dd06bViaIndex _,
     "dd08_decontaminate" -> dd08Decontaminate _,
     "dd07_pipeline" -> dd07Pipeline _,
     "dd01_exact_dedup" -> dd01Exact _,
@@ -638,6 +650,7 @@ object Dedup {
     "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd06b_via_index" -> dd06Sql,
     "dd08_decontaminate" -> dd08Sql,
     "dd07_pipeline" -> dd07Sql,
     "dd01_exact_dedup" -> dd01Sql,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Tables._
+
+/** Cached on-disk index builds backing the `*_via_index` gate queries.
+  *
+  * The index-probe operators ([[Dedup.dd06ViaIndex]],
+  * [[Similarity.sim03ViaIndex]], [[Similarity.sim05ViaIndex]]) are the
+  * production shape — build on corpus drift, probe per query — and were
+  * previously only spec-pinned equal to their inline twins. Registering
+  * them as gate queries needs a deterministic index location per sf dir
+  * plus build-once semantics, which this provides with the same
+  * cross-JVM-safe staging + atomic-move + `_COMPLETE`-marker protocol as
+  * the binlog fixture cache (parallel test/bench/verify JVMs share /tmp;
+  * the loser of a race discards its copy).
+  */
+object PersistedIndexes {
+
+  private def sfKey(sfDir: String): String = new java.io.File(sfDir).getName
+
+  private def cached(dirName: String)(build: String => Unit): String = synchronized {
+    val dir = Paths.get(sys.props("java.io.tmpdir"), dirName)
+    val marker = dir.resolve("_COMPLETE")
+    if (!Files.exists(marker)) {
+      val staging = dir.resolveSibling(
+        s"${dir.getFileName}.tmp-${ProcessHandle.current().pid()}")
+      deleteRecursively(staging)
+      Files.createDirectories(staging)
+      build(staging.toString)
+      Files.writeString(staging.resolve("_COMPLETE"), "ok")
+      try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: Exception =>
+          val deadline = System.nanoTime() + 300L * 1000000000L
+          while (!Files.exists(marker) && System.nanoTime() < deadline) Thread.sleep(100)
+          deleteRecursively(staging)
+          if (!Files.exists(marker))
+            throw new IllegalStateException(s"index at $dir incomplete after wait")
+      }
+    }
+    dir.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** dd06's persisted LSH/fingerprint index over the corpus 80% split. */
+  def dedupIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r6-dd06-${sfKey(sfDir)}") { dir =>
+      import s.implicits._
+      Dedup.buildDedupIndex(documents(s, sfDir).filter($"doc_id" % 10 < 8), dir)
+    }
+
+  /** sim03's persisted per-label centroid table. */
+  def ivfIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r6-sim03-${sfKey(sfDir)}") { dir =>
+      Similarity.buildIvfIndex(embeddings(s, sfDir), dir)
+    }
+
+  /** sim05's persisted cell-partitioned inverted file + centroids. */
+  def annIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r6-sim05-${sfKey(sfDir)}") { dir =>
+      Similarity.buildAnnIndex(embeddings(s, sfDir), dir)
+    }
+}

@@ -369,7 +369,19 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // sim03b/sim05b — the persisted-index probes as first-class gate
+  // queries: centroids (sim03) / the cell-partitioned inverted file
+  // (sim05) are read from parquet built once per sf; the query path
+  // aggregates nothing and must match the inline twin's oracle.
+  def sim03bViaIndex(s: SparkSession, d: String): DataFrame =
+    sim03ViaIndex(s, d, PersistedIndexes.ivfIndex(s, d))
+
+  def sim05bViaIndex(s: SparkSession, d: String): DataFrame =
+    sim05ViaIndex(s, d, PersistedIndexes.annIndex(s, d))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim03b_via_index" -> sim03bViaIndex _,
+    "sim05b_via_index" -> sim05bViaIndex _,
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim02_lsh_topk" -> sim02LshTopK _,
@@ -378,6 +390,8 @@ object Similarity {
     "sim05_kmeans_ivf" -> sim05KmeansIvf _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim03b_via_index" -> sim03Sql,
+    "sim05b_via_index" -> sim05Sql,
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
