@@ -1127,6 +1127,12 @@ object BinlogReader {
               if (!q.sql.equalsIgnoreCase("BEGIN")) { // DDL = implicit commit
                 result = Some(h.offset + h.eventLen); done = true
               }
+            case EventType.TransactionPayload if found =>
+              // compressed transaction: the whole BEGIN..XID lives inside
+              // this one envelope, so the envelope's end IS the commit
+              // boundary — without this, a GTID committing as the last
+              // transaction of a compressed log would resolve to None
+              result = Some(h.offset + h.eventLen); done = true
             case EventType.Rotate => done = true
             case _ =>
           }

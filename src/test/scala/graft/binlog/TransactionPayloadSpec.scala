@@ -154,6 +154,27 @@ class TransactionPayloadSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally t.close()
   }
 
+  test("GTID-addressed resume: startAfterGtid works on compressed transactions") {
+    val (ctp, _) = twinLogs()
+    val uuid = BinlogReader.toHex(BinlogWriter.FixtureUuid).grouped(4).toVector match {
+      case _ => // canonical uuid text of the fixture sid
+        val hex = BinlogReader.toHex(BinlogWriter.FixtureUuid)
+        s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+          s"${hex.substring(16, 20)}-${hex.substring(20)}"
+    }
+    def scanAfter(gno: Long) = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, val DECIMAL(12,4), word STRING")
+      .option("startAfterGtid", s"$uuid:$gno")
+      .load(ctp)
+      .selectExpr("_delta_type", "id").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    // after txn 1: only txn 2's update+delete rows
+    assert(scanAfter(1L) ==
+      Seq(("update-before", 1), ("update", 1), ("delete", 2)))
+    // after the LAST transaction — its commit lives INSIDE the payload
+    // envelope, so the envelope end must resolve as the boundary
+    assert(scanAfter(2L) == Seq.empty)
+  }
+
   test("micro-batch resume: batch boundaries park after whole envelopes") {
     // stream the compressed log with a tiny byte budget: every batch must
     // carry only whole transactions (no uncommitted/xid-less rows)

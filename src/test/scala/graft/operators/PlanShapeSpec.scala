@@ -122,6 +122,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.take(1500))
   }
 
+  test("sim05ViaIndex: probe is partition-pruned (DPP on the cell directories)") {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = PersistedIndexes.annIndex(spark, d)
+    val s = plan(Similarity.sim05ViaIndex(spark, d, idx))
+    // the inverted-file scan must carry a dynamic-pruning partition filter
+    // on `cell` — without it the "probe reads 3/k directories" claim is
+    // a full corpus scan at 100 TB
+    assert(s.contains("dynamicpruningexpression(cell"),
+      "cells scan lost its partition pruning: " + s.take(2000))
+  }
+
   test("txt08: repetition metrics are a narrow map — only the output sort exchanges") {
     val p = TextAnalysis.txt08Repetition(spark, d)
     val exchanges = physical(p).collect {
