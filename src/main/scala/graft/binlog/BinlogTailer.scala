@@ -121,6 +121,13 @@ object BinlogTailer {
             txn.foreach(onChange)
             txn = Vector.empty
             txnOverflowed = false
+          case e if e.header.eventType == EventType.XaPrepare =>
+            // XA branch prepared: rows fully logged here, commit arrives
+            // later as its own transaction — flush now (xid None), same
+            // rule as the DSv2 source
+            txn.foreach(onChange)
+            txn = Vector.empty
+            txnOverflowed = false
           case r: RotateEvent => rotateTo = Some(r.nextFile); rotateAt = r.header.offset
           case _ =>
         }

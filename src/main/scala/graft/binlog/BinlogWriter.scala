@@ -630,6 +630,21 @@ object BinlogWriter {
       this
     }
 
+    /** XA_PREPARE_LOG_EVENT (38, MySQL >= 5.7.7): one_phase flag +
+      * XID struct (formatID, gtrid/bqual lengths + data).
+      */
+    def writeXaPrepare(gtrid: String, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(Array(0.toByte)) // one_phase = false
+      b.write(le(4)(1)) // formatID
+      val g = gtrid.getBytes(charset)
+      b.write(le(4)(g.length.toLong))
+      b.write(le(4)(0)) // bqual_length
+      b.write(g)
+      event(EventType.XaPrepare, ts, b.toByteArray)
+      this
+    }
+
     /** TRANSACTION_PAYLOAD (type 40): TLV header (compression type,
       * uncompressed size when compressed, payload size) + END_MARK + the
       * inner event bytes (from a `nested = true` Writer), zstd-compressed

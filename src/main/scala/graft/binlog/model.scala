@@ -12,6 +12,9 @@ object EventType {
   val Query = 2
   val Stop = 3
   val Rotate = 4
+  val Intvar = 5
+  val Rand = 13
+  val UserVar = 14
   val FormatDescription = 15
   val Xid = 16
   val TableMap = 19
@@ -33,10 +36,20 @@ object EventType {
   val WriteRowsV2 = 30
   val UpdateRowsV2 = 31
   val DeleteRowsV2 = 32
+  val Incident = 26
+  val Ignorable = 28
   // GTID framing every >= 5.6 binlog interleaves with transactions
   val Gtid = 33
   val AnonymousGtid = 34
   val PreviousGtids = 35
+  val TransactionContext = 36
+  val ViewChange = 37
+  // XA branch prepared (MySQL >= 5.7.7): the branch's rows are fully
+  // logged at this point; XA COMMIT arrives later as its own QUERY-framed
+  // transaction (possibly in another file) — so this event is a FLUSH
+  // boundary (rows surface with xid null, like other non-XID commits)
+  val XaPrepare = 38
+  val HeartbeatV2 = 41
   // binlog_row_value_options=PARTIAL_JSON (MySQL >= 8.0.3): UPDATE whose
   // after-image may carry JSON columns as a DIFF sequence instead of the
   // full value; the decoder applies the diffs to the before-image so the
@@ -73,6 +86,15 @@ object EventType {
     case Query => "QUERY_EVENT"
     case Stop => "STOP_EVENT"
     case Rotate => "ROTATE_EVENT"
+    case Intvar => "INTVAR_EVENT"
+    case Rand => "RAND_EVENT"
+    case UserVar => "USER_VAR_EVENT"
+    case Incident => "INCIDENT_EVENT"
+    case Ignorable => "IGNORABLE_LOG_EVENT"
+    case TransactionContext => "TRANSACTION_CONTEXT_EVENT"
+    case ViewChange => "VIEW_CHANGE_EVENT"
+    case XaPrepare => "XA_PREPARE_LOG_EVENT"
+    case HeartbeatV2 => "HEARTBEAT_LOG_EVENT_V2"
     case FormatDescription => "FORMAT_DESCRIPTION_EVENT"
     case Xid => "XID_EVENT"
     case TableMap => "TABLE_MAP_EVENT"

@@ -684,6 +684,12 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           if (!dynamicPayload && inRange(q.header)) checkDdl(q)
         case _: RotateEvent =>
           commitBoundary(null) // rotation flushes, no xid
+        case e if e.header.eventType == EventType.XaPrepare =>
+          // XA branch prepared: its rows are fully logged HERE; the XA
+          // COMMIT arrives later as its own transaction (maybe another
+          // file). Without this flush the prepared branch's rows would sit
+          // in the buffer and get stamped with the NEXT transaction's xid.
+          commitBoundary(null)
         case _ =>
       }
     }

@@ -190,6 +190,44 @@ class RowMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 1L && r.getString(1) == "12.5000" && r.getString(2) == "w")
   }
 
+  test("useMetadataNames streams too: micro-batch source with the log-derived schema") {
+    val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+    val dir = Files.createTempDirectory("row-meta-stream")
+    val f = dir.resolve("binlog.000001").toString
+    val w = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription()
+      .writeQuery("d", "BEGIN")
+      .writeTableMap(9, "d", "t", cols,
+        optMeta = TableMeta(names = Seq("k", "v"), defaultCharset = 8))
+      .writeInsert(9, cols, Seq(Seq(1, "seed")))
+      .writeXid(5)
+    w.save(f)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val q = spark.readStream.format("mysql-binlog")
+      .option("useMetadataNames", "true")
+      .load(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // select BY METADATA NAME — fails analysis if the schema drifted
+        b.selectExpr("k", "v").collect().foreach(r => got.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (got.size < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      // live append decodes through the same metadata-driven policy
+      w.writeQuery("d", "BEGIN")
+        .writeTableMap(9, "d", "t", cols,
+          optMeta = TableMeta(names = Seq("k", "v"), defaultCharset = 8))
+        .writeInsert(9, cols, Seq(Seq(2, "live")))
+        .writeXid(6)
+        .save(f)
+      while (got.size < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      val seq = got.toArray(new Array[(Int, String)](0)).toSeq.sortBy(_._1)
+      assert(seq == Seq((1, "seed"), (2, "live")), seq.toString)
+    } finally q.stop()
+  }
+
   test("useMetadataNames on a metadata-less log fails loudly") {
     val cols = Seq(ColSpec.int)
     val p = tmpLog()
