@@ -62,10 +62,7 @@ class RowMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a TABLE_MAP without the TLV block still decodes (optionalMeta = None)") {
-    // writer emits the real-server layout (null bitmap, no TLV); the
-    // reference-era layout that ends AT the metadata array is the
-    // remaining==0 case of the same reader branch and is exercised by
-    // every pre-round-6 fixture byte recorded in BinlogDecoderSpec
+    // writer emits the real-server layout (null bitmap, no TLV)
     val cols = Seq(ColSpec.int, ColSpec.varchar(10))
     val p = tmpLog()
     new Writer()
@@ -77,6 +74,42 @@ class RowMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tm = sr.events.collectFirst { case t: TableMapEvent => t }.get
     assert(tm.optionalMeta.isEmpty)
     assert(sr.events.collectFirst { case r: RowsEvent => r }.get.rows.head(0) == 7)
+  }
+
+  test("reference-era TABLE_MAP (nothing after the metadata array) still decodes") {
+    // the 2010 layout the reference reads (`mysql_binlog.clj:500-523`):
+    // event body ENDS at the metadata block — no null bitmap, no TLV.
+    // Hand-assembled so the writer (which now emits the modern layout)
+    // is not in the loop.
+    val body = new java.io.ByteArrayOutputStream()
+    def le(n: Int, v: Long): Unit =
+      (0 until n).foreach(i => body.write(((v >> (i * 8)) & 0xff).toInt))
+    le(6, 5) // table id
+    le(2, 0) // flags
+    body.write(1); body.write('d'.toInt); body.write(0) // db "d" + NUL
+    body.write(1); body.write('t'.toInt); body.write(0) // table "t" + NUL
+    body.write(2) // packed column count
+    body.write(ColType.Long); body.write(ColType.Varchar) // types
+    body.write(2) // packed metadata length
+    le(2, 20) // VARCHAR(20) max-len metadata (LE)
+    // ... and nothing else: reference-era end of event
+    val hdr = new java.io.ByteArrayOutputStream()
+    val evLen = 19L + body.size()
+    def hle(n: Int, v: Long): Unit =
+      (0 until n).foreach(i => hdr.write(((v >> (i * 8)) & 0xff).toInt))
+    hle(4, 1000); hdr.write(EventType.TableMap); hle(4, 1)
+    hle(4, evLen); hle(4, 4 + evLen); hle(2, 0)
+    val h = BinlogReader.readEventHeader(
+      java.nio.ByteBuffer.wrap(hdr.toByteArray ++ body.toByteArray ++ new Array[Byte](4))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).position(0).asInstanceOf[java.nio.ByteBuffer],
+      0L).get
+    val buf = java.nio.ByteBuffer.wrap(hdr.toByteArray ++ body.toByteArray)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val tm = BinlogReader.readTableMap(buf, h, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(tm.dbName == "d" && tm.tableName == "t")
+    assert(tm.columnTypes.toSeq == Seq(ColType.Long, ColType.Varchar))
+    assert(tm.columnMeta.toSeq == Seq(0, 20))
+    assert(tm.optionalMeta.isEmpty)
   }
 
   test("signedness metadata overrides the unsignedColumns option (metadata wins)") {
