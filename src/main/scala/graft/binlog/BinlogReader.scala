@@ -744,12 +744,20 @@ object BinlogReader {
       if (EventType.isUpdateRows(h.eventType)) bitfield(b, colCount) else null
     val (css, uns) = colPolicy(tm, cs, unsignedCols, colCharsets)
     val isPartial = h.eventType == EventType.PartialUpdateRows
-    // full-column indexes of JSON columns — the after-image's partial_bits
-    // bitmap has one bit per JSON column in the table, LSB-first
+    // JSON-column geometry for partial decode: `jsonCols` = full-column
+    // indexes (partial_bits has one bit per JSON column, LSB-first);
+    // `jsonOrd` = the inverse map, full column -> json ordinal or -1 —
+    // precomputed once per event so the per-row loop never scans
     val jsonCols: Array[Int] =
       if (isPartial) tm.columnTypes.indices.filter(i =>
         ColType.realType(tm.columnTypes(i), tm.columnMeta(i)) == ColType.Json).toArray
       else null
+    val jsonOrd: Array[Int] =
+      if (isPartial) {
+        val a = Array.fill(tm.columnTypes.length)(-1)
+        jsonCols.zipWithIndex.foreach { case (col, k) => a(col) = k }
+        a
+      } else null
     val rows = Vector.newBuilder[RowImage.Image]
     val after = Vector.newBuilder[RowImage.Image]
     while (b.position() < end) {
@@ -757,7 +765,7 @@ object BinlogReader {
       rows += before
       if (usedUpdateCols != null)
         after += (if (isPartial)
-          readPartialAfterRow(b, tm, usedUpdateCols, css, uns, before, jsonCols)
+          readPartialAfterRow(b, tm, usedUpdateCols, css, uns, before, jsonCols, jsonOrd)
         else readRow(b, tm, usedUpdateCols, css, uns))
     }
     RowsEvent(h, tableId, tm.dbName, tm.tableName, rows.result(), after.result())
@@ -776,7 +784,8 @@ object BinlogReader {
     */
   private def readPartialAfterRow(b: ByteBuffer, tm: TableMapEvent,
       usedCols: Array[Byte], css: Array[Charset], uns: Array[Boolean],
-      before: RowImage.Image, jsonCols: Array[Int]): RowImage.Image = {
+      before: RowImage.Image, jsonCols: Array[Int],
+      jsonOrd: Array[Int]): RowImage.Image = {
     val valueOptions = packedInt(b).toInt
     if ((valueOptions & 1) == 0) return readRow(b, tm, usedCols, css, uns)
     val partialBits = bitfield(b, jsonCols.length)
@@ -789,8 +798,8 @@ object BinlogReader {
         out(colIdx) =
           if (nthBit(nulls, nullIdx) != 0) null
           else {
-            val jsonOrd = if (jsonCols == null) -1 else jsonCols.indexOf(colIdx)
-            if (jsonOrd >= 0 && nthBit(partialBits, jsonOrd) != 0)
+            val ord = jsonOrd(colIdx)
+            if (ord >= 0 && nthBit(partialBits, ord) != 0)
               applyPartialJson(b, tm.columnMeta(colIdx), before(colIdx),
                 tm.dbName + "." + tm.tableName, colIdx)
             else readField(b, tm.columnMeta(colIdx), tm.columnTypes(colIdx),
@@ -1124,9 +1133,19 @@ object BinlogReader {
             case EventType.Query if found =>
               val q = readQuery(buf,
                 if (csLen > 0) h.copy(eventLen = h.eventLen - csLen) else h, cs)
-              if (!q.sql.equalsIgnoreCase("BEGIN")) { // DDL = implicit commit
-                result = Some(h.offset + h.eventLen); done = true
+              // the SHARED boundary classifier, not a bare BEGIN check: an
+              // XA transaction opens with "XA START ..." and stays open
+              // through "XA END ..." — treating those as implicit commits
+              // would resume INSIDE the transaction being skipped
+              TxnBoundary.classify(q.sql) match {
+                case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
+                  result = Some(h.offset + h.eventLen); done = true
+                case TxnBoundary.Begin | TxnBoundary.IntraTxn => // still inside
               }
+            case EventType.XaPrepare if found =>
+              // the prepare ENDS this GTID's transaction in the log (the
+              // XA COMMIT gets its own GTID later)
+              result = Some(h.offset + h.eventLen); done = true
             case EventType.TransactionPayload if found =>
               // compressed transaction: the whole BEGIN..XID lives inside
               // this one envelope, so the envelope's end IS the commit

@@ -70,11 +70,25 @@ object BinlogTailer {
     private def wanted(d: String, t: String): Boolean =
       dbF.forall(_ == d) && tableF.forall(_ == t)
 
-    private def emit(re: RowsEvent): Unit = {
+    // log_seq continuation across rows events sharing a log position
+    // (TRANSACTION_PAYLOAD inner events all carry the envelope offset) —
+    // same numbering rule as the DSv2 source: counted over ALL rows
+    // events so seq is a property of the log, not of this tail's filters
+    private var seqPos = -1L
+    private var seqBase = 0
+
+    private def advanceSeq(re: RowsEvent): Int = {
+      if (re.header.offset != seqPos) { seqPos = re.header.offset; seqBase = 0 }
+      val base = seqBase
+      seqBase += (if (re.isUpdate) 2 * re.rows.length else re.rows.length)
+      base
+    }
+
+    private def emit(re: RowsEvent, base: Int): Unit = {
       val h = re.header
       val f = file.getFileName.toString
       def c(seq: Int, dt: String, img: RowImage.Image) =
-        Change(f, h.offset, seq, None, re.dbName, re.tableName, dt, img)
+        Change(f, h.offset, base + seq, None, re.dbName, re.tableName, dt, img)
       val fresh: Seq[Change] = h.eventType match {
         case t if EventType.isWriteRows(t) =>
           re.rows.zipWithIndex.map { case (r, i) => c(i, "insert", r) }
@@ -108,7 +122,9 @@ object BinlogTailer {
       BinlogReader.eventIterator(buf, pos, tms, charset).foreach { e =>
         e match {
           case tm: TableMapEvent => tms = tms.updated(tm.tableId, tm)
-          case re: RowsEvent if wanted(re.dbName, re.tableName) => emit(re)
+          case re: RowsEvent =>
+            val base = advanceSeq(re)
+            if (wanted(re.dbName, re.tableName)) emit(re, base)
           case x: XidEvent =>
             if (txnOverflowed) { txn.foreach(onChange); txnOverflowed = false }
             else txn.foreach(ch => onChange(ch.copy(xid = Some(x.xid))))

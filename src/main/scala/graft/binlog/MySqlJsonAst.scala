@@ -175,12 +175,23 @@ object MySqlJsonAst {
       o.write(data)
       (0x0f, o.toByteArray)
     case JObj(fields0) =>
-      // server order: members sorted by (key length, key bytes)
-      val fields = fields0.sortBy { case (k, _) =>
-        (k.getBytes(StandardCharsets.UTF_8).length, k)
+      // server order: members sorted by (key length, memcmp of the UTF-8
+      // BYTES) — not Scala String order, which compares UTF-16 code units
+      // and diverges for equal-length keys mixing supplementary-plane and
+      // U+E000..U+FFFF characters
+      val keyed = fields0.map(f => (f._1.getBytes(StandardCharsets.UTF_8), f._2))
+      def memcmpLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+        if (a.length != b.length) return a.length < b.length
+        var i = 0
+        while (i < a.length) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        false
       }
-      encContainer(fields.map(f => f._1.getBytes(StandardCharsets.UTF_8)),
-        fields.map(f => enc(f._2)), isObj = true)
+      val fields = keyed.sortWith((x, y) => memcmpLt(x._1, y._1))
+      encContainer(fields.map(_._1), fields.map(f => enc(f._2)), isObj = true)
     case JArr(items) =>
       encContainer(Vector.empty, items.map(enc), isObj = false)
   }

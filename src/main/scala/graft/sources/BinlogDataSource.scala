@@ -404,19 +404,21 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private var dictsByTable = Map.empty[Long, Array[Array[String]]]
   private var jsonByTable = Map.empty[Long, Array[Boolean]]
   private def observeTableMap(tm: graft.binlog.TableMapEvent): Unit = {
+    // mirror EVERY registry update, not just additive ones — a table id
+    // re-mapped to a layout without enum literals / JSON columns must not
+    // keep the previous mapping's decode policy
     val es = tm.optionalMeta.map(_.enumSetValues).orNull
-    if (es != null)
-      dictsByTable = dictsByTable.updated(tm.tableId,
-        tm.columnTypes.indices.map { i =>
-          if (es(i) != null) es(i)
-          else if (i < enumDicts.length) enumDicts(i) else null
-        }.toArray)
-    val jsons = tm.columnTypes.indices.map { i =>
-      (i < jsonCols.length && jsonCols(i)) ||
-        (tm.columnTypes(i) == ColType.Json && i < payloadFields.length &&
-          payloadFields(i).dataType == StringType)
-    }.toArray
-    if (jsons.exists(identity)) jsonByTable = jsonByTable.updated(tm.tableId, jsons)
+    dictsByTable = dictsByTable.updated(tm.tableId,
+      tm.columnTypes.indices.map { i =>
+        if (es != null && es(i) != null) es(i)
+        else if (i < enumDicts.length) enumDicts(i) else null
+      }.toArray)
+    jsonByTable = jsonByTable.updated(tm.tableId,
+      tm.columnTypes.indices.map { i =>
+        (i < jsonCols.length && jsonCols(i)) ||
+          (tm.columnTypes(i) == ColType.Json && i < payloadFields.length &&
+            payloadFields(i).dataType == StringType)
+      }.toArray)
   }
   part.initialTableMaps.values.foreach(observeTableMap)
 
@@ -568,23 +570,45 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     * "insert" row, DELETE → 1 "delete" row, UPDATE → "update-before" +
     * "update" per pair, in log order.
     */
-  private def expand(re: RowsEvent): Iterator[Array[Any]] = {
+  // log_seq continuation across rows events SHARING a log position: every
+  // inner rows event of one TRANSACTION_PAYLOAD carries the envelope's
+  // offset, so restarting seq at 0 per event would collide
+  // (log_file, log_pos, log_seq) keys — breaking latest-wins merges and
+  // ORDER BY consumers. Counted over ALL rows events (wanted or not) so a
+  // row's seq is a property of the LOG, not of this scan's pushed
+  // filters. On uncompressed logs offsets are distinct and the base
+  // resets per event, preserving the historical numbering.
+  private var seqPos = -1L
+  private var seqBase = 0
+
+  /** Advance the shared-position seq counter past `re`; returns the base
+    * this event's images number from.
+    */
+  private def advanceSeq(re: RowsEvent): Int = {
+    if (re.header.offset != seqPos) { seqPos = re.header.offset; seqBase = 0 }
+    val base = seqBase
+    seqBase += (if (re.isUpdate) 2 * re.rows.length else re.rows.length)
+    base
+  }
+
+  private def expand(re: RowsEvent, base: Int): Iterator[Array[Any]] = {
     val h = re.header
     val dicts = dictsByTable.getOrElse(re.tableId, enumDicts)
     val jsons = jsonByTable.getOrElse(re.tableId, jsonCols)
     re.header.eventType match {
       case t if EventType.isWriteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
-          changeRow(h, re.dbName, re.tableName, i, "insert", img, dicts, jsons) }
+          changeRow(h, re.dbName, re.tableName, base + i, "insert", img, dicts, jsons) }
       case t if EventType.isDeleteRows(t) =>
         re.rows.iterator.zipWithIndex.map { case (img, i) =>
-          changeRow(h, re.dbName, re.tableName, i, "delete", img, dicts, jsons) }
+          changeRow(h, re.dbName, re.tableName, base + i, "delete", img, dicts, jsons) }
       case t if EventType.isUpdateRows(t) =>
         re.rows.iterator.zip(re.afterRows.iterator).zipWithIndex.flatMap {
           case ((before, after), i) =>
-            Iterator(changeRow(h, re.dbName, re.tableName, 2 * i, "update-before", before,
-              dicts, jsons),
-              changeRow(h, re.dbName, re.tableName, 2 * i + 1, "update", after, dicts, jsons))
+            Iterator(changeRow(h, re.dbName, re.tableName, base + 2 * i, "update-before",
+              before, dicts, jsons),
+              changeRow(h, re.dbName, re.tableName, base + 2 * i + 1, "update", after,
+                dicts, jsons))
         }
     }
   }
@@ -643,20 +667,23 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       if (eventsMode) {
         if (inRange(e.header)) out = Iterator.single(eventRow(e))
       } else e match {
-        case re: RowsEvent if inRange(re.header) && tableWanted(re.dbName, re.tableName) =>
-          // materialized per event — readWudRows already holds the decoded
-          // images, so this adds no asymptotic memory
-          val fresh = expand(re).filter(a => deltaWanted(a(8).toString)).toVector
-          if (txnOverflowed)
-            out = fresh.iterator.map(new GenericInternalRow(_))
-          else if (txnBuffer.size + fresh.size <= maxTxnRows) txnBuffer ++= fresh
-          else {
-            // Oversized transaction: flush what's buffered FIRST (keeps
-            // (log_pos, log_seq) emission monotonic), then stream the rest
-            // of the txn directly — xid degrades to null for the whole txn
-            // rather than interleaving its tail ahead of its head.
-            txnOverflowed = true
-            out = emitTxn(null) ++ fresh.iterator.map(new GenericInternalRow(_))
+        case re: RowsEvent =>
+          val base = advanceSeq(re)
+          if (inRange(re.header) && tableWanted(re.dbName, re.tableName)) {
+            // materialized per event — readWudRows already holds the decoded
+            // images, so this adds no asymptotic memory
+            val fresh = expand(re, base).filter(a => deltaWanted(a(8).toString)).toVector
+            if (txnOverflowed)
+              out = fresh.iterator.map(new GenericInternalRow(_))
+            else if (txnBuffer.size + fresh.size <= maxTxnRows) txnBuffer ++= fresh
+            else {
+              // Oversized transaction: flush what's buffered FIRST (keeps
+              // (log_pos, log_seq) emission monotonic), then stream the rest
+              // of the txn directly — xid degrades to null for the whole txn
+              // rather than interleaving its tail ahead of its head.
+              txnOverflowed = true
+              out = emitTxn(null) ++ fresh.iterator.map(new GenericInternalRow(_))
+            }
           }
         case tm: TableMapEvent =>
           observeTableMap(tm) // refresh metadata-driven per-table policy

@@ -59,6 +59,18 @@ class PartialUpdateRowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txt.endsWith(""""element-8999-padpadpad"]"""))
   }
 
+  test("object key order is (length, memcmp of UTF-8 bytes), not UTF-16 order") {
+    // both keys are 4 UTF-8 bytes; memcmp puts U+E000 (EE 80 80 + 'a')
+    // before U+10000 (F0 90 80 80), while UTF-16 code-unit comparison
+    // would order the surrogate pair (0xD800...) first
+    val o = JObj(Vector("𐀀" -> JInt(1), "a" -> JInt(2)))
+    assert(MySqlJson.decodeToString(encode(o)) == """{"a":2,"𐀀":1}""" ||
+      decode(encode(o)).asInstanceOf[JObj].fields.map(_._1) ==
+        Vector("a", "𐀀"))
+    assert(decode(encode(o)).asInstanceOf[JObj].fields.map(_._1) ==
+      Vector("a", "𐀀"))
+  }
+
   test("diff semantics: replace, nested replace, array insert/append, remove") {
     val out = applyDiffs(doc, Seq(
       JsonDiff(DiffOp.Replace, "$.title", Some(JStr("hi"))),

@@ -115,6 +115,22 @@ class TransactionPayloadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_(1)).distinct.sorted(Ordering.by((x: Any) => x.toString)) == Seq(11L, 12L))
   }
 
+  test("inner rows events of one envelope get DISTINCT (log_pos, log_seq) keys") {
+    // txn 2 holds an UPDATE event (2 images) and a DELETE event in ONE
+    // envelope — all three change rows share log_pos, so seq must
+    // CONTINUE across the events (0,1,2), not restart per event
+    val (ctp, _) = twinLogs()
+    val keys = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, val DECIMAL(12,4), word STRING")
+      .load(ctp)
+      .filter("xid = 12")
+      .selectExpr("log_pos", "log_seq", "_delta_type")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(keys.map(k => (k._1, k._2)).distinct.size == keys.size,
+      s"colliding (log_pos, log_seq): $keys")
+    assert(keys.map(_._2).sorted == Seq(0, 1, 2), keys.toString)
+  }
+
   test("events mode: inner stream visible, envelope not double-counted") {
     val (ctp, _) = twinLogs()
     val counts = spark.read.format("mysql-binlog").option("mode", "events")

@@ -63,6 +63,37 @@ class XaPrepareSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("XA_PREPARE_LOG_EVENT"))
   }
 
+  test("startAfterGtid skips a GTID-framed XA transaction whole") {
+    // previously any non-BEGIN QUERY counted as an implicit commit, so
+    // "XA START" resolved the resume point INSIDE the target transaction
+    // and its rows were re-delivered
+    val dir = Files.createTempDirectory("xa-gtid")
+    new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1)
+      .writePreviousGtids(0, ts = 1)
+      .writeGtid(1, ts = 2)
+      .writeQuery("d", "XA START X'787831',X'',1", ts = 2)
+      .writeTableMap(9, "d", "t", cols, ts = 2)
+      .writeInsert(9, cols, Seq(Seq(1, "xa-row")), ts = 2)
+      .writeQuery("d", "XA END X'787831',X'',1", ts = 2)
+      .writeXaPrepare("xx1", ts = 2)
+      .writeGtid(2, ts = 3)
+      .writeQuery("d", "BEGIN", ts = 3)
+      .writeTableMap(9, "d", "t", cols, ts = 3)
+      .writeInsert(9, cols, Seq(Seq(2, "plain")), ts = 3)
+      .writeXid(55, ts = 3)
+      .save(dir.resolve("binlog.000001").toString)
+    val hex = BinlogReader.toHex(BinlogWriter.FixtureUuid)
+    val uuid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+    val ids = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, word STRING")
+      .option("startAfterGtid", s"$uuid:1")
+      .load(dir.toString)
+      .selectExpr("id").collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(2), s"XA txn rows re-delivered: $ids")
+  }
+
   test("tailer: same flush rule") {
     val d = log()
     val got = new java.util.concurrent.ConcurrentLinkedQueue[(Any, Long)]()
