@@ -65,7 +65,7 @@ object PersistedIndexes {
 
   /** sim05's persisted cell-partitioned inverted file + centroids. */
   def annIndex(s: SparkSession, sfDir: String): String =
-    cached(s"graft-index-r6-sim05-${sfKey(sfDir)}") { dir =>
+    cached(s"graft-index-r6b-sim05-${sfKey(sfDir)}") { dir =>
       Similarity.buildAnnIndex(embeddings(s, sfDir), dir)
     }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import VectorOps._
@@ -266,11 +266,53 @@ object Similarity {
   def buildAnnIndex(e: DataFrame, indexDir: String, k: Int = 16): Unit = {
     val assigned = assignCells(e, k).localCheckpoint(true)
     try {
+      // segment-addressed from the start (seg=base) so incremental batches
+      // ([[appendToAnnIndex]]) land beside it without a layout migration
       assigned.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexDir/cells")
+        .parquet(s"$indexDir/cells/seg=base")
       cellCentroids(assigned).write.mode("overwrite")
         .parquet(s"$indexDir/centroids")
     } finally assigned.unpersist()
+  }
+
+  /** Assignment against PERSISTED centroids — the incremental-ingest twin
+    * of [[assignCells]]: a new batch lands in an existing index without
+    * recomputing the coarse quantizer (the standard IVF contract; the
+    * quantizer only changes on a rebuild). Same broadcast-argmax shape —
+    * the batch is never shuffled; ties pick the smallest cell id. HOF
+    * arithmetic with explicit double casts (centroids are double arrays,
+    * embeddings float).
+    */
+  private[operators] def assignToCentroids(batch: DataFrame, cent: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def cosd(a: Column, b: Column): Column =
+      dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+    val centArr = cent.agg(array_sort(
+      collect_list(struct($"cell".as("sid"), $"centroid".as("sv")))).as("seeds"))
+    batch.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform($"seeds",
+        s => struct(cosd($"embedding", s.getField("sv")).as("sim"),
+          (-s.getField("sid")).as("nsid")))))
+      .select($"vec_id", $"label", $"embedding",
+        (-$"best".getField("nsid")).cast("int").as("cell"))
+  }
+
+  /** Append a batch to an existing ANN index: assign against the persisted
+    * centroids, land the rows SEGMENT-ADDRESSED under
+    * `cells/seg=<segment>` (cell-partitioned inside, like the base
+    * segment) — re-running a segment overwrites exactly its own rows, so
+    * replayed ingest batches are idempotent by construction, the same
+    * protocol as [[Dedup.buildDedupIndex]]. Probes are unchanged: partition
+    * discovery sees (seg, cell) and cell pruning still applies.
+    */
+  def appendToAnnIndex(s: SparkSession, batch: DataFrame, indexDir: String,
+                       segment: String): Unit = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    assignToCentroids(batch, cent).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$indexDir/cells/seg=$segment")
   }
 
   /** sim05 against the persisted index: centroids are read (tiny), the
