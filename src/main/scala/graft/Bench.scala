@@ -91,6 +91,24 @@ object Bench {
     decodeLargeOnce() // warm
     val mbPerSecLarge = bigBytes / 1e6 / (1 to runs).map(_ => decodeLargeOnce()).min
 
+    // compressed-transaction decode rate (binlog_transaction_compression):
+    // the ctp twin's bytes through the full change-row path — zstd
+    // decompress + inner-stream re-entry included. Rate is per COMPRESSED
+    // byte (what sits on disk), so it is not directly comparable to the
+    // uncompressed tiers; it guards the envelope path against regressions.
+    val ctpDir = new java.io.File(fixDir, "ctp")
+    val ctpBytes = ctpDir.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0")).map(_.length).sum
+    def decodeCtpOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("mysql-binlog")
+        .option("payloadDdl", operators.CdcBinlog.payloadDdl)
+        .load(ctpDir.getPath).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decodeCtpOnce() // warm
+    val ctpMbPerSec = ctpBytes / 1e6 / (1 to runs).map(_ => decodeCtpOnce()).min
+
     // events-mode scan rate (header + TABLE_MAP decode, row images skipped
     // since the event-level projection never reads them) — NOT comparable
     // to the full-decode numbers above by design
@@ -122,7 +140,9 @@ object Bench {
       s""""binlog_decode_mb_per_sec_large":$mbPerSecLarge,"binlog_bytes_large":$bigBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
       s""""binlog_decode_mb_per_sec_single_thread_large":$stMbPerSecLarge,""" +
-      s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,"dd02_xxhash64_sec":$dd02XxSec,""" +
+      s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,""" +
+      s""""binlog_decode_mb_per_sec_compressed":$ctpMbPerSec,"binlog_bytes_compressed":$ctpBytes,""" +
+      s""""dd02_xxhash64_sec":$dd02XxSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}"""
     println(json)
