@@ -70,19 +70,10 @@ object BinlogTailer {
     private def wanted(d: String, t: String): Boolean =
       dbF.forall(_ == d) && tableF.forall(_ == t)
 
-    // log_seq continuation across rows events sharing a log position
-    // (TRANSACTION_PAYLOAD inner events all carry the envelope offset) —
-    // same numbering rule as the DSv2 source: counted over ALL rows
-    // events so seq is a property of the log, not of this tail's filters
-    private var seqPos = -1L
-    private var seqBase = 0
-
-    private def advanceSeq(re: RowsEvent): Int = {
-      if (re.header.offset != seqPos) { seqPos = re.header.offset; seqBase = 0 }
-      val base = seqBase
-      seqBase += (if (re.isUpdate) 2 * re.rows.length else re.rows.length)
-      base
-    }
+    // log_seq numbering: the shared [[ChangeSeqCounter]] rule; reset on
+    // every file change (offset coincidences across files must not
+    // continue the previous file's numbering)
+    private val seqCounter = new ChangeSeqCounter
 
     private def emit(re: RowsEvent, base: Int): Unit = {
       val h = re.header
@@ -123,7 +114,7 @@ object BinlogTailer {
         e match {
           case tm: TableMapEvent => tms = tms.updated(tm.tableId, tm)
           case re: RowsEvent =>
-            val base = advanceSeq(re)
+            val base = seqCounter.advance(re)
             if (wanted(re.dbName, re.tableName)) emit(re, base)
           case x: XidEvent =>
             if (txnOverflowed) { txn.foreach(onChange); txnOverflowed = false }
@@ -166,6 +157,7 @@ object BinlogTailer {
           file = dir.resolve(next)
           pos = 4L
           tms = Map.empty // per-file state, like the reference's scan
+          seqCounter.reset()
           true
         case Some(_) =>
           // the rotated-to file is not visible yet (rotation races file
@@ -211,6 +203,7 @@ object BinlogTailer {
         file = fs(i + 1)
         pos = 4L
         tms = Map.empty
+        seqCounter.reset()
         true
       } else false
     }

@@ -254,6 +254,29 @@ final case class TableOptionalMeta(
     /** full-column indexes of the primary key (empty when absent) */
     primaryKey: Array[Int])
 
+/** log_seq numbering for change rows — the ONE definition shared by the
+  * DSv2 partition reader and the tailer (like [[TxnBoundary]]): images
+  * number sequentially within a log position, CONTINUING across rows
+  * events that share one (TRANSACTION_PAYLOAD inner events all carry the
+  * envelope's offset) and resetting when the position moves. Counted over
+  * ALL rows events so a row's seq is a property of the log, not of a
+  * scan's pushed filters. [[reset]] on every file change — positions
+  * restart per file, and an offset coincidence across files must not
+  * continue the old numbering.
+  */
+final class ChangeSeqCounter {
+  private var pos = -1L
+  private var base = 0
+  def reset(): Unit = { pos = -1L; base = 0 }
+  /** Advance past `re`; returns the base its images number from. */
+  def advance(re: RowsEvent): Int = {
+    if (re.header.offset != pos) { pos = re.header.offset; base = 0 }
+    val b = base
+    base += (if (re.isUpdate) 2 * re.rows.length else re.rows.length)
+    b
+  }
+}
+
 /** 19-byte v4 event header (`mysql_binlog.clj:290-328`). */
 final case class EventHeader(
     timestamp: Long,      // seconds since epoch, UTC

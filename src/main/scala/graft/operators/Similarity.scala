@@ -264,6 +264,13 @@ object Similarity {
     * centroid shuffle; run on corpus drift, not per query.
     */
   def buildAnnIndex(e: DataFrame, indexDir: String, k: Int = 16): Unit = {
+    // a (re)build defines a NEW quantizer: every earlier segment (appended
+    // increments, or a pre-segment flat layout) was assigned under the old
+    // one and must go — wiping only seg=base would leave stale segments in
+    // the probed union (wrong cells, duplicate vec_ids)
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    cellsPath.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(cellsPath, true)
     val assigned = assignCells(e, k).localCheckpoint(true)
     try {
       // segment-addressed from the start (seg=base) so incremental batches
@@ -288,13 +295,15 @@ object Similarity {
     def dotd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    def cosd(a: Column, b: Column): Column =
-      dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+    // ranking drops the row's own norm: it scales every seed's cosine by
+    // the same positive constant, so the argmax is unchanged and the
+    // per-seed HOF work halves (dot(a,a) would otherwise recompute k times)
+    def rank(a: Column, sv: Column): Column = dotd(a, sv) / sqrt(dotd(sv, sv))
     val centArr = cent.agg(array_sort(
       collect_list(struct($"cell".as("sid"), $"centroid".as("sv")))).as("seeds"))
     batch.crossJoin(broadcast(centArr))
       .withColumn("best", array_max(transform($"seeds",
-        s => struct(cosd($"embedding", s.getField("sv")).as("sim"),
+        s => struct(rank($"embedding", s.getField("sv")).as("sim"),
           (-s.getField("sid")).as("nsid")))))
       .select($"vec_id", $"label", $"embedding",
         (-$"best".getField("nsid")).cast("int").as("cell"))

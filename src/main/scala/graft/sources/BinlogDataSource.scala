@@ -570,26 +570,9 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     * "insert" row, DELETE → 1 "delete" row, UPDATE → "update-before" +
     * "update" per pair, in log order.
     */
-  // log_seq continuation across rows events SHARING a log position: every
-  // inner rows event of one TRANSACTION_PAYLOAD carries the envelope's
-  // offset, so restarting seq at 0 per event would collide
-  // (log_file, log_pos, log_seq) keys — breaking latest-wins merges and
-  // ORDER BY consumers. Counted over ALL rows events (wanted or not) so a
-  // row's seq is a property of the LOG, not of this scan's pushed
-  // filters. On uncompressed logs offsets are distinct and the base
-  // resets per event, preserving the historical numbering.
-  private var seqPos = -1L
-  private var seqBase = 0
-
-  /** Advance the shared-position seq counter past `re`; returns the base
-    * this event's images number from.
-    */
-  private def advanceSeq(re: RowsEvent): Int = {
-    if (re.header.offset != seqPos) { seqPos = re.header.offset; seqBase = 0 }
-    val base = seqBase
-    seqBase += (if (re.isUpdate) 2 * re.rows.length else re.rows.length)
-    base
-  }
+  // log_seq numbering: the shared [[graft.binlog.ChangeSeqCounter]] rule
+  // (one partition = one file, so no reset is ever needed here)
+  private val seqCounter = new ChangeSeqCounter
 
   private def expand(re: RowsEvent, base: Int): Iterator[Array[Any]] = {
     val h = re.header
@@ -668,7 +651,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
         if (inRange(e.header)) out = Iterator.single(eventRow(e))
       } else e match {
         case re: RowsEvent =>
-          val base = advanceSeq(re)
+          val base = seqCounter.advance(re)
           if (inRange(re.header) && tableWanted(re.dbName, re.tableName)) {
             // materialized per event — readWudRows already holds the decoded
             // images, so this adds no asymptotic memory

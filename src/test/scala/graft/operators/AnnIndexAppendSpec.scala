@@ -45,6 +45,12 @@ class AnnIndexAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cent = spark.read.parquet(s"$dir/centroids")
     val all = Similarity.assignToCentroids(e, cent)
     val cells = spark.read.parquet(s"$dir/cells")
+    // no row lost, none duplicated — counted BEFORE any dedup (a .toMap
+    // here would silently collapse a vec_id landing in two segments)
+    val nRows = cells.count()
+    assert(nRows == e.count(), s"index holds $nRows of ${e.count()} rows")
+    assert(cells.groupBy($"vec_id").count().filter($"count" > 1).count() == 0L,
+      "a vec_id landed in more than one segment")
     // the on-disk assignment must agree with the recompute, row for row
     val disk = cells.select($"vec_id", $"cell".cast("int")).as[(Long, Int)]
       .collect().toMap
@@ -54,11 +60,16 @@ class AnnIndexAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.filter(_._1 >= cut).foreach { case (id, cell) =>
       assert(disk(id) == cell, s"vec $id: disk ${disk(id)} vs recompute $cell")
     }
-    assert(disk.size == mem.size, "appended index lost or duplicated rows")
 
     // idempotent replay: same segment re-appended -> identical probe
     Similarity.appendToAnnIndex(spark, e.filter($"vec_id" >= cut), dir, "inc1")
     assert(probeIds(dir) == appended)
+
+    // a REBUILD defines a new quantizer: stale appended segments must go
+    Similarity.buildAnnIndex(e, dir)
+    val rebuilt = spark.read.parquet(s"$dir/cells")
+    assert(rebuilt.count() == e.count(), "rebuild left stale segment rows")
+    assert(rebuilt.select("seg").distinct().collect().map(_.getString(0)).toSeq == Seq("base"))
 
     // the probe actually sees appended vectors (unless none landed in the
     // probed cells, which this corpus does not exhibit)
