@@ -561,7 +561,30 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcb13 — latest-image compaction over the COMPRESSED twin: the final
+  // state per key after applying inserts/updates/deletes in
+  // (log_file, log_pos, log_seq) order, where every transaction's events
+  // share ONE envelope position and seq must continue across them
+  // (ChangeSeqCounter). The result is position-independent, so the same
+  // ground truth that oracles cdcb4 must fall out — any mis-ordering
+  // inside an envelope (e.g. a delete losing to its own transaction's
+  // insert) flips rows here.
+  def cdcb13CompressedLatestImage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"id")
+      .orderBy($"log_file".desc, $"log_pos".desc, $"log_seq".desc)
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(Paths.get(fixtureDir(d), "ctp").toString)
+      .filter($"_delta_type" =!= "update-before")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"_delta_type" =!= "delete")
+      .select($"id", $"val".cast("double").as("val"), $"word")
+      .orderBy($"id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
     "cdcb10_row_metadata_scan" -> cdcb10RowMetadataScan _,
@@ -580,6 +603,16 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb13_compressed_latest_image" ->
+      s"""WITH ranked AS (
+         |  SELECT id, val, word, _delta_type,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |  FROM ${expectedChangesRel(sfDir)}
+         |  WHERE _delta_type <> 'update-before')
+         |SELECT id, val, word FROM ranked
+         |WHERE rn = 1 AND _delta_type <> 'delete'
+         |ORDER BY id""".stripMargin,
     "cdcb12_partial_json_latest" ->
       s"""SELECT id, doc_md5
          |FROM read_csv('${fixturePathFor(sfDir)}/expected_partial.csv', header=true,
