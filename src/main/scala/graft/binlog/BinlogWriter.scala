@@ -495,6 +495,38 @@ object BinlogWriter {
       this
     }
 
+    /** `binlog_row_image=MINIMAL`-shaped UPDATE: DISTINCT before/after
+      * column masks (a real server logs the PK columns in the before
+      * image and only the changed columns in the after image); image
+      * seqs list only their mask's columns, the reader yields
+      * [[graft.binlog.RowImage.Unused]] for the rest.
+      */
+    def writeUpdateMasked(tableId: Long, cols: Seq[ColSpec],
+                          beforeMask: Seq[Boolean], afterMask: Seq[Boolean],
+                          rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(6)(tableId))
+      b.write(le(2)(0)) // flags
+      if (rowsV2) b.write(le(2)(2))
+      writePackedInt(b, cols.length)
+      def maskBytes(m: Seq[Boolean]): Array[Byte] = {
+        val a = new Array[Byte]((cols.length + 7) / 8)
+        m.zipWithIndex.foreach { case (u, i) =>
+          if (u) a(i / 8) = (a(i / 8) | (1 << (i % 8))).toByte }
+        a
+      }
+      b.write(maskBytes(beforeMask))
+      b.write(maskBytes(afterMask))
+      val beforeSpecs = cols.zip(beforeMask).collect { case (c, true) => c }
+      val afterSpecs = cols.zip(afterMask).collect { case (c, true) => c }
+      rows.foreach { case (bv, av) =>
+        writeImage(b, beforeSpecs, bv)
+        writeImage(b, afterSpecs, av)
+      }
+      event(updateT, ts, b.toByteArray)
+      this
+    }
+
     /** PARTIAL_UPDATE_ROWS (type 39, `binlog_row_value_options=
       * PARTIAL_JSON`): UPDATE whose after-image JSON values may be
       * [[MySqlJsonAst.JsonDiff]] sequences (pass

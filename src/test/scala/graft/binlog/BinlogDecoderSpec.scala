@@ -193,6 +193,28 @@ class BinlogDecoderSpec extends AnyFunSuite {
     assert(rows(1) === Vector(null, RowImage.Unused, null))
   }
 
+  test("MINIMAL-image update: distinct before/after masks decode independently") {
+    // real binlog_row_image=MINIMAL updates log the PK in the before image
+    // and only the CHANGED columns in the after image — the two bitmaps
+    // differ and each image's null bitmap covers its own used count
+    val cols = Seq(ColSpec.int, ColSpec.varchar(20), ColSpec.decimal(10, 2))
+    val path = new Writer()
+      .writeFormatDescription()
+      .writeTableMap(7, "d", "t", cols)
+      .writeUpdateMasked(7, cols,
+        beforeMask = Seq(true, false, false), // PK only
+        afterMask = Seq(false, true, true),   // the changed columns
+        rows = Seq((Seq(42), Seq("renamed", new JBigDecimal("9.50"))),
+                   (Seq(43), Seq(null, null)))) // changed-to-NULL
+      .save(tmp("minimal-update.bin"))
+    val re = BinlogReader.readBinlog(path).events(2).asInstanceOf[RowsEvent]
+    assert(re.isUpdate)
+    assert(re.rows(0) === Vector(42, RowImage.Unused, RowImage.Unused))
+    assert(re.afterRows(0) === Vector(RowImage.Unused, "renamed", new JBigDecimal("9.50")))
+    assert(re.rows(1) === Vector(43, RowImage.Unused, RowImage.Unused))
+    assert(re.afterRows(1) === Vector(RowImage.Unused, null, null))
+  }
+
   test("wide table (300 columns): packed-int column count + wide bitmaps") {
     // column-count > 250 forces the 252/2-byte packed integer encoding
     // (`mysql_binlog.clj:193-211`) and 38-byte used/null bitfields
