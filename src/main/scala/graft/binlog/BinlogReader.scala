@@ -254,6 +254,16 @@ object BinlogReader {
       bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs))
   }
 
+  /** MariaDB ANNOTATE_ROWS (160): the statement text, bare (no stored-
+    * length byte) — their ROWS_QUERY; surfaces through the same
+    * [[RowsQueryEvent]] so `attachRowsQuery` works on MariaDB logs.
+    */
+  def readAnnotateRows(b: ByteBuffer, h: EventHeader, cs: Charset): RowsQueryEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    RowsQueryEvent(h, new String(
+      bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs))
+  }
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** Fast lowercase hex (char-table, no String.format) — shared by GTID
@@ -995,6 +1005,7 @@ object BinlogReader {
                 case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
                 case EventType.RowsQuery => readRowsQuery(buf, h, charset)
+                case EventType.MariaAnnotateRows => readAnnotateRows(buf, h, charset)
                 case EventType.TransactionPayload =>
                   // decompress and re-enter the event loop over the inner
                   // stream; inner events surface with their log position

@@ -612,6 +612,20 @@ object BinlogWriter {
       o.toByteArray
     }
 
+    /** MariaDB ANNOTATE_ROWS (160): bare statement text. */
+    def writeAnnotateRows(sql: String, ts: Long = 0L): this.type = {
+      event(EventType.MariaAnnotateRows, ts, sql.getBytes(charset))
+      this
+    }
+
+    /** Arbitrary event body — fixture-side stand-in for event types this
+      * engine passes through opaque (MariaDB GTID framing etc.).
+      */
+    def writeOpaque(eventType: Int, body: Array[Byte], ts: Long = 0L): this.type = {
+      event(eventType, ts, body)
+      this
+    }
+
     /** ROWS_QUERY (id 29): stored-length byte + SQL text. */
     def writeRowsQuery(sql: String, ts: Long = 0L): this.type = {
       val b = new ByteArrayOutputStream()

@@ -50,6 +50,14 @@ object EventType {
   // boundary (rows surface with xid null, like other non-XID commits)
   val XaPrepare = 38
   val HeartbeatV2 = 41
+  // MariaDB's event block (>= 5.3): rows events share MySQL's v1 ids
+  // (23-25) so row decode works unchanged; ANNOTATE_ROWS is MariaDB's
+  // ROWS_QUERY (statement text before its rows events) and feeds
+  // `attachRowsQuery`; the GTID framing events pass through named
+  val MariaAnnotateRows = 160
+  val MariaBinlogCheckpoint = 161
+  val MariaGtid = 162
+  val MariaGtidList = 163
   // binlog_row_value_options=PARTIAL_JSON (MySQL >= 8.0.3): UPDATE whose
   // after-image may carry JSON columns as a DIFF sequence instead of the
   // full value; the decoder applies the diffs to the before-image so the
@@ -95,6 +103,10 @@ object EventType {
     case ViewChange => "VIEW_CHANGE_EVENT"
     case XaPrepare => "XA_PREPARE_LOG_EVENT"
     case HeartbeatV2 => "HEARTBEAT_LOG_EVENT_V2"
+    case MariaAnnotateRows => "ANNOTATE_ROWS_EVENT"
+    case MariaBinlogCheckpoint => "BINLOG_CHECKPOINT_EVENT"
+    case MariaGtid => "GTID_EVENT_MARIADB"
+    case MariaGtidList => "GTID_LIST_EVENT_MARIADB"
     case FormatDescription => "FORMAT_DESCRIPTION_EVENT"
     case Xid => "XID_EVENT"
     case TableMap => "TABLE_MAP_EVENT"
