@@ -164,11 +164,12 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // ROWS_QUERY sits between BEGIN and its rows events — it is
               // inside the transaction, not a safe boundary
               txnOpen = true
-            case EventType.Gtid | EventType.AnonymousGtid =>
+            case EventType.Gtid | EventType.AnonymousGtid | EventType.MariaGtid =>
               // the GTID frame PRECEDES its BEGIN: binding it to the txn
               // keeps frame + transaction atomic within one micro-batch
               // (an events-mode consumer attributing "complete through
-              // uuid:n" per batch must never see them split)
+              // uuid:n" per batch must never see them split); MariaDB's
+              // frame (162) plays the same role
               txnOpen = true
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false
