@@ -627,6 +627,107 @@ object Dedup {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * LSH pairs into DEDUP GROUPS (keep one representative per component).
+    * Iterative hash-to-min: each node's label converges to its component's
+    * minimum doc_id; one slim (id, comp) shuffle per round, lineage
+    * truncated per iteration, never a materialized transitive closure.
+    * Rounds = graph diameter — LSH dup graphs are near-cliques (diameter
+    * 2-3 in practice), so a handful of rounds suffice even at 100 TB; the
+    * published alternating large-star/small-star algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") is the
+    * O(log n)-round upgrade if adversarial chain graphs ever appear, and
+    * the iteration guard fails loudly rather than spinning.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (id, comp) — comp = the
+    * component's minimum member id. Nodes are the pair endpoints
+    * (singletons never enter the graph).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("comp"))
+        .localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged) {
+        if (i >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds — " +
+              "graph diameter exceeds the dup-cluster assumption; use a " +
+              "large-star/small-star implementation for this input")
+        val nbrMin = edges
+          .join(labels.select($"id".as("dst"), $"comp".as("ncomp")), "dst")
+          .groupBy($"src")
+          .agg(min($"ncomp").as("nmin"))
+          .select($"src".as("id"), $"nmin")
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
+          .localCheckpoint(true)
+        converged = updated.as("u")
+          .join(labels.as("l"), "id")
+          .filter(col("u.comp") =!= col("l.comp"))
+          .isEmpty
+        labels.unpersist()
+        labels = updated
+        i += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  // dd09 — near-dup CLUSTER assembly: dd02's verified pair graph folded
+  // into components (cluster_id = the component's minimum doc_id — the
+  // keeper a dedup pass retains), with per-cluster membership stats. The
+  // oracle computes the same components via a recursive transitive
+  // closure, which is exact on the gate-scale graph; the Spark side never
+  // materializes the closure (see connectedComponents).
+  def dd09DupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(dd02MinhashLsh(s, d))
+      .groupBy($"comp".as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
+      .orderBy($"cluster_id")
+  }
+
+  val dd09Sql: String =
+    s"""WITH RECURSIVE sh_t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+       |sig AS (SELECT doc_id, sh,
+       |  md5(${duckMinhash(0)} || '|' || ${duckMinhash(1)}) AS band0,
+       |  md5(${duckMinhash(2)} || '|' || ${duckMinhash(3)}) AS band1 FROM sh_t),
+       |bands AS (
+       |  SELECT doc_id, sh, 0 AS band_id, band0 AS h FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1 AS band_id, band1 AS h FROM sig),
+       |goodpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |    FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+       |      AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.2),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM goodpairs
+       |          UNION SELECT doc_b, doc_a FROM goodpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |comp AS (
+       |  SELECT n.id, LEAST(n.id, MIN(r.b)) AS comp
+       |  FROM nodes n JOIN reach r ON r.a = n.id
+       |  GROUP BY n.id)
+       |SELECT comp AS cluster_id, COUNT(*) AS n_members, MAX(id) AS max_member
+       |FROM comp
+       |GROUP BY comp
+       |ORDER BY cluster_id""".stripMargin
+
   // dd06b — the persisted-index path as a first-class gate query: the
   // corpus index is built ONCE per sf (cached on disk, like production
   // build-on-drift), the query itself only probes parquet — and must
@@ -639,6 +740,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd09_dup_clusters" -> dd09DupClusters _,
     "dd06b_via_index" -> dd06bViaIndex _,
     "dd08_decontaminate" -> dd08Decontaminate _,
     "dd07_pipeline" -> dd07Pipeline _,
@@ -650,6 +752,7 @@ object Dedup {
     "dd06_incremental_dedup" -> dd06IncrementalDedup _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd09_dup_clusters" -> dd09Sql,
     "dd06b_via_index" -> dd06Sql,
     "dd08_decontaminate" -> dd08Sql,
     "dd07_pipeline" -> dd07Sql,
