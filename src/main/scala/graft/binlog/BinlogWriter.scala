@@ -427,41 +427,37 @@ object BinlogWriter {
       * bit are absent from the image entirely — image seqs then list only
       * the used columns' values, and the reader yields
       * [[graft.binlog.RowImage.Unused]] for the rest
-      * (`mysql_binlog.clj:593-608`).
+      * (`mysql_binlog.clj:593-608`). `afterMask` (updates only) lets the
+      * after image carry a DIFFERENT column set (a real MINIMAL update
+      * logs the PK before and only changed columns after); defaults to
+      * `usedMask`. Per-image null bitmaps cover only that image's used
+      * columns (reader: `bitfield(b, countBits(usedCols))`).
       */
     private def rowsBody(tableId: Long, cols: Seq[ColSpec],
                          images: Seq[Seq[Seq[Any]]],
-                         usedMask: Seq[Boolean]): Array[Byte] = {
+                         usedMask: Seq[Boolean],
+                         afterMask: Seq[Boolean] = null): Array[Byte] = {
       // images: per row, 1 (write/delete) or 2 (update before+after) images
       val b = new ByteArrayOutputStream()
       b.write(le(6)(tableId))
       b.write(le(2)(0)) // flags
       if (rowsV2) b.write(le(2)(2)) // extra-data length (self-inclusive, empty)
       writePackedInt(b, cols.length)
-      val usedBytes = (cols.length + 7) / 8
-      val used = new Array[Byte](usedBytes)
-      usedMask.zipWithIndex.foreach { case (u, i) =>
-        if (u) used(i / 8) = (used(i / 8) | (1 << (i % 8))).toByte
+      def maskBytes(m: Seq[Boolean]): Array[Byte] = {
+        val a = new Array[Byte]((cols.length + 7) / 8)
+        m.zipWithIndex.foreach { case (u, i) =>
+          if (u) a(i / 8) = (a(i / 8) | (1 << (i % 8))).toByte }
+        a
       }
-      b.write(used)
-      if (images.head.length == 2) b.write(used) // update after-image bitfield
-      val usedSpecs = cols.zip(usedMask).filter(_._2).map(_._1)
+      val mask2 = if (afterMask != null) afterMask else usedMask
+      b.write(maskBytes(usedMask))
+      if (images.head.length == 2) b.write(maskBytes(mask2)) // after-image bitfield
+      val specsByImage = Seq(
+        cols.zip(usedMask).collect { case (c, true) => c },
+        cols.zip(mask2).collect { case (c, true) => c })
       images.foreach { row =>
-        row.foreach { img =>
-          require(img.length == usedSpecs.length,
-            s"image has ${img.length} values for ${usedSpecs.length} used columns")
-          // per-image null bitmap covers only the USED columns (reader:
-          // `bitfield(b, countBits(usedCols))`, mirroring `read-row`,
-          // `mysql_binlog.clj:593-608`) — NOT the total column count; the
-          // two byte counts differ for partial images like 9 cols / 8 used
-          val nulls = new Array[Byte]((usedSpecs.length + 7) / 8)
-          img.zipWithIndex.foreach { case (v, i) =>
-            if (v == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
-          }
-          b.write(nulls)
-          img.zipWithIndex.foreach { case (v, i) =>
-            if (v != null) encodeValue(b, usedSpecs(i), v)
-          }
+        row.zipWithIndex.foreach { case (img, k) =>
+          writeImage(b, specsByImage(k), img)
         }
       }
       b.toByteArray
@@ -504,26 +500,8 @@ object BinlogWriter {
     def writeUpdateMasked(tableId: Long, cols: Seq[ColSpec],
                           beforeMask: Seq[Boolean], afterMask: Seq[Boolean],
                           rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
-      val b = new ByteArrayOutputStream()
-      b.write(le(6)(tableId))
-      b.write(le(2)(0)) // flags
-      if (rowsV2) b.write(le(2)(2))
-      writePackedInt(b, cols.length)
-      def maskBytes(m: Seq[Boolean]): Array[Byte] = {
-        val a = new Array[Byte]((cols.length + 7) / 8)
-        m.zipWithIndex.foreach { case (u, i) =>
-          if (u) a(i / 8) = (a(i / 8) | (1 << (i % 8))).toByte }
-        a
-      }
-      b.write(maskBytes(beforeMask))
-      b.write(maskBytes(afterMask))
-      val beforeSpecs = cols.zip(beforeMask).collect { case (c, true) => c }
-      val afterSpecs = cols.zip(afterMask).collect { case (c, true) => c }
-      rows.foreach { case (bv, av) =>
-        writeImage(b, beforeSpecs, bv)
-        writeImage(b, afterSpecs, av)
-      }
-      event(updateT, ts, b.toByteArray)
+      event(updateT, ts,
+        rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), beforeMask, afterMask))
       this
     }
 

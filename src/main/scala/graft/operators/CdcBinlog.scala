@@ -380,13 +380,29 @@ object CdcBinlog {
       .orderBy($"event_type")
   }
 
+  /** Numeric binlog extension for rollover-safe file ORDERING in latest-
+    * image windows: lexicographic "binlog.999999" > "binlog.1000000"
+    * would rank pre-rollover images as newest (same rule as
+    * `CdcMaterializer.fileSeq` / `BinlogReader.fileOrdinal`); -1 for
+    * non-numeric extensions, name as tiebreak.
+    */
+  private def fileOrd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ext = regexp_extract(c, "\\.([0-9]+)$", 1)
+    when(ext === "", lit(-1L)).otherwise(ext.cast("long"))
+  }
+
+  /** The DuckDB mirror of [[fileOrd]] for oracle ORDER BYs. */
+  private def duckFileOrd(col: String): String =
+    s"COALESCE(TRY_CAST(regexp_extract($col, '\\.([0-9]+)$$', 1) AS BIGINT), -1)"
+
   // cdcb4 — latest-image compaction over the change stream: final state of
   // each key after applying inserts/updates/deletes in (file, pos, seq)
   // order — the materialized-table view of the CDC stream.
   def cdcb4LatestImage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"id")
-      .orderBy($"log_file".desc, $"log_pos".desc, $"log_seq".desc)
+      .orderBy(fileOrd($"log_file").desc, $"log_file".desc,
+        $"log_pos".desc, $"log_seq".desc)
     changes(s, d)
       .filter($"_delta_type" =!= "update-before")
       .withColumn("rn", row_number().over(w))
@@ -572,7 +588,8 @@ object CdcBinlog {
   def cdcb13CompressedLatestImage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"id")
-      .orderBy($"log_file".desc, $"log_pos".desc, $"log_seq".desc)
+      .orderBy(fileOrd($"log_file").desc, $"log_file".desc,
+        $"log_pos".desc, $"log_seq".desc)
     s.read.format("mysql-binlog")
       .option("payloadDdl", payloadDdl)
       .load(Paths.get(fixtureDir(d), "ctp").toString)
@@ -607,7 +624,7 @@ object CdcBinlog {
       s"""WITH ranked AS (
          |  SELECT id, val, word, _delta_type,
          |    row_number() OVER (PARTITION BY id
-         |      ORDER BY log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
          |  FROM ${expectedChangesRel(sfDir)}
          |  WHERE _delta_type <> 'update-before')
          |SELECT id, val, word FROM ranked
@@ -698,7 +715,7 @@ object CdcBinlog {
       s"""WITH ranked AS (
          |  SELECT id, val, word, _delta_type,
          |    row_number() OVER (PARTITION BY id
-         |      ORDER BY log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
          |  FROM ${expectedChangesRel(sfDir)}
          |  WHERE _delta_type <> 'update-before')
          |SELECT id, val, word FROM ranked

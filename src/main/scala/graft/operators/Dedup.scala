@@ -641,7 +641,11 @@ object Dedup {
     *
     * Input: (doc_a, doc_b) pairs. Output: (id, comp) — comp = the
     * component's minimum member id. Nodes are the pair endpoints
-    * (singletons never enter the graph).
+    * (singletons never enter the graph). The result is backed by a
+    * truncated-lineage cache (each intermediate round is unpersisted
+    * eagerly); consume it promptly and drop the reference — Spark's
+    * ContextCleaner reclaims the final cache once unreachable, or call
+    * `.unpersist()` explicitly in long-lived sessions.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     import pairs.sparkSession.implicits._
@@ -656,11 +660,13 @@ object Dedup {
       var converged = false
       var i = 0
       while (!converged) {
-        if (i >= maxIter)
+        if (i >= maxIter) {
+          labels.unpersist() // abandon the last round's cache before failing
           throw new IllegalStateException(
             s"connectedComponents did not converge in $maxIter rounds — " +
               "graph diameter exceeds the dup-cluster assumption; use a " +
               "large-star/small-star implementation for this input")
+        }
         val nbrMin = edges
           .join(labels.select($"id".as("dst"), $"comp".as("ncomp")), "dst")
           .groupBy($"src")

@@ -160,9 +160,11 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
                 if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h, charset)
               tms = tms.updated(tm.tableId, tm)
               txnOpen = true
-            case t if EventType.isRows(t) || t == EventType.RowsQuery =>
-              // ROWS_QUERY sits between BEGIN and its rows events — it is
-              // inside the transaction, not a safe boundary
+            case t if EventType.isRows(t) || t == EventType.RowsQuery ||
+                      t == EventType.MariaAnnotateRows =>
+              // ROWS_QUERY / MariaDB ANNOTATE_ROWS sit between BEGIN and
+              // their rows events — inside the transaction, not a safe
+              // boundary
               txnOpen = true
             case EventType.Gtid | EventType.AnonymousGtid | EventType.MariaGtid =>
               // the GTID frame PRECEDES its BEGIN: binding it to the txn
