@@ -386,7 +386,7 @@ object CdcBinlog {
     * `CdcMaterializer.fileSeq` / `BinlogReader.fileOrdinal`); -1 for
     * non-numeric extensions, name as tiebreak.
     */
-  private def fileOrd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[operators] def fileOrd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val ext = regexp_extract(c, "\\.([0-9]+)$", 1)
     when(ext === "", lit(-1L)).otherwise(ext.cast("long"))
   }
