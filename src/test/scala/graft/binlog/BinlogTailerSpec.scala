@@ -15,7 +15,7 @@ class BinlogTailerSpec extends AnyFunSuite {
 
   private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
 
-  private def await[A](q: ConcurrentLinkedQueue[A], n: Int, ms: Long = 15000): Vector[A] = {
+  private def await[A](q: ConcurrentLinkedQueue[A], n: Int, ms: Long = 45000): Vector[A] = {
     val deadline = System.nanoTime() + ms * 1000000L
     while (q.size < n && System.nanoTime() < deadline) Thread.sleep(2)
     assert(q.size >= n, s"expected $n callbacks, got ${q.size}")
@@ -153,7 +153,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
     val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
     try {
-      val deadline = System.nanoTime() + 15000000000L
+      val deadline = System.nanoTime() + 45000000000L
       while (t.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
       assert(t.failure.exists(_.getMessage.contains("CRC32 mismatch")), t.failure)
       assert(!t.isAlive)
