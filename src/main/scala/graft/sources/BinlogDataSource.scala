@@ -85,7 +85,11 @@ object BinlogSchemas {
     StructField("sql", StringType),
     StructField("xid", LongType),
     StructField("next_file", StringType),
-    StructField("gtid", StringType)))
+    StructField("gtid", StringType),
+    // TABLE_MAP events on binlog_row_metadata=FULL logs: the column names
+    // the log itself declares (comma-joined); null elsewhere — the
+    // replication-observability view of the self-describing schema
+    StructField("col_names", StringType)))
 
   def forOptions(options: Map[String, String]): StructType =
     norm(options).getOrElse("mode", "changes") match {
@@ -611,6 +615,9 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
         a(7) = UTF8String.fromString(q.defaultDb); a(9) = UTF8String.fromString(q.sql)
       case tm: TableMapEvent =>
         a(7) = UTF8String.fromString(tm.dbName); a(8) = UTF8String.fromString(tm.tableName)
+        tm.optionalMeta.foreach { om =>
+          if (om.names != null) a(13) = UTF8String.fromString(om.names.mkString(","))
+        }
       case re: RowsEvent =>
         a(7) = UTF8String.fromString(re.dbName); a(8) = UTF8String.fromString(re.tableName)
       case x: XidEvent => a(10) = x.xid

@@ -277,6 +277,26 @@ class RowMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("binlog_row_metadata"), e.getMessage)
   }
 
+  test("events mode surfaces the log's own column names on TABLE_MAP rows") {
+    val cols = Seq(ColSpec.int, ColSpec.varchar(10))
+    val p = tmpLog()
+    new Writer()
+      .writeFormatDescription()
+      .writeTableMap(9, "d", "t", cols,
+        optMeta = TableMeta(names = Seq("k", "v"), defaultCharset = 8))
+      .writeInsert(9, cols, Seq(Seq(1, "x")))
+      .writeTableMap(10, "d", "bare", cols) // no metadata: col_names null
+      .writeInsert(10, cols, Seq(Seq(2, "y")))
+      .save(p.toString)
+    val tms = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(p.toString)
+      .filter("event_type = 'TABLE_MAP_EVENT'")
+      .selectExpr("`table`", "col_names").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tms("t") == "k,v")
+    assert(tms("bare") == null)
+  }
+
   test("checksummed log: TLV block decodes cleanly past the CRC trailer") {
     val cols = Seq(ColSpec.int, ColSpec.varchar(10))
     val p = tmpLog()
