@@ -600,7 +600,30 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcm1 — the STREAMING materialization path under the oracle: run the
+  // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
+  // bucketed parquet table with latest-wins merges and tombstones) over
+  // the fixture, then read the final table back. The result must equal
+  // the latest-image ground truth — the same oracle as cdcb4, reached
+  // through the full streaming sink instead of a window query. Fresh
+  // workdir per invocation: every run pays the real materialization job.
+  def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = Files.createTempDirectory("graft-cdcm1")
+    val changes = s.readStream.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .load(fixtureDir(d))
+    val q = graft.streaming.CdcMaterializer.materialize(
+      changes, "id", work.resolve("table").toString,
+      work.resolve("ckpt").toString, nBuckets = 8)
+    q.awaitTermination()
+    graft.streaming.CdcMaterializer.readTable(s, work.resolve("table").toString)
+      .select($"id", $"val".cast("double").as("val"), $"word")
+      .orderBy($"id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcm1_materialized_table" -> cdcm1MaterializedTable _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -620,6 +643,16 @@ object CdcBinlog {
     * parquet dir; derived deterministically from `sfDir`).
     */
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcm1_materialized_table" ->
+      s"""WITH ranked AS (
+         |  SELECT id, val, word, _delta_type,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |  FROM ${expectedChangesRel(sfDir)}
+         |  WHERE _delta_type <> 'update-before')
+         |SELECT id, val, word FROM ranked
+         |WHERE rn = 1 AND _delta_type <> 'delete'
+         |ORDER BY id""".stripMargin,
     "cdcb13_compressed_latest_image" ->
       s"""WITH ranked AS (
          |  SELECT id, val, word, _delta_type,
