@@ -606,10 +606,17 @@ object CdcBinlog {
   // the fixture, then read the final table back. The result must equal
   // the latest-image ground truth — the same oracle as cdcb4, reached
   // through the full streaming sink instead of a window query. Fresh
-  // workdir per invocation: every run pays the real materialization job.
+  // workdir per invocation: every run pays the real materialization job;
+  // the PREVIOUS invocation's workdir is deleted at that point (its
+  // result was consumed before the next run starts), so repeated
+  // bench/gate runs hold at most one live table in /tmp.
+  private val cdcm1LastDir =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
   def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val work = Files.createTempDirectory("graft-cdcm1")
+    val prev = cdcm1LastDir.getAndSet(work)
+    if (prev != null) deleteRecursively(prev)
     val changes = s.readStream.format("mysql-binlog")
       .option("payloadDdl", payloadDdl)
       .load(fixtureDir(d))
@@ -642,27 +649,28 @@ object CdcBinlog {
     * paths — these tables live beside the binlog fixture, not in the sf
     * parquet dir; derived deterministically from `sfDir`).
     */
+  /** The latest-image ground-truth oracle shared by cdcb4 (window query
+    * over the plain fixture), cdcb13 (compressed twin) and cdcm1 (the
+    * streaming materializer): final state per key under the rollover-safe
+    * (file ordinal, file, pos, seq) total order — ONE definition so an
+    * ordering fix can never apply to one twin and silently miss another.
+    */
+  private def latestImageOracle(sfDir: String): String =
+    s"""WITH ranked AS (
+       |  SELECT id, val, word, _delta_type,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
+       |  FROM ${expectedChangesRel(sfDir)}
+       |  WHERE _delta_type <> 'update-before')
+       |SELECT id, val, word FROM ranked
+       |WHERE rn = 1 AND _delta_type <> 'delete'
+       |ORDER BY id""".stripMargin
+
   def oracles(sfDir: String): Map[String, String] = Map(
     "cdcm1_materialized_table" ->
-      s"""WITH ranked AS (
-         |  SELECT id, val, word, _delta_type,
-         |    row_number() OVER (PARTITION BY id
-         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
-         |  FROM ${expectedChangesRel(sfDir)}
-         |  WHERE _delta_type <> 'update-before')
-         |SELECT id, val, word FROM ranked
-         |WHERE rn = 1 AND _delta_type <> 'delete'
-         |ORDER BY id""".stripMargin,
+      latestImageOracle(sfDir),
     "cdcb13_compressed_latest_image" ->
-      s"""WITH ranked AS (
-         |  SELECT id, val, word, _delta_type,
-         |    row_number() OVER (PARTITION BY id
-         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
-         |  FROM ${expectedChangesRel(sfDir)}
-         |  WHERE _delta_type <> 'update-before')
-         |SELECT id, val, word FROM ranked
-         |WHERE rn = 1 AND _delta_type <> 'delete'
-         |ORDER BY id""".stripMargin,
+      latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->
       s"""SELECT id, doc_md5
          |FROM read_csv('${fixturePathFor(sfDir)}/expected_partial.csv', header=true,
@@ -745,13 +753,5 @@ object CdcBinlog {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
     "cdcb4_binlog_latest_image" ->
-      s"""WITH ranked AS (
-         |  SELECT id, val, word, _delta_type,
-         |    row_number() OVER (PARTITION BY id
-         |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
-         |  FROM ${expectedChangesRel(sfDir)}
-         |  WHERE _delta_type <> 'update-before')
-         |SELECT id, val, word FROM ranked
-         |WHERE rn = 1 AND _delta_type <> 'delete'
-         |ORDER BY id""".stripMargin)
+      latestImageOracle(sfDir))
 }

@@ -616,7 +616,10 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case tm: TableMapEvent =>
         a(7) = UTF8String.fromString(tm.dbName); a(8) = UTF8String.fromString(tm.tableName)
         tm.optionalMeta.foreach { om =>
-          if (om.names != null) a(13) = UTF8String.fromString(om.names.mkString(","))
+          // a truncated COLUMN_NAME block leaves trailing nulls in the
+          // array — drop them rather than rendering a literal "null" name
+          if (om.names != null)
+            a(13) = UTF8String.fromString(om.names.filter(_ != null).mkString(","))
         }
       case re: RowsEvent =>
         a(7) = UTF8String.fromString(re.dbName); a(8) = UTF8String.fromString(re.tableName)
