@@ -432,7 +432,56 @@ object TextAnalysis {
       |GROUP BY pack_bucket, seq_id
       |ORDER BY pack_bucket, seq_id""".stripMargin
 
+  // txt12 — corpus-statistics LM quality score (the CCNet-style filter):
+  // a bigram model TRAINED ON THE CORPUS ITSELF scores every document by
+  // its mean bigram conditional probability P(w2|w1) = c(w1 w2) / c(w1 ·).
+  // Documents full of corpus-typical word transitions score high;
+  // boilerplate/gibberish scores low — the corpus-driven complement to the
+  // doc-local quality ops (txt02 ratios, txt08 repetition).
+  //
+  // Scale shape: two slim count aggregations (bigram and prefix tables —
+  // vocabulary-sized, NOT corpus-sized) + one shuffle join of the pair
+  // instances against them; everything keys on the bigram text, no
+  // broadcast of anything that grows with the corpus. Determinism:
+  // integer-ppm arithmetic throughout (floor division, like sim06's
+  // quantizer) — no cross-engine floating-point rounding to disagree on.
+  def txt12LmQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = documents(s, d)
+      .filter(size(tokens($"text")) >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), " +
+          "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("ppm", expr("(1000000 * c2) div c1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"ppm").as("_sum"))
+      .select($"doc_id", $"n_bigrams", expr("_sum div n_bigrams").as("score_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val txt12Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM((1000000 * c2.c2) // c1.c1) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt12_lm_quality" -> txt12LmQuality _,
     "txt09_bpe_tokens" -> txt09BpeTokens _,
     "txt10_mixture_sample" -> txt10MixtureSample _,
     "txt11_seq_pack" -> txt11SeqPack _,
@@ -446,6 +495,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt12_lm_quality" -> txt12Sql,
     "txt09_bpe_tokens" -> txt09Sql,
     "txt10_mixture_sample" -> txt10Sql,
     "txt11_seq_pack" -> txt11Sql,
