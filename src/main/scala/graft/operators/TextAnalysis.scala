@@ -439,10 +439,12 @@ object TextAnalysis {
   // boilerplate/gibberish scores low — the corpus-driven complement to the
   // doc-local quality ops (txt02 ratios, txt08 repetition).
   //
-  // Scale shape: two slim count aggregations (bigram and prefix tables —
-  // vocabulary-sized, NOT corpus-sized) + one shuffle join of the pair
-  // instances against them; everything keys on the bigram text, no
-  // broadcast of anything that grows with the corpus. Determinism:
+  // Scale shape: the corpus-sized pair-instance stream shuffles exactly
+  // TWICE (once into the bigram count table, once against the finished
+  // score table); everything else is vocabulary-sized — the prefix counts
+  // derive from the bigram table (c1 = Σ_w2 c2, never re-aggregating the
+  // instances) and the per-bigram score pre-joins at vocabulary scale.
+  // Nothing that grows with the corpus broadcasts. Determinism:
   // integer-ppm arithmetic throughout (floor division, like sim06's
   // quantizer) — no cross-engine floating-point rounding to disagree on.
   def txt12LmQuality(s: SparkSession, d: String): DataFrame = {
@@ -454,11 +456,11 @@ object TextAnalysis {
           "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2))")).as("bg"))
       .select($"doc_id", $"bg.w1", $"bg.w2")
     val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val scoreTbl = c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("(1000000 * c2) div c1").as("ppm"))
     pairs
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .withColumn("ppm", expr("(1000000 * c2) div c1"))
+      .join(scoreTbl, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"ppm").as("_sum"))
       .select($"doc_id", $"n_bigrams", expr("_sum div n_bigrams").as("score_ppm"))
