@@ -153,6 +153,38 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     spark.stop()
+
+    // The official artifact keeps only the LAST ~2,000 chars of stdout
+    // (round 6's full line was truncated right through the spread block it
+    // was built to carry). This line is the artifact: every query's time
+    // AND spread, compacted to survive the tail capture, printed after
+    // spark.stop() so nothing can follow it. Keys shorten to the prefix
+    // before the first '_' (unique across the suite; full name kept on
+    // collision); times round to 10 ms, spreads to 0.1x — full precision
+    // stays in BENCH_LAST.json / the printed line above.
+    val shortNames = {
+      val prefixes = results.map(_._1.takeWhile(_ != '_'))
+      val dup = prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
+      results.zip(prefixes).map { case ((full, _, _), p) => if (dup(p)) full else p }
+    }
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val qCompact = shortNames.zip(results).map { case (n, (_, v, _)) =>
+      "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, 2))
+    }.mkString("{", ",", "}")
+    val spCompact = results.map { case (_, v, mx) =>
+      if (v > 0) fmt(mx / v, 1) else "-1"
+    }.mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"failed":$failedJson,""" +
+        s""""queries":$qCompact,"qspread":$spCompact,""" +
+        s""""k":"sec; qspread=max/min aligned; full: BENCH_LAST.json",""" +
+        s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
+        s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
+        s""""event_scan_mb_s":${fmt(eventScanMbPerSec, 1)},"decode_ctp_mb_s":${fmt(ctpMbPerSec, 1)},""" +
+        s""""cdc_ms_p50":${fmt(latencyMs, 1)},"tailer_ms_p50":${fmt(tailerMs, 2)},""" +
+        s""""sf":"${new java.io.File(sfDir).getName}"}"""
+    println(compact)
   }
 
   /** Full decode of one fixture file on one thread, looped over a ≥1 s

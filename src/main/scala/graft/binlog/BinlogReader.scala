@@ -27,6 +27,13 @@ object BinlogReader {
   val HeaderLen = 19
   val Magic: Array[Byte] = Array(0xfe, 'b', 'i', 'n').map(_.toByte)
 
+  /** MySQL 8.0 `binlog_encryption=ON` rewrites the file magic to FD 62 69
+    * 6E (rpl_log_encryption ENCRYPTION_MAGIC) — an encrypted log must fail
+    * with a NAMED error at open, not a bare "not a binlog" rejection a
+    * user can't tell from corruption.
+    */
+  val EncryptedMagic: Array[Byte] = Array(0xfd, 'b', 'i', 'n').map(_.toByte)
+
   /** Numeric binlog extension for file ORDERING: "binlog.999999" must sort
     * before "binlog.1000000", which plain string ordering breaks at
     * MySQL's 6→7 digit extension rollover. -1 when the extension is not
@@ -48,10 +55,26 @@ object BinlogReader {
     } finally in.close()
   }
 
+  /** MySQL 8.0 encrypted-binlog magic check (see [[EncryptedMagic]]). */
+  def isEncryptedBinlogFile(path: String): Boolean = {
+    val in = new FileInputStream(path)
+    try {
+      val b = new Array[Byte](4)
+      in.read(b) == 4 && java.util.Arrays.equals(b, EncryptedMagic)
+    } finally in.close()
+  }
+
   /** mmap a binlog read-only from `offset`, little-endian
-    * (`mysql_binlog.clj:696-705`).
+    * (`mysql_binlog.clj:696-705`). Encrypted logs (MySQL
+    * `binlog_encryption=ON` magic) fail HERE by name — this is the one
+    * choke point every scan, GTID walk and tailer passes through.
     */
   def mapFile(path: String, offset: Long = 0L): ByteBuffer = {
+    if (isEncryptedBinlogFile(path))
+      throw new IllegalStateException(
+        s"binlog '$path' is encrypted (binlog_encryption=ON file magic) — " +
+          "this engine reads unencrypted logs only; disable binlog_encryption " +
+          "or decrypt the log before scanning")
     val in = new FileInputStream(path)
     try {
       val ch = in.getChannel
@@ -317,6 +340,95 @@ object BinlogReader {
       s"$uuid:${ivs.mkString(":")}"
     }
     PreviousGtidsEvent(h, parts.mkString(","))
+  }
+
+  /** MariaDB GTID_EVENT (162, >= 10.0): 8-byte LE seq_no, 4-byte LE
+    * domain_id, 1-byte flags2; FL_GROUP_COMMIT_ID (2) appends an 8-byte
+    * commit id (later servers append more optional fields — event_len
+    * covers them). The server half of the GTID is the header's server id.
+    */
+  def readMariaGtid(b: ByteBuffer, h: EventHeader): MariaGtidEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val seq = b.getLong()
+    val domain = b.getInt() & 0xffffffffL
+    val flags2 = ubyte(b)
+    val cid = if ((flags2 & 2) != 0) b.getLong() else -1L
+    MariaGtidEvent(h, domain, seq, flags2, cid)
+  }
+
+  /** MariaDB GTID_LIST_EVENT (163): 4-byte LE count (low 28 bits; high 4
+    * bits are flags), then count × (domain 4 LE, server 4 LE, seq 8 LE).
+    */
+  def readMariaGtidList(b: ByteBuffer, h: EventHeader): MariaGtidListEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val n = (b.getInt() & 0x0fffffff)
+    val entries = Vector.newBuilder[(Long, Long, Long)]
+    var i = 0
+    while (i < n) {
+      val d = b.getInt() & 0xffffffffL
+      val s = b.getInt() & 0xffffffffL
+      val q = b.getLong()
+      entries += ((d, s, q))
+      i += 1
+    }
+    MariaGtidListEvent(h, entries.result())
+  }
+
+  /** One MariaDB `log_bin_compress` record (public on-disk layout,
+    * log_event.cc `binlog_buf_compress`): control byte `0x80 | lenlen`
+    * (bits 4-6 = algorithm, only 0 = zlib exists; bits 0-2 = byte count
+    * of the original length), `lenlen` BIG-endian bytes of uncompressed
+    * length, then the zlib (deflate) stream running to `end`.
+    */
+  def mariaUncompress(b: ByteBuffer, end: Long): Array[Byte] = {
+    val ctrl = ubyte(b)
+    if ((ctrl & 0xe0) != 0x80)
+      throw new IllegalStateException(
+        f"MariaDB compressed record: bad control byte 0x$ctrl%02x " +
+          "(bit 7 must be set, algorithm bits must be 0 = zlib)")
+    val lenlen = ctrl & 0x07
+    require(lenlen >= 1 && lenlen <= 4,
+      s"MariaDB compressed record: invalid length width $lenlen")
+    var len = 0L
+    var i = 0
+    while (i < lenlen) { len = (len << 8) | ubyte(b); i += 1 }
+    val comp = bytes(b, (end - b.position()).toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      val outArr = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < outArr.length && !inf.finished()) {
+        val k = inf.inflate(outArr, off, outArr.length - off)
+        if (k == 0 && inf.needsInput())
+          throw new IllegalStateException(
+            "MariaDB compressed record: truncated zlib stream")
+        off += k
+      }
+      require(off == len.toInt,
+        s"MariaDB compressed record: inflated $off of $len declared bytes")
+      outArr
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalStateException(
+          s"MariaDB compressed record: corrupt zlib stream — $e")
+    } finally inf.end()
+  }
+
+  /** MariaDB QUERY_COMPRESSED (165, `log_bin_compress=ON`): QUERY layout
+    * with the SQL text replaced by one compressed record.
+    */
+  def readQueryCompressed(b: ByteBuffer, h: EventHeader, cs: Charset): QueryEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val threadId = uint(b, b.position()); b.position(b.position() + 4)
+    val execTime = uint(b, b.position()); b.position(b.position() + 4)
+    val dbNameLen = ubyte(b) + 1
+    val errorCode = ushort(b)
+    val statusLen = ushort(b)
+    bytes(b, statusLen)
+    val db = cstring(bytes(b, dbNameLen), cs)
+    val sql = new String(mariaUncompress(b, h.offset + h.eventLen), cs)
+    QueryEvent(h, threadId, execTime, errorCode, db, sql)
   }
 
   def readTableMap(b: ByteBuffer, h: EventHeader, cs: Charset): TableMapEvent = {
@@ -733,19 +845,28 @@ object BinlogReader {
     * `mysql_binlog.clj:611-682`, which predates v2); UPDATE decodes
     * before/after pairs. v2 (ids 30-32, every server >= 5.6.2) prepends a
     * 2-byte extra-data length (self-inclusive) to the otherwise-identical
-    * body; the extra data itself (NDB info etc.) is skipped.
+    * body; the extra data itself (NDB info etc.) is skipped. MariaDB
+    * compressed rows events (166-168, `log_bin_compress=ON`) keep the
+    * (table_id, flags) post-header plain and zlib-compress the v1-shaped
+    * body after it — decode inflates once, then shares the row loop.
     */
-  def readWudRows(b: ByteBuffer, h: EventHeader, tableMaps: Map[Long, TableMapEvent],
+  def readWudRows(b0: ByteBuffer, h: EventHeader, tableMaps: Map[Long, TableMapEvent],
                   cs: Charset, unsignedCols: Array[Boolean] = null,
                   colCharsets: Array[Charset] = null): RowsEvent = {
-    b.position(h.offset.toInt + HeaderLen)
-    val end = h.offset + h.eventLen
-    val tableId = nUint(bytes(b, 6))
-    b.getShort() // flags
-    if (EventType.isRowsV2(h.eventType)) {
-      val extraLen = ushort(b) // includes its own 2 bytes
-      if (extraLen > 2) bytes(b, extraLen - 2)
-    }
+    b0.position(h.offset.toInt + HeaderLen)
+    val tableId = nUint(bytes(b0, 6))
+    b0.getShort() // flags
+    val (b, end) =
+      if (EventType.isMariaCompressedRows(h.eventType)) {
+        val body = mariaUncompress(b0, h.offset + h.eventLen)
+        (ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN), body.length.toLong)
+      } else {
+        if (EventType.isRowsV2(h.eventType)) {
+          val extraLen = ushort(b0) // includes its own 2 bytes
+          if (extraLen > 2) bytes(b0, extraLen - 2)
+        }
+        (b0, h.offset + h.eventLen)
+      }
     val tm = tableMaps.getOrElse(tableId,
       throw new IllegalStateException(s"No TABLE_MAP event for table id $tableId"))
     val colCount = packedInt(b).toInt
@@ -914,6 +1035,8 @@ object BinlogReader {
       case x: RowsEvent => x.copy(header = h2)
       case x: GtidEvent => x.copy(header = h2)
       case x: PreviousGtidsEvent => x.copy(header = h2)
+      case x: MariaGtidEvent => x.copy(header = h2)
+      case x: MariaGtidListEvent => x.copy(header = h2)
       case x: RowsQueryEvent => x.copy(header = h2)
       case x: OpaqueEvent => x.copy(header = h2)
     }
@@ -992,7 +1115,9 @@ object BinlogReader {
                   tm
                 case EventType.WriteRows | EventType.UpdateRows | EventType.DeleteRows |
                      EventType.WriteRowsV2 | EventType.UpdateRowsV2 | EventType.DeleteRowsV2 |
-                     EventType.PartialUpdateRows =>
+                     EventType.PartialUpdateRows | EventType.MariaWriteRowsCompressedV1 |
+                     EventType.MariaUpdateRowsCompressedV1 |
+                     EventType.MariaDeleteRowsCompressedV1 =>
                   if (decodeRowImages) readWudRows(buf, h, tableMaps, charset, unsignedCols, colCharsets)
                   else {
                     // table id leads the post-header in both v1 and v2
@@ -1006,6 +1131,17 @@ object BinlogReader {
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
                 case EventType.RowsQuery => readRowsQuery(buf, h, charset)
                 case EventType.MariaAnnotateRows => readAnnotateRows(buf, h, charset)
+                case EventType.MariaGtid => readMariaGtid(buf, h)
+                case EventType.MariaGtidList => readMariaGtidList(buf, h)
+                case EventType.MariaQueryCompressed => readQueryCompressed(buf, h, charset)
+                case EventType.MariaStartEncryption =>
+                  // everything past this event is encrypted — decoding on
+                  // would surface zlib/CRC garbage errors a user can't tell
+                  // from corruption
+                  throw new IllegalStateException(
+                    s"binlog is encrypted (START_ENCRYPTION event at offset ${h.offset}) — " +
+                      "this engine reads unencrypted logs only; disable binlog_encryption " +
+                      "or decrypt the log before scanning")
                 case EventType.TransactionPayload =>
                   // decompress and re-enter the event loop over the inner
                   // stream; inner events surface with their log position
@@ -1175,6 +1311,97 @@ object BinlogReader {
     // XID, a DDL QUERY, or the next GTID frame above) — returning a
     // position here would resume INSIDE the transaction the caller asked
     // to skip; None keeps resolveGtidStart's loud-error contract
+    result
+  }
+
+  /** The GTID_LIST at the head of `path` (MariaDB's PREVIOUS_GTIDS
+    * analogue: last GTID per (domain, server) logged before this file),
+    * or None for a non-MariaDB / pre-GTID log. Header walk of the head
+    * events only — same O(files) location contract as
+    * [[previousGtidsOf]].
+    */
+  def mariaGtidListOf(path: String): Option[Vector[(Long, Long, Long)]] = {
+    val buf = mapFile(path)
+    var pos = 4L
+    var res: Option[Vector[(Long, Long, Long)]] = None
+    var done = false
+    while (!done) {
+      readEventHeader(buf, pos) match {
+        case Some(h) =>
+          h.eventType match {
+            case EventType.MariaGtidList =>
+              res = Some(readMariaGtidList(buf, h).gtids); done = true
+            case EventType.FormatDescription | EventType.Rotate | EventType.Stop |
+                 EventType.MariaBinlogCheckpoint =>
+            case _ => done = true // txn content started: no GTID_LIST here
+          }
+          pos = h.offset + h.eventLen
+        case None => done = true
+      }
+    }
+    res
+  }
+
+  /** Is `domain`'s seq `seq` already executed per a GTID_LIST? Within a
+    * domain MariaDB seq_nos are totally ordered regardless of which
+    * server wrote them, so containment is "some entry of this domain has
+    * reached seq".
+    */
+  def mariaListContains(list: Vector[(Long, Long, Long)], domain: Long,
+                        seq: Long): Boolean =
+    list.exists { case (d, _, q) => d == domain && q >= seq }
+
+  /** MariaDB analogue of [[positionAfterGtid]]: byte position just after
+    * the commit of the transaction framed by GTID `domain-server-seq` in
+    * `path`, or None if that GTID does not commit in this file. Same
+    * walk + boundary rules; the next MariaDB GTID frame also closes a
+    * standalone (DDL) group whose QUERY was the file's last event.
+    */
+  def positionAfterMariaGtid(path: String, domain: Long, server: Long, seq: Long,
+                             cs: Charset = StandardCharsets.ISO_8859_1): Option[Long] = {
+    val buf = mapFile(path)
+    val csLen = checksumLen(buf)
+    var pos = 4L
+    var found = false
+    var result: Option[Long] = None
+    var done = false
+    while (!done) {
+      readEventHeader(buf, pos) match {
+        case Some(h) =>
+          val hs = if (csLen > 0) h.copy(eventLen = h.eventLen - csLen) else h
+          h.eventType match {
+            case EventType.MariaGtid =>
+              if (found) { result = Some(h.offset); done = true }
+              else {
+                val g = readMariaGtid(buf, h)
+                if (g.domainId == domain && g.header.serverId == server &&
+                  g.seq == seq) found = true
+              }
+            case EventType.Gtid | EventType.AnonymousGtid if found =>
+              result = Some(h.offset); done = true
+            case EventType.Xid if found =>
+              result = Some(h.offset + h.eventLen); done = true
+            case EventType.Query if found =>
+              TxnBoundary.classify(readQuery(buf, hs, cs).sql) match {
+                case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
+                  result = Some(h.offset + h.eventLen); done = true
+                case _ => // BEGIN/intra-txn: still inside
+              }
+            case EventType.MariaQueryCompressed if found =>
+              TxnBoundary.classify(readQueryCompressed(buf, hs, cs).sql) match {
+                case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
+                  result = Some(h.offset + h.eventLen); done = true
+                case _ =>
+              }
+            case EventType.XaPrepare if found =>
+              result = Some(h.offset + h.eventLen); done = true
+            case EventType.Rotate => done = true
+            case _ =>
+          }
+          pos = h.offset + h.eventLen
+        case None => done = true
+      }
+    }
     result
   }
 

@@ -648,6 +648,126 @@ object BinlogWriter {
       this
     }
 
+    /** MariaDB GTID_EVENT (162): seq(8 LE) + domain(4 LE) + flags2
+      * [+ commit id (8 LE) under FL_GROUP_COMMIT_ID]. The server half of
+      * the GTID is the event header's server id. Replaces BEGIN on a
+      * MariaDB server — callers must NOT also write a BEGIN query.
+      */
+    def writeMariaGtid(domain: Long, seq: Long, standalone: Boolean = false,
+                       commitId: Long = -1L, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(8)(seq))
+      b.write(le(4)(domain))
+      var flags2 = 0
+      if (standalone) flags2 |= 1
+      if (commitId >= 0) flags2 |= 2
+      b.write(Array(flags2.toByte))
+      if (commitId >= 0) b.write(le(8)(commitId))
+      event(EventType.MariaGtid, ts, b.toByteArray)
+      this
+    }
+
+    /** MariaDB GTID_LIST_EVENT (163): count(4 LE, low 28 bits) +
+      * count × (domain 4, server 4, seq 8) — the file-head binlog state.
+      */
+    def writeMariaGtidList(entries: Seq[(Long, Long, Long)], ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(4)(entries.length.toLong))
+      entries.foreach { case (d, s, q) =>
+        b.write(le(4)(d)); b.write(le(4)(s)); b.write(le(8)(q))
+      }
+      event(EventType.MariaGtidList, ts, b.toByteArray)
+      this
+    }
+
+    /** One MariaDB `log_bin_compress` record: 0x80|lenlen control byte,
+      * BIG-endian original length, zlib deflate stream (the public layout
+      * `BinlogReader.mariaUncompress` documents).
+      */
+    private def mariaCompressRecord(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      val comp = new ByteArrayOutputStream()
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      val lenlen =
+        if (data.length < 0x100) 1
+        else if (data.length < 0x10000) 2
+        else if (data.length < 0x1000000) 3 else 4
+      val b = new ByteArrayOutputStream()
+      b.write(Array((0x80 | lenlen).toByte))
+      var i = lenlen - 1
+      while (i >= 0) { b.write(Array(((data.length >> (8 * i)) & 0xff).toByte)); i -= 1 }
+      b.write(comp.toByteArray)
+      b.toByteArray
+    }
+
+    /** MariaDB compressed rows event (166-168): plain (table_id, flags)
+      * post-header + one compressed record holding the v1-shaped body.
+      */
+    private def mariaCompressedRows(eventType: Int, fullBody: Array[Byte],
+                                    ts: Long): Unit = {
+      require(!rowsV2, "MariaDB compressed rows events are v1-family " +
+        "(ids 166-168 carry no v2 extra-data field)")
+      val b = new ByteArrayOutputStream()
+      b.write(fullBody, 0, 8) // table id + flags stay plain
+      b.write(mariaCompressRecord(
+        java.util.Arrays.copyOfRange(fullBody, 8, fullBody.length)))
+      event(eventType, ts, b.toByteArray)
+    }
+
+    def writeInsertCompressed(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]],
+                              ts: Long = 0L): this.type = {
+      mariaCompressedRows(EventType.MariaWriteRowsCompressedV1,
+        rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)), ts)
+      this
+    }
+
+    def writeDeleteCompressed(tableId: Long, cols: Seq[ColSpec], rows: Seq[Seq[Any]],
+                              ts: Long = 0L): this.type = {
+      mariaCompressedRows(EventType.MariaDeleteRowsCompressedV1,
+        rowsBody(tableId, cols, rows.map(Seq(_)), allUsed(cols.length)), ts)
+      this
+    }
+
+    def writeUpdateCompressed(tableId: Long, cols: Seq[ColSpec],
+                              rows: Seq[(Seq[Any], Seq[Any])], ts: Long = 0L): this.type = {
+      mariaCompressedRows(EventType.MariaUpdateRowsCompressedV1,
+        rowsBody(tableId, cols, rows.map(r => Seq(r._1, r._2)), allUsed(cols.length)), ts)
+      this
+    }
+
+    /** MariaDB QUERY_COMPRESSED (165): QUERY layout, SQL text as one
+      * compressed record.
+      */
+    def writeQueryCompressed(db: String, sql: String, ts: Long = 0L,
+                             threadId: Long = 1L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val dbb = db.getBytes(charset)
+      b.write(le(4)(threadId))
+      b.write(le(4)(0)) // exec time
+      b.write(Array(dbb.length.toByte))
+      b.write(le(2)(0)) // error code
+      b.write(le(2)(0)) // status block len
+      b.write(dbb); b.write(Array(0.toByte))
+      b.write(mariaCompressRecord(sql.getBytes(charset)))
+      event(EventType.MariaQueryCompressed, ts, b.toByteArray)
+      this
+    }
+
+    /** MariaDB START_ENCRYPTION (164): schema version + key version + 16
+      * nonce bytes — fixture side of the named encrypted-log error.
+      */
+    def writeStartEncryption(ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(4)(1)) // crypto schema version
+      b.write(le(4)(1)) // key version
+      b.write(new Array[Byte](12)) // nonce
+      event(EventType.MariaStartEncryption, ts, b.toByteArray)
+      this
+    }
+
     def writeXid(xid: Long, ts: Long = 0L): this.type = {
       val b = le(8)(xid)
       event(EventType.Xid, ts, b)

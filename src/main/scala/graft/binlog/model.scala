@@ -53,11 +53,24 @@ object EventType {
   // MariaDB's event block (>= 5.3): rows events share MySQL's v1 ids
   // (23-25) so row decode works unchanged; ANNOTATE_ROWS is MariaDB's
   // ROWS_QUERY (statement text before its rows events) and feeds
-  // `attachRowsQuery`; the GTID framing events pass through named
+  // `attachRowsQuery`; GTID (162) / GTID_LIST (163) bodies decode to
+  // [[MariaGtidEvent]] / [[MariaGtidListEvent]] (domain-server-seq)
   val MariaAnnotateRows = 160
   val MariaBinlogCheckpoint = 161
   val MariaGtid = 162
   val MariaGtidList = 163
+  // MariaDB encrypted-binlog marker (`binlog_encryption=ON`, >= 10.1.7):
+  // every event after this one is encrypted — detected to fail with a
+  // NAMED error instead of a garbage-decode mid-scan
+  val MariaStartEncryption = 164
+  // MariaDB `log_bin_compress=ON` (>= 10.2): per-event zlib compression.
+  // QUERY_COMPRESSED wraps the SQL text; the rows variants (v1-family —
+  // MariaDB never had v2 ids) compress the body after the plain
+  // (table_id, flags) post-header
+  val MariaQueryCompressed = 165
+  val MariaWriteRowsCompressedV1 = 166
+  val MariaUpdateRowsCompressedV1 = 167
+  val MariaDeleteRowsCompressedV1 = 168
   // binlog_row_value_options=PARTIAL_JSON (MySQL >= 8.0.3): UPDATE whose
   // after-image may carry JSON columns as a DIFF sequence instead of the
   // full value; the decoder applies the diffs to the before-image so the
@@ -69,13 +82,21 @@ object EventType {
   // inner byte stream
   val TransactionPayload = 40
 
-  def isWriteRows(t: Int): Boolean = t == WriteRows || t == WriteRowsV2
+  def isWriteRows(t: Int): Boolean =
+    t == WriteRows || t == WriteRowsV2 || t == MariaWriteRowsCompressedV1
   def isUpdateRows(t: Int): Boolean =
-    t == UpdateRows || t == UpdateRowsV2 || t == PartialUpdateRows
-  def isDeleteRows(t: Int): Boolean = t == DeleteRows || t == DeleteRowsV2
+    t == UpdateRows || t == UpdateRowsV2 || t == PartialUpdateRows ||
+      t == MariaUpdateRowsCompressedV1
+  def isDeleteRows(t: Int): Boolean =
+    t == DeleteRows || t == DeleteRowsV2 || t == MariaDeleteRowsCompressedV1
   def isRows(t: Int): Boolean =
     (t >= WriteRows && t <= DeleteRows) ||
-      (t >= WriteRowsV2 && t <= DeleteRowsV2) || t == PartialUpdateRows
+      (t >= WriteRowsV2 && t <= DeleteRowsV2) || t == PartialUpdateRows ||
+      isMariaCompressedRows(t)
+
+  /** MariaDB per-event-compressed rows family (zlib body). */
+  def isMariaCompressedRows(t: Int): Boolean =
+    t >= MariaWriteRowsCompressedV1 && t <= MariaDeleteRowsCompressedV1
   /** v2-family post-header (2-byte extra-data length) — PARTIAL_UPDATE
     * shares it. */
   def isRowsV2(t: Int): Boolean =
@@ -107,6 +128,11 @@ object EventType {
     case MariaBinlogCheckpoint => "BINLOG_CHECKPOINT_EVENT"
     case MariaGtid => "GTID_EVENT_MARIADB"
     case MariaGtidList => "GTID_LIST_EVENT_MARIADB"
+    case MariaStartEncryption => "START_ENCRYPTION_EVENT"
+    case MariaQueryCompressed => "QUERY_COMPRESSED_EVENT"
+    case MariaWriteRowsCompressedV1 => "WRITE_ROWS_COMPRESSED_EVENT_V1"
+    case MariaUpdateRowsCompressedV1 => "UPDATE_ROWS_COMPRESSED_EVENT_V1"
+    case MariaDeleteRowsCompressedV1 => "DELETE_ROWS_COMPRESSED_EVENT_V1"
     case FormatDescription => "FORMAT_DESCRIPTION_EVENT"
     case Xid => "XID_EVENT"
     case TableMap => "TABLE_MAP_EVENT"
@@ -359,6 +385,29 @@ final case class GtidEvent(header: EventHeader, commitFlag: Int,
   */
 final case class PreviousGtidsEvent(header: EventHeader, gtidSet: String)
   extends BinlogEvent
+
+/** MariaDB GTID_EVENT (id 162, >= 10.0): the transaction frame a MariaDB
+  * server writes where MySQL writes GTID + BEGIN — no BEGIN QUERY follows
+  * (the frame itself opens the event group). The server half of the
+  * canonical `domain-server-seq` GTID is the event header's server id.
+  * `standalone` (FL_STANDALONE) marks a single-event group (DDL etc.)
+  * that is its own commit; `commitId` is present only under
+  * FL_GROUP_COMMIT_ID (-1 otherwise).
+  */
+final case class MariaGtidEvent(header: EventHeader, domainId: Long, seq: Long,
+    flags2: Int, commitId: Long = -1L) extends BinlogEvent {
+  def standalone: Boolean = (flags2 & 1) != 0
+  def gtid: String = s"$domainId-${header.serverId}-$seq"
+}
+
+/** MariaDB GTID_LIST_EVENT (id 163): the binlog state at file start —
+  * the last GTID logged per (domain, server) before this file (MariaDB's
+  * PREVIOUS_GTIDS analogue). Entries are (domainId, serverId, seq).
+  */
+final case class MariaGtidListEvent(header: EventHeader,
+    gtids: Vector[(Long, Long, Long)]) extends BinlogEvent {
+  def gtidList: String = gtids.map { case (d, s, q) => s"$d-$s-$q" }.mkString(",")
+}
 
 /** ROWS_QUERY_LOG_EVENT (id 29): the original SQL that produced the rows
   * events that follow (`binlog_rows_query_log_events=ON`) — possibly

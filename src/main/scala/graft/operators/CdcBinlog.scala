@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r6c-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7a-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -69,7 +69,8 @@ object CdcBinlog {
                            expG: java.io.Writer = null,
                            rowsQuery: Boolean = false,
                            fullMeta: Boolean = false,
-                           ctp: Boolean = false): Unit = {
+                           ctp: Boolean = false,
+                           mdb: Boolean = false): Unit = {
     def change(f: String, pos: Long, seq: Int, xid: Long, dt: String, i: Int,
                v: JBigDecimal, w: String): Unit =
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
@@ -86,9 +87,17 @@ object CdcBinlog {
       val fname = f"binlog.$f%06d"
       val w = new Writer(checksum = checksum, rowsV2 = rowsV2)
       w.writeFormatDescription(ts = 1700000000L,
-        serverVersion = if (rowsV2) "8.0.36-graft-fixture" else "")
+        serverVersion = if (mdb) "10.6.14-MariaDB-log"
+        else if (rowsV2) "8.0.36-graft-fixture" else "")
       event("FORMAT_DESCRIPTION_EVENT")
-      if (gtid) {
+      if (gtid && mdb) {
+        // MariaDB file head: GTID_LIST declares the binlog state (last
+        // GTID per domain-server) instead of PREVIOUS_GTIDS
+        w.writeMariaGtidList(if (gno == 0) Nil else Seq((0L, 1L, gno)),
+          ts = 1700000000L)
+        event("GTID_LIST_EVENT_MARIADB")
+        gtidRec(fname, "list", gno)
+      } else if (gtid) {
         w.writePreviousGtids(gno, ts = 1700000000L); event("PREVIOUS_GTIDS_LOG_EVENT")
         gtidRec(fname, "prev", gno)
       }
@@ -98,10 +107,18 @@ object CdcBinlog {
         val n = math.min(100, perFile - written)
         val ts = 1700000000L + id / 10
         val xid = 100000L + id.toLong
-        if (gtid) {
+        if (gtid && mdb) {
+          // the MariaDB GTID frame REPLACES BEGIN (no QUERY event opens
+          // the group)
+          gno += 1; w.writeMariaGtid(0L, gno, ts = ts); event("GTID_EVENT_MARIADB")
+          gtidRec(fname, "txn", gno)
+        } else if (gtid) {
           gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
           gtidRec(fname, "txn", gno)
         }
+        // MariaDB log_bin_compress=ON twin: every other transaction's rows
+        // events arrive per-event zlib-compressed (166-168)
+        val mdbCompress = mdb && txn % 2 == 0
         // `binlog_transaction_compression=ON` twin: the transaction's
         // events (BEGIN..XID) go into a nested inner stream and wrap in
         // one TRANSACTION_PAYLOAD on the outer log — alternating zstd /
@@ -114,8 +131,13 @@ object CdcBinlog {
         // deterministic in (verb, xid) so the oracle can derive it from
         // the ground truth alone
         def stmt(verb: String): Unit = if (rowsQuery) {
-          tw.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
-          event("ROWS_QUERY_LOG_EVENT")
+          if (mdb) {
+            tw.writeAnnotateRows(s"$verb bench.big /* xid=$xid */", ts = ts)
+            event("ANNOTATE_ROWS_EVENT")
+          } else {
+            tw.writeRowsQuery(s"$verb bench.big /* xid=$xid */", ts = ts)
+            event("ROWS_QUERY_LOG_EVENT")
+          }
         }
         // binlog_row_metadata=FULL twin: every TABLE_MAP carries column
         // names, signedness and charsets in-log (MySQL 8.0 TLV block)
@@ -123,26 +145,36 @@ object CdcBinlog {
           if (fullMeta) TableMeta(names = Seq("id", "val", "word"),
             unsigned = Set.empty, defaultCharset = 8 /* latin1_swedish_ci */)
           else null
-        tw.writeQuery("bench", "BEGIN", ts = ts)
-        event("QUERY_EVENT")
+        if (!mdb) { tw.writeQuery("bench", "BEGIN", ts = ts); event("QUERY_EVENT") }
         stmt("INSERT INTO")
         tw.writeTableMap(42, "bench", "big", cols, ts = ts, optMeta = tmMeta)
         event("TABLE_MAP_EVENT")
         val insPos = tw.position
         val rows = (0 until n).map { k => Seq[Any](id + k, dec(id + k), word(id + k)) }
-        tw.writeInsert(42, cols, rows, ts = ts)
-        event(s"WRITE_ROWS_EVENT$v2Suffix")
+        if (mdbCompress) {
+          tw.writeInsertCompressed(42, cols, rows, ts = ts)
+          event("WRITE_ROWS_COMPRESSED_EVENT_V1")
+        } else {
+          tw.writeInsert(42, cols, rows, ts = ts)
+          event(s"WRITE_ROWS_EVENT$v2Suffix")
+        }
         (0 until n).foreach { k =>
           change(fname, insPos, k, xid, "insert", id + k, dec(id + k), word(id + k))
         }
         if (txn % 5 == 3) { // some txns also update their first 20 rows
           stmt("UPDATE")
           val updPos = tw.position
-          tw.writeUpdate(42, cols, (0 until math.min(20, n)).map { k =>
+          val updRows = (0 until math.min(20, n)).map { k =>
             (Seq[Any](id + k, dec(id + k), word(id + k)),
              Seq[Any](id + k, dec(id + k + 1), word(id + k + 1)))
-          }, ts = ts)
-          event(s"UPDATE_ROWS_EVENT$v2Suffix")
+          }
+          if (mdbCompress) {
+            tw.writeUpdateCompressed(42, cols, updRows, ts = ts)
+            event("UPDATE_ROWS_COMPRESSED_EVENT_V1")
+          } else {
+            tw.writeUpdate(42, cols, updRows, ts = ts)
+            event(s"UPDATE_ROWS_EVENT$v2Suffix")
+          }
           (0 until math.min(20, n)).foreach { k =>
             change(fname, updPos, 2 * k, xid, "update-before", id + k, dec(id + k), word(id + k))
             change(fname, updPos, 2 * k + 1, xid, "update", id + k, dec(id + k + 1), word(id + k + 1))
@@ -151,10 +183,16 @@ object CdcBinlog {
         if (txn % 5 == 4) { // and some delete 5
           stmt("DELETE FROM")
           val delPos = tw.position
-          tw.writeDelete(42, cols, (0 until math.min(5, n)).map { k =>
+          val delRows = (0 until math.min(5, n)).map { k =>
             Seq[Any](id + k, dec(id + k), word(id + k))
-          }, ts = ts)
-          event(s"DELETE_ROWS_EVENT$v2Suffix")
+          }
+          if (mdbCompress) {
+            tw.writeDeleteCompressed(42, cols, delRows, ts = ts)
+            event("DELETE_ROWS_COMPRESSED_EVENT_V1")
+          } else {
+            tw.writeDelete(42, cols, delRows, ts = ts)
+            event(s"DELETE_ROWS_EVENT$v2Suffix")
+          }
           (0 until math.min(5, n)).foreach { k =>
             change(fname, delPos, k, xid, "delete", id + k, dec(id + k), word(id + k))
           }
@@ -216,6 +254,19 @@ object CdcBinlog {
       Files.createDirectories(ctpDir)
       writeFixture(ctpDir, total, checksum = true, null, null, rowsV2 = true,
         gtid = true, ctp = true)
+      // MariaDB twin: the shape a MariaDB 10.x server writes — v1 rows
+      // events, CRC32, GTID_LIST at file head, GTID (162) frames replacing
+      // BEGIN, ANNOTATE_ROWS statement text, and log_bin_compress=ON rows
+      // events (166-168) on every other transaction — cdcb14/15/16's input
+      val mdbDir = staging.resolve("mdb")
+      Files.createDirectories(mdbDir)
+      val expE3 = Files.newBufferedWriter(staging.resolve("expected_events_mdb.csv"))
+      expE3.write("event_type,xid\n")
+      val expG2 = Files.newBufferedWriter(staging.resolve("expected_gtids_mdb.csv"))
+      expG2.write("log_file,kind,gno\n")
+      writeFixture(mdbDir, total, checksum = true, null, expE3, rowsV2 = false,
+        gtid = true, expG = expG2, rowsQuery = true, mdb = true)
+      expE3.close(); expG2.close()
       // binlog_row_value_options=PARTIAL_JSON family: JSON docs inserted
       // full, then updated via PARTIAL_UPDATE_ROWS diff sequences —
       // cdcb12's input + its generator-computed final-image ground truth
@@ -600,6 +651,77 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcb14 — MariaDB GTID observability (the 162/163 body decode): fold
+  // the MariaDB twin's domain-server-seq frames into the per-file executed
+  // summary — seq range + count + contiguity per (file, domain, server),
+  // and whether the file's GTID_LIST declaration matches what the prior
+  // files actually executed (resumes_list). MariaDB's mirror of cdcb8.
+  def cdcb14MariadbGtid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "mdb").toString)
+    val g = ev.filter($"event_type" === "GTID_EVENT_MARIADB")
+      .select($"log_file",
+        split($"gtid", "-").getItem(0).cast("long").as("domain_id"),
+        split($"gtid", "-").getItem(1).cast("long").as("server_id"),
+        split($"gtid", "-").getItem(2).cast("long").as("seq_no"))
+    val per = g.groupBy($"log_file", $"domain_id", $"server_id")
+      .agg(count(lit(1)).as("n_txns"), min($"seq_no").as("first_seq"),
+        max($"seq_no").as("last_seq"),
+        (max($"seq_no") - min($"seq_no") + 1 === count(lit(1))).cast("int").as("contiguous"))
+    // the file's declared binlog state: seq of the (single-domain fixture)
+    // GTID_LIST entry, 0 for the empty list of the first file
+    val lst = ev.filter($"event_type" === "GTID_LIST_EVENT_MARIADB")
+      .select($"log_file",
+        when($"gtid" === "", lit(0L))
+          .otherwise(substring_index($"gtid", "-", -1).cast("long")).as("list_end"))
+    per.join(lst, "log_file")
+      .select($"log_file", $"domain_id", $"server_id", $"list_end", $"first_seq",
+        $"last_seq", $"n_txns", $"contiguous",
+        ($"first_seq" === $"list_end" + 1).cast("int").as("resumes_list"))
+      .orderBy($"log_file")
+  }
+
+  /** cdcb15's resume point: a GTID three transactions into the SECOND file
+    * (txns are 100-row batches, seq numbering global across files), so the
+    * resolve path must consult GTID_LIST file-skipping AND the in-file
+    * header walk. Pure in (sfDir) — the oracle derives the same number.
+    */
+  private def resumeGno(sfDir: String): Long = rowsFor(sfDir) / 400L + 3L
+
+  // cdcb15 — GTID-addressed resume on a MariaDB log: startAfterGtid =
+  // "0-1-K" must scan exactly the transactions with seq > K (positions
+  // after the commit of txn K, mid-file-2). Content totals oracle against
+  // the generator ground truth filtered by the same boundary — one row
+  // too early (replaying txn K) or too late (skipping K+1) hash-fails.
+  def cdcb15MariadbResume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .option("startAfterGtid", s"0-1-${resumeGno(d)}")
+      .load(Paths.get(fixtureDir(d), "mdb").toString)
+      .groupBy($"_delta_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"id".cast("long")).as("sum_id"),
+        round(sum($"val".cast(DecimalType(38, 10))), 2).cast("double").as("sum_val"),
+        countDistinct($"xid").as("n_xids"))
+      .orderBy($"_delta_type")
+  }
+
+  // cdcb16 — events-mode stats over the MariaDB twin: the full MariaDB
+  // event stream — GTID/GTID_LIST framing, ANNOTATE_ROWS, and the
+  // log_bin_compress rows events (166-168, zlib) — is legible and
+  // oracle-checked against the generator's event record.
+  def cdcb16MariadbEventStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "mdb").toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"xid").as("n_xids"))
+      .orderBy($"event_type")
+  }
+
   // cdcm1 — the STREAMING materialization path under the oracle: run the
   // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
   // bucketed parquet table with latest-wins merges and tombstones) over
@@ -612,11 +734,18 @@ object CdcBinlog {
   // bench/gate runs hold at most one live table in /tmp.
   private val cdcm1LastDir =
     new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
-  def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame = {
+  // the last invocation's workdir would otherwise outlive the JVM in /tmp
+  private lazy val cdcm1ShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val d = cdcm1LastDir.get()
+      if (d != null) try deleteRecursively(d) catch { case _: Exception => () }
+    }))
+  def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame = synchronized {
+    // synchronized: concurrent invocations must not race the rotation
+    // below (one would delete the directory the other just materialized)
     import s.implicits._
+    cdcm1ShutdownHook
     val work = Files.createTempDirectory("graft-cdcm1")
-    val prev = cdcm1LastDir.getAndSet(work)
-    if (prev != null) deleteRecursively(prev)
     val changes = s.readStream.format("mysql-binlog")
       .option("payloadDdl", payloadDdl)
       .load(fixtureDir(d))
@@ -624,12 +753,20 @@ object CdcBinlog {
       changes, "id", work.resolve("table").toString,
       work.resolve("ckpt").toString, nBuckets = 8)
     q.awaitTermination()
+    // rotate only AFTER the new table is fully materialized: the previous
+    // invocation's returned (lazy) DataFrame stays readable until the next
+    // invocation completes, instead of breaking the moment it starts
+    val prev = cdcm1LastDir.getAndSet(work)
+    if (prev != null) deleteRecursively(prev)
     graft.streaming.CdcMaterializer.readTable(s, work.resolve("table").toString)
       .select($"id", $"val".cast("double").as("val"), $"word")
       .orderBy($"id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb14_mariadb_gtid" -> cdcb14MariadbGtid _,
+    "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
+    "cdcb16_mariadb_event_stats" -> cdcb16MariadbEventStats _,
     "cdcm1_materialized_table" -> cdcm1MaterializedTable _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
@@ -667,6 +804,35 @@ object CdcBinlog {
        |ORDER BY id""".stripMargin
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb14_mariadb_gtid" -> {
+      val rel =
+        s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids_mdb.csv', header=true, columns={
+           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT'})""".stripMargin
+      s"""WITH gt AS (SELECT log_file, gno FROM $rel WHERE kind = 'txn'),
+         |per AS (SELECT log_file, CAST(COUNT(*) AS BIGINT) AS n_txns,
+         |          MIN(gno) AS first_seq, MAX(gno) AS last_seq
+         |        FROM gt GROUP BY log_file),
+         |lst AS (SELECT log_file, gno AS list_end FROM $rel WHERE kind = 'list')
+         |SELECT p.log_file, CAST(0 AS BIGINT) AS domain_id, CAST(1 AS BIGINT) AS server_id,
+         |  lst.list_end, p.first_seq, p.last_seq, p.n_txns,
+         |  CAST(CASE WHEN p.last_seq - p.first_seq + 1 = p.n_txns THEN 1 ELSE 0 END AS INTEGER) AS contiguous,
+         |  CAST(CASE WHEN p.first_seq = lst.list_end + 1 THEN 1 ELSE 0 END AS INTEGER) AS resumes_list
+         |FROM per p JOIN lst USING (log_file)
+         |ORDER BY log_file""".stripMargin
+    },
+    "cdcb15_mariadb_resume" ->
+      s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
+         |  COUNT(DISTINCT xid) AS n_xids
+         |FROM ${expectedChangesRel(sfDir)}
+         |WHERE xid >= ${100000L + resumeGno(sfDir) * 100L}
+         |GROUP BY _delta_type
+         |ORDER BY _delta_type""".stripMargin,
+    "cdcb16_mariadb_event_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT xid) AS n_xids
+         |FROM ${expectedEventsRel(sfDir, "expected_events_mdb.csv")}
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "cdcm1_materialized_table" ->
       latestImageOracle(sfDir),
     "cdcb13_compressed_latest_image" ->

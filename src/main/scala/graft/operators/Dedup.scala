@@ -646,17 +646,33 @@ object Dedup {
     * eagerly); consume it promptly and drop the reference — Spark's
     * ContextCleaner reclaims the final cache once unreachable, or call
     * `.unpersist()` explicitly in long-lived sessions.
+    *
+    * Fault tolerance: the default per-round truncation is
+    * `localCheckpoint` — executor-block storage, fastest, but an executor
+    * loss mid-loop kills the query (truncated lineage cannot recompute).
+    * Fine on a single machine; on a real cluster pass
+    * `reliableCheckpointDir` (HDFS/object-store path) and each round
+    * checkpoints THERE instead — any executor can die and the loop
+    * resumes from files. Sets the context's checkpoint dir (a
+    * SparkContext-global knob); checkpoint files follow the context's
+    * cleaner policy (`spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
     import pairs.sparkSession.implicits._
+    val ckpt: DataFrame => DataFrame = reliableCheckpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .persist()
     try {
-      var labels = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("comp"))
-        .localCheckpoint(true)
+      var labels = ckpt(edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("comp")))
       var converged = false
       var i = 0
       while (!converged) {
@@ -672,9 +688,8 @@ object Dedup {
           .groupBy($"src")
           .agg(min($"ncomp").as("nmin"))
           .select($"src".as("id"), $"nmin")
-        val updated = labels.join(nbrMin, Seq("id"), "left")
-          .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
-          .localCheckpoint(true)
+        val updated = ckpt(labels.join(nbrMin, Seq("id"), "left")
+          .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp")))
         converged = updated.as("u")
           .join(labels.as("l"), "id")
           .filter(col("u.comp") =!= col("l.comp"))

@@ -46,8 +46,13 @@ object PersistedIndexes {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      // Files.walk documents the stream must be closed (it holds a
+      // directory handle); sorted() materializes first, so deletion while
+      // iterating is safe — the close is about the handle, not ordering
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
     }
 
   /** dd06's persisted LSH/fingerprint index over the corpus 80% split. */

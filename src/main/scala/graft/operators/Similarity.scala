@@ -297,8 +297,12 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     // ranking drops the row's own norm: it scales every seed's cosine by
     // the same positive constant, so the argmax is unchanged and the
-    // per-seed HOF work halves (dot(a,a) would otherwise recompute k times)
-    def rank(a: Column, sv: Column): Column = dotd(a, sv) / sqrt(dotd(sv, sv))
+    // per-seed HOF work halves (dot(a,a) would otherwise recompute k times).
+    // nanvl: a zero-norm centroid yields 0/0 = NaN, and Spark orders NaN
+    // GREATEST — such a seed would silently win every argmax and absorb
+    // the whole batch; -Inf makes it lose to any real seed instead
+    def rank(a: Column, sv: Column): Column =
+      nanvl(dotd(a, sv) / sqrt(dotd(sv, sv)), lit(Double.NegativeInfinity))
     val centArr = cent.agg(array_sort(
       collect_list(struct($"cell".as("sid"), $"centroid".as("sv")))).as("seeds"))
     batch.crossJoin(broadcast(centArr))

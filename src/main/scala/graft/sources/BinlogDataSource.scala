@@ -136,9 +136,13 @@ object BinlogSchemas {
     val om = tm.optionalMeta.getOrElse(throw new IllegalArgumentException(
       s"useMetadataNames: TABLE_MAP for ${tm.dbName}.${tm.tableName} carries no optional " +
         "metadata — the server wrote this log without binlog_row_metadata; supply payloadDdl"))
-    if (om.names == null) throw new IllegalArgumentException(
+    // a truncated COLUMN_NAME block leaves trailing nulls (readOptionalMeta
+    // tolerates it; events mode filters them) — building StructField(null)
+    // here would surface as an opaque NPE much later instead of this error
+    if (om.names == null || om.names.exists(_ == null)) throw new IllegalArgumentException(
       s"useMetadataNames: TABLE_MAP for ${tm.dbName}.${tm.tableName} has optional metadata " +
-        "but no column names — binlog_row_metadata=MINIMAL; FULL is required (or supply payloadDdl)")
+        "but not a name for every column — binlog_row_metadata=MINIMAL or a truncated " +
+        "COLUMN_NAME block; FULL is required (or supply payloadDdl)")
     StructType(tm.columnTypes.indices.map(i =>
       StructField(om.names(i), sparkTypeFor(tm, i))))
   }
@@ -187,7 +191,20 @@ object BinlogSchemas {
       // 999999→1000000 rollover must still scan in write order
       f.listFiles().toVector.filter(_.isFile).map(_.getPath)
         .sortBy(p => (BinlogReader.fileOrdinal(p), p))
-        .filter(p => BinlogReader.isBinlogFile(p))
+        .filter { p =>
+          // an encrypted binlog in the directory must fail by name, not be
+          // silently skipped as "not a binlog" (a scan would then quietly
+          // miss its changes)
+          if (BinlogReader.isEncryptedBinlogFile(p))
+            throw new IllegalStateException(
+              s"binlog '$p' is encrypted (binlog_encryption=ON file magic) — " +
+                "this engine reads unencrypted logs only")
+          BinlogReader.isBinlogFile(p)
+        }
+    } else if (BinlogReader.isEncryptedBinlogFile(path)) {
+      throw new IllegalStateException(
+        s"binlog '$path' is encrypted (binlog_encryption=ON file magic) — " +
+          "this engine reads unencrypted logs only")
     } else if (BinlogReader.isBinlogFile(path)) Vector(path)
     else // treat as index file: entries resolve relative to its directory
       BinlogReader.binlogFilesFromIndex(path).map { name =>
@@ -196,26 +213,40 @@ object BinlogSchemas {
       }
   }
 
-  /** Resolve option `startAfterGtid` = `uuid:gno` to (file, byte position
-    * just after that transaction's commit). Files whose PREVIOUS_GTIDS set
-    * already contains the target are skipped without scanning their bodies
-    * — locating a GTID across a rotated set is O(files), not O(bytes); the
-    * one candidate file gets a header-walk. Loud error if absent: resuming
-    * "after" a GTID the logs don't contain must never silently replay from
-    * the beginning (or skip to the end).
+  /** Resolve option `startAfterGtid` to (file, byte position just after
+    * that transaction's commit). Two spec grammars, auto-detected:
+    * MySQL `uuid:gno`, and MariaDB `domain-server-seq` (all-numeric,
+    * dash-separated). Files whose head declaration (PREVIOUS_GTIDS /
+    * MariaDB GTID_LIST) already contains the target are skipped without
+    * scanning their bodies — locating a GTID across a rotated set is
+    * O(files), not O(bytes); the one candidate file gets a header-walk.
+    * Loud error if absent: resuming "after" a GTID the logs don't contain
+    * must never silently replay from the beginning (or skip to the end).
     */
+  private val MariaGtidSpec = """^(\d+)-(\d+)-(\d+)$""".r
   def resolveGtidStart(files: Vector[String], spec: String): (String, Long) = {
-    val (uuid, gno) = spec.split(":") match {
-      case Array(u, g) if g.nonEmpty && g.forall(_.isDigit) => (u, g.toLong)
-      case _ => throw new IllegalArgumentException(
-        s"startAfterGtid must be 'uuid:gno', got '$spec'")
+    val resolved = spec match {
+      case MariaGtidSpec(d, sv, q) =>
+        val (domain, server, seq) = (d.toLong, sv.toLong, q.toLong)
+        val candIdx = files.lastIndexWhere(f =>
+          !BinlogReader.mariaGtidListOf(f)
+            .exists(l => BinlogReader.mariaListContains(l, domain, seq)))
+        if (candIdx < 0) None
+        else BinlogReader.positionAfterMariaGtid(files(candIdx), domain, server, seq)
+          .map(p => (files(candIdx), p))
+      case _ =>
+        val (uuid, gno) = spec.split(":") match {
+          case Array(u, g) if g.nonEmpty && g.forall(_.isDigit) => (u, g.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"startAfterGtid must be 'uuid:gno' (MySQL) or " +
+              s"'domain-server-seq' (MariaDB), got '$spec'")
+        }
+        val candIdx = files.lastIndexWhere(f =>
+          !BinlogReader.previousGtidsOf(f).exists(s => BinlogReader.gtidSetContains(s, uuid, gno)))
+        if (candIdx < 0) None
+        else BinlogReader.positionAfterGtid(files(candIdx), uuid, gno)
+          .map(p => (files(candIdx), p))
     }
-    val candIdx = files.lastIndexWhere(f =>
-      !BinlogReader.previousGtidsOf(f).exists(s => BinlogReader.gtidSetContains(s, uuid, gno)))
-    val resolved =
-      if (candIdx < 0) None
-      else BinlogReader.positionAfterGtid(files(candIdx), uuid, gno)
-        .map(p => (files(candIdx), p))
     resolved.getOrElse(throw new IllegalArgumentException(
       s"startAfterGtid: GTID $spec not found in ${files.size} binlog file(s)"))
   }
@@ -627,6 +658,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case r: RotateEvent => a(11) = UTF8String.fromString(r.nextFile)
       case g: GtidEvent => a(12) = UTF8String.fromString(g.gtid)
       case pg: PreviousGtidsEvent => a(12) = UTF8String.fromString(pg.gtidSet)
+      case mg: MariaGtidEvent => a(12) = UTF8String.fromString(mg.gtid)
+      case ml: MariaGtidListEvent => a(12) = UTF8String.fromString(ml.gtidList)
       case rq: RowsQueryEvent => a(9) = UTF8String.fromString(rq.query)
       case _ =>
     }

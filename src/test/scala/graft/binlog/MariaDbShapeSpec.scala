@@ -28,15 +28,14 @@ class MariaDbShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def mariaLog(): String = {
     val dir = Files.createTempDirectory("maria")
-    // MariaDB GTID event body: seq_no(8 LE), domain(4 LE), flags(1)
-    val gtidBody = (0 until 8).map(i => ((5L >> (i * 8)) & 0xff).toByte).toArray ++
-      Array[Byte](0, 0, 0, 0, 2.toByte)
     new Writer(checksum = true)
       .writeFormatDescription(ts = 1, serverVersion = "10.6.16-MariaDB-log")
-      .writeOpaque(EventType.MariaGtidList, new Array[Byte](4), ts = 1)
+      .writeMariaGtidList(Nil, ts = 1)
       .writeOpaque(EventType.MariaBinlogCheckpoint,
         "binlog.000001".getBytes("ISO-8859-1"), ts = 1)
-      .writeOpaque(EventType.MariaGtid, gtidBody, ts = 2)
+      // group-commit-id variant: the optional 8-byte commit id must be
+      // consumed without disturbing the events that follow
+      .writeMariaGtid(0L, 5L, commitId = 42L, ts = 2)
       .writeQuery("shop", "BEGIN", ts = 2)
       .writeAnnotateRows("INSERT INTO shop.orders VALUES (1, 10.5, 'ok')", ts = 2)
       .writeTableMap(11, "shop", "orders", cols, ts = 2)
@@ -58,14 +57,17 @@ class MariaDbShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getInt(3) == 1 && rows.head.getString(4) == "ok")
   }
 
-  test("events mode names the MariaDB block") {
-    val names = spark.read.format("mysql-binlog").option("mode", "events")
-      .load(mariaLog()).selectExpr("event_type", "sql").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+  test("events mode names the MariaDB block and decodes its GTID bodies") {
+    val rows = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(mariaLog()).selectExpr("event_type", "sql", "gtid").collect()
+    val names = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     assert(names.contains("GTID_EVENT_MARIADB"))
     assert(names.contains("BINLOG_CHECKPOINT_EVENT"))
     assert(names.contains("GTID_LIST_EVENT_MARIADB"))
     assert(names("ANNOTATE_ROWS_EVENT") ==
       "INSERT INTO shop.orders VALUES (1, 10.5, 'ok')")
+    val gtids = rows.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(gtids("GTID_EVENT_MARIADB") == "0-1-5") // domain-server-seq
+    assert(gtids("GTID_LIST_EVENT_MARIADB") == "") // empty state
   }
 }

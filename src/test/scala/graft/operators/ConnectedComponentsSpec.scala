@@ -35,6 +35,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc.size == 10)
   }
 
+  test("reliableCheckpointDir: rounds checkpoint to files, same components") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs,
+        reliableCheckpointDir = Some(ckptDir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(cc(_) == 10L), cc.toString)
+    assert(Seq(30L, 31L).forall(cc(_) == 30L), cc.toString)
+    // the rounds really went through the reliable dir (files on disk, not
+    // executor blocks) — this is the cluster fault-tolerance contract
+    val wrote = java.nio.file.Files.walk(ckptDir)
+    try assert(wrote.filter(p => java.nio.file.Files.isRegularFile(p)).count() > 0)
+    finally wrote.close()
+  }
+
   test("non-convergence fails loudly instead of spinning") {
     import spark.implicits._
     // a 6-node chain has diameter 5: maxIter = 2 cannot converge

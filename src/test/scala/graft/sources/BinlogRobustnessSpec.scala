@@ -234,4 +234,40 @@ class BinlogRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalStateException] { readRange(Long.MaxValue) }
     assert(e.getMessage.contains("No TABLE_MAP"))
   }
+
+  test("MySQL encrypted binlog (FD magic) fails by name, not as not-a-binlog") {
+    val dir = Files.createTempDirectory("enc-magic")
+    val f = dir.resolve("binlog.000001")
+    // binlog_encryption=ON rewrites the magic to FD 62 69 6E; the rest of
+    // the file is ciphertext a decoder must never touch
+    Files.write(f, graft.binlog.BinlogReader.EncryptedMagic ++ Array.fill[Byte](64)(0x5a))
+    val ex = intercept[Exception] {
+      spark.read.format("mysql-binlog").option("payloadDdl", ddl)
+        .load(dir.toString).count()
+    }
+    assert(rootCauseChain(ex).exists(_.contains("encrypted")))
+    // direct single-file path too (would otherwise fall through to the
+    // index-file parse)
+    val ex2 = intercept[Exception] {
+      spark.read.format("mysql-binlog").option("payloadDdl", ddl)
+        .load(f.toString).count()
+    }
+    assert(rootCauseChain(ex2).exists(_.contains("encrypted")))
+  }
+
+  test("MariaDB START_ENCRYPTION event fails the scan by name") {
+    val dir = Files.createTempDirectory("enc-start")
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeStartEncryption(ts = 1000)
+    // everything after this point would be ciphertext on a real server
+    w.writeQuery("bench", "BEGIN", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val ex = intercept[Exception] {
+      spark.read.format("mysql-binlog").option("payloadDdl", ddl)
+        .load(dir.toString).count()
+    }
+    assert(rootCauseChain(ex).exists(m =>
+      m.contains("encrypted") && m.contains("START_ENCRYPTION")))
+  }
 }

@@ -111,6 +111,71 @@ class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("uuid:gno"))
   }
 
+  // ---- MariaDB: domain-server-seq addressing over GTID_LIST-routed logs
+
+  /** One MariaDB transaction: GTID frame REPLACES BEGIN (no QUERY opens
+    * the group), XID commits.
+    */
+  private def mariaTxn(w: Writer, seq: Long, id: Int): Writer = {
+    w.writeMariaGtid(0L, seq, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](id)), ts = 1000)
+      .writeXid(seq, ts = 1000)
+    w
+  }
+
+  private def mariaFixture(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("maria-gtid-start")
+    val w1 = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Nil, ts = 1000)
+    mariaTxn(w1, 1, 1); mariaTxn(w1, 2, 2)
+    w1.writeRotate("binlog.000002", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val w2 = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Seq((0L, 1L, 2L)), ts = 1000)
+    mariaTxn(w2, 3, 3); mariaTxn(w2, 4, 4)
+    w2.save(dir.resolve("binlog.000002").toString)
+    dir
+  }
+
+  test("MariaDB: start after a domain-server-seq GTID mid-file and across files") {
+    val dir = mariaFixture()
+    assert(ids(dir, "0-1-1") === Seq(2, 3, 4))
+    assert(ids(dir, "0-1-2") === Seq(3, 4)) // commits at end of file 1
+    assert(ids(dir, "0-1-3") === Seq(4))    // file 1 skipped via GTID_LIST
+    assert(ids(dir, "0-1-4") === Seq.empty)
+  }
+
+  test("MariaDB: GTID_LIST routes the walk to the right file") {
+    val dir = mariaFixture()
+    assert(BinlogReader.mariaGtidListOf(dir.resolve("binlog.000002").toString)
+      === Some(Vector((0L, 1L, 2L))))
+    assert(BinlogReader.positionAfterMariaGtid(
+      dir.resolve("binlog.000001").toString, 0L, 1L, 3L).isEmpty)
+    assert(BinlogReader.positionAfterMariaGtid(
+      dir.resolve("binlog.000002").toString, 0L, 1L, 3L).isDefined)
+  }
+
+  test("MariaDB: standalone (DDL) target; wrong domain/server fails loudly") {
+    val dir = Files.createTempDirectory("maria-gtid-ddl")
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Nil, ts = 1000)
+    mariaTxn(w, 1, 1)
+    // seq 2 is a standalone group: one implicitly-committing DDL QUERY
+    w.writeMariaGtid(0L, 2L, standalone = true, ts = 1000)
+      .writeQuery("d", "CREATE TABLE d.other (x INT)", ts = 1000)
+    mariaTxn(w, 3, 30)
+    w.save(dir.resolve("binlog.000001").toString)
+    // resuming after the standalone DDL keeps the following txn's row
+    assert(ids(dir, "0-1-2") === Seq(30))
+    // domain/server are part of the identity, not decoration
+    assert(intercept[Exception](ids(dir, "7-1-1")).getMessage.contains("not found"))
+    assert(intercept[Exception](ids(dir, "0-9-1")).getMessage.contains("not found"))
+  }
+
   test("streaming initial offset honors startAfterGtid") {
     val dir = fixture()
     import org.apache.spark.sql.functions.col
