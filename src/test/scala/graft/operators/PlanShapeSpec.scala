@@ -169,6 +169,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly one range exchange (output sort): " + plan(p).take(1500))
   }
 
+  test("txt12: one pair shuffle, two corpus scans, skew-safe score join") {
+    val p = TextAnalysis.txt12LmQuality(spark, d)
+    val phys = physical(p)
+    val exchanges = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.map(_.outputPartitioning.toString.toLowerCase)
+    // the corpus-sized pair-instance stream shuffles on (w1, w2) exactly
+    // ONCE — the prefix counts come from a window over the single c2
+    // lineage, so a regression back to a c2-self-join (which doubles the
+    // whole explode + shuffle) fails here
+    assert(exchanges.count(s => s.contains("w1") && s.contains("w2")) === 1,
+      plan(p).take(2000))
+    // the corpus explodes twice (probe + count agg), never a third time
+    val docScans = fileScans(p)
+      .count(_.relation.location.rootPaths.mkString.contains("documents"))
+    assert(docScans === 2, plan(p).take(2000))
+    // hot bigrams ("the ...") on the score join: either the table
+    // broadcasts (skew-immune) or it's a sort-merge join AQE can split —
+    // never a nested-loop shape
+    val s = plan(p)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(1500))
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true" &&
+      spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "AQE skew-join handling must be on — txt12's hot-key story rests on it")
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
