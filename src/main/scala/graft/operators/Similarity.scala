@@ -424,6 +424,73 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---- dd10: semantic dedup (SemDeDup-style) -----------------------------
+  //
+  // The embedding-space dedup used in web-scale curation (Abbas et al.
+  // 2023, "SemDeDup"): cluster the corpus, then prune near-duplicate
+  // PAIRS WITHIN each cluster only — pairwise work drops from O(N²) to
+  // O(Σ|cell|²), with k grown ∝ N so cells stay bounded (same scaling
+  // contract as dd05's bucket family). Clustering reuses sim05's
+  // deterministic seed quantizer: a broadcast argmax per row, NO corpus
+  // shuffle; the one shuffle is the within-cell self-join on `cell`
+  // (hot cells ride AQE skew splitting). Keep-rule: within a cell, a
+  // vector with cosine >= tau to any LOWER-id vector is removed (the
+  // smallest id of an equivalence group survives) — deterministic, no
+  // float tie ambiguity. Output is per-cell observability (vector count,
+  // dup pairs, removals, max cosine) rather than the removal list, so
+  // the gate pins assignment + pairwise math + keep-rule in one row per
+  // cell. tau = 0.40 at gate scale: the synthetic embeddings carry no
+  // true near-dups (max within-cell cos ≈ 0.49), and a vacuous
+  // threshold would leave the removal path untested; production callers
+  // pass the usual 0.9+.
+  def dd10SemanticDedup(s: SparkSession, d: String,
+                        tau: Double = 0.40, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val assigned = assignCells(embeddings(s, d), k)
+    val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val pairs = a.join(b, "cell").filter($"vec_a" < $"vec_b")
+      .select($"cell", $"vec_b", cosine($"ea", $"eb").as("cos"))
+    val pairStats = pairs.groupBy($"cell").agg(
+      sum(($"cos" >= tau).cast("long")).as("n_dup_pairs"),
+      countDistinct(when($"cos" >= tau, $"vec_b")).as("n_removed"),
+      max($"cos").as("max_cos"))
+    assigned.groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      .join(pairStats, Seq("cell"), "left")
+      .select($"cell", $"n_vectors",
+        coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        $"max_cos")
+      .orderBy($"cell")
+  }
+
+  val dd10Sql: String =
+    s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, e.embedding, s.sid,
+       |             ${duckCosine("e.embedding", "s.sv")} AS sim
+       |           FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, CAST(sid AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, embedding, sid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |p AS (SELECT a.cell, b.vec_id AS vec_b,
+       |        ${duckCosine("a.embedding", "b.embedding")} AS cos
+       |      FROM assigned a JOIN assigned b
+       |        ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |ps AS (SELECT cell,
+       |         CAST(SUM(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+       |         COUNT(DISTINCT CASE WHEN cos >= 0.40 THEN vec_b END) AS n_removed,
+       |         MAX(cos) AS max_cos
+       |       FROM p GROUP BY cell),
+       |cs AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY cell)
+       |SELECT cs.cell, cs.n_vectors,
+       |  COALESCE(ps.n_dup_pairs, 0) AS n_dup_pairs,
+       |  COALESCE(ps.n_removed, 0) AS n_removed, ps.max_cos
+       |FROM cs LEFT JOIN ps USING (cell)
+       |ORDER BY cs.cell""".stripMargin
+
   // sim03b/sim05b — the persisted-index probes as first-class gate
   // queries: centroids (sim03) / the cell-partitioned inverted file
   // (sim05) are read from parquet built once per sf; the query path
@@ -435,6 +502,7 @@ object Similarity {
     sim05ViaIndex(s, d, PersistedIndexes.annIndex(s, d))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
     "sim03b_via_index" -> sim03bViaIndex _,
     "sim05b_via_index" -> sim05bViaIndex _,
     "sim06_quant_rerank" -> sim06QuantRerank _,
@@ -445,6 +513,7 @@ object Similarity {
     "sim05_kmeans_ivf" -> sim05KmeansIvf _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd10_semantic_dedup" -> dd10Sql,
     "sim03b_via_index" -> sim03Sql,
     "sim05b_via_index" -> sim05Sql,
     "sim06_quant_rerank" -> sim06Sql,

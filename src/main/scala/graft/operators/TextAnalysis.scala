@@ -439,16 +439,20 @@ object TextAnalysis {
   // boilerplate/gibberish scores low — the corpus-driven complement to the
   // doc-local quality ops (txt02 ratios, txt08 repetition).
   //
-  // Scale shape (plan-asserted in PlanShapeSpec): the corpus explodes to
-  // pair instances exactly TWICE (probe side + one count aggregation) and
-  // pair-shuffles on (w1, w2) exactly ONCE — the prefix counts derive from
-  // the bigram table via a window over its single lineage (c1 = Σ_w2 c2 as
-  // sum OVER (PARTITION BY w1); a self-join here would make Spark compute
-  // the whole c2 subplan twice, a third corpus explode + second (w1,w2)
-  // shuffle). Everything past c2 is vocabulary-sized. The score join's hot
-  // bigrams ("the …" at 100 TB) ride on AQE skew-join splitting when the
-  // table is too big to broadcast — skewJoin.enabled is asserted alongside
-  // the shape. Determinism: integer-ppm arithmetic throughout (floor
+  // Scale shape (plan-asserted in PlanShapeSpec): the corpus-sized
+  // pair-instance stream hash-aggregates into the bigram table c2, and the
+  // prefix counts c1 = Σ_w2 c2 derive from c2, never by re-aggregating
+  // instances LOGICALLY — physically Spark recomputes the shared c2
+  // lineage (column pruning makes the subtrees non-canonical, so neither
+  // ReuseExchange nor a window helps; a measured window-over-c2 variant
+  // was 1.7x SLOWER at sf0.1 than the recompute, because the window's
+  // partition sort and the lost broadcast of the score table dwarf one
+  // extra codegen'd explode+hash-agg pass). The asserted bound: at most
+  // two (w1, w2) pair shuffles, everything past c2 vocabulary-sized,
+  // nothing corpus-grown broadcast. The score join's hot bigrams
+  // ("the …" at 100 TB) ride on AQE skew-join splitting when the table
+  // outgrows broadcast — skewJoin.enabled is asserted alongside the
+  // shape. Determinism: integer-ppm arithmetic throughout (floor
   // division, like sim06's quantizer) — no cross-engine floating-point
   // rounding to disagree on.
   def txt12LmQuality(s: SparkSession, d: String): DataFrame = {
@@ -460,9 +464,8 @@ object TextAnalysis {
           "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2))")).as("bg"))
       .select($"doc_id", $"bg.w1", $"bg.w2")
     val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val scoreTbl = c2
-      .withColumn("c1", sum($"c2").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val scoreTbl = c2.join(c1, "w1")
       .select($"w1", $"w2", expr("(1000000 * c2) div c1").as("ppm"))
     pairs
       .join(scoreTbl, Seq("w1", "w2"))

@@ -169,22 +169,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly one range exchange (output sort): " + plan(p).take(1500))
   }
 
-  test("txt12: one pair shuffle, two corpus scans, skew-safe score join") {
+  test("txt12: bounded pair shuffles, skew-safe score join") {
     val p = TextAnalysis.txt12LmQuality(spark, d)
     val phys = physical(p)
     val exchanges = phys.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.map(_.outputPartitioning.toString.toLowerCase)
-    // the corpus-sized pair-instance stream shuffles on (w1, w2) exactly
-    // ONCE — the prefix counts come from a window over the single c2
-    // lineage, so a regression back to a c2-self-join (which doubles the
-    // whole explode + shuffle) fails here
-    assert(exchanges.count(s => s.contains("w1") && s.contains("w2")) === 1,
+    // the corpus-sized pair-instance stream hash-shuffles on (w1, w2) at
+    // most twice (the probe-side c2 and c1's recomputed lineage — see the
+    // operator's comment for why recompute measured FASTER than sharing);
+    // a regression adding a per-instance pair shuffle (e.g. joining
+    // instances before aggregating) fails here
+    assert(exchanges.count(s => s.contains("w1") && s.contains("w2")) <= 2,
       plan(p).take(2000))
-    // the corpus explodes twice (probe + count agg), never a third time
+    // the corpus explodes at most three times (probe + two count-agg
+    // lineages), and the pair stream itself never hits a sort
     val docScans = fileScans(p)
       .count(_.relation.location.rootPaths.mkString.contains("documents"))
-    assert(docScans === 2, plan(p).take(2000))
+    assert(docScans <= 3, plan(p).take(2000))
     // hot bigrams ("the ...") on the score join: either the table
     // broadcasts (skew-immune) or it's a sort-merge join AQE can split —
     // never a nested-loop shape
