@@ -46,37 +46,59 @@ object BinlogReader {
     if (ext.nonEmpty && ext.length <= 18 && ext.forall(_.isDigit)) ext.toLong else -1L
   }
 
-  /** Magic-number check (`mysql_binlog.clj:47-53`). */
-  def isBinlogFile(path: String): Boolean = {
+  /** First 4 bytes of `path`, or None when shorter — ONE open serves both
+    * magic classifications (directory resolution checks normal-vs-encrypted
+    * per file; two separate helpers would double the opens).
+    */
+  def fileMagic(path: String): Option[Array[Byte]] = {
     val in = new FileInputStream(path)
     try {
       val b = new Array[Byte](4)
-      in.read(b) == 4 && java.util.Arrays.equals(b, Magic)
+      if (in.read(b) == 4) Some(b) else None
     } finally in.close()
   }
 
+  /** Magic-number check (`mysql_binlog.clj:47-53`). */
+  def isBinlogFile(path: String): Boolean =
+    fileMagic(path).exists(java.util.Arrays.equals(_, Magic))
+
   /** MySQL 8.0 encrypted-binlog magic check (see [[EncryptedMagic]]). */
-  def isEncryptedBinlogFile(path: String): Boolean = {
-    val in = new FileInputStream(path)
-    try {
-      val b = new Array[Byte](4)
-      in.read(b) == 4 && java.util.Arrays.equals(b, EncryptedMagic)
-    } finally in.close()
-  }
+  def isEncryptedBinlogFile(path: String): Boolean =
+    fileMagic(path).exists(java.util.Arrays.equals(_, EncryptedMagic))
+
+  private def encryptedFileError(path: String): Nothing =
+    throw new IllegalStateException(
+      s"binlog '$path' is encrypted (binlog_encryption=ON file magic) — " +
+        "this engine reads unencrypted logs only; disable binlog_encryption " +
+        "or decrypt the log before scanning")
+
+  /** Thrown wherever a header walk meets MariaDB START_ENCRYPTION (164):
+    * everything past it is ciphertext, and walking on would decode garbage
+    * a user can't tell from corruption. eventIterator AND the standalone
+    * walks (GTID location/resume, lastSafePos) all route here.
+    */
+  def startEncryptionError(offset: Long): Nothing =
+    throw new IllegalStateException(
+      s"binlog is encrypted (START_ENCRYPTION event at offset $offset) — " +
+        "this engine reads unencrypted logs only; disable binlog_encryption " +
+        "or decrypt the log before scanning")
 
   /** mmap a binlog read-only from `offset`, little-endian
     * (`mysql_binlog.clj:696-705`). Encrypted logs (MySQL
     * `binlog_encryption=ON` magic) fail HERE by name — this is the one
-    * choke point every scan, GTID walk and tailer passes through.
+    * choke point every scan, GTID walk and tailer passes through. The
+    * magic peek shares the single open (hot paths call this per poll /
+    * per batch; a separate open would double the syscalls).
     */
   def mapFile(path: String, offset: Long = 0L): ByteBuffer = {
-    if (isEncryptedBinlogFile(path))
-      throw new IllegalStateException(
-        s"binlog '$path' is encrypted (binlog_encryption=ON file magic) — " +
-          "this engine reads unencrypted logs only; disable binlog_encryption " +
-          "or decrypt the log before scanning")
     val in = new FileInputStream(path)
     try {
+      if (in.getChannel.size() >= 4) {
+        val m = ByteBuffer.allocate(4)
+        in.getChannel.read(m, 0L) // positional read: channel cursor unmoved
+        if (java.util.Arrays.equals(m.array(), EncryptedMagic))
+          encryptedFileError(path)
+      }
       val ch = in.getChannel
       val len = ch.size() - offset
       // one bulk-load transaction can push a file past max_binlog_size;
@@ -362,6 +384,13 @@ object BinlogReader {
   def readMariaGtidList(b: ByteBuffer, h: EventHeader): MariaGtidListEvent = {
     b.position(h.offset.toInt + HeaderLen)
     val n = (b.getInt() & 0x0fffffff)
+    // bound the declared count by the event's own length — a corrupt count
+    // would otherwise march past the event swallowing neighbors' bytes as
+    // GTID entries (silently wrong file routing) or die in a raw
+    // BufferUnderflowException (this walk can run before CRC verification)
+    require(HeaderLen + 4 + 16L * n <= h.eventLen,
+      s"GTID_LIST at offset ${h.offset} declares $n entries but the event " +
+        s"is only ${h.eventLen} bytes — corrupt count")
     val entries = Vector.newBuilder[(Long, Long, Long)]
     var i = 0
     while (i < n) {
@@ -382,10 +411,16 @@ object BinlogReader {
     */
   def mariaUncompress(b: ByteBuffer, end: Long): Array[Byte] = {
     val ctrl = ubyte(b)
-    if ((ctrl & 0xe0) != 0x80)
+    if ((ctrl & 0x80) == 0)
       throw new IllegalStateException(
-        f"MariaDB compressed record: bad control byte 0x$ctrl%02x " +
-          "(bit 7 must be set, algorithm bits must be 0 = zlib)")
+        f"MariaDB compressed record: bad control byte 0x$ctrl%02x (bit 7 must be set)")
+    // algorithm lives in bits 4-6 (ctrl = 0x80 | alg << 4 | lenlen) — a
+    // 0xe0-style mask would let alg = 1 (0x9X) through to the inflater
+    // and fail as "corrupt zlib" instead of naming the real problem
+    val alg = (ctrl >> 4) & 0x7
+    if (alg != 0)
+      throw new IllegalStateException(
+        s"MariaDB compressed record: unknown compression algorithm $alg (only 0 = zlib exists)")
     val lenlen = ctrl & 0x07
     require(lenlen >= 1 && lenlen <= 4,
       s"MariaDB compressed record: invalid length width $lenlen")
@@ -400,9 +435,12 @@ object BinlogReader {
       var off = 0
       while (off < outArr.length && !inf.finished()) {
         val k = inf.inflate(outArr, off, outArr.length - off)
-        if (k == 0 && inf.needsInput())
+        // zero progress with input remaining: truncated stream, or a
+        // preset-dictionary (FDICT) header — inflate() then returns 0 with
+        // needsInput() false forever, so both must break the loop loudly
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
           throw new IllegalStateException(
-            "MariaDB compressed record: truncated zlib stream")
+            "MariaDB compressed record: truncated or dictionary-requiring zlib stream")
         off += k
       }
       require(off == len.toInt,
@@ -1134,14 +1172,7 @@ object BinlogReader {
                 case EventType.MariaGtid => readMariaGtid(buf, h)
                 case EventType.MariaGtidList => readMariaGtidList(buf, h)
                 case EventType.MariaQueryCompressed => readQueryCompressed(buf, h, charset)
-                case EventType.MariaStartEncryption =>
-                  // everything past this event is encrypted — decoding on
-                  // would surface zlib/CRC garbage errors a user can't tell
-                  // from corruption
-                  throw new IllegalStateException(
-                    s"binlog is encrypted (START_ENCRYPTION event at offset ${h.offset}) — " +
-                      "this engine reads unencrypted logs only; disable binlog_encryption " +
-                      "or decrypt the log before scanning")
+                case EventType.MariaStartEncryption => startEncryptionError(h.offset)
                 case EventType.TransactionPayload =>
                   // decompress and re-enter the event loop over the inner
                   // stream; inner events surface with their log position
@@ -1236,6 +1267,7 @@ object BinlogReader {
           h.eventType match {
             case EventType.PreviousGtids =>
               res = Some(readPreviousGtids(buf, h).gtidSet); done = true
+            case EventType.MariaStartEncryption => startEncryptionError(h.offset)
             case EventType.FormatDescription | EventType.Rotate | EventType.Stop =>
             case _ => done = true // txn content started: no PREVIOUS_GTIDS here
           }
@@ -1289,6 +1321,7 @@ object BinlogReader {
                   result = Some(h.offset + h.eventLen); done = true
                 case TxnBoundary.Begin | TxnBoundary.IntraTxn => // still inside
               }
+            case EventType.MariaStartEncryption => startEncryptionError(h.offset)
             case EventType.XaPrepare if found =>
               // the prepare ENDS this GTID's transaction in the log (the
               // XA COMMIT gets its own GTID later)
@@ -1331,6 +1364,7 @@ object BinlogReader {
           h.eventType match {
             case EventType.MariaGtidList =>
               res = Some(readMariaGtidList(buf, h).gtids); done = true
+            case EventType.MariaStartEncryption => startEncryptionError(h.offset)
             case EventType.FormatDescription | EventType.Rotate | EventType.Stop |
                  EventType.MariaBinlogCheckpoint =>
             case _ => done = true // txn content started: no GTID_LIST here
@@ -1395,6 +1429,7 @@ object BinlogReader {
               }
             case EventType.XaPrepare if found =>
               result = Some(h.offset + h.eventLen); done = true
+            case EventType.MariaStartEncryption => startEncryptionError(h.offset)
             case EventType.Rotate => done = true
             case _ =>
           }

@@ -61,7 +61,19 @@ object BinlogTailer {
     private def binlogFiles(): Vector[Path] = {
       val s = Files.list(dir)
       try s.toArray.toVector.map(_.asInstanceOf[Path])
-        .filter(p => Files.isRegularFile(p) && BinlogReader.isBinlogFile(p.toString))
+        .filter(p => Files.isRegularFile(p) && {
+          // an encrypted binlog appearing in the tailed directory (server
+          // turned binlog_encryption on and rotated) must kill the tailer
+          // by name — filtering it as "not a binlog" would leave the
+          // tailer waiting on the old file forever, silently missing
+          // every change in the new one
+          val magic = BinlogReader.fileMagic(p.toString)
+          if (magic.exists(java.util.Arrays.equals(_, BinlogReader.EncryptedMagic)))
+            throw new IllegalStateException(
+              s"binlog '$p' is encrypted (binlog_encryption=ON file magic) — " +
+                "this engine reads unencrypted logs only")
+          magic.exists(java.util.Arrays.equals(_, BinlogReader.Magic))
+        })
         // numeric-extension order (999999 → 1000000 rollover-safe)
         .sortBy(p => (BinlogReader.fileOrdinal(p.toString), p.getFileName.toString))
       finally s.close()

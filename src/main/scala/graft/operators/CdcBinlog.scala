@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7a-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7b-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -76,8 +76,11 @@ object CdcBinlog {
       if (expC != null) expC.write(s"$f,$pos,$seq,$xid,$dt,$i,$v,$w\n")
     def event(t: String, xid: String = ""): Unit =
       if (expE != null) expE.write(s"$t,$xid\n")
-    def gtidRec(f: String, kind: String, g: Long): Unit =
-      if (expG != null) expG.write(s"$f,$kind,$g\n")
+    // xid: the commit id of the transaction the GTID frames (0 for head
+    // declarations) — lets resume oracles map "after GTID g" to an xid
+    // cutoff from GENERATOR data instead of re-deriving batch geometry
+    def gtidRec(f: String, kind: String, g: Long, xid: Long = 0L): Unit =
+      if (expG != null) expG.write(s"$f,$kind,$g,$xid\n")
     val nFiles = 4
     val perFile = total / nFiles
     var id = 0
@@ -111,10 +114,10 @@ object CdcBinlog {
           // the MariaDB GTID frame REPLACES BEGIN (no QUERY event opens
           // the group)
           gno += 1; w.writeMariaGtid(0L, gno, ts = ts); event("GTID_EVENT_MARIADB")
-          gtidRec(fname, "txn", gno)
+          gtidRec(fname, "txn", gno, xid)
         } else if (gtid) {
           gno += 1; w.writeGtid(gno, ts = ts); event("GTID_LOG_EVENT")
-          gtidRec(fname, "txn", gno)
+          gtidRec(fname, "txn", gno, xid)
         }
         // MariaDB log_bin_compress=ON twin: every other transaction's rows
         // events arrive per-event zlib-compressed (166-168)
@@ -238,7 +241,7 @@ object CdcBinlog {
       val expE2 = Files.newBufferedWriter(staging.resolve("expected_events_v2.csv"))
       expE2.write("event_type,xid\n")
       val expG = Files.newBufferedWriter(staging.resolve("expected_gtids.csv"))
-      expG.write("log_file,kind,gno\n")
+      expG.write("log_file,kind,gno,xid\n")
       writeFixture(v2Dir, total, checksum = true, null, expE2, rowsV2 = true,
         gtid = true, expG = expG, rowsQuery = true)
       expE2.close(); expG.close()
@@ -263,7 +266,7 @@ object CdcBinlog {
       val expE3 = Files.newBufferedWriter(staging.resolve("expected_events_mdb.csv"))
       expE3.write("event_type,xid\n")
       val expG2 = Files.newBufferedWriter(staging.resolve("expected_gtids_mdb.csv"))
-      expG2.write("log_file,kind,gno\n")
+      expG2.write("log_file,kind,gno,xid\n")
       writeFixture(mdbDir, total, checksum = true, null, expE3, rowsV2 = false,
         gtid = true, expG = expG2, rowsQuery = true, mdb = true)
       expE3.close(); expG2.close()
@@ -746,13 +749,20 @@ object CdcBinlog {
     import s.implicits._
     cdcm1ShutdownHook
     val work = Files.createTempDirectory("graft-cdcm1")
-    val changes = s.readStream.format("mysql-binlog")
-      .option("payloadDdl", payloadDdl)
-      .load(fixtureDir(d))
-    val q = graft.streaming.CdcMaterializer.materialize(
-      changes, "id", work.resolve("table").toString,
-      work.resolve("ckpt").toString, nBuckets = 8)
-    q.awaitTermination()
+    try {
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .load(fixtureDir(d))
+      val q = graft.streaming.CdcMaterializer.materialize(
+        changes, "id", work.resolve("table").toString,
+        work.resolve("ckpt").toString, nBuckets = 8)
+      q.awaitTermination()
+    } catch {
+      // a failed materialization must not orphan its half-built workdir
+      // (it never reaches the rotation below, and the shutdown hook only
+      // knows the LAST registered dir)
+      case e: Throwable => deleteRecursively(work); throw e
+    }
     // rotate only AFTER the new table is fully materialized: the previous
     // invocation's returned (lazy) DataFrame stays readable until the next
     // invocation completes, instead of breaking the moment it starts
@@ -807,7 +817,7 @@ object CdcBinlog {
     "cdcb14_mariadb_gtid" -> {
       val rel =
         s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids_mdb.csv', header=true, columns={
-           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT'})""".stripMargin
+           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT','xid':'BIGINT'})""".stripMargin
       s"""WITH gt AS (SELECT log_file, gno FROM $rel WHERE kind = 'txn'),
          |per AS (SELECT log_file, CAST(COUNT(*) AS BIGINT) AS n_txns,
          |          MIN(gno) AS first_seq, MAX(gno) AS last_seq
@@ -820,14 +830,23 @@ object CdcBinlog {
          |FROM per p JOIN lst USING (log_file)
          |ORDER BY log_file""".stripMargin
     },
-    "cdcb15_mariadb_resume" ->
+    "cdcb15_mariadb_resume" -> {
+      // the gno → xid cutoff comes from the GENERATOR's own GTID record
+      // (gtidRec writes each framed transaction's xid), not from re-derived
+      // batch geometry — a fixture-geometry change can't silently desync
+      // the oracle from the log
+      val rel =
+        s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids_mdb.csv', header=true, columns={
+           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT','xid':'BIGINT'})""".stripMargin
       s"""SELECT _delta_type, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
          |  CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_val,
          |  COUNT(DISTINCT xid) AS n_xids
          |FROM ${expectedChangesRel(sfDir)}
-         |WHERE xid >= ${100000L + resumeGno(sfDir) * 100L}
+         |WHERE xid > (SELECT xid FROM $rel
+         |             WHERE kind = 'txn' AND gno = ${resumeGno(sfDir)})
          |GROUP BY _delta_type
-         |ORDER BY _delta_type""".stripMargin,
+         |ORDER BY _delta_type""".stripMargin
+    },
     "cdcb16_mariadb_event_stats" ->
       s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT xid) AS n_xids
          |FROM ${expectedEventsRel(sfDir, "expected_events_mdb.csv")}
@@ -872,7 +891,7 @@ object CdcBinlog {
     "cdcb8_gtid_executed" -> {
       val rel =
         s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids.csv', header=true, columns={
-           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT'})""".stripMargin
+           |  'log_file':'VARCHAR','kind':'VARCHAR','gno':'BIGINT','xid':'BIGINT'})""".stripMargin
       s"""WITH gt AS (SELECT log_file, gno FROM $rel WHERE kind = 'txn'),
          |per AS (SELECT log_file, CAST(COUNT(*) AS BIGINT) AS n_txns,
          |          MIN(gno) AS first_gno, MAX(gno) AS last_gno

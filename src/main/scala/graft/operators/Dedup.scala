@@ -660,24 +660,49 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           reliableCheckpointDir: Option[String] = None): DataFrame = {
     import pairs.sparkSession.implicits._
-    val ckpt: DataFrame => DataFrame = reliableCheckpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
-      case None => df => df.localCheckpoint(true)
-    }
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = reliableCheckpointDir.isDefined
+    if (reliable) sc.setCheckpointDir(reliableCheckpointDir.get)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Reliable mode: a round's checkpoint files are dead the moment the
+    // NEXT round materializes, but unpersist() never reclaims them and the
+    // context cleaner's cleanCheckpoints policy defaults to off — without
+    // explicit deletion the loop leaks O(rounds × labels) storage. Each
+    // setCheckpointDir call creates a fresh UUID subdir, so listing it
+    // sees only THIS run's rdd-* dirs; snapshot-diff attributes each
+    // round's dirs, and they are deleted when that round's labels are
+    // dropped (the FINAL round's files back the returned DataFrame and
+    // stay — they follow the caller's lifecycle).
+    def rddDirs(): Set[String] =
+      if (!reliable) Set.empty
+      else {
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(root)) fs.listStatus(root).map(_.getPath.toString).toSet
+        else Set.empty
+      }
+    def dropDirs(dirs: Set[String]): Unit =
+      if (reliable && dirs.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .persist()
     try {
+      var before = rddDirs()
       var labels = ckpt(edges.select($"src".as("id")).distinct()
         .select($"id", $"id".as("comp")))
+      var labelsDirs = rddDirs() -- before
       var converged = false
       var i = 0
       while (!converged) {
         if (i >= maxIter) {
           labels.unpersist() // abandon the last round's cache before failing
+          dropDirs(labelsDirs)
           throw new IllegalStateException(
             s"connectedComponents did not converge in $maxIter rounds — " +
               "graph diameter exceeds the dup-cluster assumption; use a " +
@@ -688,14 +713,20 @@ object Dedup {
           .groupBy($"src")
           .agg(min($"ncomp").as("nmin"))
           .select($"src".as("id"), $"nmin")
+        before = rddDirs()
         val updated = ckpt(labels.join(nbrMin, Seq("id"), "left")
           .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp")))
+        val updatedDirs = rddDirs() -- before
+        // the convergence probe still reads BOTH rounds — the previous
+        // round's files may only go after it
         converged = updated.as("u")
           .join(labels.as("l"), "id")
           .filter(col("u.comp") =!= col("l.comp"))
           .isEmpty
         labels.unpersist()
+        dropDirs(labelsDirs)
         labels = updated
+        labelsDirs = updatedDirs
         i += 1
       }
       labels

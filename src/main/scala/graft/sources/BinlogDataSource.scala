@@ -194,12 +194,13 @@ object BinlogSchemas {
         .filter { p =>
           // an encrypted binlog in the directory must fail by name, not be
           // silently skipped as "not a binlog" (a scan would then quietly
-          // miss its changes)
-          if (BinlogReader.isEncryptedBinlogFile(p))
+          // miss its changes); one magic read classifies both ways
+          val magic = BinlogReader.fileMagic(p)
+          if (magic.exists(java.util.Arrays.equals(_, BinlogReader.EncryptedMagic)))
             throw new IllegalStateException(
               s"binlog '$p' is encrypted (binlog_encryption=ON file magic) — " +
                 "this engine reads unencrypted logs only")
-          BinlogReader.isBinlogFile(p)
+          magic.exists(java.util.Arrays.equals(_, BinlogReader.Magic))
         }
     } else if (BinlogReader.isEncryptedBinlogFile(path)) {
       throw new IllegalStateException(

@@ -142,9 +142,15 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
       BinlogReader.readEventHeader(buf, pos) match {
         case Some(h) =>
           h.eventType match {
-            case EventType.Query =>
-              val q = BinlogReader.readQuery(buf,
-                if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h, charset)
+            case EventType.Query | EventType.MariaQueryCompressed =>
+              // MariaDB QUERY_COMPRESSED (165) classifies like QUERY after
+              // one inflate — falling to the default here would mark the
+              // position after a compressed BEGIN as a safe boundary and
+              // split the open transaction across micro-batches
+              val hs = if (cs > 0) h.copy(eventLen = h.eventLen - cs) else h
+              val q =
+                if (h.eventType == EventType.Query) BinlogReader.readQuery(buf, hs, charset)
+                else BinlogReader.readQueryCompressed(buf, hs, charset)
               TxnBoundary.classify(q.sql) match {
                 case TxnBoundary.Begin => txnOpen = true
                 case TxnBoundary.IntraTxn => // SAVEPOINT etc: stays inside
@@ -173,6 +179,8 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // uuid:n" per batch must never see them split); MariaDB's
               // frame (162) plays the same role
               txnOpen = true
+            case t if t == EventType.MariaStartEncryption =>
+              BinlogReader.startEncryptionError(h.offset)
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false
           }

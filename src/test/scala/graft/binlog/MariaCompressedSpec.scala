@@ -96,12 +96,54 @@ class MariaCompressedSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unknown compression algorithm fails by name") {
-    val ex = intercept[IllegalStateException] {
-      val bad = java.nio.ByteBuffer.wrap(Array(0xa1.toByte, 1, 0))
+    // alg bits live at 4-6 (ctrl = 0x80 | alg << 4 | lenlen): 0x91 is
+    // alg = 1 — the value a 0xe0-style mask check would wave through to
+    // the inflater as "zlib"
+    for (ctrl <- Seq(0x91, 0xa1, 0xf1)) {
+      val ex = intercept[IllegalStateException] {
+        val bad = java.nio.ByteBuffer.wrap(Array(ctrl.toByte, 1, 0))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        BinlogReader.mariaUncompress(bad, 3L)
+      }
+      assert(ex.getMessage.contains("algorithm"), s"ctrl=0x${ctrl.toHexString}")
+    }
+    val ex2 = intercept[IllegalStateException] {
+      val bad = java.nio.ByteBuffer.wrap(Array(0x01.toByte, 1, 0))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       BinlogReader.mariaUncompress(bad, 3L)
     }
-    assert(ex.getMessage.contains("algorithm"))
+    assert(ex2.getMessage.contains("bit 7"))
+  }
+
+  test("micro-batch boundaries never split a compressed-QUERY transaction") {
+    // several txns framed by QUERY_COMPRESSED BEGIN/COMMIT (no XID), read
+    // with a tiny byte budget: if lastSafePos failed to classify type 165,
+    // a batch could end right after a compressed BEGIN and the split
+    // transaction's rows would surface from the uncommitted-tail flush —
+    // all rows must arrive exactly once across the micro-batches
+    val dir = Files.createTempDirectory("maria-qcomp-stream")
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1, serverVersion = "10.6.14-MariaDB-log")
+    (0 until 20).foreach { t =>
+      w.writeQueryCompressed("shop", "BEGIN", ts = 2)
+        .writeTableMap(11, "shop", "orders", cols, ts = 2)
+        .writeInsert(11, cols, (0 until 10).map(k =>
+          Seq[Any](t * 10 + k, new JBigDecimal(s"$t.5000"), s"w$t")), ts = 2)
+        .writeQueryCompressed("shop", "COMMIT", ts = 2)
+    }
+    w.save(dir.resolve("binlog.000001").toString)
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", ddl)
+      .option("maxBytesPerTrigger", "700")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("maria_qcomp_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("maria_qcomp_mem").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(ids === (0 until 200))
+    } finally q.stop()
   }
 
   test("truncated zlib stream fails by name, not with garbage rows") {

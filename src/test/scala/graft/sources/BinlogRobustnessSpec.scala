@@ -255,6 +255,32 @@ class BinlogRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rootCauseChain(ex2).exists(_.contains("encrypted")))
   }
 
+  test("tailer: an encrypted binlog appearing in the directory kills the tail by name") {
+    val dir = Files.createTempDirectory("enc-tailer")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(23, "bench", "t", cols, ts = 1000)
+      .writeInsert(23, cols, Seq(Seq(1, new JBigDecimal("1.0000"), "a")), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val seen = new java.util.concurrent.atomic.AtomicInteger
+    val t = graft.binlog.BinlogTailer.start(dir.toString, _ => seen.incrementAndGet(),
+      pollMs = 20)
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (seen.get() == 0 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(seen.get() == 1 && t.isAlive)
+      // the server turns binlog_encryption on and rotates: the new file
+      // carries the FD magic — silently skipping it would leave the tailer
+      // "alive" while missing every change in it
+      Files.write(dir.resolve("binlog.000002"),
+        graft.binlog.BinlogReader.EncryptedMagic ++ Array.fill[Byte](32)(0x5a))
+      while (t.isAlive && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(!t.isAlive, "tailer must die on an encrypted file, not ignore it")
+      assert(t.failure.exists(_.getMessage.contains("encrypted")), t.failure.toString)
+    } finally t.close()
+  }
+
   test("MariaDB START_ENCRYPTION event fails the scan by name") {
     val dir = Files.createTempDirectory("enc-start")
     val w = new Writer(checksum = true)
