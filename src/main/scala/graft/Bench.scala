@@ -109,6 +109,23 @@ object Bench {
     decodeCtpOnce() // warm
     val ctpMbPerSec = ctpBytes / 1e6 / (1 to runs).map(_ => decodeCtpOnce()).min
 
+    // MariaDB twin decode rate (log_bin_compress=ON shape): v1 rows with
+    // every other transaction zlib-compressed (166-168), GTID frames in
+    // place of BEGIN — guards the per-event inflate path. Per on-disk byte,
+    // like the ctp tier (not comparable to uncompressed tiers).
+    val mdbDir = new java.io.File(fixDir, "mdb")
+    val mdbBytes = mdbDir.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0")).map(_.length).sum
+    def decodeMdbOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("mysql-binlog")
+        .option("payloadDdl", operators.CdcBinlog.payloadDdl)
+        .load(mdbDir.getPath).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decodeMdbOnce() // warm
+    val mdbMbPerSec = mdbBytes / 1e6 / (1 to runs).map(_ => decodeMdbOnce()).min
+
     // events-mode scan rate (header + TABLE_MAP decode, row images skipped
     // since the event-level projection never reads them) — NOT comparable
     // to the full-decode numbers above by design
@@ -142,6 +159,7 @@ object Bench {
       s""""binlog_decode_mb_per_sec_single_thread_large":$stMbPerSecLarge,""" +
       s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,""" +
       s""""binlog_decode_mb_per_sec_compressed":$ctpMbPerSec,"binlog_bytes_compressed":$ctpBytes,""" +
+      s""""binlog_decode_mb_per_sec_mdb":$mdbMbPerSec,"binlog_bytes_mdb":$mdbBytes,""" +
       s""""dd02_xxhash64_sec":$dd02XxSec,""" +
       s""""cdc_latency_ms_p50":$latencyMs,"cdc_tailer_latency_ms_p50":$tailerMs,""" +
       s""""sf":"$sfDir"}"""
@@ -182,6 +200,7 @@ object Bench {
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
         s""""event_scan_mb_s":${fmt(eventScanMbPerSec, 1)},"decode_ctp_mb_s":${fmt(ctpMbPerSec, 1)},""" +
+        s""""decode_mdb_mb_s":${fmt(mdbMbPerSec, 1)},""" +
         s""""cdc_ms_p50":${fmt(latencyMs, 1)},"tailer_ms_p50":${fmt(tailerMs, 2)},""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
     println(compact)
