@@ -95,7 +95,15 @@ object BinlogReader {
     try {
       if (in.getChannel.size() >= 4) {
         val m = ByteBuffer.allocate(4)
-        in.getChannel.read(m, 0L) // positional read: channel cursor unmoved
+        // positional reads leave the channel cursor unmoved but may return
+        // SHORT (NFS/FUSE) — a partial buffer would zero-pad past the
+        // comparison and silently skip encryption detection
+        var p = 0L
+        while (m.hasRemaining) {
+          val k = in.getChannel.read(m, p)
+          require(k > 0, s"short read of binlog magic from '$path'")
+          p += k
+        }
         if (java.util.Arrays.equals(m.array(), EncryptedMagic))
           encryptedFileError(path)
       }

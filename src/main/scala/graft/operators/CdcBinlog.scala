@@ -760,8 +760,12 @@ object CdcBinlog {
     } catch {
       // a failed materialization must not orphan its half-built workdir
       // (it never reaches the rotation below, and the shutdown hook only
-      // knows the LAST registered dir)
-      case e: Throwable => deleteRecursively(work); throw e
+      // knows the LAST registered dir); the cleanup must never REPLACE the
+      // real failure — a held-open checkpoint file making the delete throw
+      // would otherwise mask the root cause
+      case e: Throwable =>
+        try deleteRecursively(work) catch { case _: Exception => () }
+        throw e
     }
     // rotate only AFTER the new table is fully materialized: the previous
     // invocation's returned (lazy) DataFrame stays readable until the next

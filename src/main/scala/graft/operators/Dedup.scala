@@ -653,25 +653,42 @@ object Dedup {
     * Fine on a single machine; on a real cluster pass
     * `reliableCheckpointDir` (HDFS/object-store path) and each round
     * checkpoints THERE instead — any executor can die and the loop
-    * resumes from files. Sets the context's checkpoint dir (a
-    * SparkContext-global knob); checkpoint files follow the context's
-    * cleaner policy (`spark.cleaner.referenceTracking.cleanCheckpoints`).
+    * resumes from files. Superseded rounds' files are deleted EXPLICITLY
+    * as the loop advances (the context cleaner never reclaims them); only
+    * the final round's files remain, backing the returned DataFrame for
+    * the caller's lifetime. `SparkContext.setCheckpointDir` is a
+    * context-GLOBAL knob, so reliable-mode invocations serialize on a
+    * JVM-wide lock and run under a per-invocation subdirectory — two
+    * concurrent calls would otherwise checkpoint into whichever dir was
+    * set last and the per-round deletion could destroy the other run's
+    * live files. Code that independently checkpoints into its own dir
+    * concurrently is still racy by the global knob's nature.
     */
+  private val reliableCkptLock = new Object
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          reliableCheckpointDir: Option[String] = None): DataFrame = {
+                          reliableCheckpointDir: Option[String] = None): DataFrame =
+    reliableCheckpointDir match {
+      case Some(dir) => reliableCkptLock.synchronized {
+        val sub = s"$dir/cc-${java.util.UUID.randomUUID()}"
+        pairs.sparkSession.sparkContext.setCheckpointDir(sub)
+        connectedComponentsImpl(pairs, maxIter, reliable = true)
+      }
+      case None => connectedComponentsImpl(pairs, maxIter, reliable = false)
+    }
+
+  private def connectedComponentsImpl(pairs: DataFrame, maxIter: Int,
+                                      reliable: Boolean): DataFrame = {
     import pairs.sparkSession.implicits._
     val sc = pairs.sparkSession.sparkContext
-    val reliable = reliableCheckpointDir.isDefined
-    if (reliable) sc.setCheckpointDir(reliableCheckpointDir.get)
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // Reliable mode: a round's checkpoint files are dead the moment the
     // NEXT round materializes, but unpersist() never reclaims them and the
     // context cleaner's cleanCheckpoints policy defaults to off — without
-    // explicit deletion the loop leaks O(rounds × labels) storage. Each
-    // setCheckpointDir call creates a fresh UUID subdir, so listing it
-    // sees only THIS run's rdd-* dirs; snapshot-diff attributes each
-    // round's dirs, and they are deleted when that round's labels are
+    // explicit deletion the loop leaks O(rounds × labels) storage. The
+    // per-invocation subdir (plus setCheckpointDir's own UUID layer) means
+    // listing it sees only THIS run's rdd-* dirs; snapshot-diff attributes
+    // each round's dirs, and they are deleted when that round's labels are
     // dropped (the FINAL round's files back the returned DataFrame and
     // stay — they follow the caller's lifecycle).
     def rddDirs(): Set[String] =

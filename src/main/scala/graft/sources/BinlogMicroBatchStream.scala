@@ -179,7 +179,7 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // uuid:n" per batch must never see them split); MariaDB's
               // frame (162) plays the same role
               txnOpen = true
-            case t if t == EventType.MariaStartEncryption =>
+            case EventType.MariaStartEncryption =>
               BinlogReader.startEncryptionError(h.offset)
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
               txnOpen = false
