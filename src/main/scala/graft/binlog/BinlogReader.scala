@@ -411,6 +411,17 @@ object BinlogReader {
     MariaGtidListEvent(h, entries.result())
   }
 
+  /** MariaDB BINLOG_CHECKPOINT (161): 4-byte LE name length + file name. */
+  def readMariaBinlogCheckpoint(b: ByteBuffer, h: EventHeader,
+                                cs: Charset): MariaBinlogCheckpointEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val n = b.getInt()
+    require(n >= 0 && HeaderLen + 4L + n <= h.eventLen,
+      s"BINLOG_CHECKPOINT at offset ${h.offset} declares a $n-byte name " +
+        s"but the event is only ${h.eventLen} bytes")
+    MariaBinlogCheckpointEvent(h, new String(bytes(b, n), cs))
+  }
+
   /** One MariaDB `log_bin_compress` record (public on-disk layout,
     * log_event.cc `binlog_buf_compress`): control byte `0x80 | lenlen`
     * (bits 4-6 = algorithm, only 0 = zlib exists; bits 0-2 = byte count
@@ -1083,6 +1094,7 @@ object BinlogReader {
       case x: PreviousGtidsEvent => x.copy(header = h2)
       case x: MariaGtidEvent => x.copy(header = h2)
       case x: MariaGtidListEvent => x.copy(header = h2)
+      case x: MariaBinlogCheckpointEvent => x.copy(header = h2)
       case x: RowsQueryEvent => x.copy(header = h2)
       case x: OpaqueEvent => x.copy(header = h2)
     }
@@ -1179,6 +1191,8 @@ object BinlogReader {
                 case EventType.MariaAnnotateRows => readAnnotateRows(buf, h, charset)
                 case EventType.MariaGtid => readMariaGtid(buf, h)
                 case EventType.MariaGtidList => readMariaGtidList(buf, h)
+                case EventType.MariaBinlogCheckpoint =>
+                  readMariaBinlogCheckpoint(buf, h, charset)
                 case EventType.MariaQueryCompressed => readQueryCompressed(buf, h, charset)
                 case EventType.MariaStartEncryption => startEncryptionError(h.offset)
                 case EventType.TransactionPayload =>

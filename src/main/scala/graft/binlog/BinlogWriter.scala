@@ -738,6 +738,16 @@ object BinlogWriter {
       this
     }
 
+    /** MariaDB BINLOG_CHECKPOINT (161): 4-byte LE name length + name. */
+    def writeBinlogCheckpoint(fileName: String, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val nb = fileName.getBytes(charset)
+      b.write(le(4)(nb.length.toLong))
+      b.write(nb)
+      event(EventType.MariaBinlogCheckpoint, ts, b.toByteArray)
+      this
+    }
+
     /** MariaDB QUERY_COMPRESSED (165): QUERY layout, SQL text as one
       * compressed record.
       */

@@ -409,6 +409,13 @@ final case class MariaGtidListEvent(header: EventHeader,
   def gtidList: String = gtids.map { case (d, s, q) => s"$d-$s-$q" }.mkString(",")
 }
 
+/** MariaDB BINLOG_CHECKPOINT_EVENT (id 161): names the oldest binlog file
+  * still needed for crash recovery — replication observability, surfaced
+  * through the events-mode `next_file` column.
+  */
+final case class MariaBinlogCheckpointEvent(header: EventHeader,
+    fileName: String) extends BinlogEvent
+
 /** ROWS_QUERY_LOG_EVENT (id 29): the original SQL that produced the rows
   * events that follow (`binlog_rows_query_log_events=ON`) — possibly
   * truncated by the server.

@@ -661,6 +661,8 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case pg: PreviousGtidsEvent => a(12) = UTF8String.fromString(pg.gtidSet)
       case mg: MariaGtidEvent => a(12) = UTF8String.fromString(mg.gtid)
       case ml: MariaGtidListEvent => a(12) = UTF8String.fromString(ml.gtidList)
+      case mc: MariaBinlogCheckpointEvent =>
+        a(11) = UTF8String.fromString(mc.fileName) // next_file: the named log
       case rq: RowsQueryEvent => a(9) = UTF8String.fromString(rq.query)
       case _ =>
     }

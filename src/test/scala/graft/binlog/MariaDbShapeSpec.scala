@@ -31,8 +31,7 @@ class MariaDbShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     new Writer(checksum = true)
       .writeFormatDescription(ts = 1, serverVersion = "10.6.16-MariaDB-log")
       .writeMariaGtidList(Nil, ts = 1)
-      .writeOpaque(EventType.MariaBinlogCheckpoint,
-        "binlog.000001".getBytes("ISO-8859-1"), ts = 1)
+      .writeBinlogCheckpoint("binlog.000001", ts = 1)
       // group-commit-id variant: the optional 8-byte commit id must be
       // consumed without disturbing the events that follow
       .writeMariaGtid(0L, 5L, commitId = 42L, ts = 2)
@@ -59,7 +58,7 @@ class MariaDbShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("events mode names the MariaDB block and decodes its GTID bodies") {
     val rows = spark.read.format("mysql-binlog").option("mode", "events")
-      .load(mariaLog()).selectExpr("event_type", "sql", "gtid").collect()
+      .load(mariaLog()).selectExpr("event_type", "sql", "gtid", "next_file").collect()
     val names = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     assert(names.contains("GTID_EVENT_MARIADB"))
     assert(names.contains("BINLOG_CHECKPOINT_EVENT"))
@@ -69,5 +68,7 @@ class MariaDbShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gtids = rows.map(r => r.getString(0) -> r.getString(2)).toMap
     assert(gtids("GTID_EVENT_MARIADB") == "0-1-5") // domain-server-seq
     assert(gtids("GTID_LIST_EVENT_MARIADB") == "") // empty state
+    val files = rows.map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(files("BINLOG_CHECKPOINT_EVENT") == "binlog.000001") // body decode
   }
 }

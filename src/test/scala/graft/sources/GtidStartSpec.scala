@@ -158,6 +158,48 @@ class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
       dir.resolve("binlog.000002").toString, 0L, 1L, 3L).isDefined)
   }
 
+  test("MariaDB: interleaved domains — positional resume, domain-aware routing") {
+    val dir = Files.createTempDirectory("maria-gtid-domains")
+    // two replication domains interleaved in one file set (MariaDB's
+    // multi-source shape); per-domain seqs advance independently
+    val w1 = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Nil, ts = 1000)
+    w1.writeMariaGtid(0L, 1L, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](1)), ts = 1000)
+      .writeXid(1, ts = 1000)
+    w1.writeMariaGtid(1L, 1L, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](101)), ts = 1000)
+      .writeXid(2, ts = 1000)
+    w1.writeMariaGtid(0L, 2L, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](2)), ts = 1000)
+      .writeXid(3, ts = 1000)
+      .writeRotate("binlog.000002", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val w2 = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Seq((0L, 1L, 2L), (1L, 1L, 1L)), ts = 1000)
+    w2.writeMariaGtid(1L, 2L, ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](102)), ts = 1000)
+      .writeXid(4, ts = 1000)
+      .save(dir.resolve("binlog.000002").toString)
+    // resume is POSITIONAL (the reference's offset contract): everything
+    // after the named txn's commit follows, regardless of domain
+    assert(ids(dir, "1-1-1") === Seq(2, 102))
+    assert(ids(dir, "0-1-2") === Seq(102))
+    // domain 1's seq 2 lives in file 2; the GTID_LIST must route there
+    // even though domain 0's entry (seq 2) is numerically equal
+    assert(ids(dir, "1-1-2") === Seq.empty)
+    assert(graft.binlog.BinlogReader.mariaListContains(
+      Vector((0L, 1L, 2L), (1L, 1L, 1L)), 1L, 2L) === false)
+    assert(graft.binlog.BinlogReader.mariaListContains(
+      Vector((0L, 1L, 2L), (1L, 1L, 1L)), 1L, 1L) === true)
+  }
+
   test("MariaDB: standalone (DDL) target; wrong domain/server fails loudly") {
     val dir = Files.createTempDirectory("maria-gtid-ddl")
     val w = new Writer(checksum = true)
