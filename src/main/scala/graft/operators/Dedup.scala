@@ -797,6 +797,71 @@ object Dedup {
        |GROUP BY comp
        |ORDER BY cluster_id""".stripMargin
 
+  // ---- dd11: corpus-level exact span dedup -------------------------------
+  //
+  // The span-level exact-substring technique from the dedup literature
+  // (C4's duplicate-line removal; Lee et al.'s "Deduplicating Training
+  // Data" at fixed granularity): chunk every document into non-overlapping
+  // W-word spans, keep only the FIRST occurrence of each distinct span
+  // corpus-wide (first = smallest (doc_id, chunk)), and reassemble each
+  // document from its surviving spans. Unlike dd01 (whole-document) this
+  // removes boilerplate repeated INSIDE otherwise-distinct documents —
+  // the dominant duplication mode in crawled corpora.
+  //
+  // Scale shape (100 TB): three shuffles, all irreducible for a lossless
+  // result — (doc_id, chunk) re-chunking, the span-content shuffle that
+  // makes occurrences of one span meet (the cost of ANY exact span dedup;
+  // a hash-only key would save bytes but a collision silently deletes real
+  // content, so the span text rides along), and the doc-keyed reassembly.
+  // Everything between shuffles is narrow; no driver state, no broadcast
+  // of anything corpus-sized.
+  def dd11SpanDedup(s: SparkSession, d: String, w: Int = 6): DataFrame =
+    spanDedup(documents(s, d), w)
+
+  /** [[dd11SpanDedup]] on any (doc_id, text) frame — the spec entry. */
+  def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val chunks = words
+      .groupBy($"doc_id", floor($"pos" / w).cast("int").as("chunk"))
+      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"w"))),
+        p => p.getField("w")), " ").as("ctext"))
+    val first = Window.partitionBy($"ctext").orderBy($"doc_id", $"chunk")
+    chunks.withColumn("rn", row_number().over(first))
+      .groupBy($"doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"chunk", $"ctext")))),
+          p => p.getField("ctext")), " ").as("new_text"),
+        count(when($"rn" === 1, 1)).as("kept_chunks"),
+        count(when($"rn" > 1, 1)).as("dropped_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  // Same chunking in DuckDB: 1-based generate_subscripts vs Spark's
+  // 0-based posexplode → (pos-1)/W; aggregates skip the CASE NULLs just
+  // like collect_list/count skip Spark's when() nulls.
+  val dd11Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(floor((pos - 1) / 6) AS INTEGER) AS chunk,
+      |         string_agg(w, ' ' ORDER BY pos) AS ctext
+      |  FROM words GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ctext ORDER BY doc_id, chunk) AS rn
+      |  FROM chunks)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY chunk), '') AS new_text,
+      |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS kept_chunks,
+      |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dropped_chunks
+      |FROM ranked
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // dd06b — the persisted-index path as a first-class gate query: the
   // corpus index is built ONCE per sf (cached on disk, like production
   // build-on-drift), the query itself only probes parquet — and must
@@ -818,7 +883,8 @@ object Dedup {
     "dd03_simhash" -> dd03Simhash _,
     "dd04_ngram_jaccard" -> dd04NgramJaccard _,
     "dd05_embedding_dup" -> dd05EmbeddingDup _,
-    "dd06_incremental_dedup" -> dd06IncrementalDedup _)
+    "dd06_incremental_dedup" -> dd06IncrementalDedup _,
+    "dd11_span_dedup" -> ((s: SparkSession, d: String) => dd11SpanDedup(s, d)))
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "dd09_dup_clusters" -> dd09Sql,
@@ -830,5 +896,6 @@ object Dedup {
     "dd03_simhash" -> dd03Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_dup" -> dd05Sql(sfDir),
-    "dd06_incremental_dedup" -> dd06Sql)
+    "dd06_incremental_dedup" -> dd06Sql,
+    "dd11_span_dedup" -> dd11Sql)
 }

@@ -169,6 +169,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly one range exchange (output sort): " + plan(p).take(1500))
   }
 
+  test("dd11: exactly the three irreducible span-dedup shuffles + output sort") {
+    val p = Dedup.dd11SpanDedup(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (doc_id, chunk) re-chunking, the span-content meeting point, and the
+    // doc-keyed reassembly — plus the gate's ORDER BY. A fifth exchange
+    // means a join or window crept into the narrow stages.
+    assert(exchanges.size === 4, plan(p).take(2000))
+    assert(exchanges.count(_.outputPartitioning.toString.toLowerCase.contains("range")) === 1,
+      "exactly one range exchange (output sort): " + plan(p).take(1500))
+    // the corpus is read once — span dedup is single-pass over documents
+    val docScans = fileScans(p)
+      .count(_.relation.location.rootPaths.mkString.contains("documents"))
+    assert(docScans === 1, plan(p).take(1500))
+  }
+
   test("txt12: bounded pair shuffles, skew-safe score join") {
     val p = TextAnalysis.txt12LmQuality(spark, d)
     val phys = physical(p)
