@@ -424,6 +424,128 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---- sim07: product quantization + ADC ---------------------------------
+  //
+  // The FAISS-style PQ memory path: split each dim-64 vector into M = 8
+  // subspaces of 8 dims; per subspace, a K = 16-entry codebook (here the
+  // seed vectors' subvectors — the same deterministic fixed-quantizer
+  // contract as sim05's coarse cells; production trains per-subspace
+  // k-means on a sample and persists, exactly like [[buildAnnIndex]]).
+  // Each vector is ENCODED as M argmin-L2 code bytes — 8 bytes instead of
+  // 256 (float32×64), a 32× hot-set shrink. Query time builds one tiny
+  // LUT (M×K inner products of the query's subvectors against the
+  // codebook, broadcast), scores every vector with M array lookups + M
+  // adds (asymmetric distance), cuts to the top-50, and reranks only
+  // those with the exact float cosine.
+  //
+  // Scale shape (100 TB): the corpus-side work per vector is O(M) lookups
+  // against a broadcast LUT — no shuffle, no per-row codebook math beyond
+  // the one-time encoding pass (which production persists next to the IVF
+  // cells; compose with sim05's probe for IVF-PQ). Ordered double folds
+  // everywhere so the oracle's list_reduce reproduces the scores bit-for-
+  // bit; argmin ties break to the smallest code on both engines.
+  private def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def pqSubsOf(c: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(i => slice(c, i * sub + 1, sub)): _*)
+
+  /** The PQ codebook as ONE broadcast row: cb[m][code] = the code-th seed
+    * vector's m-th subvector (seeds = vec_id < k).
+    */
+  private[operators] def pqCodebookRow(e: DataFrame, m: Int, sub: Int, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("code"),
+        posexplode(pqSubsOf($"embedding", m, sub)).as(Seq("m", "cw")))
+      .groupBy($"m").agg(array_sort(collect_list(struct($"code", $"cw"))).as("cs"))
+      .agg(array_sort(collect_list(struct($"m", $"cs"))).as("ms"))
+      .select(transform($"ms", r =>
+        transform(r.getField("cs"), c => c.getField("cw"))).as("cb"))
+  }
+
+  /** Encode: codes[m] = argmin-L2 codeword (ties -> smallest code, via max
+    * of struct(-dist, -code) like sim05's argmax). Adds a `codes` column.
+    */
+  private[operators] def pqEncode(corpus: DataFrame, cbRow: DataFrame,
+                                  m: Int, sub: Int, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .withColumn("subs", pqSubsOf($"embedding", m, sub))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("codes", zip_with($"subs", $"cb", (sv, cws) =>
+        -array_max(zip_with(cws, sequence(lit(0), lit(k - 1)), (cw, c) =>
+          struct((-l2Hof(sv, cw)).as("nd"), (-c).as("nc")))).getField("nc")))
+      .drop("subs", "cb")
+  }
+
+  def sim07PqAdc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val M = 8; val sub = 8; val K = 16
+    val e = embeddings(s, d)
+    val cbRow = pqCodebookRow(e, M, sub, K)
+    // query row: exact vector + the LUT (computed ONCE, broadcast)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), pqSubsOf($"embedding", M, sub).as("qsubs"))
+      .crossJoin(broadcast(cbRow))
+      .select($"qv", zip_with($"cb", $"qsubs",
+        (cws, qs) => transform(cws, cw => dotHof(qs, cw))).as("lut"))
+    val enc = pqEncode(e.filter($"vec_id" =!= 0), cbRow, M, sub, K)
+      .select($"vec_id", $"label", $"embedding", $"codes")
+    // ADC score = ordered fold of M LUT lookups; top-50, exact rerank
+    val cand = enc.crossJoin(broadcast(qRow))
+      .withColumn("adc", aggregate(
+        zip_with($"codes", $"lut", (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(50)
+    cand.select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim07Sql: String = {
+    def dl2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+    s"""WITH ms AS (SELECT unnest(range(8)) AS m),
+       |subs AS (SELECT e.vec_id, e.label, ms.m,
+       |           list_slice(e.embedding, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |         FROM embeddings e CROSS JOIN ms),
+       |cb AS (SELECT m, CAST(vec_id AS INTEGER) AS code, sv AS cw
+       |       FROM subs WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${dl2("s.sv", "c.cw")}, c.code) AS rn
+       |    FROM subs s JOIN cb c ON s.m = c.m
+       |    WHERE s.vec_id <> 0) WHERE rn = 1),
+       |lut AS (SELECT c.m, c.code,
+       |          ${duckDot(s"list_slice(q.qv, c.m * 8 + 1, c.m * 8 + 8)", "c.cw")} AS part
+       |        FROM cb c, q),
+       |adc AS (
+       |  SELECT enc.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.part ORDER BY enc.m)),
+       |                (x, y) -> x + y) AS adc
+       |  FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
+       |  GROUP BY enc.vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e JOIN cand USING (vec_id), q
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // ---- dd10: semantic dedup (SemDeDup-style) -----------------------------
   //
   // The embedding-space dedup used in web-scale curation (Abbas et al.
@@ -510,7 +632,8 @@ object Similarity {
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _,
-    "sim05_kmeans_ivf" -> sim05KmeansIvf _)
+    "sim05_kmeans_ivf" -> sim05KmeansIvf _,
+    "sim07_pq_adc" -> sim07PqAdc _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "dd10_semantic_dedup" -> dd10Sql,
@@ -521,5 +644,6 @@ object Similarity {
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
     "sim04_knn_join" -> sim04Sql(sfDir),
-    "sim05_kmeans_ivf" -> sim05Sql)
+    "sim05_kmeans_ivf" -> sim05Sql,
+    "sim07_pq_adc" -> sim07Sql)
 }
