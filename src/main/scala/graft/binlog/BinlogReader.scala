@@ -422,6 +422,60 @@ object BinlogReader {
     MariaBinlogCheckpointEvent(h, new String(bytes(b, n), cs))
   }
 
+  /** INTVAR (5): 1-byte type + 8-byte LE value (no post-header). */
+  def readIntvar(b: ByteBuffer, h: EventHeader): IntvarEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    IntvarEvent(h, ubyte(b), b.getLong())
+  }
+
+  /** RAND (13): two 8-byte LE seeds. */
+  def readRand(b: ByteBuffer, h: EventHeader): RandEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    RandEvent(h, b.getLong(), b.getLong())
+  }
+
+  /** USER_VAR (14): 4-byte LE name length + name + 1-byte is-null, then
+    * (when not null) 1-byte Item_result type, 4-byte LE collation id,
+    * 4-byte LE value length + value, and — servers 5.6.4+ — a trailing
+    * flags byte whose bit 0 marks an INT value unsigned.
+    */
+  def readUserVar(b: ByteBuffer, h: EventHeader, cs: Charset): UserVarEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val end = (h.offset + h.eventLen).toInt
+    val nameLen = b.getInt()
+    require(nameLen >= 0 && b.position() + nameLen <= end,
+      s"USER_VAR at offset ${h.offset} declares a $nameLen-byte name " +
+        s"but the event is only ${h.eventLen} bytes")
+    val name = new String(bytes(b, nameLen), cs)
+    if (ubyte(b) != 0)
+      UserVarEvent(h, name, isNull = true, -1, 0, Array.emptyByteArray,
+        unsigned = false)
+    else {
+      val t = ubyte(b)
+      val charsetId = b.getInt()
+      val valLen = b.getInt()
+      require(valLen >= 0 && b.position() + valLen <= end,
+        s"USER_VAR at offset ${h.offset} declares a $valLen-byte value " +
+          s"but the event is only ${h.eventLen} bytes")
+      val v = bytes(b, valLen)
+      val unsigned = b.position() < end && (ubyte(b) & 1) != 0
+      UserVarEvent(h, name, isNull = false, t, charsetId, v, unsigned)
+    }
+  }
+
+  /** INCIDENT (26): 2-byte LE incident number + 1-byte message length +
+    * message — the server's "possible replication gap" marker.
+    */
+  def readIncident(b: ByteBuffer, h: EventHeader, cs: Charset): IncidentEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val num = ushort(b)
+    val mlen = ubyte(b)
+    require(b.position() + mlen <= h.offset + h.eventLen,
+      s"INCIDENT at offset ${h.offset} declares a $mlen-byte message " +
+        s"but the event is only ${h.eventLen} bytes")
+    IncidentEvent(h, num, new String(bytes(b, mlen), cs))
+  }
+
   /** One MariaDB `log_bin_compress` record (public on-disk layout,
     * log_event.cc `binlog_buf_compress`): control byte `0x80 | lenlen`
     * (bits 4-6 = algorithm, only 0 = zlib exists; bits 0-2 = byte count
@@ -1095,6 +1149,10 @@ object BinlogReader {
       case x: MariaGtidEvent => x.copy(header = h2)
       case x: MariaGtidListEvent => x.copy(header = h2)
       case x: MariaBinlogCheckpointEvent => x.copy(header = h2)
+      case x: IntvarEvent => x.copy(header = h2)
+      case x: RandEvent => x.copy(header = h2)
+      case x: UserVarEvent => x.copy(header = h2)
+      case x: IncidentEvent => x.copy(header = h2)
       case x: RowsQueryEvent => x.copy(header = h2)
       case x: OpaqueEvent => x.copy(header = h2)
     }
@@ -1193,6 +1251,10 @@ object BinlogReader {
                 case EventType.MariaGtidList => readMariaGtidList(buf, h)
                 case EventType.MariaBinlogCheckpoint =>
                   readMariaBinlogCheckpoint(buf, h, charset)
+                case EventType.Intvar => readIntvar(buf, h)
+                case EventType.Rand => readRand(buf, h)
+                case EventType.UserVar => readUserVar(buf, h, charset)
+                case EventType.Incident => readIncident(buf, h, charset)
                 case EventType.MariaQueryCompressed => readQueryCompressed(buf, h, charset)
                 case EventType.MariaStartEncryption => startEncryptionError(h.offset)
                 case EventType.TransactionPayload =>

@@ -748,6 +748,62 @@ object BinlogWriter {
       this
     }
 
+    /** INTVAR (5): 1-byte type (1 = LAST_INSERT_ID, 2 = INSERT_ID) +
+      * 8-byte LE value.
+      */
+    def writeIntvar(varType: Int, value: Long, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(Array(varType.toByte))
+      b.write(le(8)(value))
+      event(EventType.Intvar, ts, b.toByteArray)
+      this
+    }
+
+    /** RAND (13): two 8-byte LE seeds. */
+    def writeRand(seed1: Long, seed2: Long, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(8)(seed1))
+      b.write(le(8)(seed2))
+      event(EventType.Rand, ts, b.toByteArray)
+      this
+    }
+
+    /** USER_VAR (14): name + typed value + the 5.6.4+ trailing flags byte.
+      * `value` = null writes the is-null shape; `valType`/`charsetId`
+      * follow the public Item_result layout (0 STRING, 1 REAL, 2 INT,
+      * 4 DECIMAL).
+      */
+    def writeUserVar(name: String, value: Array[Byte], valType: Int = 0,
+                     charsetId: Int = 33, unsigned: Boolean = false,
+                     ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val nb = name.getBytes(charset)
+      b.write(le(4)(nb.length.toLong))
+      b.write(nb)
+      if (value == null) b.write(Array(1.toByte))
+      else {
+        b.write(Array(0.toByte, valType.toByte))
+        b.write(le(4)(charsetId.toLong))
+        b.write(le(4)(value.length.toLong))
+        b.write(value)
+        b.write(Array(if (unsigned) 1.toByte else 0.toByte))
+      }
+      event(EventType.UserVar, ts, b.toByteArray)
+      this
+    }
+
+    /** INCIDENT (26): 2-byte LE incident number + 1-byte msg length + msg. */
+    def writeIncident(num: Int, message: String, ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val mb = message.getBytes(charset)
+      require(mb.length <= 255, "INCIDENT message longer than 255 bytes")
+      b.write(le(2)(num.toLong))
+      b.write(Array(mb.length.toByte))
+      b.write(mb)
+      event(EventType.Incident, ts, b.toByteArray)
+      this
+    }
+
     /** MariaDB QUERY_COMPRESSED (165): QUERY layout, SQL text as one
       * compressed record.
       */

@@ -416,6 +416,73 @@ final case class MariaGtidListEvent(header: EventHeader,
 final case class MariaBinlogCheckpointEvent(header: EventHeader,
     fileName: String) extends BinlogEvent
 
+/** INTVAR_EVENT (id 5): statement-based-replication context — the
+  * LAST_INSERT_ID / INSERT_ID value the NEXT statement must evaluate with.
+  * Row-format scans never see these; they surface for events-mode
+  * observability of mixed/statement logs.
+  */
+final case class IntvarEvent(header: EventHeader, varType: Int,
+    value: Long) extends BinlogEvent {
+  def varName: String = varType match {
+    case 1 => "LAST_INSERT_ID"
+    case 2 => "INSERT_ID"
+    case t => s"INTVAR_TYPE($t)"
+  }
+  def rendered: String = s"SET $varName=$value"
+}
+
+/** RAND_EVENT (id 13): the RNG seeds the next statement's RAND() calls
+  * must replay with (statement-based-replication context).
+  */
+final case class RandEvent(header: EventHeader, seed1: Long,
+    seed2: Long) extends BinlogEvent {
+  def rendered: String = s"SET @@RAND_SEED1=$seed1, @@RAND_SEED2=$seed2"
+}
+
+/** USER_VAR_EVENT (id 14): a `@var` binding the next statement reads.
+  * `value` is the raw bytes; [[rendered]] is the mysqlbinlog-style
+  * best-effort text (typed decode for INT/REAL/DECIMAL/STRING).
+  */
+final case class UserVarEvent(header: EventHeader, name: String,
+    isNull: Boolean, valType: Int, charsetId: Int, value: Array[Byte],
+    unsigned: Boolean) extends BinlogEvent {
+  def rendered: String = s"SET @`$name`:=${UserVarEvent.renderValue(this)}"
+}
+
+object UserVarEvent {
+  // Item_result codes (public enum): STRING=0 REAL=1 INT=2 ROW=3 DECIMAL=4
+  def renderValue(e: UserVarEvent): String =
+    if (e.isNull) "NULL"
+    else e.valType match {
+      case 0 =>
+        val cs = BinlogReader.collationCharset(e.charsetId)
+        val s = new String(e.value,
+          if (cs != null) cs else java.nio.charset.StandardCharsets.ISO_8859_1)
+        "'" + s.replace("'", "''") + "'"
+      case 1 =>
+        java.lang.Double.toString(java.lang.Double.longBitsToDouble(
+          java.nio.ByteBuffer.wrap(e.value)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+      case 2 =>
+        val v = java.nio.ByteBuffer.wrap(e.value)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        if (e.unsigned) java.lang.Long.toUnsignedString(v) else v.toString
+      case 4 =>
+        val prec = e.value(0) & 0xff
+        val scale = e.value(1) & 0xff
+        MySqlDecimal.decode(e.value, 2, prec, scale).toPlainString
+      case t => s"<type $t, ${e.value.length} bytes>"
+    }
+}
+
+/** INCIDENT_EVENT (id 26): the server recorded that it may have written an
+  * incomplete set of changes — a possible REPLICATION GAP. Change scans
+  * fail loudly on it by default (`onIncident=ignore` to override): rows
+  * decoded past an incident can silently misrepresent the table.
+  */
+final case class IncidentEvent(header: EventHeader, incidentType: Int,
+    message: String) extends BinlogEvent
+
 /** ROWS_QUERY_LOG_EVENT (id 29): the original SQL that produced the rows
   * events that follow (`binlog_rows_query_log_events=ON`) — possibly
   * truncated by the server.

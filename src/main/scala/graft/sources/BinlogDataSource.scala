@@ -465,6 +465,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     * behavior for logs whose DDL is known not to affect decoded columns.
     */
   private val onSchemaChange = options.getOrElse("onschemachange", "fail")
+
+  /** `fail` (default) stops a change scan at an INCIDENT event — the server
+    * itself recorded that the log may be missing changes, so rows decoded
+    * past it can misrepresent the table. `ignore` scans on (observability
+    * readers use events mode, where the incident surfaces as a row).
+    */
+  private val onIncident = options.getOrElse("onincident", "fail")
   private val DdlPattern =
     """(?is)\s*(?:ALTER|DROP|RENAME)\s+(?:ONLINE\s+|OFFLINE\s+|IGNORE\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w$]+)`?(?:\s*\.\s*`?([\w$]+)`?)?.*""".r
 
@@ -664,6 +671,12 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case mc: MariaBinlogCheckpointEvent =>
         a(11) = UTF8String.fromString(mc.fileName) // next_file: the named log
       case rq: RowsQueryEvent => a(9) = UTF8String.fromString(rq.query)
+      // statement-based-replication context + incident marker: the
+      // mysqlbinlog-style rendering in the sql column
+      case iv: IntvarEvent => a(9) = UTF8String.fromString(iv.rendered)
+      case rd: RandEvent => a(9) = UTF8String.fromString(rd.rendered)
+      case uv: UserVarEvent => a(9) = UTF8String.fromString(uv.rendered)
+      case ic: IncidentEvent => a(9) = UTF8String.fromString(ic.message)
       case _ =>
     }
     new GenericInternalRow(a)
@@ -746,6 +759,14 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           // file). Without this flush the prepared branch's rows would sit
           // in the buffer and get stamped with the NEXT transaction's xid.
           commitBoundary(null)
+        case ie: IncidentEvent if onIncident != "ignore" =>
+          throw new IllegalStateException(
+            s"INCIDENT event at ${part.file}:${ie.header.offset} " +
+              s"(incident type ${ie.incidentType}" +
+              (if (ie.message.nonEmpty) s", message '${ie.message}'" else "") +
+              "): the server recorded a possible replication gap, so changes " +
+              "past this point may be incomplete. Set option onIncident=ignore " +
+              "to scan anyway.")
         case _ =>
       }
     }

@@ -1,0 +1,96 @@
+package graft.binlog
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import BinlogWriter._
+
+/** Statement-based-replication context events (INTVAR/RAND/USER_VAR) and
+  * the INCIDENT gap marker: bodies decode (mysqlbinlog-style renderings in
+  * the events-mode `sql` column), and a change scan REFUSES to read past an
+  * INCIDENT unless told to — the server itself flagged the log as possibly
+  * incomplete.
+  */
+class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
+
+  private def leBytes(v: Long): Array[Byte] = {
+    val a = new Array[Byte](8)
+    var x = v; var i = 0
+    while (i < 8) { a(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+    a
+  }
+
+  private def sbrLog(): String = {
+    val dir = Files.createTempDirectory("sbr")
+    new Writer(checksum = true)
+      .writeFormatDescription(ts = 1)
+      .writeQuery("shop", "BEGIN", ts = 2)
+      .writeIntvar(2, 42L, ts = 2) // INSERT_ID=42
+      .writeRand(7L, 9L, ts = 2)
+      .writeUserVar("greeting", "hi 'there'".getBytes("UTF-8"), valType = 0,
+        charsetId = 33, ts = 2)
+      .writeUserVar("big", leBytes(-1L), valType = 2, charsetId = 63,
+        unsigned = true, ts = 2)
+      .writeUserVar("missing", null, ts = 2)
+      .writeTableMap(7, "shop", "t", cols, ts = 2)
+      .writeInsert(7, cols, Seq(Seq[Any](1, "a")), ts = 2)
+      .writeXid(11, ts = 2)
+      .writeIncident(1, "disk full on master", ts = 3)
+      .writeQuery("shop", "BEGIN", ts = 4)
+      .writeTableMap(7, "shop", "t", cols, ts = 4)
+      .writeInsert(7, cols, Seq(Seq[Any](2, "b")), ts = 4)
+      .writeXid(12, ts = 4)
+      .save(dir.resolve("binlog.000001").toString)
+    dir.toString
+  }
+
+  test("events mode renders SBR context bodies and the incident message") {
+    val rows = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(sbrLog()).selectExpr("event_type", "sql").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byType("INTVAR_EVENT") == Seq("SET INSERT_ID=42"))
+    assert(byType("RAND_EVENT") == Seq("SET @@RAND_SEED1=7, @@RAND_SEED2=9"))
+    assert(byType("USER_VAR_EVENT").toSet == Set(
+      "SET @`greeting`:='hi ''there'''", // string: quotes escaped
+      "SET @`big`:=18446744073709551615", // unsigned INT: full 64-bit render
+      "SET @`missing`:=NULL"))
+    assert(byType("INCIDENT_EVENT") == Seq("disk full on master"))
+  }
+
+  test("change scan fails loudly at an INCIDENT; onIncident=ignore reads on") {
+    val d = sbrLog()
+    val read = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, word STRING")
+    val err = intercept[org.apache.spark.SparkException] {
+      read.load(d).collect()
+    }
+    val msg = err.getCause match { case c if c != null => c.getMessage; case _ => err.getMessage }
+    assert(msg.contains("INCIDENT") && msg.contains("replication gap") &&
+      msg.contains("onIncident=ignore"), msg)
+    val rows = read.option("onIncident", "ignore").load(d)
+      .selectExpr("id", "xid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSet == Set((1, 11L), (2, 12L)))
+  }
+
+  test("DECIMAL user-var values render via the packed-decimal codec") {
+    val dec = new java.math.BigDecimal("-1234.5678")
+    val body = Array[Byte](10, 4) ++ MySqlDecimal.encode(dec, 10, 4)
+    val e = UserVarEvent(EventHeader(0L, EventType.UserVar, 1L, 0L, 0L, 0, 0L),
+      "d", isNull = false, valType = 4, charsetId = 63, value = body,
+      unsigned = false)
+    assert(e.rendered == "SET @`d`:=-1234.5678")
+  }
+}
