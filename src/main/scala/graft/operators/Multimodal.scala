@@ -325,7 +325,60 @@ object Multimodal {
       |GROUP BY m.media_type, c.lang
       |ORDER BY m.media_type, c.lang""".stripMargin
 
+  // mm07 — WebDataset-style shard manifest: place every media record into
+  // a fixed-capacity shard and compute its byte offset inside that shard —
+  // the (shard, offset, length) index a training dataloader seeks by. The
+  // stream is bucketed FIRST (doc_id % nBuckets within modality): each
+  // bucket packs its own independent shard sequence, so the inherently
+  // sequential running-sum never serializes more than one bucket —
+  // nBuckets grows with the corpus (same parallelism contract as txt11's
+  // pack_bucket) and both windows (running start + shard-relative
+  // rebase) share ONE (media_type, bucket) shuffle. Records are placed
+  // whole (never split): shards are cut where the bucket's running byte
+  // stream crosses a capacity boundary, and the straddling record stays
+  // in its shard — so a shard overflows by at most one record's tail.
+  // Blobs never shuffle: the manifest is built from (id, type, n_bytes)
+  // and payloads stream into shards partition-locally at write time.
+  def mm07ShardManifest(s: SparkSession, d: String,
+                        capBytes: Long = 4096L, nBuckets: Int = 4): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val recs = mediaTable(s, d).select($"doc_id", $"media_type",
+      length($"payload").cast("long").as("n_bytes"),
+      ($"doc_id" % nBuckets).cast("int").as("bucket"))
+    val seq = Window.partitionBy($"media_type", $"bucket").orderBy($"doc_id")
+    val run = recs.withColumn("start",
+      coalesce(sum($"n_bytes").over(seq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_idx", floor($"start" / capBytes))
+    val shard = Window.partitionBy($"media_type", $"bucket", $"shard_idx")
+    run.withColumn("byte_offset", $"start" - min($"start").over(shard))
+      .select($"media_type",
+        format_string("%s-%d-%05d", $"media_type", $"bucket", $"shard_idx").as("shard"),
+        $"doc_id", $"byte_offset", $"n_bytes")
+      .orderBy($"media_type", $"shard", $"byte_offset")
+  }
+
+  val mm07Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(doc_id % 4 AS INTEGER) AS bucket
+      |  FROM documents),
+      |run AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY media_type, bucket
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM m),
+      |sh AS (SELECT *, CAST(floor(start / 4096) AS BIGINT) AS shard_idx FROM run)
+      |SELECT media_type,
+      |  printf('%s-%d-%05d', media_type, bucket, shard_idx) AS shard,
+      |  doc_id,
+      |  start - MIN(start) OVER (PARTITION BY media_type, bucket, shard_idx) AS byte_offset,
+      |  n_bytes
+      |FROM sh
+      |ORDER BY media_type, shard, byte_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm07_shard_manifest" -> ((s: SparkSession, d: String) => mm07ShardManifest(s, d)),
     "mm06_pair_manifest" -> mm06PairManifest _,
     "mm01_media_meta" -> mm01MediaMeta _,
     "mm02_media_stats" -> mm02MediaStats _,
@@ -334,6 +387,7 @@ object Multimodal {
     "mm05_phash_neardup" -> mm05PhashNearDup _)
 
   def oracles: Map[String, String] = Map(
+    "mm07_shard_manifest" -> mm07Sql,
     "mm06_pair_manifest" -> mm06Sql,
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_stats" -> mm02Sql,

@@ -186,6 +186,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docScans === 1, plan(p).take(1500))
   }
 
+  test("mm07: both manifest windows share ONE bucket shuffle; blobs absent") {
+    val p = Multimodal.mm07ShardManifest(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the (media_type, bucket) hash exchange feeds BOTH the running-start
+    // window and the shard-relative rebase (subset co-partitioning: the
+    // second window's keys extend the first's); the other exchange is the
+    // gate's output ORDER BY only
+    assert(exchanges.size === 2, plan(p).take(2000))
+    assert(exchanges.count(_.outputPartitioning.toString.toLowerCase.contains("range")) === 1,
+      "exactly one range exchange (output sort): " + plan(p).take(1500))
+    // the payload blob column must be projected away before any exchange
+    assert(!plan(p).contains("payload"), plan(p).take(1500))
+  }
+
   test("txt12: bounded pair shuffles, skew-safe score join") {
     val p = TextAnalysis.txt12LmQuality(spark, d)
     val phys = physical(p)
