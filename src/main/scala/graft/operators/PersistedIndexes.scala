@@ -73,4 +73,10 @@ object PersistedIndexes {
     cached(s"graft-index-r6b-sim05-${sfKey(sfDir)}") { dir =>
       Similarity.buildAnnIndex(embeddings(s, sfDir), dir)
     }
+
+  /** sim07's persisted PQ codebook + M-bytes-per-vector code table. */
+  def pqIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r7-sim07-${sfKey(sfDir)}") { dir =>
+      Similarity.buildPqIndex(embeddings(s, sfDir), dir)
+    }
 }

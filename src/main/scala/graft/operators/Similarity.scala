@@ -511,6 +511,61 @@ object Similarity {
       .limit(10)
   }
 
+  /** Persist the PQ index: the tiny codebook plus the M-bytes-per-vector
+    * code table. A query then scans ONLY (vec_id, label, codes) — the 32×
+    * smaller hot set that is the whole point of PQ at 100 TB — and fetches
+    * exact vectors for the top candidates alone. Rebuild on codebook
+    * drift, exactly like [[buildAnnIndex]]'s quantizer contract.
+    */
+  def buildPqIndex(e: DataFrame, indexDir: String, m: Int = 8, sub: Int = 8,
+                   k: Int = 16): Unit = {
+    import e.sparkSession.implicits._
+    val cbRow = pqCodebookRow(e, m, sub, k)
+    cbRow.select(posexplode($"cb").as(Seq("m", "cws")))
+      .select($"m", posexplode($"cws").as(Seq("code", "cw")))
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pqEncode(e, cbRow, m, sub, k)
+      .select($"vec_id", $"label", $"codes")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** The PQ probe against a persisted index: broadcast LUT over the slim
+    * codes scan, top-50 by ADC, then a 50-row fetch-join back to the
+    * vector table for the exact rerank (the candidate-fetch a production
+    * store serves point-wise).
+    */
+  def sim07ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val M = 8; val sub = 8
+    val e = embeddings(s, d)
+    val cbRow = s.read.parquet(s"$indexDir/codebook")
+      .groupBy($"m").agg(array_sort(collect_list(struct($"code", $"cw"))).as("cs"))
+      .agg(array_sort(collect_list(struct($"m", $"cs"))).as("ms"))
+      .select(transform($"ms", r =>
+        transform(r.getField("cs"), c => c.getField("cw"))).as("cb"))
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), pqSubsOf($"embedding", M, sub).as("qsubs"))
+      .crossJoin(broadcast(cbRow))
+      .select($"qv", zip_with($"cb", $"qsubs",
+        (cws, qs) => transform(cws, cw => dotHof(qs, cw))).as("lut"))
+    val cand = s.read.parquet(s"$indexDir/codes").filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qRow))
+      .withColumn("adc", aggregate(
+        zip_with($"codes", $"lut", (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(50)
+      .select($"vec_id", $"qv")
+    broadcast(cand).join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  def sim07bViaIndex(s: SparkSession, d: String): DataFrame =
+    sim07ViaIndex(s, d, PersistedIndexes.pqIndex(s, d))
+
   val sim07Sql: String = {
     def dl2(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
@@ -633,7 +688,8 @@ object Similarity {
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _,
     "sim05_kmeans_ivf" -> sim05KmeansIvf _,
-    "sim07_pq_adc" -> sim07PqAdc _)
+    "sim07_pq_adc" -> sim07PqAdc _,
+    "sim07b_via_index" -> sim07bViaIndex _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "dd10_semantic_dedup" -> dd10Sql,
@@ -645,5 +701,6 @@ object Similarity {
     "sim03_ivf_topk" -> sim03Sql,
     "sim04_knn_join" -> sim04Sql(sfDir),
     "sim05_kmeans_ivf" -> sim05Sql,
-    "sim07_pq_adc" -> sim07Sql)
+    "sim07_pq_adc" -> sim07Sql,
+    "sim07b_via_index" -> sim07Sql)
 }

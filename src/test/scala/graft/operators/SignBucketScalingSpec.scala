@@ -64,6 +64,31 @@ class SignBucketScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!viaIndex.queryExecution.executedPlan.toString.contains("posexplode"))
   }
 
+  test("sim07 via the persisted PQ index: equal results, codes-only scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Similarity.buildPqIndex(graft.core.Tables.embeddings(spark, d), idx)
+    val viaIndex = Similarity.sim07ViaIndex(spark, d, idx)
+    assert(viaIndex.collect().toSeq === Similarity.sim07PqAdc(spark, d).collect().toSeq)
+    // the ADC pass scans the CODES table without the embedding column —
+    // the 32x-smaller hot set is the whole point; exact vectors are
+    // fetched only for the candidate join
+    val unwrapped = viaIndex.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val codesScan = unwrapped.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("codes") => f
+    }
+    assert(codesScan.nonEmpty)
+    codesScan.foreach { f =>
+      assert(!f.schema.fieldNames.contains("embedding"),
+        "codes scan must not read vectors: " + f.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("sim05 via the persisted ANN index: equal results, cell-pruned scan") {
     graft.functions.GraftFunctions.register(spark)
     val d = "/root/testdata/sf0.001"
