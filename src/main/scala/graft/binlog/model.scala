@@ -481,7 +481,17 @@ object UserVarEvent {
   * decoded past an incident can silently misrepresent the table.
   */
 final case class IncidentEvent(header: EventHeader, incidentType: Int,
-    message: String) extends BinlogEvent
+    message: String) extends BinlogEvent {
+  def typeName: String = incidentType match {
+    case 1 => "LOST_EVENTS"
+    case t => s"INCIDENT($t)"
+  }
+  /** mysqlbinlog-style rendering: keeps the incident NUMBER legible even
+    * when the server logged no message (the common LOST_EVENTS shape).
+    */
+  def rendered: String =
+    s"#Incident: $typeName" + (if (message.nonEmpty) s": $message" else "")
+}
 
 /** ROWS_QUERY_LOG_EVENT (id 29): the original SQL that produced the rows
   * events that follow (`binlog_rows_query_log_events=ON`) — possibly

@@ -444,10 +444,6 @@ object Similarity {
   // cells; compose with sim05's probe for IVF-PQ). Ordered double folds
   // everywhere so the oracle's list_reduce reproduces the scores bit-for-
   // bit; argmin ties break to the smallest code on both engines.
-  private def dotHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   private def l2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
@@ -456,19 +452,46 @@ object Similarity {
   private def pqSubsOf(c: Column, m: Int, sub: Int): Column =
     array((0 until m).map(i => slice(c, i * sub + 1, sub)): _*)
 
-  /** The PQ codebook as ONE broadcast row: cb[m][code] = the code-th seed
-    * vector's m-th subvector (seeds = vec_id < k).
+  /** Reassemble a flat (m, code, cw) codebook into the ONE-row broadcast
+    * shape cb[m][code] — shared by the inline build and the persisted-
+    * index read so both twins use the same load-bearing ordering.
     */
-  private[operators] def pqCodebookRow(e: DataFrame, m: Int, sub: Int, k: Int): DataFrame = {
-    import e.sparkSession.implicits._
-    e.filter($"vec_id" < k)
-      .select($"vec_id".cast("int").as("code"),
-        posexplode(pqSubsOf($"embedding", m, sub)).as(Seq("m", "cw")))
+  private def pqAssemble(cbFlat: DataFrame): DataFrame = {
+    import cbFlat.sparkSession.implicits._
+    cbFlat
       .groupBy($"m").agg(array_sort(collect_list(struct($"code", $"cw"))).as("cs"))
       .agg(array_sort(collect_list(struct($"m", $"cs"))).as("ms"))
       .select(transform($"ms", r =>
         transform(r.getField("cs"), c => c.getField("cw"))).as("cb"))
   }
+
+  /** The PQ codebook as ONE broadcast row: cb[m][code] = the code-th seed
+    * vector's m-th subvector (seeds = vec_id < k).
+    */
+  private[operators] def pqCodebookRow(e: DataFrame, m: Int, sub: Int, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    pqAssemble(e.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("code"),
+        posexplode(pqSubsOf($"embedding", m, sub)).as(Seq("m", "cw"))))
+  }
+
+  /** Query row: exact vector + the M×K LUT of subvector·codeword inner
+    * products, computed ONCE and broadcast ([[VectorOps.dot]] — the same
+    * codegen'd ordered fold the oracle's duckDot mirrors).
+    */
+  private def pqQueryRow(e: DataFrame, cbRow: DataFrame, m: Int, sub: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), pqSubsOf($"embedding", m, sub).as("qsubs"))
+      .crossJoin(broadcast(cbRow))
+      .select($"qv", zip_with($"cb", $"qsubs",
+        (cws, qs) => transform(cws, cw => dot(qs, cw))).as("lut"))
+  }
+
+  /** ADC score = ordered fold of the M LUT lookups for a row's codes. */
+  private def adcCol: Column = aggregate(
+    zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+    lit(0.0), (acc, v) => acc + v)
 
   /** Encode: codes[m] = argmin-L2 codeword (ties -> smallest code, via max
     * of struct(-dist, -code) like sim05's argmax). Adds a `codes` column.
@@ -491,19 +514,12 @@ object Similarity {
     val M = 8; val sub = 8; val K = 16
     val e = embeddings(s, d)
     val cbRow = pqCodebookRow(e, M, sub, K)
-    // query row: exact vector + the LUT (computed ONCE, broadcast)
-    val qRow = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), pqSubsOf($"embedding", M, sub).as("qsubs"))
-      .crossJoin(broadcast(cbRow))
-      .select($"qv", zip_with($"cb", $"qsubs",
-        (cws, qs) => transform(cws, cw => dotHof(qs, cw))).as("lut"))
+    val qRow = pqQueryRow(e, cbRow, M, sub)
     val enc = pqEncode(e.filter($"vec_id" =!= 0), cbRow, M, sub, K)
       .select($"vec_id", $"label", $"embedding", $"codes")
-    // ADC score = ordered fold of M LUT lookups; top-50, exact rerank
+    // top-50 by ADC, exact rerank on just those
     val cand = enc.crossJoin(broadcast(qRow))
-      .withColumn("adc", aggregate(
-        zip_with($"codes", $"lut", (c, row) => element_at(row, c + 1)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc", adcCol)
       .orderBy($"adc".desc, $"vec_id")
       .limit(50)
     cand.select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
@@ -537,23 +553,18 @@ object Similarity {
   def sim07ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val M = 8; val sub = 8
     val e = embeddings(s, d)
-    val cbRow = s.read.parquet(s"$indexDir/codebook")
-      .groupBy($"m").agg(array_sort(collect_list(struct($"code", $"cw"))).as("cs"))
-      .agg(array_sort(collect_list(struct($"m", $"cs"))).as("ms"))
-      .select(transform($"ms", r =>
-        transform(r.getField("cs"), c => c.getField("cw"))).as("cb"))
-    val qRow = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), pqSubsOf($"embedding", M, sub).as("qsubs"))
-      .crossJoin(broadcast(cbRow))
-      .select($"qv", zip_with($"cb", $"qsubs",
-        (cws, qs) => transform(cws, cw => dotHof(qs, cw))).as("lut"))
+    val cbFlat = s.read.parquet(s"$indexDir/codebook")
+    // the index DEFINES the geometry — deriving (M, sub) from the persisted
+    // codebook instead of assuming defaults means a non-default build can
+    // never be probed with mismatched slicing (one driver-side row on a
+    // K×M-row table)
+    val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
+    val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
+    val qRow = pqQueryRow(e, pqAssemble(cbFlat), mCnt, subLen)
     val cand = s.read.parquet(s"$indexDir/codes").filter($"vec_id" =!= 0)
       .crossJoin(broadcast(qRow))
-      .withColumn("adc", aggregate(
-        zip_with($"codes", $"lut", (c, row) => element_at(row, c + 1)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc", adcCol)
       .orderBy($"adc".desc, $"vec_id")
       .limit(50)
       .select($"vec_id", $"qv")

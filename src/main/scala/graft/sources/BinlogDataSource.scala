@@ -676,7 +676,7 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case iv: IntvarEvent => a(9) = UTF8String.fromString(iv.rendered)
       case rd: RandEvent => a(9) = UTF8String.fromString(rd.rendered)
       case uv: UserVarEvent => a(9) = UTF8String.fromString(uv.rendered)
-      case ic: IncidentEvent => a(9) = UTF8String.fromString(ic.message)
+      case ic: IncidentEvent => a(9) = UTF8String.fromString(ic.rendered)
       case _ =>
     }
     new GenericInternalRow(a)
@@ -759,7 +759,11 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           // file). Without this flush the prepared branch's rows would sit
           // in the buffer and get stamped with the NEXT transaction's xid.
           commitBoundary(null)
-        case ie: IncidentEvent if onIncident != "ignore" =>
+        // inRange like the DDL guard above: an incident in the replay-
+        // from-4 prefix predates the requested start — a user resuming
+        // PAST an acknowledged incident must not re-trip on it (and a
+        // snapshot-carrying resume would never even decode it)
+        case ie: IncidentEvent if onIncident != "ignore" && inRange(ie.header) =>
           throw new IllegalStateException(
             s"INCIDENT event at ${part.file}:${ie.header.offset} " +
               s"(incident type ${ie.incidentType}" +

@@ -67,7 +67,8 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SET @`greeting`:='hi ''there'''", // string: quotes escaped
       "SET @`big`:=18446744073709551615", // unsigned INT: full 64-bit render
       "SET @`missing`:=NULL"))
-    assert(byType("INCIDENT_EVENT") == Seq("disk full on master"))
+    // incident NUMBER stays legible even for the common empty-message shape
+    assert(byType("INCIDENT_EVENT") == Seq("#Incident: LOST_EVENTS: disk full on master"))
   }
 
   test("change scan fails loudly at an INCIDENT; onIncident=ignore reads on") {
@@ -83,6 +84,22 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = read.option("onIncident", "ignore").load(d)
       .selectExpr("id", "xid").collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(rows.toSet == Set((1, 11L), (2, 12L)))
+  }
+
+  test("resume past an acknowledged incident does not re-trip on it") {
+    val d = sbrLog()
+    val events = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(d).selectExpr("event_type", "log_pos", "next_pos").collect()
+    val afterIncident = events
+      .find(_.getString(0) == "INCIDENT_EVENT").get.getLong(2)
+    // the incident sits in the replay-from-4 prefix now — the same
+    // contract as the DDL guard: only in-range events can kill the scan
+    val rows = spark.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, word STRING")
+      .option("startOffset", afterIncident.toString)
+      .load(d).selectExpr("id", "xid").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSet == Set((2, 12L)))
   }
 
   test("DECIMAL user-var values render via the packed-decimal codec") {
