@@ -148,6 +148,16 @@ object BinlogTailer {
             txn = Vector.empty
             txnOverflowed = false
           case r: RotateEvent => rotateTo = Some(r.nextFile); rotateAt = r.header.offset
+          case ie: IncidentEvent =>
+            // the tail decodes forward from its live cursor, so an incident
+            // here is always ahead of the consumer: kill the thread (same
+            // surfacing contract as a CRC mismatch) rather than silently
+            // tailing rows the server itself flagged as possibly incomplete
+            throw new IllegalStateException(
+              s"INCIDENT event at $file:${ie.header.offset} (${ie.typeName}" +
+                (if (ie.message.nonEmpty) s", '${ie.message}'" else "") +
+                "): the server recorded a possible replication gap; tail " +
+                "stopped — reconcile and restart past it")
           case _ =>
         }
         // v4 next_position = end of this event on disk (trailer included),

@@ -160,6 +160,32 @@ class BinlogTailerSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("an INCIDENT kills the tail loudly; committed rows before it land") {
+    val dir = Files.createTempDirectory("tailer-incident")
+    new Writer(checksum = true)
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeIncident(1, "lost events", ts = 2)
+      .writeTableMap(23, "bench", "lat", cols, ts = 3)
+      .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 3)
+      .writeXid(2, ts = 3)
+      .save(dir.resolve("binlog.000001").toString)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      val deadline = System.nanoTime() + 45000000000L
+      while (t.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(t.failure.exists(m => m.getMessage.contains("INCIDENT") &&
+        m.getMessage.contains("LOST_EVENTS")), t.failure)
+      assert(!t.isAlive)
+      // the committed txn before the incident was delivered; nothing after
+      assert(got.toArray.toVector
+        .map(_.asInstanceOf[BinlogTailer.Change].row(0)) === Vector(1))
+    } finally t.close()
+  }
+
   test("checksummed log tails identically") {
     val dir = Files.createTempDirectory("tailer-crc")
     val f1 = dir.resolve("binlog.000001").toString
