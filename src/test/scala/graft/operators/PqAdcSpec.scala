@@ -43,4 +43,21 @@ class PqAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the representation is M ints — what gets persisted at scale
     assert(codes.values.forall(_.length == 2))
   }
+
+  test("codes stay in [0, K) and seeds self-encode on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8; val m = 2; val sub = 4; val k = 4
+    val e = (0L until 64L).map { id =>
+      (id, "x", Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "label", "embedding")
+    val cb = Similarity.pqCodebookRow(e, m, sub, k)
+    val codes = Similarity.pqEncode(e, cb, m, sub, k)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 64)
+    assert(codes.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < k)))
+    // a seed's subvectors are exactly distance 0 from their own codewords
+    for (id <- 0L until k.toLong) assert(codes(id) == Seq.fill(m)(id.toInt),
+      s"seed $id must self-encode: ${codes(id)}")
+  }
 }
