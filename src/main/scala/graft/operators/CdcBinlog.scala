@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7b-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7c-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -277,7 +277,59 @@ object CdcBinlog {
       Files.createDirectories(pjDir)
       writePartialJsonFixture(pjDir, math.max(total / 40, 50),
         Files.newBufferedWriter(staging.resolve("expected_partial.csv")))
+      // statement-based-replication context twin: INTVAR/RAND/USER_VAR
+      // framing around row transactions plus one INCIDENT between txns —
+      // cdcb17's input, renderings ground-truthed by the generator
+      val sbrDir = staging.resolve("sbr")
+      Files.createDirectories(sbrDir)
+      writeSbrFixture(sbrDir,
+        Files.newBufferedWriter(staging.resolve("expected_sbr.csv")))
     }
+  }
+
+  /** SBR/incident fixture: 50 row transactions with deterministic
+    * statement-context events woven between them, one INCIDENT mid-log.
+    * The CSV holds the exact events-mode `sql` rendering per context
+    * event, so decode is checked against the generator's arithmetic.
+    */
+  private def writeSbrFixture(dir: java.nio.file.Path, exp: java.io.Writer): Unit = {
+    val cols = Seq(ColSpec.int, ColSpec.varchar(24))
+    def le8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8); var x = v; var i = 0
+      while (i < 8) { a(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+      a
+    }
+    def csv(s: String): String =
+      if (s.contains(",") || s.contains("\"")) "\"" + s.replace("\"", "\"\"") + "\"" else s
+    exp.write("event_type,sql\n")
+    val w = new Writer(checksum = true).writeFormatDescription(ts = 1)
+    for (i <- 1 to 50) {
+      w.writeQuery("bench", "BEGIN", ts = i)
+      if (i % 2 == 0) {
+        val t = if (i % 4 == 0) 1 else 2
+        w.writeIntvar(t, i * 13L, ts = i)
+        exp.write(s"INTVAR_EVENT,${csv(s"SET ${if (t == 1) "LAST_INSERT_ID" else "INSERT_ID"}=${i * 13}")}\n")
+      }
+      if (i % 3 == 0) {
+        w.writeRand(i * 7L, i * 11L, ts = i)
+        exp.write(s"RAND_EVENT,${csv(s"SET @@RAND_SEED1=${i * 7}, @@RAND_SEED2=${i * 11}")}\n")
+      }
+      if (i % 5 == 0) {
+        val unsigned = i % 10 == 0
+        w.writeUserVar(s"v$i", le8(i * 1000L), valType = 2, charsetId = 63,
+          unsigned = unsigned, ts = i)
+        exp.write(s"USER_VAR_EVENT,${csv(s"SET @`v$i`:=${i * 1000}")}\n")
+      }
+      w.writeTableMap(9, "bench", "sbr", cols, ts = i)
+      w.writeInsert(9, cols, Seq(Seq[Any](i, word(i))), ts = i)
+      w.writeXid(i.toLong, ts = i)
+      if (i == 25) {
+        w.writeIncident(1, "gap after batch 25", ts = i)
+        exp.write(s"INCIDENT_EVENT,${csv("#Incident: LOST_EVENTS: gap after batch 25")}\n")
+      }
+    }
+    w.save(dir.resolve("binlog.000001").toString)
+    exp.close()
   }
 
   /** PARTIAL_JSON fixture: `nDocs` JSON documents inserted FULL, then the
@@ -725,6 +777,20 @@ object CdcBinlog {
       .orderBy($"event_type")
   }
 
+  // cdcb17 — statement-based-replication context + INCIDENT decode under
+  // the oracle: the events-mode `sql` renderings of INTVAR/RAND/USER_VAR
+  // and the incident marker over the sbr twin, checked against the
+  // generator's own per-event record.
+  def cdcb17SbrEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "sbr").toString)
+      .filter($"event_type".isin(
+        "INTVAR_EVENT", "RAND_EVENT", "USER_VAR_EVENT", "INCIDENT_EVENT"))
+      .select($"event_type", $"sql")
+      .orderBy($"event_type", $"sql")
+  }
+
   // cdcm1 — the STREAMING materialization path under the oracle: run the
   // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
   // bucketed parquet table with latest-wins merges and tombstones) over
@@ -778,6 +844,7 @@ object CdcBinlog {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb17_sbr_events" -> cdcb17SbrEvents _,
     "cdcb14_mariadb_gtid" -> cdcb14MariadbGtid _,
     "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
     "cdcb16_mariadb_event_stats" -> cdcb16MariadbEventStats _,
@@ -818,6 +885,11 @@ object CdcBinlog {
        |ORDER BY id""".stripMargin
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb17_sbr_events" ->
+      s"""SELECT event_type, sql
+         |FROM read_csv('${fixturePathFor(sfDir)}/expected_sbr.csv', header=true,
+         |  columns={'event_type':'VARCHAR','sql':'VARCHAR'})
+         |ORDER BY event_type, sql""".stripMargin,
     "cdcb14_mariadb_gtid" -> {
       val rel =
         s"""read_csv('${fixturePathFor(sfDir)}/expected_gtids_mdb.csv', header=true, columns={
