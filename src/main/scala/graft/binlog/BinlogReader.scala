@@ -424,12 +424,16 @@ object BinlogReader {
 
   /** INTVAR (5): 1-byte type + 8-byte LE value (no post-header). */
   def readIntvar(b: ByteBuffer, h: EventHeader): IntvarEvent = {
+    require(h.eventLen >= HeaderLen + 9,
+      s"INTVAR at offset ${h.offset} is ${h.eventLen} bytes — body needs 9")
     b.position(h.offset.toInt + HeaderLen)
     IntvarEvent(h, ubyte(b), b.getLong())
   }
 
   /** RAND (13): two 8-byte LE seeds. */
   def readRand(b: ByteBuffer, h: EventHeader): RandEvent = {
+    require(h.eventLen >= HeaderLen + 16,
+      s"RAND at offset ${h.offset} is ${h.eventLen} bytes — body needs 16")
     b.position(h.offset.toInt + HeaderLen)
     RandEvent(h, b.getLong(), b.getLong())
   }

@@ -102,6 +102,22 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSet == Set((2, 12L)))
   }
 
+  test("undersized INTVAR body fails by name, not by decoding a neighbor") {
+    val dir = Files.createTempDirectory("sbr-short")
+    new Writer(checksum = true)
+      .writeFormatDescription(ts = 1)
+      .writeOpaque(EventType.Intvar, Array[Byte](2, 42), ts = 2) // 2 of 9 bytes
+      .writeQuery("shop", "BEGIN", ts = 3)
+      .save(dir.resolve("binlog.000001").toString)
+    val err = intercept[Exception] {
+      spark.read.format("mysql-binlog").option("mode", "events")
+        .load(dir.toString).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("INTVAR") && msgs.contains("body needs 9"), msgs)
+  }
+
   test("DECIMAL user-var values render via the packed-decimal codec") {
     val dec = new java.math.BigDecimal("-1234.5678")
     val body = Array[Byte](10, 4) ++ MySqlDecimal.encode(dec, 10, 4)
