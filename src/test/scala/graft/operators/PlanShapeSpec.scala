@@ -202,6 +202,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan(p).contains("payload"), plan(p).take(1500))
   }
 
+  test("sim07: corpus never shuffles — only codebook-sized aggregations exchange") {
+    val p = Similarity.sim07PqAdc(spark, d)
+    val s = plan(p)
+    // every join is a broadcast (the codebook row, the query row, the
+    // 50-candidate rerank); the corpus-sized side must never sort-merge
+    // or hash-exchange — ADC is a map + TakeOrdered
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only allowed exchanges are the tiny codebook/LUT reassembly
+    // aggregations (M- and 1-row groupings); none may partition on the
+    // corpus identity column
+    assert(exchanges.size <= 4, s.take(2000))
+    assert(!exchanges.exists(_.outputPartitioning.toString.toLowerCase.contains("vec_id")),
+      exchanges.map(_.outputPartitioning.toString).mkString(" ;; "))
+  }
+
   test("txt12: bounded pair shuffles, skew-safe score join") {
     val p = TextAnalysis.txt12LmQuality(spark, d)
     val phys = physical(p)
