@@ -30,15 +30,23 @@ object BinlogTailer {
                           xid: Option[Long], db: String, table: String,
                           deltaType: String, row: RowImage.Image)
 
+  /** `onIncident = "fail"` (default) kills the tail at an INCIDENT event;
+    * `"ignore"` tails past it — the restart path after an operator has
+    * reconciled an acknowledged incident (catch-up replays the whole file
+    * set, so without the override a historical incident would re-kill
+    * every restarted tailer; same contract as the DSv2 option).
+    */
   def start(dir: String, onChange: Change => Unit,
             db: Option[String] = None, table: Option[String] = None,
             charset: Charset = StandardCharsets.ISO_8859_1,
-            pollMs: Long = 200L, maxTxnRows: Int = 1000000): Tailer =
-    new Tailer(Paths.get(dir), onChange, db, table, charset, pollMs, maxTxnRows)
+            pollMs: Long = 200L, maxTxnRows: Int = 1000000,
+            onIncident: String = "fail"): Tailer =
+    new Tailer(Paths.get(dir), onChange, db, table, charset, pollMs, maxTxnRows,
+      onIncident)
 
   final class Tailer private[BinlogTailer] (dir: Path, onChange: Change => Unit,
       dbF: Option[String], tableF: Option[String], charset: Charset, pollMs: Long,
-      maxTxnRows: Int)
+      maxTxnRows: Int, onIncident: String)
     extends AutoCloseable {
 
     @volatile private var closed = false
@@ -148,11 +156,13 @@ object BinlogTailer {
             txn = Vector.empty
             txnOverflowed = false
           case r: RotateEvent => rotateTo = Some(r.nextFile); rotateAt = r.header.offset
-          case ie: IncidentEvent =>
-            // the tail decodes forward from its live cursor, so an incident
-            // here is always ahead of the consumer: kill the thread (same
-            // surfacing contract as a CRC mismatch) rather than silently
-            // tailing rows the server itself flagged as possibly incomplete
+          case ie: IncidentEvent if onIncident != "ignore" =>
+            // catch-up and live rows alike are DELIVERED by this tail, so
+            // any incident it decodes covers data a consumer sees: kill the
+            // thread (same surfacing contract as a CRC mismatch) rather
+            // than silently tailing rows the server itself flagged as
+            // possibly incomplete; restart with onIncident="ignore" after
+            // reconciling
             throw new IllegalStateException(
               s"INCIDENT event at $file:${ie.header.offset} (${ie.typeName}" +
                 (if (ie.message.nonEmpty) s", '${ie.message}'" else "") +

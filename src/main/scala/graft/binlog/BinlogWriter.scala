@@ -47,6 +47,16 @@ object BinlogWriter {
   val FixtureUuid: Array[Byte] =
     (0 until 16).map(i => ((i * 17 + 3) & 0xff).toByte).toArray
 
+  /** 8-byte little-endian encoding — the shared helper for fixture writers
+    * producing raw USER_VAR-style value bytes outside a [[Writer]].
+    */
+  def leLong(v: Long): Array[Byte] = {
+    val a = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { a(i) = ((v >> (i * 8)) & 0xff).toByte; i += 1 }
+    a
+  }
+
   final case class ColSpec(typeId: Int, meta: Int)
   object ColSpec {
     def varchar(maxLen: Int): ColSpec = ColSpec(ColType.Varchar, maxLen)

@@ -294,11 +294,6 @@ object CdcBinlog {
     */
   private def writeSbrFixture(dir: java.nio.file.Path, exp: java.io.Writer): Unit = {
     val cols = Seq(ColSpec.int, ColSpec.varchar(24))
-    def le8(v: Long): Array[Byte] = {
-      val a = new Array[Byte](8); var x = v; var i = 0
-      while (i < 8) { a(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
-      a
-    }
     def csv(s: String): String =
       if (s.contains(",") || s.contains("\"")) "\"" + s.replace("\"", "\"\"") + "\"" else s
     exp.write("event_type,sql\n")
@@ -316,7 +311,7 @@ object CdcBinlog {
       }
       if (i % 5 == 0) {
         val unsigned = i % 10 == 0
-        w.writeUserVar(s"v$i", le8(i * 1000L), valType = 2, charsetId = 63,
+        w.writeUserVar(s"v$i", leLong(i * 1000L), valType = 2, charsetId = 63,
           unsigned = unsigned, ts = i)
         exp.write(s"USER_VAR_EVENT,${csv(s"SET @`v$i`:=${i * 1000}")}\n")
       }

@@ -184,6 +184,15 @@ class BinlogTailerSpec extends AnyFunSuite {
       assert(got.toArray.toVector
         .map(_.asInstanceOf[BinlogTailer.Change].row(0)) === Vector(1))
     } finally t.close()
+    // the reconciled-restart path: onIncident="ignore" tails past the
+    // SAME historical incident and delivers both transactions
+    val got2 = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t2 = BinlogTailer.start(dir.toString, got2.add, pollMs = 50,
+      onIncident = "ignore")
+    try {
+      val all = await(got2, 2)
+      assert(t2.failure.isEmpty && all.map(_.row(0)) === Vector(1, 2))
+    } finally t2.close()
   }
 
   test("checksummed log tails identically") {

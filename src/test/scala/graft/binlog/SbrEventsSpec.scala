@@ -25,13 +25,6 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
 
-  private def leBytes(v: Long): Array[Byte] = {
-    val a = new Array[Byte](8)
-    var x = v; var i = 0
-    while (i < 8) { a(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
-    a
-  }
-
   private def sbrLog(): String = {
     val dir = Files.createTempDirectory("sbr")
     new Writer(checksum = true)
@@ -41,7 +34,7 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeRand(7L, 9L, ts = 2)
       .writeUserVar("greeting", "hi 'there'".getBytes("UTF-8"), valType = 0,
         charsetId = 33, ts = 2)
-      .writeUserVar("big", leBytes(-1L), valType = 2, charsetId = 63,
+      .writeUserVar("big", leLong(-1L), valType = 2, charsetId = 63,
         unsigned = true, ts = 2)
       .writeUserVar("missing", null, ts = 2)
       .writeTableMap(7, "shop", "t", cols, ts = 2)
@@ -125,5 +118,12 @@ class SbrEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d", isNull = false, valType = 4, charsetId = 63, value = body,
       unsigned = false)
     assert(e.rendered == "SET @`d`:=-1234.5678")
+  }
+
+  test("empty-message incident renders the number alone, no trailing colon") {
+    val e = IncidentEvent(
+      EventHeader(0L, EventType.Incident, 1L, 0L, 0L, 0, 0L), 1, "")
+    assert(e.rendered == "#Incident: LOST_EVENTS")
+    assert(IncidentEvent(e.header, 7, "").rendered == "#Incident: INCIDENT(7)")
   }
 }
