@@ -307,6 +307,59 @@ object BinlogReader {
       bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs))
   }
 
+  /** BEGIN_LOAD_QUERY (17) / APPEND_BLOCK (9): 4-byte LE file_id, then the
+    * raw file-block bytes (not retained — see [[BeginLoadQueryEvent]]).
+    */
+  def readBeginLoadQuery(b: ByteBuffer, h: EventHeader): BeginLoadQueryEvent = {
+    if (h.eventLen < HeaderLen + 4) throw new IllegalArgumentException(
+      s"BEGIN_LOAD_QUERY at offset ${h.offset} is ${h.eventLen} bytes — body needs at least 4")
+    b.position(h.offset.toInt + HeaderLen)
+    BeginLoadQueryEvent(h, uint(b, b.position()),
+      (h.eventLen - HeaderLen - 4).toInt)
+  }
+
+  def readAppendBlock(b: ByteBuffer, h: EventHeader): AppendBlockEvent = {
+    if (h.eventLen < HeaderLen + 4) throw new IllegalArgumentException(
+      s"APPEND_BLOCK at offset ${h.offset} is ${h.eventLen} bytes — body needs at least 4")
+    b.position(h.offset.toInt + HeaderLen)
+    AppendBlockEvent(h, uint(b, b.position()),
+      (h.eventLen - HeaderLen - 4).toInt)
+  }
+
+  /** DELETE_FILE (11): 4-byte LE file_id of the aborted transfer. */
+  def readDeleteFile(b: ByteBuffer, h: EventHeader): DeleteFileEvent = {
+    if (h.eventLen < HeaderLen + 4) throw new IllegalArgumentException(
+      s"DELETE_FILE at offset ${h.offset} is ${h.eventLen} bytes — body needs 4")
+    DeleteFileEvent(h, uint(b, h.offset.toInt + HeaderLen))
+  }
+
+  /** EXECUTE_LOAD_QUERY (18): QUERY's 13-byte post-header + 13 more bytes
+    * (file_id, fn_pos_start, fn_pos_end, dup_handling), then status vars,
+    * db and the statement text — layout per the public binary-log format
+    * (libbinlogevents `load_data_events.h`).
+    */
+  def readExecuteLoadQuery(b: ByteBuffer, h: EventHeader,
+                           cs: Charset): ExecuteLoadQueryEvent = {
+    if (h.eventLen < HeaderLen + 27) throw new IllegalArgumentException(
+      s"EXECUTE_LOAD_QUERY at offset ${h.offset} is ${h.eventLen} bytes — " +
+        "body needs at least 27 (26-byte post-header plus the db terminator)")
+    b.position(h.offset.toInt + HeaderLen)
+    val threadId = uint(b, b.position()); b.position(b.position() + 4)
+    val execTime = uint(b, b.position()); b.position(b.position() + 4)
+    val dbNameLen = ubyte(b) + 1 // + nullbyte, as in readQuery
+    val errorCode = ushort(b)
+    val statusLen = ushort(b)
+    val fileId = uint(b, b.position()); b.position(b.position() + 4)
+    val fnPosStart = uint(b, b.position()); b.position(b.position() + 4)
+    val fnPosEnd = uint(b, b.position()); b.position(b.position() + 4)
+    val dup = ubyte(b)
+    bytes(b, statusLen) // status vars, skipped (as in readQuery)
+    val db = cstring(bytes(b, dbNameLen), cs)
+    val sql = cstring(bytes(b, (h.offset + h.eventLen - b.position()).toInt), cs)
+    ExecuteLoadQueryEvent(h, threadId, execTime, errorCode, db, sql,
+      fileId, fnPosStart, fnPosEnd, dup)
+  }
+
   /** MariaDB ANNOTATE_ROWS (160): the statement text, bare (no stored-
     * length byte) — their ROWS_QUERY; surfaces through the same
     * [[RowsQueryEvent]] so `attachRowsQuery` works on MariaDB logs.
@@ -1158,6 +1211,10 @@ object BinlogReader {
       case x: UserVarEvent => x.copy(header = h2)
       case x: IncidentEvent => x.copy(header = h2)
       case x: RowsQueryEvent => x.copy(header = h2)
+      case x: BeginLoadQueryEvent => x.copy(header = h2)
+      case x: AppendBlockEvent => x.copy(header = h2)
+      case x: DeleteFileEvent => x.copy(header = h2)
+      case x: ExecuteLoadQueryEvent => x.copy(header = h2)
       case x: OpaqueEvent => x.copy(header = h2)
     }
   }
@@ -1250,6 +1307,10 @@ object BinlogReader {
                 case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
                 case EventType.RowsQuery => readRowsQuery(buf, h, charset)
+                case EventType.BeginLoadQuery => readBeginLoadQuery(buf, h)
+                case EventType.AppendBlock => readAppendBlock(buf, h)
+                case EventType.DeleteFile => readDeleteFile(buf, h)
+                case EventType.ExecuteLoadQuery => readExecuteLoadQuery(buf, h, charset)
                 case EventType.MariaAnnotateRows => readAnnotateRows(buf, h, charset)
                 case EventType.MariaGtid => readMariaGtid(buf, h)
                 case EventType.MariaGtidList => readMariaGtidList(buf, h)
@@ -1383,6 +1444,7 @@ object BinlogReader {
     val csLen = checksumLen(buf)
     var pos = 4L
     var found = false
+    var inBegin = false
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -1407,8 +1469,14 @@ object BinlogReader {
               TxnBoundary.classify(q.sql) match {
                 case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
                   result = Some(h.offset + h.eventLen); done = true
-                case TxnBoundary.Begin | TxnBoundary.IntraTxn => // still inside
+                case TxnBoundary.Begin => inBegin = true
+                case TxnBoundary.IntraTxn => // still inside
               }
+            case EventType.ExecuteLoadQuery if found && !inBegin =>
+              // a statement-format LOAD DATA group (GTID; BEGIN_LOAD_QUERY;
+              // blocks; EXECUTE_LOAD_QUERY) commits at the execute — but a
+              // BEGIN-wrapped one stays open until its XID/COMMIT
+              result = Some(h.offset + h.eventLen); done = true
             case EventType.MariaStartEncryption => startEncryptionError(h.offset)
             case EventType.XaPrepare if found =>
               // the prepare ENDS this GTID's transaction in the log (the
@@ -1485,6 +1553,7 @@ object BinlogReader {
     val csLen = checksumLen(buf)
     var pos = 4L
     var found = false
+    var inBegin = false
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -1507,14 +1576,20 @@ object BinlogReader {
               TxnBoundary.classify(readQuery(buf, hs, cs).sql) match {
                 case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
                   result = Some(h.offset + h.eventLen); done = true
-                case _ => // BEGIN/intra-txn: still inside
+                case TxnBoundary.Begin => inBegin = true
+                case _ => // intra-txn: still inside
               }
             case EventType.MariaQueryCompressed if found =>
               TxnBoundary.classify(readQueryCompressed(buf, hs, cs).sql) match {
                 case TxnBoundary.Commit | TxnBoundary.ImplicitCommit =>
                   result = Some(h.offset + h.eventLen); done = true
+                case TxnBoundary.Begin => inBegin = true
                 case _ =>
               }
+            case EventType.ExecuteLoadQuery if found && !inBegin =>
+              // statement-format LOAD DATA commits at the execute (see
+              // positionAfterGtid); BEGIN-wrapped loads wait for XID
+              result = Some(h.offset + h.eventLen); done = true
             case EventType.XaPrepare if found =>
               result = Some(h.offset + h.eventLen); done = true
             case EventType.MariaStartEncryption => startEncryptionError(h.offset)

@@ -814,6 +814,59 @@ object BinlogWriter {
       this
     }
 
+    /** BEGIN_LOAD_QUERY (17): 4-byte LE file_id + the first block of the
+      * LOAD DATA INFILE file transfer.
+      */
+    def writeBeginLoadQuery(fileId: Long, block: Array[Byte],
+                            ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(4)(fileId))
+      b.write(block)
+      event(EventType.BeginLoadQuery, ts, b.toByteArray)
+      this
+    }
+
+    /** APPEND_BLOCK (9): continuation block, same layout as 17. */
+    def writeAppendBlock(fileId: Long, block: Array[Byte],
+                         ts: Long = 0L): this.type = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(4)(fileId))
+      b.write(block)
+      event(EventType.AppendBlock, ts, b.toByteArray)
+      this
+    }
+
+    /** DELETE_FILE (11): 4-byte LE file_id of an aborted transfer. */
+    def writeDeleteFile(fileId: Long, ts: Long = 0L): this.type = {
+      event(EventType.DeleteFile, ts, le(4)(fileId))
+      this
+    }
+
+    /** EXECUTE_LOAD_QUERY (18): QUERY post-header + (file_id,
+      * fn_pos_start, fn_pos_end, dup_handling), then db + statement text.
+      * `fnPosStart`/`fnPosEnd` delimit the filename literal inside `sql`.
+      */
+    def writeExecuteLoadQuery(db: String, sql: String, fileId: Long,
+                              fnPosStart: Int, fnPosEnd: Int,
+                              dupHandling: Int = 0, ts: Long = 0L,
+                              threadId: Long = 1L): this.type = {
+      val b = new ByteArrayOutputStream()
+      val dbb = db.getBytes(charset)
+      b.write(le(4)(threadId))
+      b.write(le(4)(0)) // exec time
+      b.write(Array(dbb.length.toByte))
+      b.write(le(2)(0)) // error code
+      b.write(le(2)(0)) // status block len
+      b.write(le(4)(fileId))
+      b.write(le(4)(fnPosStart.toLong))
+      b.write(le(4)(fnPosEnd.toLong))
+      b.write(Array(dupHandling.toByte))
+      b.write(dbb); b.write(Array(0.toByte))
+      b.write(sql.getBytes(charset))
+      event(EventType.ExecuteLoadQuery, ts, b.toByteArray)
+      this
+    }
+
     /** MariaDB QUERY_COMPRESSED (165): QUERY layout, SQL text as one
       * compressed record.
       */

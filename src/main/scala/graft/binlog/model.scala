@@ -13,6 +13,15 @@ object EventType {
   val Stop = 3
   val Rotate = 4
   val Intvar = 5
+  // LOAD DATA INFILE under statement-based replication (the 5.0+ wire
+  // protocol): the client file travels inside the log as BEGIN_LOAD_QUERY
+  // + APPEND_BLOCK* blocks keyed by file_id; EXECUTE_LOAD_QUERY (a QUERY
+  // variant with file_id + filename-span post-header fields) runs the
+  // statement against the reassembled file; DELETE_FILE aborts a transfer
+  val AppendBlock = 9
+  val DeleteFile = 11
+  val BeginLoadQuery = 17
+  val ExecuteLoadQuery = 18
   val Rand = 13
   val UserVar = 14
   val FormatDescription = 15
@@ -116,6 +125,10 @@ object EventType {
     case Stop => "STOP_EVENT"
     case Rotate => "ROTATE_EVENT"
     case Intvar => "INTVAR_EVENT"
+    case AppendBlock => "APPEND_BLOCK_EVENT"
+    case DeleteFile => "DELETE_FILE_EVENT"
+    case BeginLoadQuery => "BEGIN_LOAD_QUERY_EVENT"
+    case ExecuteLoadQuery => "EXECUTE_LOAD_QUERY_EVENT"
     case Rand => "RAND_EVENT"
     case UserVar => "USER_VAR_EVENT"
     case Incident => "INCIDENT_EVENT"
@@ -499,6 +512,62 @@ final case class IncidentEvent(header: EventHeader, incidentType: Int,
   */
 final case class RowsQueryEvent(header: EventHeader, query: String)
   extends BinlogEvent
+
+/** BEGIN_LOAD_QUERY_EVENT (id 17): first block of a LOAD DATA INFILE file
+  * transfer under statement-based replication, keyed by `fileId`. Block
+  * BYTES are not retained — reassembling the file is a statement applier's
+  * job; the scan surfaces transfer progress (file id, block length) for
+  * events-mode observability of mixed/statement logs.
+  */
+final case class BeginLoadQueryEvent(header: EventHeader, fileId: Long,
+    blockLen: Int) extends BinlogEvent {
+  def rendered: String = s"#Begin_load_query: file_id=$fileId block_len=$blockLen"
+}
+
+/** APPEND_BLOCK_EVENT (id 9): a continuation block of an in-flight LOAD
+  * DATA file transfer (same body layout as BEGIN_LOAD_QUERY).
+  */
+final case class AppendBlockEvent(header: EventHeader, fileId: Long,
+    blockLen: Int) extends BinlogEvent {
+  def rendered: String = s"#Append_block: file_id=$fileId block_len=$blockLen"
+}
+
+/** DELETE_FILE_EVENT (id 11): the server aborted an in-flight LOAD DATA
+  * transfer — discard the named file; no EXECUTE_LOAD_QUERY will follow.
+  */
+final case class DeleteFileEvent(header: EventHeader, fileId: Long)
+    extends BinlogEvent {
+  def rendered: String = s"#Delete_file: file_id=$fileId"
+}
+
+/** EXECUTE_LOAD_QUERY_EVENT (id 18): the QUERY variant that executes a
+  * completed LOAD DATA transfer. Post-header extends QUERY's with
+  * `fileId` + the byte span [`fnPosStart`, `fnPosEnd`) of the filename
+  * literal inside `query` (the applier substitutes its reassembled temp
+  * file there) + the duplicate-handling mode of the statement.
+  */
+final case class ExecuteLoadQueryEvent(header: EventHeader, threadId: Long,
+    execTime: Long, errorCode: Int, defaultDb: String, query: String,
+    fileId: Long, fnPosStart: Long, fnPosEnd: Long,
+    dupHandling: Int) extends BinlogEvent {
+  def dupName: String = dupHandling match {
+    case 0 => "ERROR"
+    case 1 => "IGNORE"
+    case 2 => "REPLACE"
+    case t => s"DUP($t)"
+  }
+  /** mysqlbinlog-style rendering: the statement with the original filename
+    * span replaced by the transfer handle (the applier's substitution
+    * point). A span the query text can't contain — a server would never
+    * write one — falls back to the raw statement rather than throwing.
+    */
+  def rendered: String = {
+    val s = fnPosStart.toInt; val e = fnPosEnd.toInt
+    if (s >= 0 && e >= s && e <= query.length)
+      query.substring(0, s) + s"<file_id:$fileId>" + query.substring(e)
+    else query
+  }
+}
 
 /** Recognized-but-undecoded event (passthrough, like the reference). */
 final case class OpaqueEvent(header: EventHeader) extends BinlogEvent

@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7c-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7d-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -323,6 +323,40 @@ object CdcBinlog {
         exp.write(s"INCIDENT_EVENT,${csv("#Incident: LOST_EVENTS: gap after batch 25")}\n")
       }
     }
+    // LOAD DATA INFILE under statement-based replication, all three log
+    // shapes. The expected rendering substitutes the filename span with
+    // the transfer handle — computed HERE with independent arithmetic, so
+    // the reader's fn_pos substitution is checked against the generator's.
+    def loadSql(fid: Int, dup: String): (String, Int, Int) = {
+      val sql = s"LOAD DATA INFILE '/tmp/load-$fid.csv' $dup INTO TABLE sbr"
+      val s = sql.indexOf('\'')
+      val e = sql.indexOf('\'', s + 1) + 1 // span includes both quotes
+      (sql, s, e)
+    }
+    def expLoad(fid: Int, sql: String, s: Int, e: Int): Unit =
+      exp.write(s"EXECUTE_LOAD_QUERY_EVENT,${csv(
+        sql.substring(0, s) + s"<file_id:$fid>" + sql.substring(e))}\n")
+    // shape 1: BEGIN-wrapped (InnoDB, mixed format) — ends at XID
+    w.writeQuery("bench", "BEGIN", ts = 51)
+    w.writeBeginLoadQuery(7, Array.fill(40)('a'.toByte), ts = 51)
+    exp.write(s"BEGIN_LOAD_QUERY_EVENT,${csv("#Begin_load_query: file_id=7 block_len=40")}\n")
+    w.writeAppendBlock(7, Array.fill(24)('b'.toByte), ts = 51)
+    exp.write(s"APPEND_BLOCK_EVENT,${csv("#Append_block: file_id=7 block_len=24")}\n")
+    val (sql7, s7, e7) = loadSql(7, "REPLACE")
+    w.writeExecuteLoadQuery("bench", sql7, 7, s7, e7, dupHandling = 2, ts = 51)
+    expLoad(7, sql7, s7, e7)
+    w.writeXid(51L, ts = 51)
+    // shape 2: standalone autocommit (statement format) — no BEGIN/XID
+    w.writeBeginLoadQuery(8, Array.fill(32)('c'.toByte), ts = 52)
+    exp.write(s"BEGIN_LOAD_QUERY_EVENT,${csv("#Begin_load_query: file_id=8 block_len=32")}\n")
+    val (sql8, s8, e8) = loadSql(8, "IGNORE")
+    w.writeExecuteLoadQuery("bench", sql8, 8, s8, e8, dupHandling = 1, ts = 52)
+    expLoad(8, sql8, s8, e8)
+    // shape 3: aborted transfer — DELETE_FILE, no execute
+    w.writeBeginLoadQuery(9, Array.fill(16)('d'.toByte), ts = 53)
+    exp.write(s"BEGIN_LOAD_QUERY_EVENT,${csv("#Begin_load_query: file_id=9 block_len=16")}\n")
+    w.writeDeleteFile(9, ts = 53)
+    exp.write(s"DELETE_FILE_EVENT,${csv("#Delete_file: file_id=9")}\n")
     w.save(dir.resolve("binlog.000001").toString)
     exp.close()
   }
@@ -772,16 +806,20 @@ object CdcBinlog {
       .orderBy($"event_type")
   }
 
-  // cdcb17 — statement-based-replication context + INCIDENT decode under
-  // the oracle: the events-mode `sql` renderings of INTVAR/RAND/USER_VAR
-  // and the incident marker over the sbr twin, checked against the
-  // generator's own per-event record.
+  // cdcb17 — statement-based-replication context + INCIDENT + LOAD DATA
+  // decode under the oracle: the events-mode `sql` renderings of
+  // INTVAR/RAND/USER_VAR, the incident marker, and the LOAD DATA INFILE
+  // event family (BEGIN_LOAD_QUERY/APPEND_BLOCK/DELETE_FILE/
+  // EXECUTE_LOAD_QUERY incl. its fn_pos filename substitution) over the
+  // sbr twin, checked against the generator's own per-event record.
   def cdcb17SbrEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     s.read.format("mysql-binlog").option("mode", "events")
       .load(Paths.get(fixtureDir(d), "sbr").toString)
       .filter($"event_type".isin(
-        "INTVAR_EVENT", "RAND_EVENT", "USER_VAR_EVENT", "INCIDENT_EVENT"))
+        "INTVAR_EVENT", "RAND_EVENT", "USER_VAR_EVENT", "INCIDENT_EVENT",
+        "BEGIN_LOAD_QUERY_EVENT", "APPEND_BLOCK_EVENT", "DELETE_FILE_EVENT",
+        "EXECUTE_LOAD_QUERY_EVENT"))
       .select($"event_type", $"sql")
       .orderBy($"event_type", $"sql")
   }

@@ -677,6 +677,14 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       case rd: RandEvent => a(9) = UTF8String.fromString(rd.rendered)
       case uv: UserVarEvent => a(9) = UTF8String.fromString(uv.rendered)
       case ic: IncidentEvent => a(9) = UTF8String.fromString(ic.rendered)
+      // LOAD DATA file-transfer progression + the executing statement
+      // (filename span substituted with its transfer handle)
+      case bl: BeginLoadQueryEvent => a(9) = UTF8String.fromString(bl.rendered)
+      case ab: AppendBlockEvent => a(9) = UTF8String.fromString(ab.rendered)
+      case df: DeleteFileEvent => a(9) = UTF8String.fromString(df.rendered)
+      case el: ExecuteLoadQueryEvent =>
+        a(7) = UTF8String.fromString(el.defaultDb)
+        a(9) = UTF8String.fromString(el.rendered)
       case _ =>
     }
     new GenericInternalRow(a)
@@ -751,6 +759,13 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
           // prefix predates the requested start (startOffset/startAfterGtid)
           // and cannot invalidate rows the scan will actually emit.
           if (!dynamicPayload && inRange(q.header)) checkDdl(q)
+        case _: ExecuteLoadQueryEvent =>
+          // a LOAD DATA statement completing is DML, not a transaction
+          // boundary: the real end (XID / COMMIT-QUERY) follows in every
+          // legal log shape, and a standalone statement-format load carries
+          // no rows events to flush. Only the statement-scoped SQL
+          // attachment resets here.
+          rowsQueryText = null
         case _: RotateEvent =>
           commitBoundary(null) // rotation flushes, no xid
         case e if e.header.eventType == EventType.XaPrepare =>

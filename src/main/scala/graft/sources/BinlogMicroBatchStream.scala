@@ -137,6 +137,10 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
     var tms = tableMapCache.getOrElse((file, pos), Map.empty[Long, TableMapEvent])
     var tmsAtSafe = tms
     var txnOpen = false
+    // an explicit BEGIN/XA START is open (narrower than txnOpen, which a
+    // LOAD DATA transfer or statement-context event also sets): decides
+    // whether EXECUTE_LOAD_QUERY ends the transaction or sits inside one
+    var beginOpen = false
     var done = false
     while (!done) {
       BinlogReader.readEventHeader(buf, pos) match {
@@ -152,11 +156,12 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
                 if (h.eventType == EventType.Query) BinlogReader.readQuery(buf, hs, charset)
                 else BinlogReader.readQueryCompressed(buf, hs, charset)
               TxnBoundary.classify(q.sql) match {
-                case TxnBoundary.Begin => txnOpen = true
+                case TxnBoundary.Begin => txnOpen = true; beginOpen = true
                 case TxnBoundary.IntraTxn => // SAVEPOINT etc: stays inside
                                              // any open txn — NOT a safe
                                              // boundary to park on
-                case _ => txnOpen = false // COMMIT/ROLLBACK/DDL close it
+                case _ => // COMMIT/ROLLBACK/DDL close it
+                  txnOpen = false; beginOpen = false
               }
             case EventType.TableMap =>
               // trailer-stripped, like QUERY above: readTableMap now parses
@@ -179,10 +184,23 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // uuid:n" per batch must never see them split); MariaDB's
               // frame (162) plays the same role
               txnOpen = true
+            case EventType.Intvar | EventType.Rand | EventType.UserVar =>
+              // statement-based-replication context binds to the NEXT
+              // statement — parking between a SET INSERT_ID and the
+              // statement it seeds would split them across batches
+              txnOpen = true
+            case EventType.BeginLoadQuery | EventType.AppendBlock =>
+              // an in-flight LOAD DATA file transfer: the EXECUTE /
+              // DELETE_FILE that completes it is the statement end
+              txnOpen = true
+            case EventType.ExecuteLoadQuery | EventType.DeleteFile =>
+              // statement done — safe, unless an explicit BEGIN wraps the
+              // load (then the transaction stays open until XID/COMMIT)
+              txnOpen = beginOpen
             case EventType.MariaStartEncryption =>
               BinlogReader.startEncryptionError(h.offset)
             case _ => // XID, ROTATE, FDE, STOP... close/stay outside a txn
-              txnOpen = false
+              txnOpen = false; beginOpen = false
           }
           pos = h.offset + h.eventLen
           if (!txnOpen) { lastSafe = pos; tmsAtSafe = tms }
