@@ -54,7 +54,17 @@ object BinlogReader {
     val in = new FileInputStream(path)
     try {
       val b = new Array[Byte](4)
-      if (in.read(b) == 4) Some(b) else None
+      // loop to 4 bytes or EOF — a single read() may return SHORT on
+      // NFS/FUSE (same concern as mapFile's positional-read loop), and a
+      // short read here would classify an encrypted file as "not a
+      // binlog" and silently skip it
+      var off = 0
+      var n = 0
+      while (off < 4 && n >= 0) {
+        n = in.read(b, off, 4 - off)
+        if (n > 0) off += n
+      }
+      if (off == 4) Some(b) else None
     } finally in.close()
   }
 
@@ -558,6 +568,16 @@ object BinlogReader {
     var i = 0
     while (i < lenlen) { len = (len << 8) | ubyte(b); i += 1 }
     val comp = bytes(b, (end - b.position()).toInt)
+    // bound the declared length BEFORE allocating: a corrupt 4-byte BE
+    // length otherwise permits a ~4 GB allocation from one bad record
+    // (and >= 2^31 overflows toInt to a NegativeArraySizeException
+    // instead of a named corrupt-record error). DEFLATE expands at most
+    // ~1032:1, so anything past that multiple of the compressed payload
+    // is provably corrupt, not merely large.
+    if (len < 0 || len > 1032L * comp.length + 64)
+      throw new IllegalStateException(
+        s"MariaDB compressed record: corrupt uncompressed-length $len " +
+          s"(compressed payload is ${comp.length} bytes)")
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(comp)
@@ -1566,7 +1586,14 @@ object BinlogReader {
               else {
                 val g = readMariaGtid(buf, h)
                 if (g.domainId == domain && g.header.serverId == server &&
-                  g.seq == seq) found = true
+                  g.seq == seq) {
+                  found = true
+                  // the GTID frame REPLACES BEGIN in MariaDB logs: a
+                  // non-standalone frame opens a transaction, so an
+                  // EXECUTE_LOAD_QUERY inside it must wait for the XID —
+                  // only standalone (statement-format) groups end there
+                  inBegin = !g.standalone
+                }
               }
             case EventType.Gtid | EventType.AnonymousGtid if found =>
               result = Some(h.offset); done = true

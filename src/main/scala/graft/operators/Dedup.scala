@@ -669,9 +669,15 @@ object Dedup {
                           reliableCheckpointDir: Option[String] = None): DataFrame =
     reliableCheckpointDir match {
       case Some(dir) => reliableCkptLock.synchronized {
+        val sc = pairs.sparkSession.sparkContext
+        // setCheckpointDir is context-global: restore the caller's prior
+        // dir on exit, or every later checkpoint() in the session would
+        // silently land inside this invocation's UUID subdir
+        val prior = sc.getCheckpointDir
         val sub = s"$dir/cc-${java.util.UUID.randomUUID()}"
-        pairs.sparkSession.sparkContext.setCheckpointDir(sub)
-        connectedComponentsImpl(pairs, maxIter, reliable = true)
+        sc.setCheckpointDir(sub)
+        try connectedComponentsImpl(pairs, maxIter, reliable = true)
+        finally prior.foreach(sc.setCheckpointDir)
       }
       case None => connectedComponentsImpl(pairs, maxIter, reliable = false)
     }

@@ -177,13 +177,20 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // their rows events — inside the transaction, not a safe
               // boundary
               txnOpen = true
-            case EventType.Gtid | EventType.AnonymousGtid | EventType.MariaGtid =>
+            case EventType.Gtid | EventType.AnonymousGtid =>
               // the GTID frame PRECEDES its BEGIN: binding it to the txn
               // keeps frame + transaction atomic within one micro-batch
               // (an events-mode consumer attributing "complete through
-              // uuid:n" per batch must never see them split); MariaDB's
-              // frame (162) plays the same role
+              // uuid:n" per batch must never see them split)
               txnOpen = true
+            case EventType.MariaGtid =>
+              // MariaDB's frame (162) plays the same role, but it also
+              // REPLACES BEGIN for transactional groups: a non-standalone
+              // frame must open beginOpen too, or an EXECUTE_LOAD_QUERY
+              // inside the group would read as a statement end and park
+              // the safe position between the execute and its XID
+              txnOpen = true
+              beginOpen = !BinlogReader.readMariaGtid(buf, h).standalone
             case EventType.Intvar | EventType.Rand | EventType.UserVar =>
               // statement-based-replication context binds to the NEXT
               // statement — parking between a SET INSERT_ID and the

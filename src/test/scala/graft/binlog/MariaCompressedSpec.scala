@@ -146,6 +146,20 @@ class MariaCompressedSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("corrupt declared length fails by name before allocating") {
+    // 4-byte BE length 0xfffffff0 (~4 GB) over a 2-byte payload: must be
+    // named corrupt, not attempted as an allocation — and lengths >= 2^31
+    // must not surface as NegativeArraySizeException via toInt overflow
+    val rec = Array[Byte]((0x80 | 4).toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf0.toByte, 1, 2)
+    val ex = intercept[IllegalStateException] {
+      BinlogReader.mariaUncompress(
+        java.nio.ByteBuffer.wrap(rec).order(java.nio.ByteOrder.LITTLE_ENDIAN),
+        rec.length.toLong)
+    }
+    assert(ex.getMessage.contains("corrupt uncompressed-length"))
+  }
+
   test("truncated zlib stream fails by name, not with garbage rows") {
     // a valid record, then cut the deflate stream short
     val data = Array.fill[Byte](64)(7)

@@ -218,6 +218,80 @@ class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[Exception](ids(dir, "0-9-1")).getMessage.contains("not found"))
   }
 
+  test("MariaDB: non-standalone LOAD DATA group resumes after XID, standalone at execute") {
+    val dir = Files.createTempDirectory("maria-gtid-load")
+    val sql = "LOAD DATA INFILE '/d/a.csv' INTO TABLE t"
+    val s = sql.indexOf('\''); val e = sql.indexOf('\'', s + 1) + 1
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "10.6.14-MariaDB-log")
+      .writeMariaGtidList(Nil, ts = 1000)
+      // seq 1: transactional (InnoDB) load — the GTID frame REPLACES
+      // BEGIN (FL_STANDALONE clear, no QUERY opens the group), so the
+      // group must end at its XID, NOT at EXECUTE_LOAD_QUERY
+      .writeMariaGtid(0L, 1L, ts = 1000)
+      .writeBeginLoadQuery(4, Array.fill(8)('a'.toByte), ts = 1000)
+      .writeExecuteLoadQuery("d", sql, 4, s, e, ts = 1000)
+      .writeXid(11, ts = 1000)
+      // seq 2: statement-format standalone load — ends at the execute
+      .writeMariaGtid(0L, 2L, standalone = true, ts = 1000)
+      .writeBeginLoadQuery(5, Array.fill(8)('b'.toByte), ts = 1000)
+      .writeExecuteLoadQuery("d", sql, 5, s, e, ts = 1000)
+    mariaTxn(w, 3, 30)
+    w.save(dir.resolve("binlog.000001").toString)
+    val f = dir.resolve("binlog.000001").toString
+    val events = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(dir.toString).selectExpr("event_type", "next_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def nextPosOf(n: Int, tpe: String): Long = events.filter(_._1 == tpe)(n)._2
+    assert(BinlogReader.positionAfterMariaGtid(f, 0L, 1L, 1L) ==
+      Some(nextPosOf(0, "XID_EVENT")))
+    assert(BinlogReader.positionAfterMariaGtid(f, 0L, 1L, 2L) ==
+      Some(nextPosOf(1, "EXECUTE_LOAD_QUERY_EVENT")))
+    // end-to-end: resuming after seq 1 must not re-enter the group
+    // between execute and XID (both later groups' content follows)
+    assert(ids(dir, "0-1-2") === Seq(30))
+  }
+
+  test("MariaDB micro-batch: GTID-framed loads never split from their XID") {
+    val dir = Files.createTempDirectory("maria-load-stream")
+    val sql = "LOAD DATA INFILE '/d/b.csv' INTO TABLE other"
+    val s = sql.indexOf('\''); val e = sql.indexOf('\'', s + 1) + 1
+    val w = new Writer(checksum = true)
+      .writeFormatDescription(ts = 1, serverVersion = "10.6.14-MariaDB-log")
+    for (i <- 0 until 12) {
+      // non-standalone GTID frame + load + XID (no BEGIN QUERY — the
+      // frame opens the txn), interleaved with row txns; the tiny byte
+      // budget forces batch boundaries among these shapes
+      w.writeMariaGtid(0L, 3L * i + 1, ts = i)
+        .writeBeginLoadQuery(100 + i, Array.fill(32)('x'.toByte), ts = i)
+        .writeExecuteLoadQuery("d", sql, 100 + i, s, e, ts = i)
+        .writeXid(1000 + i, ts = i)
+      w.writeMariaGtid(0L, 3L * i + 2, ts = i)
+        .writeTableMap(7, "d", "t", cols, ts = i)
+        .writeInsert(7, cols, Seq(Seq[Any](i)), ts = i)
+        .writeXid(2000 + i, ts = i)
+      w.writeMariaGtid(0L, 3L * i + 3, standalone = true, ts = i)
+        .writeBeginLoadQuery(200 + i, Array.fill(16)('y'.toByte), ts = i)
+        .writeExecuteLoadQuery("d", sql, 200 + i, s, e, ts = i)
+    }
+    w.save(dir.resolve("binlog.000001").toString)
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", "id INT")
+      .option("maxBytesPerTrigger", "400")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("maria_load_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("maria_load_mem").selectExpr("id", "xid").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      // every row txn arrives exactly once with ITS OWN xid — a safe
+      // position parked between an execute and its XID would strip or
+      // misattribute one
+      assert(rows.toSet == (0 until 12).map(i => (i, 2000L + i)).toSet)
+    } finally q.stop()
+  }
+
   test("streaming initial offset honors startAfterGtid") {
     val dir = fixture()
     import org.apache.spark.sql.functions.col
