@@ -814,13 +814,25 @@ object Dedup {
   // removes boilerplate repeated INSIDE otherwise-distinct documents —
   // the dominant duplication mode in crawled corpora.
   //
-  // Scale shape (100 TB): three shuffles, all irreducible for a lossless
-  // result — (doc_id, chunk) re-chunking, the span-content shuffle that
-  // makes occurrences of one span meet (the cost of ANY exact span dedup;
-  // a hash-only key would save bytes but a collision silently deletes real
-  // content, so the span text rides along), and the doc-keyed reassembly.
-  // Everything between shuffles is narrow; no driver state, no broadcast
-  // of anything corpus-sized.
+  // Scale shape (100 TB): chunking is NARROW — W-word spans are sliced
+  // straight out of the split array (an earlier draft posexploded to
+  // per-word rows and re-grouped on (doc_id, chunk), shuffling the whole
+  // corpus for what a per-row transform computes in place). Two content
+  // shuffles remain, both irreducible for a lossless result — the
+  // span-content meeting point (the cost of ANY exact span dedup; a
+  // hash-only key would save bytes but a collision silently deletes real
+  // content, so the span text rides along) and the doc-keyed reassembly
+  // of survivors. First-occurrence is a groupBy(ctext).min(struct): the
+  // partial aggregation collapses every map task's occurrences of a hot
+  // span to ONE row BEFORE the shuffle — a row_number window partitioned
+  // by ctext (the earlier shape) pins all 10⁸ occurrences of a
+  // boilerplate span on a single task, and window partitions are
+  // AQE-unsplittable. Per-doc chunk totals come from a second narrow
+  // pass over the corpus: at scale, re-scanning columnar parquet is far
+  // cheaper than shuffling the full chunk stream a third time (write
+  // amplification + spill vs a compressed columnar read), and docs whose
+  // every chunk lost (zero survivors) still need their output row, so
+  // the universe of doc_ids cannot come from the survivor stream.
   def dd11SpanDedup(s: SparkSession, d: String, w: Int = 6): DataFrame =
     spanDedup(documents(s, d), w)
 
@@ -828,20 +840,29 @@ object Dedup {
   def spanDedup(docs: DataFrame, w: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val words = docs
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-    val chunks = words
-      .groupBy($"doc_id", floor($"pos" / w).cast("int").as("chunk"))
-      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"w"))),
-        p => p.getField("w")), " ").as("ctext"))
-    val first = Window.partitionBy($"ctext").orderBy($"doc_id", $"chunk")
-    chunks.withColumn("rn", row_number().over(first))
-      .groupBy($"doc_id").agg(
-        array_join(transform(
-          array_sort(collect_list(when($"rn" === 1, struct($"chunk", $"ctext")))),
-          p => p.getField("ctext")), " ").as("new_text"),
-        count(when($"rn" === 1, 1)).as("kept_chunks"),
-        count(when($"rn" > 1, 1)).as("dropped_chunks"))
+    val sp = split($"text", " ")
+    // chunk i = words [i*w, i*w+w) joined back — 1-based slice; split of
+    // any string yields >= 1 element so every doc has >= 1 chunk (the
+    // empty doc's single empty chunk participates in dedup like any span)
+    val chunkArr = transform(
+      sequence(lit(0), ceil(size(sp) / lit(w.toDouble)).cast("int") - 1),
+      i => array_join(slice(sp, i * w + 1, lit(w)), " "))
+    val chunks = docs.select($"doc_id", posexplode(chunkArr).as(Seq("chunk", "ctext")))
+    // first occurrence of each distinct span = min (doc_id, chunk) —
+    // map-side partial agg, then a slim survivor stream
+    val firsts = chunks.groupBy($"ctext")
+      .agg(min(struct($"doc_id", $"chunk")).as("f"))
+      .select($"f.doc_id".as("doc_id"), $"f.chunk".as("chunk"), $"ctext")
+    val reassembled = firsts.groupBy($"doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct($"chunk", $"ctext"))),
+        p => p.getField("ctext")), " ").as("new_text"),
+      count(lit(1)).as("kept_chunks"))
+    docs.select($"doc_id", size(chunkArr).cast("long").as("n_chunks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"new_text", lit("")).as("new_text"),
+        coalesce($"kept_chunks", lit(0L)).as("kept_chunks"),
+        ($"n_chunks" - coalesce($"kept_chunks", lit(0L))).as("dropped_chunks"))
       .orderBy($"doc_id")
   }
 

@@ -169,21 +169,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly one range exchange (output sort): " + plan(p).take(1500))
   }
 
-  test("dd11: exactly the three irreducible span-dedup shuffles + output sort") {
+  test("dd11: two irreducible content shuffles, no window, hot spans collapse map-side") {
     val p = Dedup.dd11SpanDedup(spark, d)
     val exchanges = physical(p).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    // (doc_id, chunk) re-chunking, the span-content meeting point, and the
-    // doc-keyed reassembly — plus the gate's ORDER BY. A fifth exchange
-    // means a join or window crept into the narrow stages.
-    assert(exchanges.size === 4, plan(p).take(2000))
-    assert(exchanges.count(_.outputPartitioning.toString.toLowerCase.contains("range")) === 1,
+    // chunking is narrow (slice over the split array — NO per-word
+    // shuffle); content shuffles are the span-content meeting point and
+    // the doc-keyed survivor reassembly. The remaining exchanges are the
+    // slim (doc_id, n_chunks) totals join and the gate's ORDER BY.
+    val parts = exchanges.map(_.outputPartitioning.toString.toLowerCase)
+    assert(parts.count(_.contains("ctext")) === 1,
+      "exactly one span-content shuffle: " + plan(p).take(2000))
+    assert(exchanges.size <= 4, plan(p).take(2000))
+    assert(parts.count(_.contains("range")) === 1,
       "exactly one range exchange (output sort): " + plan(p).take(1500))
-    // the corpus is read once — span dedup is single-pass over documents
+    // first-occurrence must be an aggregation (map-side partial collapse
+    // of hot spans, AQE-splittable join back) — a window partitioned by
+    // ctext would pin every occurrence of a boilerplate span on one task
+    assert(!plan(p).contains("Window"), plan(p).take(1500))
+    // two narrow corpus passes (chunk stream + per-doc totals): a scan is
+    // deliberate — cheaper than shuffling the full chunk stream a third time
     val docScans = fileScans(p)
       .count(_.relation.location.rootPaths.mkString.contains("documents"))
-    assert(docScans === 1, plan(p).take(1500))
+    assert(docScans === 2, plan(p).take(1500))
   }
 
   test("mm07: both manifest windows share ONE bucket shuffle; blobs absent") {
