@@ -99,6 +99,8 @@ object GraftFunctions {
       "graft_shingles", exprs => ShingleArray(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_min_k", exprs => BoundedMinK(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-API form (goes through the registered function so no internal

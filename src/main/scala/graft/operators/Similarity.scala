@@ -631,20 +631,59 @@ object Similarity {
   // true near-dups (max within-cell cos ≈ 0.49), and a vacuous
   // threshold would leave the removal path untested; production callers
   // pass the usual 0.9+.
-  def dd10SemanticDedup(s: SparkSession, d: String,
-                        tau: Double = 0.40, k: Int = 16): DataFrame = {
+  //
+  // TWO scale guards, both load-bearing (the round-7 shape had neither —
+  // fixed k=16 made pair work O(N²/16) with a 16-key shuffle):
+  //  1. the cell family GROWS with the corpus — k = cellsFor(N) from
+  //     parquet footer counts (dd05's nBitsFor contract), targeting ~64
+  //     vectors per expected cell, so the cell join fans out over
+  //     N/64 keys instead of 16;
+  //  2. per-cell comparisons are CAPPED by representatives: each vector
+  //     compares only against its cell's `reps` smallest vec_ids (mm05's
+  //     candidate bounding), picked by the bounded graft_min_k aggregate
+  //     — map-side partial agg with O(reps) state per cell, so even a
+  //     degenerate all-one-cell distribution does N·reps comparisons,
+  //     never N². The rep side is ≤ k·reps slim rows — broadcast, so the
+  //     corpus is NEVER shuffled: assignment is a broadcast argmax and
+  //     pair generation is a broadcast hash join on `cell`.
+  // Keep-rule under the cap: a vector is removed if it is within tau of
+  // any LOWER-id representative — deterministic, and identical to the
+  // uncapped rule whenever a cell holds ≤ reps+1 vectors.
+  def dd10SemanticDedup(s: SparkSession, d: String, tau: Double = 0.40,
+                        k: Int = 0, reps: Int = 8): DataFrame = {
+    val kk = if (k > 0) k else cellsForDir(d)
+    semanticDedup(embeddings(s, d), tau, kk, reps)
+  }
+
+  /** [[dd10SemanticDedup]] on any (vec_id, label, embedding) frame — the
+    * spec entry (pair-count bound, degenerate-distribution behavior).
+    */
+  private[operators] def semanticDedup(e: DataFrame, tau: Double,
+                                       kk: Int, reps: Int): DataFrame = {
+    val s = e.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val assigned = assignCells(embeddings(s, d), k)
-    val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("eb"))
-    val pairs = a.join(b, "cell").filter($"vec_a" < $"vec_b")
+    val assigned = assignCells(e, kk)
+    // ONE aggregation pass yields both the per-cell counts and the rep
+    // ids (bounded graft_min_k state) — slim cell-keyed shuffle only
+    val cellStats = assigned.groupBy($"cell").agg(
+      count(lit(1)).as("n_vectors"),
+      call_function("graft_min_k", $"vec_id", lit(reps)).as("rep_ids"))
+    val repIds = cellStats.select($"cell".as("rcell"), explode($"rep_ids").as("vec_a"))
+    // fetch rep embeddings with a broadcast semi-side join — the corpus
+    // side stays un-shuffled and the output is ≤ k·reps rows
+    val repVecs = assigned.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+      .join(broadcast(repIds), "vec_a")
+      .select($"rcell".as("cell"), $"vec_a", $"ea")
+    val pairs = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("eb"))
+      .join(broadcast(repVecs), "cell")
+      .filter($"vec_a" < $"vec_b")
       .select($"cell", $"vec_b", cosine($"ea", $"eb").as("cos"))
     val pairStats = pairs.groupBy($"cell").agg(
       sum(($"cos" >= tau).cast("long")).as("n_dup_pairs"),
       countDistinct(when($"cos" >= tau, $"vec_b")).as("n_removed"),
       max($"cos").as("max_cos"))
-    assigned.groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+    cellStats.select($"cell", $"n_vectors")
       .join(pairStats, Seq("cell"), "left")
       .select($"cell", $"n_vectors",
         coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
@@ -653,8 +692,9 @@ object Similarity {
       .orderBy($"cell")
   }
 
-  val dd10Sql: String =
-    s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
+  def dd10Sql(d: String): String = {
+    val k = cellsForDir(d)
+    s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $k),
        |scored AS (SELECT e.vec_id, e.embedding, s.sid,
        |             ${duckCosine("e.embedding", "s.sv")} AS sim
        |           FROM embeddings e CROSS JOIN seeds s),
@@ -663,9 +703,14 @@ object Similarity {
        |    SELECT vec_id, embedding, sid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
        |    FROM scored) WHERE rn = 1),
+       |reps AS (
+       |  SELECT cell, vec_id, embedding FROM (
+       |    SELECT cell, vec_id, embedding,
+       |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rr
+       |    FROM assigned) WHERE rr <= 8),
        |p AS (SELECT a.cell, b.vec_id AS vec_b,
        |        ${duckCosine("a.embedding", "b.embedding")} AS cos
-       |      FROM assigned a JOIN assigned b
+       |      FROM reps a JOIN assigned b
        |        ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |ps AS (SELECT cell,
        |         CAST(SUM(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
@@ -678,6 +723,7 @@ object Similarity {
        |  COALESCE(ps.n_removed, 0) AS n_removed, ps.max_cos
        |FROM cs LEFT JOIN ps USING (cell)
        |ORDER BY cs.cell""".stripMargin
+  }
 
   // sim03b/sim05b — the persisted-index probes as first-class gate
   // queries: centroids (sim03) / the cell-partitioned inverted file
@@ -703,7 +749,7 @@ object Similarity {
     "sim07b_via_index" -> sim07bViaIndex _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
-    "dd10_semantic_dedup" -> dd10Sql,
+    "dd10_semantic_dedup" -> dd10Sql(sfDir),
     "sim03b_via_index" -> sim03Sql,
     "sim05b_via_index" -> sim05Sql,
     "sim06_quant_rerank" -> sim06Sql,

@@ -56,6 +56,37 @@ object VectorOps {
     math.min(24, math.max(8, raw))
   }
 
+  /** Cell-family size for a SemDeDup-style clustered dedup over `n`
+    * vectors: enough cells that the EXPECTED cell holds ~`targetCell`
+    * vectors, clamped to [16, 65536]. 16 = the historical gate floor
+    * (sf0.01's 500-vector corpus stays on the round-7 geometry); 65536
+    * seeds × 32 float dims ≈ 8 MB — still a comfortable broadcast. Within-
+    * cell pair work is ~N·targetCell/2 — linear in N — instead of N²/k
+    * with k constant. Past the clamp ceiling cells grow linearly again,
+    * which is why [[graft.operators.Similarity.dd10SemanticDedup]] ALSO
+    * caps per-cell comparisons with representatives: the two guards
+    * together bound pair work at N·reps regardless of distribution.
+    */
+  def cellsFor(n: Long, targetCell: Long = 64L): Int = {
+    val raw = math.ceil(math.max(n, 1L).toDouble / targetCell).toLong
+    math.min(65536L, math.max(16L, raw)).toInt
+  }
+
+  /** Cell count for the embeddings table under `sfDir` — derived from
+    * parquet footer counts so the query builder and the oracle SQL
+    * renderer land on the SAME k (the [[nBitsForDir]] contract). Clamp
+    * floor when the table cannot be inspected.
+    */
+  def cellsForDir(sfDir: String): Int = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    val exists =
+      try p.getFileSystem(new Configuration()).exists(p)
+      catch { case _: java.io.IOException => false }
+    if (exists) cellsFor(parquetRowCount(p.toString)) else 16
+  }
+
   // Footer counts cached per FILE, keyed by (path, length, mtime): a table
   // regenerated at a different size in the same JVM (test/bench harnesses do
   // this) invalidates naturally instead of yielding a stale bucket family.

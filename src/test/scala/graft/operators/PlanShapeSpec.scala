@@ -211,6 +211,41 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan(p).contains("payload"), plan(p).take(1500))
   }
 
+  test("dd10: corpus never shuffles — broadcast rep joins, bounded agg, no window") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Similarity.dd10SemanticDedup(spark, d)
+    val s = plan(p)
+    // rep fetch + pair generation are broadcast hash joins (the rep side
+    // is <= k*reps slim rows); the only nested-loop shape allowed is
+    // assignCells' broadcast of the ONE-ROW seed array
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    // one BNL per assignCells lineage: cell-stats (consumed twice — AQE
+    // stage reuse dedupes it, asserted below), rep fetch, pair corpus
+    // side — each a one-row build; a 5th would mean a new lineage
+    assert(s.split("BroadcastNestedLoopJoin").length - 1 <= 4,
+      "only the seed-array one-row broadcasts may nested-loop: " + s.take(1500))
+    // rep selection is the bounded graft_min_k AGGREGATE (map-side
+    // partial, O(reps) state) — a window partitioned by cell would pin a
+    // hot cell's every vector on one task
+    assert(!s.contains("Window"), s.take(1500))
+    assert(s.contains("ObjectHashAggregate"), "graft_min_k must aggregate: " + s.take(1500))
+    // no exchange may partition on the corpus identity column — every
+    // shuffle is slim cell-keyed stats
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(!exchanges.exists(_.outputPartitioning.toString.toLowerCase.contains("vec_id")),
+      exchanges.map(_.outputPartitioning.toString).mkString(" ;; "))
+    // the cell-stats aggregation feeds both the rep-id explode and the
+    // final stats join from ONE lineage at runtime: AQE must reuse the
+    // exchange, not recompute the corpus aggregation
+    p.collect()
+    val fin = p.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      "cell-stats stage must be reused, not recomputed: " + fin.take(1500))
+  }
+
   test("sim07: corpus never shuffles — only codebook-sized aggregations exchange") {
     val p = Similarity.sim07PqAdc(spark, d)
     val s = plan(p)
