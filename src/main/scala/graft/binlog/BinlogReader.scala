@@ -415,6 +415,72 @@ object BinlogReader {
     GtidEvent(h, flag, uuidStr(sid), gno)
   }
 
+  /** One prefix-varint from MySQL's `mysql::serialization` wire format
+    * (libs/mysql/serialization, >= 8.2 — the encoding under
+    * GTID_TAGGED_LOG_EVENT): the count of trailing one-bits in the first
+    * byte is the number of EXTRA bytes; the remaining high bits of the
+    * first byte are the value's low bits, extra bytes follow
+    * little-endian. A first byte of 0xFF means 8 raw LE bytes follow.
+    */
+  private[binlog] def readPrefixVarint(b: ByteBuffer): Long = {
+    val first = ubyte(b)
+    if (first == 0xff) b.getLong()
+    else {
+      val extra = Integer.numberOfTrailingZeros(~first) // trailing ones
+      val m = extra + 1 // total bytes
+      var v = (first >>> m).toLong
+      var i = 0
+      while (i < extra) {
+        v |= ubyte(b).toLong << (8 - m + 8 * i)
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** GTID_TAGGED_LOG_EVENT (id 42, MySQL >= 8.3, GA in 8.4): the frame a
+    * server writes for a transaction committed under
+    * `gtid_next = 'uuid:tag:gno'`. Unlike 33's fixed layout the body is a
+    * mysql::serialization message: a two-varint message header, then
+    * (field_id, value) pairs in ascending field order — field 0
+    * gtid_flags (varint), 1 source UUID (16 raw bytes), 2 gno (varint),
+    * 3 tag (varint length + ASCII). Later fields (logical timestamps,
+    * transaction length, server versions) are ignored, same as the
+    * trailing optional fields of 33. Decodes to [[GtidEvent]] with a
+    * non-empty `tag` so the events-mode `gtid` column, `startAfterGtid`,
+    * and safe-position framing see tagged transactions.
+    */
+  def readGtidTagged(b: ByteBuffer, h: EventHeader): GtidEvent = {
+    b.position(h.offset.toInt + HeaderLen)
+    val end = h.offset + h.eventLen
+    readPrefixVarint(b) // message byte size
+    readPrefixVarint(b) // last non-ignorable field id
+    var flag = 0
+    var uuid = ""
+    var gno = 0L
+    var sawGno = false
+    var tag = ""
+    var done = false
+    while (!done && b.position() < end) {
+      val fieldId = readPrefixVarint(b)
+      fieldId match {
+        case 0 => flag = readPrefixVarint(b).toInt
+        case 1 => uuid = uuidStr(bytes(b, 16))
+        case 2 => gno = readPrefixVarint(b); sawGno = true
+        case 3 =>
+          val len = readPrefixVarint(b).toInt
+          require(len >= 0 && b.position() + len <= end,
+            s"GTID_TAGGED at offset ${h.offset}: corrupt tag length $len")
+          tag = new String(bytes(b, len), StandardCharsets.US_ASCII)
+          done = true // everything after the tag is ignorable here
+        case _ => done = true
+      }
+    }
+    require(uuid.nonEmpty && sawGno,
+      s"GTID_TAGGED at offset ${h.offset}: missing uuid/gno fields")
+    GtidEvent(h, flag, uuid, gno, tag)
+  }
+
   /** PREVIOUS_GTIDS (id 35): 8-byte LE sid count, then per sid a 16-byte
     * UUID + 8-byte interval count + (start, end) 8-byte pairs with
     * exclusive end — rendered in canonical `uuid:a-b` text.
@@ -1325,6 +1391,7 @@ object BinlogReader {
                     RowsEvent(h, tableId, tm.dbName, tm.tableName, Vector.empty, Vector.empty)
                   }
                 case EventType.Gtid | EventType.AnonymousGtid => readGtid(buf, h)
+                case EventType.GtidTagged => readGtidTagged(buf, h)
                 case EventType.PreviousGtids => readPreviousGtids(buf, h)
                 case EventType.RowsQuery => readRowsQuery(buf, h, charset)
                 case EventType.BeginLoadQuery => readBeginLoadQuery(buf, h)
@@ -1459,7 +1526,8 @@ object BinlogReader {
     * tail, and resolving it would resume INSIDE the target transaction.
     */
   def positionAfterGtid(path: String, uuid: String, gno: Long,
-                        cs: Charset = StandardCharsets.ISO_8859_1): Option[Long] = {
+                        cs: Charset = StandardCharsets.ISO_8859_1,
+                        tag: String = ""): Option[Long] = {
     val buf = mapFile(path)
     val csLen = checksumLen(buf)
     var pos = 4L
@@ -1471,11 +1539,19 @@ object BinlogReader {
       readEventHeader(buf, pos) match {
         case Some(h) =>
           h.eventType match {
-            case EventType.Gtid | EventType.AnonymousGtid =>
+            case EventType.Gtid | EventType.AnonymousGtid | EventType.GtidTagged =>
               if (found) { result = Some(h.offset); done = true } // DDL-committed txn
               else if (h.eventType == EventType.Gtid) {
                 val g = readGtid(buf, h)
-                if (g.sourceUuid.equalsIgnoreCase(uuid) && g.gno == gno) found = true
+                if (tag.isEmpty && g.sourceUuid.equalsIgnoreCase(uuid) &&
+                  g.gno == gno) found = true
+              } else if (h.eventType == EventType.GtidTagged) {
+                // tagged and untagged GNOs are independent sequences: a
+                // tag-less spec must never match a tagged frame (and vice
+                // versa) — `uuid:1` and `uuid:patch:1` are different txns
+                val g = readGtidTagged(buf, h)
+                if (g.sourceUuid.equalsIgnoreCase(uuid) && g.gno == gno &&
+                  g.tag.equalsIgnoreCase(tag) && tag.nonEmpty) found = true
               }
             case EventType.Xid if found =>
               result = Some(h.offset + h.eventLen); done = true
@@ -1595,7 +1671,8 @@ object BinlogReader {
                   inBegin = !g.standalone
                 }
               }
-            case EventType.Gtid | EventType.AnonymousGtid if found =>
+            case EventType.Gtid | EventType.AnonymousGtid | EventType.GtidTagged
+                if found =>
               result = Some(h.offset); done = true
             case EventType.Xid if found =>
               result = Some(h.offset + h.eventLen); done = true

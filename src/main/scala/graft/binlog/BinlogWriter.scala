@@ -638,6 +638,54 @@ object BinlogWriter {
       this
     }
 
+    /** One prefix-varint in mysql::serialization's encoding (the exact
+      * inverse of [[BinlogReader.readPrefixVarint]]): total bytes m has
+      * m-1 trailing one-bits then a zero in the first byte, value bits
+      * fill the rest little-endian; 0xFF + 8 raw LE bytes past 2⁵⁶.
+      */
+    private def prefixVarint(b: ByteArrayOutputStream, v: Long): Unit = {
+      var m = 1
+      while (m < 8 && java.lang.Long.compareUnsigned(v, 1L << (7 * m)) >= 0) m += 1
+      if (m == 8 && java.lang.Long.compareUnsigned(v, 1L << 56) >= 0) {
+        b.write(0xff)
+        b.write(le(8)(v))
+      } else {
+        b.write((((v << m) | ((1L << (m - 1)) - 1)) & 0xffL).toInt)
+        var i = 0
+        var rest = v >>> (8 - m)
+        while (i < m - 1) { b.write((rest & 0xff).toInt); rest >>>= 8; i += 1 }
+      }
+    }
+
+    /** GTID_TAGGED_LOG_EVENT (id 42, MySQL >= 8.3): the tagged-GTID
+      * transaction frame, as a mysql::serialization message — two header
+      * varints (payload size, last non-ignorable field id), then
+      * ascending (field_id, value) pairs: 0 flags, 1 uuid (16 raw),
+      * 2 gno, 3 tag (varint length + ASCII), 4/5 logical timestamps
+      * (zero here — readers skip them).
+      */
+    def writeGtidTagged(gno: Long, tag: String,
+                        sourceUuid: Array[Byte] = BinlogWriter.FixtureUuid,
+                        ts: Long = 0L): this.type = {
+      require(sourceUuid.length == 16, "source UUID must be 16 bytes")
+      require(tag.nonEmpty && tag.length <= 32, "tag must be 1-32 chars")
+      val fields = new ByteArrayOutputStream()
+      prefixVarint(fields, 0); prefixVarint(fields, 1) // gtid_flags
+      prefixVarint(fields, 1); fields.write(sourceUuid)
+      prefixVarint(fields, 2); prefixVarint(fields, gno)
+      prefixVarint(fields, 3)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      prefixVarint(fields, tb.length.toLong); fields.write(tb)
+      prefixVarint(fields, 4); prefixVarint(fields, 0) // last_committed
+      prefixVarint(fields, 5); prefixVarint(fields, 0) // sequence_number
+      val body = new ByteArrayOutputStream()
+      prefixVarint(body, fields.size().toLong)
+      prefixVarint(body, 3) // last non-ignorable field: the tag
+      body.write(fields.toByteArray)
+      event(EventType.GtidTagged, ts, body.toByteArray)
+      this
+    }
+
     /** PREVIOUS_GTIDS (id 35): one sid with the [1, gnoEnd] interval, or
       * the EMPTY set when `gnoEnd < 1` (n_sids = 0 — never a degenerate
       * descending interval like `uuid:1-0`, which is invalid GTID-set

@@ -59,6 +59,12 @@ object EventType {
   // boundary (rows surface with xid null, like other non-XID commits)
   val XaPrepare = 38
   val HeartbeatV2 = 41
+  // MySQL >= 8.3 (GA in 8.4): a transaction committed under
+  // `gtid_next = 'uuid:tag:gno'` is framed by this event instead of
+  // GTID_LOG_EVENT (33). The body is a mysql::serialization message
+  // (prefix-varint fields) rather than 33's fixed layout; decodes to the
+  // same [[GtidEvent]] with a non-empty `tag`
+  val GtidTagged = 42
   // MariaDB's event block (>= 5.3): rows events share MySQL's v1 ids
   // (23-25) so row decode works unchanged; ANNOTATE_ROWS is MariaDB's
   // ROWS_QUERY (statement text before its rows events) and feeds
@@ -137,6 +143,7 @@ object EventType {
     case ViewChange => "VIEW_CHANGE_EVENT"
     case XaPrepare => "XA_PREPARE_LOG_EVENT"
     case HeartbeatV2 => "HEARTBEAT_LOG_EVENT_V2"
+    case GtidTagged => "GTID_TAGGED_LOG_EVENT"
     case MariaAnnotateRows => "ANNOTATE_ROWS_EVENT"
     case MariaBinlogCheckpoint => "BINLOG_CHECKPOINT_EVENT"
     case MariaGtid => "GTID_EVENT_MARIADB"
@@ -383,14 +390,20 @@ final case class RowsEvent(
   def isUpdate: Boolean = EventType.isUpdateRows(header.eventType)
 }
 
-/** GTID_LOG_EVENT / ANONYMOUS_GTID_LOG_EVENT (ids 33/34): the transaction
-  * identity frame preceding every BEGIN on a >= 5.6 server. `gtid` is the
-  * canonical `source_uuid:gno` text ("ANONYMOUS" for id 34).
+/** GTID_LOG_EVENT / ANONYMOUS_GTID_LOG_EVENT (ids 33/34) and
+  * GTID_TAGGED_LOG_EVENT (id 42, MySQL >= 8.3): the transaction identity
+  * frame preceding every BEGIN on a >= 5.6 server. `gtid` is the
+  * canonical `source_uuid:gno` text ("ANONYMOUS" for id 34;
+  * `source_uuid:tag:gno` when the transaction committed under a tagged
+  * `gtid_next`).
   */
 final case class GtidEvent(header: EventHeader, commitFlag: Int,
-    sourceUuid: String, gno: Long) extends BinlogEvent {
+    sourceUuid: String, gno: Long, tag: String = "") extends BinlogEvent {
   def isAnonymous: Boolean = header.eventType == EventType.AnonymousGtid
-  def gtid: String = if (isAnonymous) "ANONYMOUS" else s"$sourceUuid:$gno"
+  def gtid: String =
+    if (isAnonymous) "ANONYMOUS"
+    else if (tag.isEmpty) s"$sourceUuid:$gno"
+    else s"$sourceUuid:$tag:$gno"
 }
 
 /** PREVIOUS_GTIDS_LOG_EVENT (id 35): the GTID set executed before this

@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r7d-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r8a-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -284,7 +284,56 @@ object CdcBinlog {
       Files.createDirectories(sbrDir)
       writeSbrFixture(sbrDir,
         Files.newBufferedWriter(staging.resolve("expected_sbr.csv")))
+      // MySQL 8.4 tagged-GTID twin: GTID_TAGGED_LOG_EVENT (42) frames
+      // interleaved with classic GTID frames, per-tag independent GNO
+      // sequences, rotated across two files — cdcb18's input
+      val tgDir = staging.resolve("tagged")
+      Files.createDirectories(tgDir)
+      writeTaggedFixture(tgDir,
+        Files.newBufferedWriter(staging.resolve("expected_tagged.csv")))
     }
+  }
+
+  /** Tagged-GTID fixture: 60 single-row transactions over two files,
+    * cycling tag "patch" → untagged → tag "hotfix". Each (uuid, tag)
+    * pair numbers its GNOs independently — exactly the property cdcb18's
+    * contiguity check pins (a decoder that collapses tagged GNOs into
+    * the untagged sequence, or drops the tag, hash-fails). The CSV
+    * records the generator's own (file, tag, gno) per transaction;
+    * "(none)" marks untagged so the empty string never round-trips
+    * through CSV null handling.
+    */
+  private def writeTaggedFixture(dir: java.nio.file.Path, exp: java.io.Writer): Unit = {
+    val cols = Seq(ColSpec.int)
+    exp.write("log_file,tag,gno\n")
+    val counters = scala.collection.mutable.Map("patch" -> 0L, "" -> 0L, "hotfix" -> 0L)
+    var id = 0
+    for (f <- 1 to 2) {
+      val fname = f"binlog.$f%06d"
+      val w = new Writer(checksum = true, rowsV2 = true)
+        .writeFormatDescription(ts = 1700000000L,
+          serverVersion = "8.4.0-graft-fixture")
+        // the head declaration carries the UNTAGGED executed set only —
+        // tagged resume deliberately exercises the newest-first body scan
+        .writePreviousGtids(counters(""), ts = 1700000000L)
+      for (t <- 0 until 30) {
+        val tag = Seq("patch", "", "hotfix")(t % 3)
+        val gno = counters(tag) + 1
+        counters(tag) = gno
+        val ts = 1700000000L + id
+        if (tag.isEmpty) w.writeGtid(gno, ts = ts)
+        else w.writeGtidTagged(gno, tag, ts = ts)
+        exp.write(s"$fname,${if (tag.isEmpty) "(none)" else tag},$gno\n")
+        w.writeQuery("bench", "BEGIN", ts = ts)
+          .writeTableMap(7, "bench", "tg", cols, ts = ts)
+          .writeInsert(7, cols, Seq(Seq[Any](id)), ts = ts)
+          .writeXid(5000L + id, ts = ts)
+        id += 1
+      }
+      if (f == 1) w.writeRotate("binlog.000002", ts = 1700000000L)
+      w.save(dir.resolve(fname).toString)
+    }
+    exp.close()
   }
 
   /** SBR/incident fixture: 50 row transactions with deterministic
@@ -824,6 +873,29 @@ object CdcBinlog {
       .orderBy($"event_type", $"sql")
   }
 
+  // cdcb18 — tagged-GTID observability (MySQL 8.4, event 42): fold the
+  // tagged twin's frames into a per-(file, tag) executed summary — txn
+  // count, gno range, and per-tag contiguity. Each (uuid, tag) numbers
+  // its GNOs independently, so a decoder that collapses tagged GNOs into
+  // the untagged sequence (or drops the tag from the gtid text) breaks
+  // contiguity or the group keys and hash-fails against the generator's
+  // own record. The tagged mirror of cdcb8/cdcb14.
+  def cdcb18TaggedGtid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = s.read.format("mysql-binlog").option("mode", "events")
+      .load(Paths.get(fixtureDir(d), "tagged").toString)
+      .filter($"event_type".isin("GTID_LOG_EVENT", "GTID_TAGGED_LOG_EVENT"))
+      .select($"log_file",
+        when(size(split($"gtid", ":")) === 3, split($"gtid", ":").getItem(1))
+          .otherwise(lit("(none)")).as("tag"),
+        substring_index($"gtid", ":", -1).cast("long").as("gno"))
+    g.groupBy($"log_file", $"tag")
+      .agg(count(lit(1)).as("n_txns"), min($"gno").as("first_gno"),
+        max($"gno").as("last_gno"),
+        (max($"gno") - min($"gno") + 1 === count(lit(1))).cast("int").as("contiguous"))
+      .orderBy($"log_file", $"tag")
+  }
+
   // cdcm1 — the STREAMING materialization path under the oracle: run the
   // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
   // bucketed parquet table with latest-wins merges and tombstones) over
@@ -877,6 +949,7 @@ object CdcBinlog {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
     "cdcb17_sbr_events" -> cdcb17SbrEvents _,
     "cdcb14_mariadb_gtid" -> cdcb14MariadbGtid _,
     "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
@@ -918,6 +991,14 @@ object CdcBinlog {
        |ORDER BY id""".stripMargin
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb18_tagged_gtid" ->
+      s"""SELECT log_file, tag, CAST(COUNT(*) AS BIGINT) AS n_txns,
+         |  MIN(gno) AS first_gno, MAX(gno) AS last_gno,
+         |  CAST(CASE WHEN MAX(gno) - MIN(gno) + 1 = COUNT(*) THEN 1 ELSE 0 END AS INTEGER) AS contiguous
+         |FROM read_csv('${fixturePathFor(sfDir)}/expected_tagged.csv', header=true,
+         |  columns={'log_file':'VARCHAR','tag':'VARCHAR','gno':'BIGINT'})
+         |GROUP BY log_file, tag
+         |ORDER BY log_file, tag""".stripMargin,
     "cdcb17_sbr_events" ->
       s"""SELECT event_type, sql
          |FROM read_csv('${fixturePathFor(sfDir)}/expected_sbr.csv', header=true,

@@ -215,16 +215,21 @@ object BinlogSchemas {
   }
 
   /** Resolve option `startAfterGtid` to (file, byte position just after
-    * that transaction's commit). Two spec grammars, auto-detected:
-    * MySQL `uuid:gno`, and MariaDB `domain-server-seq` (all-numeric,
-    * dash-separated). Files whose head declaration (PREVIOUS_GTIDS /
-    * MariaDB GTID_LIST) already contains the target are skipped without
-    * scanning their bodies — locating a GTID across a rotated set is
-    * O(files), not O(bytes); the one candidate file gets a header-walk.
+    * that transaction's commit). Three spec grammars, auto-detected:
+    * MySQL `uuid:gno`, MySQL >= 8.3 tagged `uuid:tag:gno` (tag starts
+    * with a letter/underscore), and MariaDB `domain-server-seq`
+    * (all-numeric, dash-separated). Files whose head declaration
+    * (PREVIOUS_GTIDS / MariaDB GTID_LIST) already contains the target are
+    * skipped without scanning their bodies — locating a GTID across a
+    * rotated set is O(files), not O(bytes); the one candidate file gets a
+    * header-walk. Tagged targets scan candidates newest-first instead
+    * (a tag-less PREVIOUS_GTIDS set can never rule a tagged GTID in or
+    * out, so the head-declaration skip would guess the wrong file).
     * Loud error if absent: resuming "after" a GTID the logs don't contain
     * must never silently replay from the beginning (or skip to the end).
     */
   private val MariaGtidSpec = """^(\d+)-(\d+)-(\d+)$""".r
+  private val TaggedGtidSpec = """^(.+):([A-Za-z_][A-Za-z0-9_]{0,31}):(\d+)$""".r
   def resolveGtidStart(files: Vector[String], spec: String): (String, Long) = {
     val resolved = spec match {
       case MariaGtidSpec(d, sv, q) =>
@@ -235,12 +240,17 @@ object BinlogSchemas {
         if (candIdx < 0) None
         else BinlogReader.positionAfterMariaGtid(files(candIdx), domain, server, seq)
           .map(p => (files(candIdx), p))
+      case TaggedGtidSpec(uuid, tag, g) =>
+        files.reverseIterator
+          .flatMap(f => BinlogReader.positionAfterGtid(f, uuid, g.toLong, tag = tag)
+            .map(p => (f, p)))
+          .nextOption()
       case _ =>
         val (uuid, gno) = spec.split(":") match {
           case Array(u, g) if g.nonEmpty && g.forall(_.isDigit) => (u, g.toLong)
           case _ => throw new IllegalArgumentException(
-            s"startAfterGtid must be 'uuid:gno' (MySQL) or " +
-              s"'domain-server-seq' (MariaDB), got '$spec'")
+            s"startAfterGtid must be 'uuid:gno' or 'uuid:tag:gno' (MySQL) " +
+              s"or 'domain-server-seq' (MariaDB), got '$spec'")
         }
         val candIdx = files.lastIndexWhere(f =>
           !BinlogReader.previousGtidsOf(f).exists(s => BinlogReader.gtidSetContains(s, uuid, gno)))

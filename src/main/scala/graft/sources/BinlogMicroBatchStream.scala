@@ -177,11 +177,12 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
               // their rows events — inside the transaction, not a safe
               // boundary
               txnOpen = true
-            case EventType.Gtid | EventType.AnonymousGtid =>
+            case EventType.Gtid | EventType.AnonymousGtid | EventType.GtidTagged =>
               // the GTID frame PRECEDES its BEGIN: binding it to the txn
               // keeps frame + transaction atomic within one micro-batch
               // (an events-mode consumer attributing "complete through
-              // uuid:n" per batch must never see them split)
+              // uuid:n" per batch must never see them split); the tagged
+              // frame (42, MySQL >= 8.3) plays the identical role
               txnOpen = true
             case EventType.MariaGtid =>
               // MariaDB's frame (162) plays the same role, but it also

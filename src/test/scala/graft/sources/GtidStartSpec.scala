@@ -292,6 +292,121 @@ class GtidStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  private def taggedTxn(w: Writer, gno: Long, tag: String, id: Int): Writer = {
+    w.writeGtidTagged(gno, tag, ts = 1000)
+      .writeQuery("d", "BEGIN", ts = 1000)
+      .writeTableMap(5, "d", "t", cols, ts = 1000)
+      .writeInsert(5, cols, Seq(Seq[Any](id)), ts = 1000)
+      .writeXid(gno + 500, ts = 1000)
+    w
+  }
+
+  test("tagged GTIDs: events-mode gtid column carries uuid:tag:gno") {
+    val dir = Files.createTempDirectory("gtid-tagged-events")
+    val w = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.4.0-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    taggedTxn(w, 1, "patch", 10)
+    txn(w, 1, 11) // untagged gno 1 is a DIFFERENT transaction
+    w.save(dir.resolve("binlog.000001").toString)
+    val got = spark.read.format("mysql-binlog").option("mode", "events")
+      .load(dir.toString)
+      .selectExpr("event_type", "gtid")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.contains(("GTID_TAGGED_LOG_EVENT", s"$uuid:patch:1")), got.mkString(", "))
+    assert(got.contains(("GTID_LOG_EVENT", s"$uuid:1")), got.mkString(", "))
+  }
+
+  test("tagged GTIDs: tagged and untagged GNO sequences never cross-match") {
+    val dir = Files.createTempDirectory("gtid-tagged-iso")
+    val w = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.4.0-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    taggedTxn(w, 1, "patch", 10)
+    txn(w, 1, 11)
+    taggedTxn(w, 2, "patch", 12)
+    taggedTxn(w, 1, "other", 13) // same gno, different tag: also distinct
+    w.save(dir.resolve("binlog.000001").toString)
+    val f = dir.resolve("binlog.000001").toString
+    // a tag-less spec must never resolve against the tagged frame
+    val posUntagged = BinlogReader.positionAfterGtid(f, uuid, 1)
+    val posTagged = BinlogReader.positionAfterGtid(f, uuid, 1, tag = "patch")
+    assert(posUntagged.isDefined && posTagged.isDefined && posUntagged != posTagged)
+    assert(ids(dir, s"$uuid:patch:1") === Seq(11, 12, 13))
+    assert(ids(dir, s"$uuid:1") === Seq(12, 13))
+    assert(ids(dir, s"$uuid:patch:2") === Seq(13))
+    assert(ids(dir, s"$uuid:other:1") === Seq.empty)
+    // a tagged GTID the logs don't contain stays a loud error
+    assert(intercept[Exception](ids(dir, s"$uuid:patch:9")).getMessage
+      .contains("not found"))
+  }
+
+  test("tagged GTIDs: resume across a rotated set (newest-first candidate scan)") {
+    val dir = Files.createTempDirectory("gtid-tagged-rotate")
+    val w1 = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.4.0-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    taggedTxn(w1, 1, "patch", 1)
+    taggedTxn(w1, 2, "patch", 2)
+    w1.writeRotate("binlog.000002", ts = 1000)
+      .save(dir.resolve("binlog.000001").toString)
+    val w2 = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1000, serverVersion = "8.4.0-graft-fixture")
+      .writePreviousGtids(0, ts = 1000)
+    taggedTxn(w2, 3, "patch", 3)
+    taggedTxn(w2, 4, "patch", 4)
+    w2.save(dir.resolve("binlog.000002").toString)
+    assert(ids(dir, s"$uuid:patch:1") === Seq(2, 3, 4)) // mid file 1
+    assert(ids(dir, s"$uuid:patch:2") === Seq(3, 4))    // end of file 1
+    assert(ids(dir, s"$uuid:patch:3") === Seq(4))       // mid file 2
+    assert(ids(dir, s"$uuid:patch:4") === Seq.empty)
+  }
+
+  test("tagged GTIDs: micro-batch never splits the frame from its transaction") {
+    val dir = Files.createTempDirectory("gtid-tagged-stream")
+    val w = new Writer(checksum = true, rowsV2 = true)
+      .writeFormatDescription(ts = 1, serverVersion = "8.4.0-graft-fixture")
+      .writePreviousGtids(0, ts = 1)
+    for (i <- 0 until 12) taggedTxn(w, i + 1L, "bulk", i)
+    w.save(dir.resolve("binlog.000001").toString)
+    // a tiny byte budget forces batch boundaries between transactions;
+    // a boundary between a tagged frame and its BEGIN would misattribute
+    // or drop a transaction on restart
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", "id INT")
+      .option("maxBytesPerTrigger", "300")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("tagged_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tagged_mem").selectExpr("id", "xid").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(rows.toSet === (0 until 12).map(i => (i, i + 501L)).toSet)
+    } finally q.stop()
+  }
+
+  test("prefix-varint roundtrip across every byte-length boundary") {
+    val values = Seq(0L, 1L, 127L, 128L, 16383L, 16384L,
+      (1L << 21) - 1, 1L << 21, (1L << 28) - 1, 1L << 28,
+      (1L << 35) - 1, (1L << 42) - 1, (1L << 49) - 1,
+      (1L << 56) - 1, 1L << 56, Long.MaxValue, -1L) // -1 = max unsigned
+    // roundtrip through the writer/reader pair: a tagged event whose gno
+    // takes each encoding width
+    for (v <- values) {
+      val dir = Files.createTempDirectory("varint-rt")
+      val w = new Writer(checksum = true)
+        .writeFormatDescription(ts = 1, serverVersion = "8.4.0-graft-fixture")
+        .writeGtidTagged(v, "t", ts = 1)
+      w.save(dir.resolve("binlog.000001").toString)
+      val buf = BinlogReader.mapFile(dir.resolve("binlog.000001").toString)
+      val evs = BinlogReader.eventIterator(buf, 4L).toVector
+      val g = evs.collectFirst { case g: graft.binlog.GtidEvent => g }.get
+      assert(g.gno === v, s"gno $v did not roundtrip")
+      assert(g.tag === "t")
+    }
+  }
+
   test("streaming initial offset honors startAfterGtid") {
     val dir = fixture()
     import org.apache.spark.sql.functions.col
