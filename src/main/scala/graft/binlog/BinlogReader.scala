@@ -46,26 +46,90 @@ object BinlogReader {
     if (ext.nonEmpty && ext.length <= 18 && ext.forall(_.isDigit)) ext.toLong else -1L
   }
 
+  /** True when `path` carries a URI scheme (`s3a://`, `hdfs://`,
+    * `file://`, ...): such paths route through Hadoop FileSystem buffered
+    * reads — the remote-storage read path of SURVEY §2.1 S2, for clusters
+    * whose binlog directory lives on object storage / NFS exported as a
+    * Hadoop URI. Plain paths keep the local NIO mmap fast path. `file://`
+    * resolves through Hadoop's LocalFileSystem, which is what the spec
+    * exercises (no remote store in the test environment) — the code path
+    * is scheme-generic.
+    */
+  def hasUriScheme(path: String): Boolean = {
+    val i = path.indexOf(":/")
+    // Hadoop renders no-authority URIs as `file:/tmp/x` (single slash), so
+    // accept both `scheme://` and `scheme:/`; scheme length >= 2 keeps
+    // Windows-style drive letters out
+    i >= 2 && path.charAt(0).isLetter &&
+      path.substring(0, i).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-')
+  }
+
+  private def hadoopPathFs(path: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+  }
+
+  /** Whole-file (or suffix-from-`offset`) buffered read via Hadoop FS for
+    * scheme'd paths — binlogs are bounded by the same 2 GiB contract as
+    * the mmap path, so one heap buffer per file is the scale-correct
+    * shape (executors each read only the files their partition owns).
+    * The encrypted-magic check runs against the file HEAD regardless of
+    * `offset`, mirroring [[mapFile]].
+    */
+  private def readViaHadoop(path: String, offset: Long): ByteBuffer = {
+    val (p, fs) = hadoopPathFs(path)
+    val size = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      if (size >= 4) {
+        val m = new Array[Byte](4)
+        in.readFully(0L, m, 0, 4) // positioned read: loops internally
+        if (java.util.Arrays.equals(m, EncryptedMagic)) encryptedFileError(path)
+      }
+      val len = size - offset
+      require(len <= Int.MaxValue,
+        s"binlog file '$path' is $size bytes — beyond the 2 GiB window " +
+          "this decoder supports; split the transaction or rotate more often")
+      val arr = new Array[Byte](math.max(len, 0L).toInt)
+      if (arr.length > 0) in.readFully(offset, arr, 0, arr.length)
+      ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+    } finally in.close()
+  }
+
   /** First 4 bytes of `path`, or None when shorter — ONE open serves both
     * magic classifications (directory resolution checks normal-vs-encrypted
-    * per file; two separate helpers would double the opens).
+    * per file; two separate helpers would double the opens). Scheme'd
+    * paths read through Hadoop FS like [[mapFile]].
     */
   def fileMagic(path: String): Option[Array[Byte]] = {
-    val in = new FileInputStream(path)
-    try {
-      val b = new Array[Byte](4)
-      // loop to 4 bytes or EOF — a single read() may return SHORT on
-      // NFS/FUSE (same concern as mapFile's positional-read loop), and a
-      // short read here would classify an encrypted file as "not a
-      // binlog" and silently skip it
-      var off = 0
-      var n = 0
-      while (off < 4 && n >= 0) {
-        n = in.read(b, off, 4 - off)
-        if (n > 0) off += n
+    if (hasUriScheme(path)) {
+      val (p, fs) = hadoopPathFs(path)
+      if (fs.getFileStatus(p).getLen < 4) None
+      else {
+        val in = fs.open(p)
+        try {
+          val b = new Array[Byte](4)
+          in.readFully(0L, b, 0, 4)
+          Some(b)
+        } finally in.close()
       }
-      if (off == 4) Some(b) else None
-    } finally in.close()
+    } else {
+      val in = new FileInputStream(path)
+      try {
+        val b = new Array[Byte](4)
+        // loop to 4 bytes or EOF — a single read() may return SHORT on
+        // NFS/FUSE (same concern as mapFile's positional-read loop), and a
+        // short read here would classify an encrypted file as "not a
+        // binlog" and silently skip it
+        var off = 0
+        var n = 0
+        while (off < 4 && n >= 0) {
+          n = in.read(b, off, 4 - off)
+          if (n > 0) off += n
+        }
+        if (off == 4) Some(b) else None
+      } finally in.close()
+    }
   }
 
   /** Magic-number check (`mysql_binlog.clj:47-53`). */
@@ -98,9 +162,12 @@ object BinlogReader {
     * `binlog_encryption=ON` magic) fail HERE by name — this is the one
     * choke point every scan, GTID walk and tailer passes through. The
     * magic peek shares the single open (hot paths call this per poll /
-    * per batch; a separate open would double the syscalls).
+    * per batch; a separate open would double the syscalls). Scheme'd
+    * paths (`s3a://`, `hdfs://`, `file://`) take a Hadoop FS buffered
+    * read instead — same buffer contract, same named errors.
     */
   def mapFile(path: String, offset: Long = 0L): ByteBuffer = {
+    if (hasUriScheme(path)) return readViaHadoop(path, offset)
     val in = new FileInputStream(path)
     try {
       if (in.getChannel.size() >= 4) {
@@ -1711,8 +1778,22 @@ object BinlogReader {
     * (`most-recent-binlog`, `mysql_binlog.clj:813-817`).
     */
   def binlogFilesFromIndex(indexFile: String): Vector[String] = {
-    val src = scala.io.Source.fromFile(indexFile)
-    try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-    finally src.close()
+    if (hasUriScheme(indexFile)) {
+      val (p, fs) = hadoopPathFs(indexFile)
+      val in = fs.open(p)
+      val text =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8")
+        } finally in.close()
+      text.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+    } else {
+      val src = scala.io.Source.fromFile(indexFile)
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+      finally src.close()
+    }
   }
 }

@@ -182,9 +182,15 @@ object BinlogSchemas {
 
   /** Resolve `path` into the ordered list of binlog files: a single file, a
     * directory of magic-checked files, or an index file
-    * (`mysql_binlog.clj:813-817`).
+    * (`mysql_binlog.clj:813-817`). A path with a URI scheme (`s3a://`,
+    * `hdfs://`, `file://`) resolves through Hadoop FileSystem — the
+    * remote-storage path of SURVEY §2.1 S2: listing, magic checks and the
+    * scan itself all go through buffered Hadoop reads, so executors no
+    * longer need the binlog directory mounted locally. Same ordering and
+    * encrypted-by-name contracts as the local branch.
     */
   def resolveFiles(path: String): Vector[String] = {
+    if (BinlogReader.hasUriScheme(path)) return resolveFilesHadoop(path)
     val f = new java.io.File(path)
     if (f.isDirectory) {
       // numeric-extension order, not string order: a directory holding the
@@ -211,6 +217,44 @@ object BinlogSchemas {
       BinlogReader.binlogFilesFromIndex(path).map { name =>
         val nf = new java.io.File(name)
         if (nf.isAbsolute) name else new java.io.File(f.getParentFile, name).getPath
+      }
+  }
+
+  /** The Hadoop-FS twin of the local `resolveFiles` branch (scheme'd
+    * paths): directory listing in numeric-extension order, per-file magic
+    * classification with the encrypted-by-name error, index files read
+    * through the FS with entries resolved against the index's directory.
+    */
+  private def resolveFilesHadoop(path: String): Vector[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(p)
+    def classify(uri: String): Boolean = {
+      val magic = BinlogReader.fileMagic(uri)
+      if (magic.exists(java.util.Arrays.equals(_, BinlogReader.EncryptedMagic)))
+        throw new IllegalStateException(
+          s"binlog '$uri' is encrypted (binlog_encryption=ON file magic) — " +
+            "this engine reads unencrypted logs only")
+      magic.exists(java.util.Arrays.equals(_, BinlogReader.Magic))
+    }
+    if (st.isDirectory)
+      fs.listStatus(p).toVector.filter(_.isFile).map(_.getPath.toString)
+        .sortBy(q => (BinlogReader.fileOrdinal(q), q))
+        .filter(classify)
+    else if (BinlogReader.isEncryptedBinlogFile(path))
+      throw new IllegalStateException(
+        s"binlog '$path' is encrypted (binlog_encryption=ON file magic) — " +
+          "this engine reads unencrypted logs only")
+    else if (BinlogReader.isBinlogFile(path)) Vector(path)
+    else
+      BinlogReader.binlogFilesFromIndex(path).map { name =>
+        // index entries are server-local paths: qualify them against the
+        // index file's own filesystem so the scheme survives (a bare
+        // "/var/log/binlog.000001" on an s3a index must stay on s3a)
+        if (BinlogReader.hasUriScheme(name)) name
+        else if (name.startsWith("/")) fs.makeQualified(new Path(name)).toString
+        else fs.makeQualified(new Path(p.getParent, name)).toString
       }
   }
 
