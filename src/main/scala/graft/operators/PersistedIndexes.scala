@@ -79,4 +79,12 @@ object PersistedIndexes {
     cached(s"graft-index-r7-sim07-${sfKey(sfDir)}") { dir =>
       Similarity.buildPqIndex(embeddings(s, sfDir), dir)
     }
+
+  /** sim08's persisted IVF-PQ composition: cell-partitioned PQ codes +
+    * centroids + codebook.
+    */
+  def ivfPqIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r8-sim08-${sfKey(sfDir)}") { dir =>
+      Similarity.buildIvfPqIndex(embeddings(s, sfDir), dir)
+    }
 }

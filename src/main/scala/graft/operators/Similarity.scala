@@ -612,6 +612,133 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  // ---- sim08: IVF-PQ — the production ANN composition ---------------------
+  //
+  // sim05's coarse cells prune WHICH vectors are scored; sim07's product
+  // quantization shrinks WHAT is scored per vector. Composed (the FAISS
+  // IVFPQ index shape): PQ codes are persisted CELL-PARTITIONED, a query
+  // probes the top-nprobe cells by centroid score, reads ONLY those
+  // cells' code partitions (partition-pruned — at 100 TB this is the
+  // difference between scanning 3/k directories of 8-byte codes and the
+  // corpus), ADC-scores them against the broadcast LUT, and reranks the
+  // top-50 with exact cosines via a 50-row fetch-join. No corpus shuffle
+  // anywhere: assignment + encode are broadcast maps at BUILD time, the
+  // probe is a pruned scan + broadcast joins.
+  def buildIvfPqIndex(e: DataFrame, indexDir: String, k: Int = 16,
+                      m: Int = 8, sub: Int = 8, kpq: Int = 16): Unit = {
+    import e.sparkSession.implicits._
+    val assigned = assignCells(e, k)
+    cellCentroids(assigned).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    val cbRow = pqCodebookRow(e, m, sub, kpq)
+    cbRow.select(posexplode($"cb").as(Seq("m", "cws")))
+      .select($"m", posexplode($"cws").as(Seq("code", "cw")))
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pqEncode(assigned, cbRow, m, sub, kpq)
+      .select($"vec_id", $"label", $"codes", $"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+  }
+
+  def sim08ViaIndex(s: SparkSession, d: String, indexDir: String,
+                    nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    // top-nprobe cells by centroid·query (the sim05 probe ordering)
+    val probed = s.read.parquet(s"$indexDir/centroids")
+      .crossJoin(broadcast(q))
+      .select($"cell", aggregate(
+        zip_with($"centroid", $"qv", (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("cdot"))
+      .orderBy($"cdot".desc, $"cell")
+      .limit(nprobe)
+      .select($"cell")
+    // geometry comes from the persisted codebook (sim07b's contract: a
+    // non-default build can never be probed with mismatched slicing)
+    val cbFlat = s.read.parquet(s"$indexDir/codebook")
+    val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
+    val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
+    val qRow = pqQueryRow(e, pqAssemble(cbFlat), mCnt, subLen)
+    val cand = s.read.parquet(s"$indexDir/codes")
+      .join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qRow))
+      .withColumn("adc", adcCol)
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(50)
+      .select($"vec_id", $"qv")
+    broadcast(cand).join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  def sim08IvfPq(s: SparkSession, d: String): DataFrame =
+    sim08ViaIndex(s, d, PersistedIndexes.ivfPqIndex(s, d))
+
+  /** The exact IVF-PQ pipeline in DuckDB: sim05's cell/centroid/probe
+    * CTEs compose with sim07's encode/LUT/ADC, restricted to the probed
+    * cells — the oracle recomputes the whole index-and-probe path, so a
+    * wrong cell assignment, a mispruned partition, or an ADC fold in a
+    * different order all hash-fail.
+    */
+  val sim08Sql: String = {
+    val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE)))," +
+      " (x, y) -> x + y)"
+    def dl2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, e.label, e.embedding, s.sid,
+       |             ${duckCosine("e.embedding", "s.sv")} AS sim
+       |           FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, CAST(sid AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, label, embedding, sid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cd AS (SELECT cell, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM assigned),
+       |cm AS (SELECT cell, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM cd GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |probed AS (SELECT c.cell FROM cent c, q ORDER BY $dotCQ DESC, c.cell LIMIT 3),
+       |cand0 AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probed USING (cell)
+       |          WHERE a.vec_id <> 0),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |subs AS (SELECT c0.vec_id, ms.m,
+       |           list_slice(c0.embedding, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |         FROM cand0 c0 CROSS JOIN ms),
+       |cb AS (SELECT m, CAST(vec_id AS INTEGER) AS code, sv AS cw FROM (
+       |         SELECT e.vec_id, ms.m,
+       |           list_slice(e.embedding, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |         FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16)),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${dl2("s.sv", "c.cw")}, c.code) AS rn
+       |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT c.m, c.code,
+       |          ${duckDot(s"list_slice(q.qv, c.m * 8 + 1, c.m * 8 + 8)", "c.cw")} AS part
+       |        FROM cb c, q),
+       |adc AS (
+       |  SELECT enc.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.part ORDER BY enc.m)),
+       |                (x, y) -> x + y) AS adc
+       |  FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
+       |  GROUP BY enc.vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e JOIN cand USING (vec_id), q
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // ---- dd10: semantic dedup (SemDeDup-style) -----------------------------
   //
   // The embedding-space dedup used in web-scale curation (Abbas et al.
@@ -746,7 +873,8 @@ object Similarity {
     "sim04_knn_join" -> sim04KnnJoin _,
     "sim05_kmeans_ivf" -> sim05KmeansIvf _,
     "sim07_pq_adc" -> sim07PqAdc _,
-    "sim07b_via_index" -> sim07bViaIndex _)
+    "sim07b_via_index" -> sim07bViaIndex _,
+    "sim08_ivf_pq" -> sim08IvfPq _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "dd10_semantic_dedup" -> dd10Sql(sfDir),
@@ -759,5 +887,6 @@ object Similarity {
     "sim04_knn_join" -> sim04Sql(sfDir),
     "sim05_kmeans_ivf" -> sim05Sql,
     "sim07_pq_adc" -> sim07Sql,
-    "sim07b_via_index" -> sim07Sql)
+    "sim07b_via_index" -> sim07Sql,
+    "sim08_ivf_pq" -> sim08Sql)
 }

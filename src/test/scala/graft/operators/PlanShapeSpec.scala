@@ -265,6 +265,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       exchanges.map(_.outputPartitioning.toString).mkString(" ;; "))
   }
 
+  test("sim08: codes scan is partition-pruned to the probed cells, corpus never shuffles") {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = PersistedIndexes.ivfPqIndex(spark, d)
+    val p = Similarity.sim08ViaIndex(spark, d, idx)
+    val s = plan(p)
+    // the cell-partitioned codes scan must carry dynamic partition pruning
+    // — without it "probe reads nprobe/k code directories" is a full scan
+    assert(s.contains("dynamicpruningexpression(cell"),
+      "codes scan lost its partition pruning: " + s.take(2000))
+    // the probe never reads the embedding column from the codes table
+    val codeScans = fileScans(p)
+      .filter(_.relation.location.rootPaths.mkString.contains("codes"))
+    assert(codeScans.nonEmpty &&
+      !codeScans.exists(_.requiredSchema.fieldNames.contains("embedding")),
+      codeScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" ;; "))
+    // every corpus-sized join is broadcast; exchanges are codebook-sized
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s.take(1500))
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(!exchanges.exists(_.outputPartitioning.toString.toLowerCase.contains("vec_id")),
+      exchanges.map(_.outputPartitioning.toString).mkString(" ;; "))
+  }
+
   test("txt12: bounded pair shuffles, skew-safe score join") {
     val p = TextAnalysis.txt12LmQuality(spark, d)
     val phys = physical(p)
