@@ -939,13 +939,24 @@ object CdcBinlog {
         throw e
     }
     // rotate only AFTER the new table is fully materialized: the previous
-    // invocation's returned (lazy) DataFrame stays readable until the next
+    // invocation's returned DataFrame stays readable until the next
     // invocation completes, instead of breaking the moment it starts
     val prev = cdcm1LastDir.getAndSet(work)
     if (prev != null) deleteRecursively(prev)
-    graft.streaming.CdcMaterializer.readTable(s, work.resolve("table").toString)
+    val out = graft.streaming.CdcMaterializer.readTable(s, work.resolve("table").toString)
       .select($"id", $"val".cast("double").as("val"), $"word")
       .orderBy($"id")
+    // DETACH the result from the workdir before returning: a later
+    // invocation rotates this table away, and a caller re-executing the
+    // previously returned lazy plan would read a deleted directory (a
+    // cache() is not enough — evicted partitions re-read the files). The
+    // gate result is small by construction (one row per live key of the
+    // fixture); production callers hold the materialized table directly.
+    val rows = out.collect()
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      out.schema)
+      .orderBy($"id") // keep the gate's total output order on the local plan
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -240,4 +240,19 @@ class CdcMaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).sortBy(_._1)
     assert(acct2.toSeq === Seq((7, "99.0000")))
   }
+
+  test("cdcm1: a previously returned result survives the next invocation's rotation") {
+    val d = "/root/testdata/sf0.001"
+    val first = graft.operators.CdcBinlog.cdcm1MaterializedTable(spark, d)
+    val before = first.count()
+    assert(before > 0)
+    // the second invocation rotates the first's workdir away...
+    val second = graft.operators.CdcBinlog.cdcm1MaterializedTable(spark, d)
+    assert(second.count() === before)
+    // ...and RE-EXECUTING the first result's plan must still succeed: the
+    // returned DataFrame is detached from the deleted directory (a lazy
+    // plan over the rotated table would throw FileNotFound here)
+    assert(first.count() === before)
+    assert(first.collect().map(_.getInt(0)).toSeq === second.collect().map(_.getInt(0)).toSeq)
+  }
 }
