@@ -948,15 +948,14 @@ object CdcBinlog {
       .orderBy($"id")
     // DETACH the result from the workdir before returning: a later
     // invocation rotates this table away, and a caller re-executing the
-    // previously returned lazy plan would read a deleted directory (a
-    // cache() is not enough — evicted partitions re-read the files). The
-    // gate result is small by construction (one row per live key of the
-    // fixture); production callers hold the materialized table directly.
-    val rows = out.collect()
-    s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-      out.schema)
-      .orderBy($"id") // keep the gate's total output order on the local plan
+    // previously returned lazy plan would read a deleted directory. A
+    // cache() is not enough — an evicted partition re-reads the files —
+    // but an EAGER local checkpoint severs the lineage: re-execution
+    // serves the checkpointed blocks and can never touch the directory
+    // again. (collect + createDataFrame would also detach, but re-paying
+    // external-row conversion on every execution measured ~1 s at sf0.1;
+    // the checkpointed plan re-executes in milliseconds.)
+    out.localCheckpoint(true).orderBy($"id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -96,6 +96,21 @@ class RemoteScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("encrypted"))
   }
 
+  test("streaming micro-batch discovers and reads through a file:// directory") {
+    val dir = fixture()
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", "id INT")
+      .load(s"file://$dir")
+      .writeStream.format("memory").queryName("remote_stream_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("remote_stream_mem").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(got === (0 until 9))
+    } finally q.stop()
+  }
+
   test("index file behind file:// resolves entries against the index's filesystem") {
     val dir = fixture()
     val idx = dir.resolve("binlog.index")
