@@ -64,10 +64,39 @@ object BinlogReader {
       path.substring(0, i).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-')
   }
 
+  /** Hadoop configuration for remote reads: the active/default Spark
+    * session's (so `spark.hadoop.*` credentials and endpoints — s3a keys,
+    * custom endpoints — reach the FileSystem, same as Spark's own file
+    * sources) with a bare `Configuration` fallback where no session
+    * exists (plain-JVM tools, executors on real clusters where
+    * core-site.xml carries the credentials). The binlog codec stays
+    * usable without Spark: the session lookup is a soft dependency
+    * guarded against any linkage error.
+    */
+  private[graft] def hadoopConfiguration(): org.apache.hadoop.conf.Configuration =
+    try {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+    } catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+
   private def hadoopPathFs(path: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    (p, p.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+    (p, p.getFileSystem(hadoopConfiguration()))
   }
+
+  // Append-aware remote-file cache: polling callers (the micro-batch
+  // safe-position walk runs per trigger) re-map the same file with
+  // offset 0 — without this, every poll re-downloads the whole file.
+  // Binlogs are append-only by protocol (rotation creates NEW files), so
+  // an unchanged size reuses the cached bytes (zero transfer) and a
+  // grown file fetches ONLY the [cachedSize, size) suffix — the same
+  // O(delta) contract the local incremental read keeps (SURVEY S15).
+  // Bounded to 2 entries (a poll loop touches one growing file; batch
+  // scan files pass through transiently) — at most 2 × 2 GiB held.
+  private val remoteCache =
+    new java.util.LinkedHashMap[String, (Long, Array[Byte])](4, 0.75f, true)
 
   /** Whole-file (or suffix-from-`offset`) buffered read via Hadoop FS for
     * scheme'd paths — binlogs are bounded by the same 2 GiB contract as
@@ -79,21 +108,42 @@ object BinlogReader {
   private def readViaHadoop(path: String, offset: Long): ByteBuffer = {
     val (p, fs) = hadoopPathFs(path)
     val size = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    try {
-      if (size >= 4) {
-        val m = new Array[Byte](4)
-        in.readFully(0L, m, 0, 4) // positioned read: loops internally
-        if (java.util.Arrays.equals(m, EncryptedMagic)) encryptedFileError(path)
+    require(size <= Int.MaxValue,
+      s"binlog file '$path' is $size bytes — beyond the 2 GiB window " +
+        "this decoder supports; split the transaction or rotate more often")
+    // the local path throws from FileChannel.map on a negative length —
+    // a truncated/replaced remote file must fail as loudly, not read as
+    // a silent empty scan that a stream would poll past forever
+    require(offset <= size,
+      s"binlog '$path' is $size bytes but offset $offset was requested — " +
+        "the file was truncated or replaced under the reader")
+    val full = remoteCache.synchronized {
+      val arr = remoteCache.get(path) match {
+        case (csize, carr) if csize == size => carr
+        case (csize, carr) if csize < size =>
+          // append-only growth: fetch just the new suffix
+          val grown = java.util.Arrays.copyOf(carr, size.toInt)
+          val in = fs.open(p)
+          try in.readFully(csize, grown, csize.toInt, (size - csize).toInt)
+          finally in.close()
+          grown
+        case _ => // first read, or the file shrank (replaced): full fetch
+          val arr = new Array[Byte](size.toInt)
+          val in = fs.open(p)
+          try { if (arr.length > 0) in.readFully(0L, arr, 0, arr.length) }
+          finally in.close()
+          arr
       }
-      val len = size - offset
-      require(len <= Int.MaxValue,
-        s"binlog file '$path' is $size bytes — beyond the 2 GiB window " +
-          "this decoder supports; split the transaction or rotate more often")
-      val arr = new Array[Byte](math.max(len, 0L).toInt)
-      if (arr.length > 0) in.readFully(offset, arr, 0, arr.length)
-      ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
-    } finally in.close()
+      remoteCache.put(path, (size, arr))
+      val it = remoteCache.entrySet().iterator()
+      while (remoteCache.size() > 2 && it.hasNext) { it.next(); it.remove() }
+      arr
+    }
+    if (size >= 4 &&
+      java.util.Arrays.equals(java.util.Arrays.copyOfRange(full, 0, 4), EncryptedMagic))
+      encryptedFileError(path)
+    ByteBuffer.wrap(full, offset.toInt, (size - offset).toInt)
+      .slice().asReadOnlyBuffer().order(ByteOrder.LITTLE_ENDIAN)
   }
 
   /** First 4 bytes of `path`, or None when shorter — ONE open serves both

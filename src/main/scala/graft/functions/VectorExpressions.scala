@@ -100,7 +100,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_min_k", exprs => BoundedMinK(exprs.head, exprs(1)), "built-in")
+      "graft_min_k", exprs => {
+        // a named arity error instead of a raw IndexOutOfBounds from the
+        // builder during analysis
+        require(exprs.length == 2,
+          s"graft_min_k(value, k) takes 2 arguments, got ${exprs.length}")
+        BoundedMinK(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   /** Column-API form (goes through the registered function so no internal

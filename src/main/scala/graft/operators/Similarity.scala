@@ -537,32 +537,28 @@ object Similarity {
                    k: Int = 16): Unit = {
     import e.sparkSession.implicits._
     val cbRow = pqCodebookRow(e, m, sub, k)
-    cbRow.select(posexplode($"cb").as(Seq("m", "cws")))
-      .select($"m", posexplode($"cws").as(Seq("code", "cw")))
-      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    persistCodebook(cbRow, indexDir)
     pqEncode(e, cbRow, m, sub, k)
       .select($"vec_id", $"label", $"codes")
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
-  /** The PQ probe against a persisted index: broadcast LUT over the slim
-    * codes scan, top-50 by ADC, then a 50-row fetch-join back to the
-    * vector table for the exact rerank (the candidate-fetch a production
-    * store serves point-wise).
+  /** The shared PQ probe tail (sim07b and sim08 differ only in WHICH code
+    * rows arrive here — the full table vs the probed cells): broadcast
+    * LUT over the slim `codes` rows, top-50 by ADC, then a 50-row
+    * fetch-join back to the vector table for the exact rerank (the
+    * candidate-fetch a production store serves point-wise). The index
+    * DEFINES the geometry — deriving (M, sub) from the persisted codebook
+    * instead of assuming defaults means a non-default build can never be
+    * probed with mismatched slicing (one driver-side row on a K×M-row
+    * table).
     */
-  def sim07ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val e = embeddings(s, d)
-    val cbFlat = s.read.parquet(s"$indexDir/codebook")
-    // the index DEFINES the geometry — deriving (M, sub) from the persisted
-    // codebook instead of assuming defaults means a non-default build can
-    // never be probed with mismatched slicing (one driver-side row on a
-    // K×M-row table)
+  private def pqProbe(e: DataFrame, cbFlat: DataFrame, codes: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
     val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
     val qRow = pqQueryRow(e, pqAssemble(cbFlat), mCnt, subLen)
-    val cand = s.read.parquet(s"$indexDir/codes").filter($"vec_id" =!= 0)
+    val cand = codes
       .crossJoin(broadcast(qRow))
       .withColumn("adc", adcCol)
       .orderBy($"adc".desc, $"vec_id")
@@ -572,6 +568,21 @@ object Similarity {
       .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
+  }
+
+  /** Flatten + persist the one-row codebook as a (m, code, cw) table. */
+  private def persistCodebook(cbRow: DataFrame, indexDir: String): Unit = {
+    import cbRow.sparkSession.implicits._
+    cbRow.select(posexplode($"cb").as(Seq("m", "cws")))
+      .select($"m", posexplode($"cws").as(Seq("code", "cw")))
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  def sim07ViaIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    pqProbe(embeddings(s, d), s.read.parquet(s"$indexDir/codebook"),
+      s.read.parquet(s"$indexDir/codes").filter($"vec_id" =!= 0))
   }
 
   def sim07bViaIndex(s: SparkSession, d: String): DataFrame =
@@ -631,9 +642,7 @@ object Similarity {
     cellCentroids(assigned).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
     val cbRow = pqCodebookRow(e, m, sub, kpq)
-    cbRow.select(posexplode($"cb").as(Seq("m", "cws")))
-      .select($"m", posexplode($"cws").as(Seq("code", "cw")))
-      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    persistCodebook(cbRow, indexDir)
     pqEncode(assigned, cbRow, m, sub, kpq)
       .select($"vec_id", $"label", $"codes", $"cell")
       .write.mode("overwrite").partitionBy("cell")
@@ -655,24 +664,10 @@ object Similarity {
       .orderBy($"cdot".desc, $"cell")
       .limit(nprobe)
       .select($"cell")
-    // geometry comes from the persisted codebook (sim07b's contract: a
-    // non-default build can never be probed with mismatched slicing)
-    val cbFlat = s.read.parquet(s"$indexDir/codebook")
-    val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
-    val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
-    val qRow = pqQueryRow(e, pqAssemble(cbFlat), mCnt, subLen)
-    val cand = s.read.parquet(s"$indexDir/codes")
-      .join(broadcast(probed), Seq("cell"))
-      .filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(qRow))
-      .withColumn("adc", adcCol)
-      .orderBy($"adc".desc, $"vec_id")
-      .limit(50)
-      .select($"vec_id", $"qv")
-    broadcast(cand).join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
-      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
-      .orderBy($"cos".desc, $"vec_id")
-      .limit(10)
+    pqProbe(e, s.read.parquet(s"$indexDir/codebook"),
+      s.read.parquet(s"$indexDir/codes")
+        .join(broadcast(probed), Seq("cell"))
+        .filter($"vec_id" =!= 0))
   }
 
   def sim08IvfPq(s: SparkSession, d: String): DataFrame =
@@ -819,7 +814,7 @@ object Similarity {
       .orderBy($"cell")
   }
 
-  def dd10Sql(d: String): String = {
+  def dd10Sql(d: String, reps: Int = 8): String = {
     val k = cellsForDir(d)
     s"""WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $k),
        |scored AS (SELECT e.vec_id, e.embedding, s.sid,
@@ -834,7 +829,7 @@ object Similarity {
        |  SELECT cell, vec_id, embedding FROM (
        |    SELECT cell, vec_id, embedding,
        |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rr
-       |    FROM assigned) WHERE rr <= 8),
+       |    FROM assigned) WHERE rr <= $reps),
        |p AS (SELECT a.cell, b.vec_id AS vec_b,
        |        ${duckCosine("a.embedding", "b.embedding")} AS cos
        |      FROM reps a JOIN assigned b

@@ -77,15 +77,8 @@ object VectorOps {
     * renderer land on the SAME k (the [[nBitsForDir]] contract). Clamp
     * floor when the table cannot be inspected.
     */
-  def cellsForDir(sfDir: String): Int = {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$sfDir/embeddings.parquet")
-    val exists =
-      try p.getFileSystem(new Configuration()).exists(p)
-      catch { case _: java.io.IOException => false }
-    if (exists) cellsFor(parquetRowCount(p.toString)) else 16
-  }
+  def cellsForDir(sfDir: String): Int =
+    embeddingsRowCount(sfDir).map(cellsFor(_)).getOrElse(16)
 
   // Footer counts cached per FILE, keyed by (path, length, mtime): a table
   // regenerated at a different size in the same JVM (test/bench harnesses do
@@ -130,18 +123,26 @@ object VectorOps {
     */
   val FallbackNBits: Int = 8
 
-  /** nBits for the embeddings table under `sfDir`; [[FallbackNBits]] when
-    * the table is absent so oracle rendering stays total.
+  /** Footer row count of `sfDir`'s embeddings table, None when absent —
+    * the ONE existence-probe both family derivations ([[nBitsForDir]],
+    * [[cellsForDir]]) share, so the query builders and the oracle SQL
+    * renderers can never drift onto different probes.
     */
-  def nBitsForDir(sfDir: String): Int = {
+  private def embeddingsRowCount(sfDir: String): Option[Long] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$sfDir/embeddings.parquet")
     val exists =
       try p.getFileSystem(new Configuration()).exists(p)
       catch { case _: java.io.IOException => false }
-    if (exists) nBitsFor(parquetRowCount(p.toString)) else FallbackNBits
+    if (exists) Some(parquetRowCount(p.toString)) else None
   }
+
+  /** nBits for the embeddings table under `sfDir`; [[FallbackNBits]] when
+    * the table is absent so oracle rendering stays total.
+    */
+  def nBitsForDir(sfDir: String): Int =
+    embeddingsRowCount(sfDir).map(nBitsFor(_)).getOrElse(FallbackNBits)
 
   // ---- DuckDB oracle SQL fragments (kept adjacent so the two stay in sync)
 

@@ -228,7 +228,9 @@ object BinlogSchemas {
   private def resolveFilesHadoop(path: String): Vector[String] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the session's Hadoop conf, so spark.hadoop.* credentials reach the
+    // remote store exactly as they do for Spark's own file sources
+    val fs = p.getFileSystem(BinlogReader.hadoopConfiguration())
     val st = fs.getFileStatus(p)
     def classify(uri: String): Boolean = {
       val magic = BinlogReader.fileMagic(uri)
