@@ -84,7 +84,7 @@ object PersistedIndexes {
     * centroids + codebook.
     */
   def ivfPqIndex(s: SparkSession, sfDir: String): String =
-    cached(s"graft-index-r8-sim08-${sfKey(sfDir)}") { dir =>
+    cached(s"graft-index-r8b-sim08-${sfKey(sfDir)}") { dir =>
       Similarity.buildIvfPqIndex(embeddings(s, sfDir), dir)
     }
 }

@@ -638,6 +638,12 @@ object Similarity {
   def buildIvfPqIndex(e: DataFrame, indexDir: String, k: Int = 16,
                       m: Int = 8, sub: Int = 8, kpq: Int = 16): Unit = {
     import e.sparkSession.implicits._
+    // a (re)build defines a NEW quantizer AND codebook: wipe every
+    // earlier segment (the buildAnnIndex contract — stale segments were
+    // assigned/encoded under the old geometry)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    codesPath.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(codesPath, true)
     val assigned = assignCells(e, k)
     cellCentroids(assigned).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
@@ -646,7 +652,29 @@ object Similarity {
     pqEncode(assigned, cbRow, m, sub, kpq)
       .select($"vec_id", $"label", $"codes", $"cell")
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/codes")
+      .parquet(s"$indexDir/codes/seg=base")
+  }
+
+  /** Append a batch to an existing IVF-PQ index: assign against the
+    * PERSISTED centroids and encode against the PERSISTED codebook (the
+    * quantizer and codebook only change on a rebuild — the
+    * [[appendToAnnIndex]] contract), land segment-addressed under
+    * `codes/seg=<segment>` so a replayed ingest batch overwrites exactly
+    * its own rows (idempotent). Probes are unchanged: partition discovery
+    * sees (seg, cell) and cell pruning still applies.
+    */
+  def appendToIvfPqIndex(s: SparkSession, batch: DataFrame, indexDir: String,
+                         segment: String): Unit = {
+    import s.implicits._
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val cbFlat = s.read.parquet(s"$indexDir/codebook")
+    val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl"),
+      (max($"code") + 1).as("kq")).head()
+    val (mCnt, subLen, kq) = (dims.getInt(0), dims.getInt(1), dims.getInt(2))
+    pqEncode(assignToCentroids(batch, cent), pqAssemble(cbFlat), mCnt, subLen, kq)
+      .select($"vec_id", $"label", $"codes", $"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes/seg=$segment")
   }
 
   def sim08ViaIndex(s: SparkSession, d: String, indexDir: String,
