@@ -53,10 +53,8 @@ object StreamOps {
             s"staging link $link points elsewhere")
       }
     }
-    spark.readStream.schema(schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros( // floor-div (see Tables.events)
-        expr("(ts div 1000) + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+    graft.core.Tables.normalizeEventTs( // nanos-long OR native timestamp
+      spark.readStream.schema(schema).parquet(staged.toString))
   }
 
   /** Watermarked tumbling-window aggregation: late data beyond 10 minutes
