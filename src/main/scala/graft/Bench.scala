@@ -172,37 +172,52 @@ object Bench {
     catch { case _: java.io.IOException => () }
     spark.stop()
 
-    // The official artifact keeps only the LAST ~2,000 chars of stdout
-    // (round 6's full line was truncated right through the spread block it
-    // was built to carry). This line is the artifact: every query's time
-    // AND spread, compacted to survive the tail capture, printed after
-    // spark.stop() so nothing can follow it. Keys shorten to the prefix
-    // before the first '_' (unique across the suite; full name kept on
-    // collision); times round to 10 ms, spreads to 0.1x — full precision
-    // stays in BENCH_LAST.json / the printed line above.
+    // The official artifact keeps only the LAST ~2,000 chars of stdout.
+    // Rounds 8 and 9 proved the previous compact line (times + a dense
+    // 99-entry spread array) STILL overflowed that window — both artifacts
+    // recorded parsed:null. This line is the artifact, printed after
+    // spark.stop() so nothing can follow it, and it now budgets itself:
+    // query keys shorten to the prefix before the first '_' (full name on
+    // collision), times round to 10 ms with trailing zeros trimmed, and
+    // spreads are reported SPARSELY — only queries whose max/min exceeds
+    // 1.5 appear in "sp" (largest first, truncated if space runs out, the
+    // count of suppressed-noisy entries in "sp_more"); absence means the
+    // min was representative. Full precision stays in BENCH_LAST.json.
     val shortNames = {
       val prefixes = results.map(_._1.takeWhile(_ != '_'))
       val dup = prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
       results.zip(prefixes).map { case ((full, _, _), p) => if (dup(p)) full else p }
     }
-    def fmt(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def fmt(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      if (!s.contains('.')) s
+      else { val t = s.reverse.dropWhile(_ == '0').reverse
+             if (t.endsWith(".")) t.dropRight(1) else t }
+    }
     val qCompact = shortNames.zip(results).map { case (n, (_, v, _)) =>
       "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, 2))
     }.mkString("{", ",", "}")
-    val spCompact = results.map { case (_, v, mx) =>
-      if (v > 0) fmt(mx / v, 1) else "-1"
-    }.mkString("[", ",", "]")
-    val compact =
+    val spreadHi = shortNames.zip(results).collect {
+      case (n, (_, v, mx)) if v > 0 && mx / v > 1.5 => (n, mx / v)
+    }.sortBy(-_._2)
+    def assemble(spN: Int): String = {
+      val kept = spreadHi.take(spN)
+      val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"failed":$failedJson,""" +
-        s""""queries":$qCompact,"qspread":$spCompact,""" +
-        s""""k":"sec; qspread=max/min aligned; full: BENCH_LAST.json",""" +
+        s""""queries":$qCompact,"sp":$sp,"sp_more":${spreadHi.size - kept.size},""" +
+        s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
         s""""event_scan_mb_s":${fmt(eventScanMbPerSec, 1)},"decode_ctp_mb_s":${fmt(ctpMbPerSec, 1)},""" +
         s""""decode_mdb_mb_s":${fmt(mdbMbPerSec, 1)},""" +
         s""""cdc_ms_p50":${fmt(latencyMs, 1)},"tailer_ms_p50":${fmt(tailerMs, 2)},""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    // 2,000-char window minus ~100 for sbt's trailing "[success]" line
+    val budget = 1880
+    val compact = (spreadHi.size to 0 by -1).iterator.map(assemble)
+      .find(_.length <= budget).getOrElse(assemble(0))
     println(compact)
   }
 
