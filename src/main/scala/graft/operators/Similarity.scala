@@ -885,7 +885,74 @@ object Similarity {
   def sim05bViaIndex(s: SparkSession, d: String): DataFrame =
     sim05ViaIndex(s, d, PersistedIndexes.annIndex(s, d))
 
+  // sim09 — hybrid retrieval: a dense (cosine) and a sparse (BM25, txt13)
+  // ranking fused by Reciprocal Rank Fusion, rrf = 1/(60 + r_dense) +
+  // 1/(60 + r_sparse). The gate runs both sides exact over the full corpus
+  // so the DuckDB oracle can reproduce the ranks; at scale each side is a
+  // top-k CANDIDATE stream (sim02/sim05/sim08 for dense, an impact-ordered
+  // posting scan for sparse) and the fusion join touches k rows per query,
+  // so the global rank windows below never see corpus-sized input. Ranks
+  // are integers and the fused score is a fixed two-term sum of IEEE-exact
+  // divisions — bit-identical cross-engine (txt13's determinism notes).
+  def sim09HybridRrf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val dense = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("id"), cosine($"embedding", $"qv").as("cos"))
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy($"cos".desc, $"id")).cast("long"))
+    val sparse = TextAnalysis.txt13Bm25(s, d)
+      .filter($"doc_id" =!= 0)
+      .select($"doc_id".as("id"), $"bm25")
+      .withColumn("r_sparse",
+        row_number().over(Window.orderBy($"bm25".desc, $"id")).cast("long"))
+    dense.join(sparse, "id")
+      .select($"id", $"cos", $"bm25", $"r_dense", $"r_sparse",
+        ((lit(1.0) / (lit(60.0) + $"r_dense".cast("double"))) +
+          (lit(1.0) / (lit(60.0) + $"r_sparse".cast("double")))).as("rrf"))
+      .orderBy($"rrf".desc, $"id")
+      .limit(10)
+  }
+
+  val sim09Sql: String = {
+    // the sparse side re-derives txt13's per-doc BM25 (same fixed
+    // association order — see txt13Sql) before ranking
+    val t = TextAnalysis.bm25Terms
+    val tfCols = t.map(x =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$x')) AS BIGINT) AS tf_$x")
+      .mkString(", ")
+    val dfCols = t.map(x => s"SUM(CASE WHEN tf_$x > 0 THEN 1 ELSE 0 END) AS df_$x")
+      .mkString(", ")
+    val scores = t.map(x =>
+      s"(((CAST(n AS DOUBLE) - CAST(df_$x AS DOUBLE) + 0.5) / (CAST(df_$x AS DOUBLE) + 0.5)) * ((CAST(tf_$x AS DOUBLE) * 2.2) / (CAST(tf_$x AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, $tfCols
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM t),
+       |kw AS (SELECT doc_id AS id, $scores AS bm25 FROM t, stats WHERE doc_id <> 0),
+       |kr AS (SELECT id, bm25,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS r_sparse
+       |       FROM kw),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dense AS (SELECT e.vec_id AS id, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |          FROM embeddings e, q WHERE e.vec_id <> 0),
+       |dr AS (SELECT id, cos,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS BIGINT) AS r_dense
+       |       FROM dense)
+       |SELECT dr.id, dr.cos, kr.bm25, dr.r_dense, kr.r_sparse,
+       |  (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_dense AS DOUBLE)))
+       |  + (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_sparse AS DOUBLE))) AS rrf
+       |FROM dr JOIN kr ON dr.id = kr.id
+       |ORDER BY rrf DESC, dr.id
+       |LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim09_hybrid_rrf" -> sim09HybridRrf _,
     "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
     "sim03b_via_index" -> sim03bViaIndex _,
     "sim05b_via_index" -> sim05bViaIndex _,
@@ -900,6 +967,7 @@ object Similarity {
     "sim08_ivf_pq" -> sim08IvfPq _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim09_hybrid_rrf" -> sim09Sql,
     "dd10_semantic_dedup" -> dd10Sql(sfDir),
     "sim03b_via_index" -> sim03Sql,
     "sim05b_via_index" -> sim05Sql,

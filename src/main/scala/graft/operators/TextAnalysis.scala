@@ -490,7 +490,75 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // txt13 — BM25 keyword relevance scoring: every document scored against
+  // a fixed query-term set (the sparse/retrieval-side text op; sim09 fuses
+  // it with dense ANN). Corpus statistics (N, per-term document frequency,
+  // total token count) come from ONE slim aggregation whose single row is
+  // broadcast back over the corpus; scoring is then a narrow per-row map —
+  // the corpus text never shuffles, which is the 100 TB shape (a real
+  // query set is a broadcast table; same plan).
+  //
+  // Determinism (txt12 precedent): classic BM25's idf is ln of the
+  // Robertson–Sparck-Jones odds; ln is transcendental and not identically
+  // rounded across engines, so the idf here is the RSJ odds itself,
+  // (N - df + 0.5)/(df + 0.5), un-logged — per-term monotone-identical
+  // ranking. All corpus sums are over integers (exact in any order), and
+  // the per-row score uses only +,*,/ (IEEE-exact) in one fixed
+  // association order mirrored by the oracle, so the doubles are
+  // bit-identical cross-engine.
+  val bm25Terms: Seq[String] = Seq("fast", "data", "table")
+
+  def txt13Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val base = documents(s, d).select(
+      ($"doc_id" +: size(toks).cast("long").as("dl") +: bm25Terms.map(t =>
+        size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val statAggs = count(lit(1)).as("n") +: sum($"dl").as("sumdl") +:
+      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    def dbl(c: Column): Column = c.cast("double")
+    // k1 = 1.2, b = 0.75; norm = k1 * ((1-b) + b * dl/avgdl)
+    def termScore(t: String): Column = {
+      val tf = dbl(col(s"tf_$t")); val df = dbl(col(s"df_$t"))
+      val idf = (dbl($"n") - df + lit(0.5)) / (df + lit(0.5))
+      val norm = lit(1.2) * (lit(0.25) + lit(0.75) * (dbl($"dl") / (dbl($"sumdl") / dbl($"n"))))
+      idf * ((tf * lit(2.2)) / (tf + norm))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(
+        ($"doc_id" +: $"dl".as("n_tokens") +:
+          bm25Terms.map(t => col(s"tf_$t")) :+
+          bm25Terms.map(termScore).reduceLeft(_ + _).as("bm25")): _*)
+      .orderBy($"doc_id")
+  }
+
+  val txt13Sql: String = {
+    val tfCols = bm25Terms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n      |    ")
+    val dfCols = bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val scores = bm25Terms.map(t =>
+      s"""(((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+         |    * ((CAST(tf_$t AS DOUBLE) * 2.2)
+         |       / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))""".stripMargin)
+      .mkString("\n      |  + ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    $tfCols
+      |  FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM t)
+      |SELECT doc_id, dl AS n_tokens, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+      |  $scores AS bm25
+      |FROM t, stats
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
     "txt09_bpe_tokens" -> txt09BpeTokens _,
     "txt10_mixture_sample" -> txt10MixtureSample _,
@@ -505,6 +573,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt13_bm25" -> txt13Sql,
     "txt12_lm_quality" -> txt12Sql,
     "txt09_bpe_tokens" -> txt09Sql,
     "txt10_mixture_sample" -> txt10Sql,
