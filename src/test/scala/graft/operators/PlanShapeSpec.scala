@@ -147,6 +147,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-doc gram counting must fold inside the row, not aggregate: " + plan(p).take(1500))
   }
 
+  test("txt13: corpus never shuffles — one broadcast stats row, narrow scoring map") {
+    val p = TextAnalysis.txt13Bm25(spark, d)
+    val s = plan(p)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only shuffles allowed are the stats aggregation's single-row
+    // final (SinglePartition) and the gate output sort — the corpus-sized
+    // scoring side must stay a broadcast-joined narrow map
+    assert(exchanges.size <= 2, s.take(2000))
+    exchanges.foreach { e =>
+      val part = e.outputPartitioning.toString.toLowerCase
+      assert(part.contains("single") || part.contains("range"),
+        "corpus-keyed hash shuffle in txt13: " + part)
+    }
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "stats row must broadcast back over the corpus: " + s.take(1500))
+  }
+
+  test("sim09: every shuffle carries slim rank rows — embedding/text payloads never exchange") {
+    val p = Similarity.sim09HybridRrf(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty) // the rank windows + fusion join do exchange
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("text") || c == "qv"),
+        "heavy payload column in a sim09 shuffle: " + cols.mkString(","))
+    }
+  }
+
   test("dd08: eval side broadcasts; train side never cartesians") {
     graft.functions.GraftFunctions.register(spark)
     val p = Dedup.dd08Decontaminate(spark, d)
