@@ -701,6 +701,139 @@ object Similarity {
   def sim08IvfPq(s: SparkSession, d: String): DataFrame =
     sim08ViaIndex(s, d, PersistedIndexes.ivfPqIndex(s, d))
 
+  // ---- sim10: batch k-NN join over the IVF-PQ index -----------------------
+  //
+  // The production retrieval shape: MANY queries probe the persisted index
+  // at once (sim04's batch framing composed with sim08's index). Every
+  // per-query structure stays slim — (qid, LUT) rows and (qid, cell) probe
+  // pairs broadcast; the code table is read ONCE restricted to the union
+  // of probed cells (partition-pruned, like sim08) and each code row joins
+  // only the queries that probed its cell. Candidate scoring is ADC
+  // against the per-query LUT; per-query top-50 / final top-3 run on slim
+  // (qid, vec_id, score) rows via bounded windows. At 100 TB: queries ×
+  // nprobe cells of 8-byte codes scanned, zero corpus shuffle, exact
+  // fetch-join rerank on 50 rows per query.
+  def sim10IvfPqKnnJoin(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val indexDir = PersistedIndexes.ivfPqIndex(s, d)
+    val e = embeddings(s, d)
+    val cbFlat = s.read.parquet(s"$indexDir/codebook")
+    val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
+    val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
+    // query batch (every 50th vector) with per-query ADC LUTs
+    val qs = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        pqSubsOf($"embedding", mCnt, subLen).as("qsubs"))
+      .crossJoin(broadcast(pqAssemble(cbFlat)))
+      .select($"qid", $"qv", zip_with($"cb", $"qsubs",
+        (cws, qsv) => transform(cws, cw => dot(qsv, cw))).as("lut"))
+    // per-query top-nprobe cells by centroid score (slim: queries × cells)
+    val probes = qs.select($"qid", $"qv")
+      .crossJoin(broadcast(s.read.parquet(s"$indexDir/centroids")))
+      .select($"qid", $"cell", aggregate(
+        zip_with($"centroid", $"qv", (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("cdot"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"qid").orderBy($"cdot".desc, $"cell")))
+      .filter($"rn" <= nprobe)
+      .select($"qid", $"cell")
+    // codes restricted to probed cells, fanned out per probing query
+    val wTop = Window.partitionBy($"qid").orderBy($"adc".desc, $"vec_id")
+    val cand = s.read.parquet(s"$indexDir/codes")
+      .join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .join(broadcast(qs.select($"qid", $"lut")), Seq("qid"))
+      .select($"qid", $"vec_id", adcCol.as("adc")) // slim BEFORE the window shuffle
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 50)
+      .select($"qid", $"vec_id")
+    // exact rerank: fetch the candidates' vectors, top-3 per query
+    val wFinal = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    broadcast(cand)
+      .join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
+      .join(broadcast(qs.select($"qid", $"qv")), Seq("qid"))
+      .select($"qid", $"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id", $"label", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** The batch IVF-PQ probe in DuckDB: sim08's index recomputation with a
+    * query SET — per-qid probed cells, per-(qid, m, code) LUT, per-(qid,
+    * vec) ADC, per-qid top-50 and exact top-3. Encoding stays per-vector
+    * (computed once over the distinct candidates).
+    */
+  val sim10Sql: String = {
+    val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(c.centroid, qs.qv), p -> p[1] * CAST(p[2] AS DOUBLE)))," +
+      " (x, y) -> x + y)"
+    def dl2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       |seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, e.label, e.embedding, s.sid,
+       |             ${duckCosine("e.embedding", "s.sv")} AS sim
+       |           FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, CAST(sid AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, label, embedding, sid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cd AS (SELECT cell, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM assigned),
+       |cm AS (SELECT cell, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM cd GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |probed AS (SELECT qid, cell FROM (
+       |  SELECT qs.qid, c.cell,
+       |    row_number() OVER (PARTITION BY qs.qid ORDER BY $dotCQ DESC, c.cell) AS rn
+       |  FROM cent c, qs) WHERE rn <= 3),
+       |cand0 AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probed p USING (cell)
+       |          WHERE a.vec_id <> p.qid),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |subs AS (SELECT dv.vec_id, ms.m,
+       |           list_slice(e.embedding, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |         FROM (SELECT DISTINCT vec_id FROM cand0) dv
+       |         JOIN embeddings e USING (vec_id) CROSS JOIN ms),
+       |cb AS (SELECT m, CAST(vec_id AS INTEGER) AS code, sv AS cw FROM (
+       |         SELECT e.vec_id, ms.m,
+       |           list_slice(e.embedding, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |         FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16)),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${dl2("s.sv", "c.cw")}, c.code) AS rn
+       |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT qs.qid, c.m, c.code,
+       |          ${duckDot(s"list_slice(qs.qv, c.m * 8 + 1, c.m * 8 + 8)", "c.cw")} AS part
+       |        FROM cb c, qs),
+       |adc AS (
+       |  SELECT c0.qid, c0.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.part ORDER BY enc.m)),
+       |                (x, y) -> x + y) AS adc
+       |  FROM cand0 c0
+       |  JOIN enc ON enc.vec_id = c0.vec_id
+       |  JOIN lut l ON l.qid = c0.qid AND l.m = enc.m AND l.code = enc.code
+       |  GROUP BY c0.qid, c0.vec_id),
+       |top50 AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 50),
+       |rr AS (
+       |  SELECT t.qid, t.vec_id, e.label, ${duckCosine("e.embedding", "q2.qv")} AS cos
+       |  FROM top50 t JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN qs q2 ON q2.qid = t.qid)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, label, cos FROM (
+       |  SELECT qid, vec_id, label, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr) WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The exact IVF-PQ pipeline in DuckDB: sim05's cell/centroid/probe
     * CTEs compose with sim07's encode/LUT/ADC, restricted to the probed
     * cells — the oracle recomputes the whole index-and-probe path, so a
@@ -952,6 +1085,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
     "sim09_hybrid_rrf" -> sim09HybridRrf _,
     "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
     "sim03b_via_index" -> sim03bViaIndex _,
@@ -967,6 +1101,7 @@ object Similarity {
     "sim08_ivf_pq" -> sim08IvfPq _)
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim10_ivfpq_knn_join" -> sim10Sql,
     "sim09_hybrid_rrf" -> sim09Sql,
     "dd10_semantic_dedup" -> dd10Sql(sfDir),
     "sim03b_via_index" -> sim03Sql,
