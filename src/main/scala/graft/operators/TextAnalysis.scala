@@ -557,7 +557,87 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // txt14 — composite quality gate (the Gopher/FineWeb-style accept/
+  // reject stage): every document is tested against a fixed rule set
+  // built from the doc-local signals (length, stopword density, lexical
+  // diversity, mean word length, top-bigram repetition) and leaves with a
+  // keep/drop verdict plus the comma-joined list of the rules it failed —
+  // the per-rule observability a curation pipeline needs to tune
+  // thresholds. One narrow codegen'd map over the corpus (runStats folds
+  // bigram repetition inside the row, txt08's trick); zero shuffle except
+  // the gate's output sort. Thresholds compare IEEE-exact rational
+  // doubles, so both engines agree at the boundaries.
+  def txt14QualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val biRaw = zip_with(toks, slice(toks, lit(2), size(toks)),
+      (a, b) => concat(a, lit(" "), b))
+    val bi = filter(biRaw, x => x.isNotNull)
+    val topBigram = when(nTok >= 2,
+      runStats(bi).getField("maxrun").cast("double") / size(bi)).otherwise(lit(0.0))
+    val stopRatio = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    // single-space-joined text: chars = sum(word lens) + (n-1) separators
+    val meanWordLen = (length($"text").cast("double") - (nTok.cast("double") - lit(1.0))) /
+      nTok.cast("double")
+    val rules = Seq(
+      (nTok < 30, "short"),
+      (stopRatio < 0.015, "low_stopword"),
+      (ttr < 0.30, "low_diversity"),
+      (meanWordLen < 3.0 || meanWordLen > 10.0, "word_len"),
+      (topBigram > 0.18, "repetitive"))
+    val reasons = concat_ws(",", rules.map { case (c, name) =>
+      when(c, lit(name)) }: _*)
+    documents(s, d)
+      .select(
+        $"doc_id",
+        nTok.as("n_tokens"),
+        when(rules.map(_._1).reduce(_ || _), lit("drop")).otherwise(lit("keep"))
+          .as("verdict"),
+        reasons.as("reject_reasons"))
+      .orderBy($"doc_id")
+  }
+
+  val txt14Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |bic AS (
+      |  SELECT doc_id, MAX(cnt) AS topcnt, CAST(SUM(cnt) AS BIGINT) AS n_bi
+      |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+      |        FROM (SELECT doc_id,
+      |                unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |              FROM t WHERE len(toks) >= 2)
+      |        GROUP BY doc_id, gram)
+      |  GROUP BY doc_id),
+      |sig AS (
+      |  SELECT t.doc_id, t.n_tok,
+      |    CAST(len(list_filter(t.toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / t.n_tok AS stop_ratio,
+      |    CAST(len(list_distinct(t.toks)) AS DOUBLE) / t.n_tok AS ttr,
+      |    (CAST(LENGTH(t.text) AS DOUBLE) - (CAST(t.n_tok AS DOUBLE) - 1.0))
+      |      / CAST(t.n_tok AS DOUBLE) AS mean_wl,
+      |    CASE WHEN t.n_tok >= 2
+      |         THEN CAST(bic.topcnt AS DOUBLE) / bic.n_bi ELSE 0.0 END AS top_bigram
+      |  FROM t LEFT JOIN bic USING (doc_id))
+      |SELECT doc_id, n_tok AS n_tokens,
+      |  CASE WHEN n_tok < 30 OR stop_ratio < 0.015 OR ttr < 0.30
+      |         OR mean_wl < 3.0 OR mean_wl > 10.0 OR top_bigram > 0.18
+      |       THEN 'drop' ELSE 'keep' END AS verdict,
+      |  concat_ws(',',
+      |    CASE WHEN n_tok < 30 THEN 'short' END,
+      |    CASE WHEN stop_ratio < 0.015 THEN 'low_stopword' END,
+      |    CASE WHEN ttr < 0.30 THEN 'low_diversity' END,
+      |    CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'word_len' END,
+      |    CASE WHEN top_bigram > 0.18 THEN 'repetitive' END) AS reject_reasons
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt14_quality_gate" -> txt14QualityGate _,
     "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
     "txt09_bpe_tokens" -> txt09BpeTokens _,
@@ -573,6 +653,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt14_quality_gate" -> txt14Sql,
     "txt13_bm25" -> txt13Sql,
     "txt12_lm_quality" -> txt12Sql,
     "txt09_bpe_tokens" -> txt09Sql,

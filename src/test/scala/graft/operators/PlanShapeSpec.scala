@@ -147,6 +147,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-doc gram counting must fold inside the row, not aggregate: " + plan(p).take(1500))
   }
 
+  test("txt14: quality gate is a narrow map — only the output sort exchanges") {
+    val p = TextAnalysis.txt14QualityGate(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1, plan(p).take(2000))
+    assert(exchanges.head.outputPartitioning.toString.toLowerCase.contains("range"),
+      "the only exchange must be the output sort: " + exchanges.head.outputPartitioning)
+    // verdicts and reasons fold inside the row (runStats), never aggregate
+    assert(!plan(p).contains("HashAggregate"), plan(p).take(1500))
+    // every drop must carry a reason; keeps carry none (cheap end-to-end pin)
+    import org.apache.spark.sql.functions.col
+    val bad = p.filter(
+      (col("verdict") === "drop" && col("reject_reasons") === "") ||
+        (col("verdict") === "keep" && col("reject_reasons") =!= "")).count()
+    assert(bad === 0L)
+  }
+
   test("txt13: corpus never shuffles — one broadcast stats row, narrow scoring map") {
     val p = TextAnalysis.txt13Bm25(spark, d)
     val s = plan(p)
