@@ -567,9 +567,13 @@ object TextAnalysis {
   // bigram repetition inside the row, txt08's trick); zero shuffle except
   // the gate's output sort. Thresholds compare IEEE-exact rational
   // doubles, so both engines agree at the boundaries.
-  def txt14QualityGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val toks = tokens($"text")
+  /** The txt14 rule set as (condition, rule-name) pairs over a `text`
+    * column — shared by the per-doc gate and the txt15 pipeline so the two
+    * can never apply different thresholds.
+    */
+  private[operators] def gateRules: Seq[(Column, String)] = {
+    val text = col("text")
+    val toks = tokens(text)
     val nTok = size(toks).cast("long")
     val biRaw = zip_with(toks, slice(toks, lit(2), size(toks)),
       (a, b) => concat(a, lit(" "), b))
@@ -579,20 +583,28 @@ object TextAnalysis {
     val stopRatio = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     // single-space-joined text: chars = sum(word lens) + (n-1) separators
-    val meanWordLen = (length($"text").cast("double") - (nTok.cast("double") - lit(1.0))) /
+    val meanWordLen = (length(text).cast("double") - (nTok.cast("double") - lit(1.0))) /
       nTok.cast("double")
-    val rules = Seq(
+    Seq(
       (nTok < 30, "short"),
       (stopRatio < 0.015, "low_stopword"),
       (ttr < 0.30, "low_diversity"),
       (meanWordLen < 3.0 || meanWordLen > 10.0, "word_len"),
       (topBigram > 0.18, "repetitive"))
+  }
+
+  /** The txt14 drop predicate (any rule fails). */
+  private[operators] def gateDrop: Column = gateRules.map(_._1).reduce(_ || _)
+
+  def txt14QualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = gateRules
     val reasons = concat_ws(",", rules.map { case (c, name) =>
       when(c, lit(name)) }: _*)
     documents(s, d)
       .select(
         $"doc_id",
-        nTok.as("n_tokens"),
+        size(tokens($"text")).cast("long").as("n_tokens"),
         when(rules.map(_._1).reduce(_ || _), lit("drop")).otherwise(lit("keep"))
           .as("verdict"),
         reasons.as("reject_reasons"))
@@ -636,7 +648,93 @@ object TextAnalysis {
       |FROM sig
       |ORDER BY doc_id""".stripMargin
 
+  // txt15 — the end-to-end curation pipeline as ONE declarative plan
+  // (dd07's framing for the text side): quality gate (txt14's exact rule
+  // set) → exact dedup (dd01's min-doc_id survivor per content
+  // fingerprint) → deterministic split assignment (txt07's md5 window) →
+  // source-mixture sampling (txt10's independent md5 window) → per-(split,
+  // source) doc/token counts. Plan shape: narrow gate + fingerprint map,
+  // ONE fp hash-shuffle whose min(struct) survivor pick partial-aggregates
+  // map-side (hot duplicate content collapses before the exchange — dd11's
+  // lesson), then a slim two-column aggregation; the corpus text never
+  // shuffles (the struct carries only doc_id/source/token count). Catalyst
+  // sees the whole pipeline at once, so column pruning reaches the scan.
+  def txt15CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kept = documents(s, d).filter(!gateDrop)
+    val surv = kept
+      .select(fingerprint($"text").as("fp"),
+        struct($"doc_id", $"source",
+          size(tokens($"text")).cast("long").as("n_tok")).as("rec"))
+      .groupBy($"fp").agg(min($"rec").as("rec"))
+      .select($"rec.doc_id".as("doc_id"), $"rec.source".as("source"),
+        $"rec.n_tok".as("n_tok"))
+    val splitBucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val sampleBucket = conv(substring(md5($"doc_id".cast("string")), 5, 4), 16, 10)
+      .cast("long") % 100
+    val rate = lit(100) - lit(4) * substring($"source", 4, 10).cast("int")
+    surv
+      .withColumn("split",
+        when(splitBucket < 5, "test").when(splitBucket < 15, "val")
+          .otherwise("train"))
+      .filter(sampleBucket < rate)
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"split", $"source")
+  }
+
+  val txt15Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |bic AS (
+      |  SELECT doc_id, MAX(cnt) AS topcnt, CAST(SUM(cnt) AS BIGINT) AS n_bi
+      |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+      |        FROM (SELECT doc_id,
+      |                unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |              FROM t WHERE len(toks) >= 2)
+      |        GROUP BY doc_id, gram)
+      |  GROUP BY doc_id),
+      |sig AS (
+      |  SELECT t.doc_id, t.source, t.text, t.n_tok,
+      |    CAST(len(list_filter(t.toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / t.n_tok AS stop_ratio,
+      |    CAST(len(list_distinct(t.toks)) AS DOUBLE) / t.n_tok AS ttr,
+      |    (CAST(LENGTH(t.text) AS DOUBLE) - (CAST(t.n_tok AS DOUBLE) - 1.0))
+      |      / CAST(t.n_tok AS DOUBLE) AS mean_wl,
+      |    CASE WHEN t.n_tok >= 2
+      |         THEN CAST(bic.topcnt AS DOUBLE) / bic.n_bi ELSE 0.0 END AS top_bigram
+      |  FROM t LEFT JOIN bic USING (doc_id)),
+      |kept AS (
+      |  SELECT doc_id, source, text, n_tok FROM sig
+      |  WHERE NOT (n_tok < 30 OR stop_ratio < 0.015 OR ttr < 0.30
+      |             OR mean_wl < 3.0 OR mean_wl > 10.0 OR top_bigram > 0.18)),
+      |surv AS (
+      |  SELECT doc_id, source, n_tok FROM (
+      |    SELECT doc_id, source, n_tok,
+      |      row_number() OVER (
+      |        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |        ORDER BY doc_id) AS rn
+      |    FROM kept) WHERE rn = 1),
+      |sampled AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CASE WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 5 THEN 'test'
+      |         WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:4])::BIGINT % 100 < 15 THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM surv
+      |  WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[5:8])::BIGINT % 100
+      |        < 100 - 4 * CAST(source[4:] AS INT))
+      |SELECT split, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM sampled
+      |GROUP BY split, source
+      |ORDER BY split, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt15_curation_pipeline" -> txt15CurationPipeline _,
     "txt14_quality_gate" -> txt14QualityGate _,
     "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
@@ -653,6 +751,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt15_curation_pipeline" -> txt15Sql,
     "txt14_quality_gate" -> txt14Sql,
     "txt13_bm25" -> txt13Sql,
     "txt12_lm_quality" -> txt12Sql,

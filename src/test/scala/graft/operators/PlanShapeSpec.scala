@@ -165,6 +165,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0L)
   }
 
+  test("txt15: pipeline shuffles are slim — text stays out, survivor pick is partial-agg") {
+    val p = TextAnalysis.txt15CurationPipeline(spark, d)
+    val exchanges = physical(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // fp survivor agg + (split, source) agg + output sort — nothing else
+    assert(exchanges.size <= 3, plan(p).take(2000))
+    exchanges.foreach { e =>
+      assert(!e.child.output.map(_.name.toLowerCase).exists(_.contains("text")),
+        "corpus text in a txt15 shuffle: " + e.child.output.map(_.name).mkString(","))
+    }
+    // hot duplicate content must collapse before the fp exchange
+    assert(plan(p).contains("partial_min"), plan(p).take(2000))
+  }
+
   test("txt13: corpus never shuffles — one broadcast stats row, narrow scoring map") {
     val p = TextAnalysis.txt13Bm25(spark, d)
     val s = plan(p)
