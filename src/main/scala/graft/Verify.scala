@@ -9,11 +9,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = core.GraftConf.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage).take(500)
         // a failed query must leave NO output: stale parquet from a prior
         // run in the same outDir would make the DuckDB compare silently
         // validate results the current code cannot produce
@@ -39,6 +41,17 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dropped gates must be loud IN THE ARTIFACT, not only on stderr: the
+    // round-9 events-schema regression silently excluded 14 queries
+    // (stderr was discarded; the compare just saw fewer result dirs).
+    // A query that ran in a previous round and is absent now shows up here
+    // by name with its error, next to the results it should have joined.
+    val failedJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    System.err.println(s"[verify] ${SparkEntry.queries.size - failures.size}/" +
+      s"${SparkEntry.queries.size} queries produced results" +
+      (if (failures.isEmpty) "" else s"; FAILED: ${failures.keys.mkString(", ")}"))
     spark.stop()
   }
 }

@@ -30,12 +30,17 @@ def main(sf_dir, out_dir):
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Verify records queries that threw (instead of silently producing no
+    # output dir) — surface them with their error, counted as bad
+    failed_path = os.path.join(out_dir, "_failed.json")
+    failed = json.load(open(failed_path)) if os.path.exists(failed_path) else {}
     n_ok = n_bad = 0
     for name in sorted(oracle):
         pdir = os.path.join(out_dir, name)
         files = glob.glob(pdir + "/*.parquet")
         if not files:
-            print(f"MISSING  {name} (no spark output)"); n_bad += 1; continue
+            why = failed.get(name, "no spark output")
+            print(f"MISSING  {name}: {str(why)[:160]}"); n_bad += 1; continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
             duck_df = con.sql(oracle[name]).df()
