@@ -377,7 +377,63 @@ object Multimodal {
       |FROM sh
       |ORDER BY media_type, shard, byte_offset""".stripMargin
 
+  // mm08 — media quality gate (txt14's accept/reject stage for the
+  // multimodal side): every item is tested against a fixed rule set over
+  // the EXTRACTED metadata (byte size, decoded dims, frame count) — never
+  // the payload — and leaves with a keep/drop verdict plus the
+  // comma-joined failed rules. The shape that matters at 100 TB: the gate
+  // runs on the slim feature rows the partition-parallel codec pass
+  // already produced, so blobs are read once and never shuffled, and the
+  // verdict column is what the downstream curation join filters on.
+  // Aspect-ratio compares are single IEEE divisions — cross-engine exact.
+  def mm08MediaGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ar = $"width".cast("double") / $"height".cast("double")
+    val rules = Seq(
+      ($"n_bytes" < 64, "tiny"),
+      ($"media_type" =!= "audio" && (ar > 4.0 || ar < 0.25), "extreme_aspect"),
+      ($"media_type" === "video" && $"n_frames" < 8, "short_video"),
+      ($"n_bytes" > 100000, "oversize"))
+    extractFeatures(mediaTable(s, d)).toDF()
+      .select(
+        $"doc_id", $"media_type",
+        when(rules.map(_._1).reduce(_ || _), lit("drop")).otherwise(lit("keep"))
+          .as("verdict"),
+        concat_ws(",", rules.map { case (c, n) => when(c, lit(n)) }: _*)
+          .as("reject_reasons"))
+      .orderBy($"doc_id")
+  }
+
+  val mm08Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+      |    CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+      |    CAST(CASE WHEN doc_id % 3 + 1 = 3 THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS INT) AS n_frames
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, media_type,
+      |    n_bytes < 64 AS r_tiny,
+      |    media_type <> 'audio' AND (CAST(width AS DOUBLE) / CAST(height AS DOUBLE) > 4.0
+      |      OR CAST(width AS DOUBLE) / CAST(height AS DOUBLE) < 0.25) AS r_aspect,
+      |    media_type = 'video' AND n_frames < 8 AS r_short,
+      |    n_bytes > 100000 AS r_oversize
+      |  FROM f)
+      |SELECT doc_id, media_type,
+      |  CASE WHEN r_tiny OR r_aspect OR r_short OR r_oversize
+      |       THEN 'drop' ELSE 'keep' END AS verdict,
+      |  concat_ws(',',
+      |    CASE WHEN r_tiny THEN 'tiny' END,
+      |    CASE WHEN r_aspect THEN 'extreme_aspect' END,
+      |    CASE WHEN r_short THEN 'short_video' END,
+      |    CASE WHEN r_oversize THEN 'oversize' END) AS reject_reasons
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm08_media_gate" -> mm08MediaGate _,
     "mm07_shard_manifest" -> ((s: SparkSession, d: String) => mm07ShardManifest(s, d)),
     "mm06_pair_manifest" -> mm06PairManifest _,
     "mm01_media_meta" -> mm01MediaMeta _,
@@ -387,6 +443,7 @@ object Multimodal {
     "mm05_phash_neardup" -> mm05PhashNearDup _)
 
   def oracles: Map[String, String] = Map(
+    "mm08_media_gate" -> mm08Sql,
     "mm07_shard_manifest" -> mm07Sql,
     "mm06_pair_manifest" -> mm06Sql,
     "mm01_media_meta" -> mm01Sql,
