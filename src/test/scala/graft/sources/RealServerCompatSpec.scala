@@ -137,6 +137,31 @@ class RealServerCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       ex.getCause != null && ex.getCause.getMessage.contains("schema change"))
   }
 
+  test("dynamic mode decodes BOTH schema generations across a mid-log ALTER") {
+    // a table's column count changes mid-log (ALTER TABLE ADD COLUMN): in
+    // dynamic (positional array<string>) mode every rows event decodes
+    // against its OWN TABLE_MAP, so the scan returns the narrow rows
+    // before the ALTER and the wide rows after it — the self-describing
+    // path a user is told to use when payloadDdl no longer applies
+    val dir = Files.createTempDirectory("schema-drift")
+    new Writer()
+      .writeFormatDescription(ts = 1000)
+      .writeTableMap(5, "d", "t", Seq(ColSpec.int), ts = 1000)
+      .writeInsert(5, Seq(ColSpec.int), Seq(Seq[Any](7)), ts = 1000)
+      .writeXid(1, ts = 1000)
+      .writeQuery("d", "ALTER TABLE d.t ADD COLUMN y INT", ts = 1001)
+      .writeTableMap(6, "d", "t", Seq(ColSpec.int, ColSpec.int), ts = 1002)
+      .writeInsert(6, Seq(ColSpec.int, ColSpec.int), Seq(Seq[Any](8, 80)), ts = 1002)
+      .writeXid(2, ts = 1002)
+      .save(dir.resolve("binlog.000001").toString)
+    val rows = spark.read.format("mysql-binlog").load(dir.toString)
+      .orderBy("log_seq").collect()
+    assert(rows.length === 2)
+    val imgs = rows.map(_.getAs[scala.collection.Seq[String]]("row"))
+    assert(imgs(0).toSeq === Seq("7"), "pre-ALTER generation must keep its width")
+    assert(imgs(1).toSeq === Seq("8", "80"), "post-ALTER generation must widen")
+  }
+
   test("dynamic mode stringifies binary values as hex, not JVM identity") {
     val cols = Seq(ColSpec.int, ColSpec.blob(2))
     val dir = Files.createTempDirectory("blob-hex")
