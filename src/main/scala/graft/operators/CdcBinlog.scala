@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r8a-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r10-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -291,7 +291,47 @@ object CdcBinlog {
       Files.createDirectories(tgDir)
       writeTaggedFixture(tgDir,
         Files.newBufferedWriter(staging.resolve("expected_tagged.csv")))
+      // schema-drift twin: one table's TABLE_MAP evolves across three
+      // generations with the ALTER statements logged between them —
+      // cdcb19's input (dynamic-mode scan, generator-ground-truthed rows)
+      val driftDir = staging.resolve("drift")
+      Files.createDirectories(driftDir)
+      writeDriftFixture(driftDir,
+        Files.newBufferedWriter(staging.resolve("expected_drift.csv")))
     }
+  }
+
+  /** Schema-drift fixture: table bench.t evolves (INT) → (INT, INT) →
+    * (INT, INT, VARCHAR(24)), 20 single-row transactions per generation,
+    * each generation under its own table id with the ALTER between them.
+    * The CSV records the generator's own rows as (id, n_cols, row_txt) —
+    * a scan that decodes any generation against the wrong TABLE_MAP
+    * changes a width or a value and hash-fails.
+    */
+  private def writeDriftFixture(dir: java.nio.file.Path, exp: java.io.Writer): Unit = {
+    exp.write("id,n_cols,row_txt\n")
+    val g1 = Seq(ColSpec.int)
+    val g2 = Seq(ColSpec.int, ColSpec.int)
+    val g3 = Seq(ColSpec.int, ColSpec.int, ColSpec.varchar(24))
+    val w = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 1)
+    var id = 0
+    def txn(tid: Long, cols: Seq[ColSpec], vals: Seq[Any], txt: String): Unit = {
+      val ts = 1000L + id
+      w.writeQuery("bench", "BEGIN", ts = ts)
+        .writeTableMap(tid, "bench", "t", cols, ts = ts)
+        .writeInsert(tid, cols, Seq(vals), ts = ts)
+        .writeXid(9000L + id, ts = ts)
+      exp.write(s"$id,${cols.size},$txt\n")
+      id += 1
+    }
+    for (_ <- 0 until 20) txn(5, g1, Seq[Any](id), s"$id")
+    w.writeQuery("bench", "ALTER TABLE bench.t ADD COLUMN v INT", ts = 2000)
+    for (_ <- 0 until 20) txn(6, g2, Seq[Any](id, id * 10), s"$id|${id * 10}")
+    w.writeQuery("bench", "ALTER TABLE bench.t ADD COLUMN w VARCHAR(24)", ts = 3000)
+    for (_ <- 0 until 20) txn(7, g3, Seq[Any](id, id * 10, s"w$id"),
+      s"$id|${id * 10}|w$id")
+    w.save(dir.resolve("binlog.000001").toString)
+    exp.close()
   }
 
   /** Tagged-GTID fixture: 60 single-row transactions over two files,
@@ -896,6 +936,24 @@ object CdcBinlog {
       .orderBy($"log_file", $"tag")
   }
 
+  // cdcb19 — schema-drift scan: a real server log carries ALTER TABLE
+  // statements and every rows event decodes against its OWN TABLE_MAP, so
+  // the dynamic (positional) path must surface each generation at its own
+  // width with its own values — never truncating new columns to the old
+  // shape or failing on the DDL (typed mode fails loudly by design;
+  // dynamic mode is the documented escape hatch, and this gate proves it
+  // round-trips the drifted log against the generator's own record).
+  def cdcb19SchemaDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mysql-binlog")
+      .load(Paths.get(fixtureDir(d), "drift").toString)
+      .filter($"_delta_type" === "insert")
+      .select(element_at($"row", 1).cast("long").as("id"),
+        size($"row").cast("int").as("n_cols"),
+        array_join($"row", "|").as("row_txt"))
+      .orderBy($"id")
+  }
+
   // cdcm1 — the STREAMING materialization path under the oracle: run the
   // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
   // bucketed parquet table with latest-wins merges and tombstones) over
@@ -960,6 +1018,7 @@ object CdcBinlog {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
+    "cdcb19_schema_drift" -> cdcb19SchemaDrift _,
     "cdcb17_sbr_events" -> cdcb17SbrEvents _,
     "cdcb14_mariadb_gtid" -> cdcb14MariadbGtid _,
     "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
@@ -1001,6 +1060,11 @@ object CdcBinlog {
        |ORDER BY id""".stripMargin
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "cdcb19_schema_drift" ->
+      s"""SELECT id, n_cols, row_txt
+         |FROM read_csv('${fixturePathFor(sfDir)}/expected_drift.csv', header=true,
+         |  columns={'id':'BIGINT','n_cols':'INTEGER','row_txt':'VARCHAR'})
+         |ORDER BY id""".stripMargin,
     "cdcb18_tagged_gtid" ->
       s"""SELECT log_file, tag, CAST(COUNT(*) AS BIGINT) AS n_txns,
          |  MIN(gno) AS first_gno, MAX(gno) AS last_gno,
