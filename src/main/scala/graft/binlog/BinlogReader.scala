@@ -1454,7 +1454,8 @@ object BinlogReader {
                     endOffset: Long = Long.MaxValue,
                     decodeRowImages: Boolean = true,
                     colCharsets: Array[Charset] = null,
-                    forceChecksumLen: Int = -1): Iterator[BinlogEvent] =
+                    forceChecksumLen: Int = -1,
+                    failOnTornTail: Boolean = false): Iterator[BinlogEvent] =
     new Iterator[BinlogEvent] {
       private var tableMaps = initialTableMaps
       private var off = startOffset
@@ -1475,7 +1476,21 @@ object BinlogReader {
             }
             nextEvent = e
           } else readEventHeader(buf, off) match {
-            case None => done = true
+            case None =>
+              // A torn tail — header or claimed body overruns the mapped
+              // bytes — is NORMAL for a live last file or a crash-rotated
+              // one, so the default is a clean stop at the last complete
+              // event. `failOnTornTail` is the audit contract for logs
+              // known to be closed: there a torn event can only mean
+              // corruption (e.g. a flipped length field would otherwise
+              // silently truncate the scan at this offset), so fail by
+              // name instead of returning a prefix.
+              if (failOnTornTail && off != buf.capacity())
+                throw new IllegalStateException(
+                  s"torn or overrunning event at offset $off of a " +
+                    s"${buf.capacity()}-byte binlog (onTornTail=fail): the log " +
+                    "is declared complete, so this is corruption, not a live tail")
+              done = true
             // events at/past endOffset are never DECODED (not merely
             // dropped) — a budget-bounded micro-batch costs O(batch delta)
             case Some(h0) if h0.offset >= endOffset => done = true

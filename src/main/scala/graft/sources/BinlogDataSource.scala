@@ -485,7 +485,12 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       // events mode never reads row images — skip their decode (projection
       // pushdown at the event level)
       decodeRowImages = !eventsMode,
-      colCharsets = colCharsets)
+      colCharsets = colCharsets,
+      // `onTornTail=fail`: the caller declares the log set CLOSED, so a
+      // torn event is corruption and must fail by name instead of silently
+      // truncating the scan (default `truncate` keeps live-tail and
+      // crash-rotation tolerance)
+      failOnTornTail = options.getOrElse("ontorntail", "truncate") == "fail")
 
   /** Per-table decode policy derived from TABLE_MAP optional metadata
     * (ENUM/SET literal dictionaries; JSON-typed columns declared STRING

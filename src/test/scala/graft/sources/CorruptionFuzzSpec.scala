@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.binlog._
+import graft.binlog.BinlogWriter._
+
+/** Deterministic single-byte corruption fuzz over a CRC32-checksummed log.
+  *
+  * Contracts pinned (same 120 seeded flips each run):
+  *  - default (`onTornTail=truncate`): a flip either fails the scan
+  *    loudly (CRC mismatch / named decode error) or the result is a clean
+  *    PREFIX of the uncorrupted baseline in log_pos order — a flipped
+  *    length field can legitimately masquerade as a torn tail (it is
+  *    byte-indistinguishable from a crash-rotated or live file), but the
+  *    scan must never surface altered values or non-prefix row sets;
+  *  - `onTornTail=fail` (the closed-log audit mode): prefix truncation is
+  *    also an error, so every flip either throws or leaves the full
+  *    20-row result bit-identical.
+  */
+class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scanRows(dir: Path, strict: Boolean): Seq[(Long, String)] = {
+    val r = spark.read.format("mysql-binlog")
+    (if (strict) r.option("ontorntail", "fail") else r)
+      .load(dir.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("log_pos"),
+        s"${r.getAs[String]("_delta_type")}:" +
+          r.getAs[scala.collection.Seq[String]]("row").mkString("|")))
+      .sortBy(_._1).toSeq
+  }
+
+  private def writeFixtureBytes(): Array[Byte] = {
+    val base = Files.createTempDirectory("fuzz-base")
+    val cols = Seq(ColSpec.int, ColSpec.varchar(24))
+    val w = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 1)
+    for (i <- 1 to 20) {
+      w.writeQuery("bench", "BEGIN", ts = i)
+        .writeTableMap(5, "bench", "t", cols, ts = i)
+        .writeInsert(5, cols, Seq(Seq[Any](i, s"word$i")), ts = i)
+        .writeXid(100L + i, ts = i)
+    }
+    val file = w.save(base.resolve("binlog.000001").toString)
+    Files.readAllBytes(java.nio.file.Paths.get(file))
+  }
+
+  private def withMutation(original: Array[Byte], pos: Int, bit: Int)
+                          (f: Path => Unit): Unit = {
+    val mutated = original.clone()
+    mutated(pos) = (mutated(pos) ^ bit).toByte
+    val dir = Files.createTempDirectory("fuzz-mut")
+    Files.write(dir.resolve("binlog.000001"), mutated)
+    try f(dir)
+    finally Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private lazy val original = writeFixtureBytes()
+  private lazy val baselineDir = {
+    val d = Files.createTempDirectory("fuzz-baseline")
+    Files.write(d.resolve("binlog.000001"), original)
+    d
+  }
+
+  test("default mode: flips throw or yield a clean prefix — never altered values") {
+    val baseline = scanRows(baselineDir, strict = false)
+    assert(baseline.size === 20)
+    val rnd = new scala.util.Random(42)
+    var thrown = 0; var full = 0; var prefix = 0
+    for (_ <- 1 to 120) {
+      val pos = rnd.nextInt(original.length); val bit = 1 << rnd.nextInt(8)
+      withMutation(original, pos, bit) { dir =>
+        try {
+          val rows = scanRows(dir, strict = false)
+          assert(rows === baseline.take(rows.size),
+            s"NON-PREFIX result after flipping byte $pos bit $bit")
+          if (rows.size == baseline.size) full += 1 else prefix += 1
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => throw e
+          case _: Throwable => thrown += 1
+        }
+      }
+    }
+    assert(thrown + full + prefix === 120)
+    // CRC covers every event: the overwhelming outcome is a loud failure;
+    // prefix truncation only from length-field flips
+    assert(thrown >= 90, s"only $thrown/120 flips failed loudly (full=$full prefix=$prefix)")
+  }
+
+  test("onTornTail=fail: every flip throws or the full result is bit-identical") {
+    val baseline = scanRows(baselineDir, strict = true)
+    assert(baseline.size === 20)
+    val rnd = new scala.util.Random(42) // same seeded flips as above
+    var thrown = 0; var intact = 0
+    for (_ <- 1 to 120) {
+      val pos = rnd.nextInt(original.length); val bit = 1 << rnd.nextInt(8)
+      withMutation(original, pos, bit) { dir =>
+        try {
+          val rows = scanRows(dir, strict = true)
+          assert(rows === baseline,
+            s"flip at byte $pos bit $bit changed a strict-mode scan silently")
+          intact += 1
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => throw e
+          case _: Throwable => thrown += 1
+        }
+      }
+    }
+    assert(thrown + intact === 120)
+    assert(intact <= 5, s"$intact/120 flips left the strict scan unchanged — " +
+      "every byte of this fixture is CRC-covered, so flips should fail")
+  }
+}
