@@ -739,13 +739,25 @@ object Similarity {
         row_number().over(Window.partitionBy($"qid").orderBy($"cdot".desc, $"cell")))
       .filter($"rn" <= nprobe)
       .select($"qid", $"cell")
-    // codes restricted to probed cells, fanned out per probing query
+    // codes restricted to probed cells, fanned out per probing query.
+    // Per-query top-50 runs in TWO phases (dd11's lesson — a window
+    // partitioned by qid alone would put every candidate of a query's
+    // probed cells on ONE task, and window partitions are
+    // AQE-unsplittable): phase 1 takes top-50 per (qid, salt) — a
+    // superset of the per-qid top-50, since any globally-kept row is in
+    // its own salt's top-50 — phase 2 finishes exactly on <= 50·nSalt
+    // slim rows per query.
+    val nSalt = 32
+    val wLocal = Window.partitionBy($"qid", $"salt").orderBy($"adc".desc, $"vec_id")
     val wTop = Window.partitionBy($"qid").orderBy($"adc".desc, $"vec_id")
     val cand = s.read.parquet(s"$indexDir/codes")
       .join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .join(broadcast(qs.select($"qid", $"lut")), Seq("qid"))
       .select($"qid", $"vec_id", adcCol.as("adc")) // slim BEFORE the window shuffle
+      .withColumn("salt", pmod(hash($"vec_id"), lit(nSalt)))
+      .withColumn("rn", row_number().over(wLocal))
+      .filter($"rn" <= 50).drop("rn", "salt")
       .withColumn("rn", row_number().over(wTop))
       .filter($"rn" <= 50)
       .select($"qid", $"vec_id")
