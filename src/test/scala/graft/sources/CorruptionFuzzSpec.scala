@@ -100,6 +100,33 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(thrown >= 90, s"only $thrown/120 flips failed loudly (full=$full prefix=$prefix)")
   }
 
+  test("onTornTail=fail does not false-positive on a healthy rotated set") {
+    // non-last files end at their ROTATE event (the Some branch of the
+    // header walk, not the torn-tail branch) and the last file ends at
+    // EOF — strict mode must scan a complete rotated set identically
+    val dir = Files.createTempDirectory("strict-rotated")
+    val cols = Seq(ColSpec.int)
+    val w1 = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 1)
+    for (i <- 1 to 5) {
+      w1.writeQuery("d", "BEGIN", ts = i)
+        .writeTableMap(5, "d", "t", cols, ts = i)
+        .writeInsert(5, cols, Seq(Seq[Any](i)), ts = i)
+        .writeXid(10L + i, ts = i)
+    }
+    w1.writeRotate("binlog.000002", ts = 9)
+      .save(dir.resolve("binlog.000001").toString)
+    val w2 = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 10)
+    for (i <- 6 to 9) {
+      w2.writeQuery("d", "BEGIN", ts = i)
+        .writeTableMap(5, "d", "t", cols, ts = i)
+        .writeInsert(5, cols, Seq(Seq[Any](i)), ts = i)
+        .writeXid(10L + i, ts = i)
+    }
+    w2.save(dir.resolve("binlog.000002").toString)
+    assert(scanRows(dir, strict = true) === scanRows(dir, strict = false))
+    assert(scanRows(dir, strict = true).size === 9)
+  }
+
   test("onTornTail=fail: every flip throws or the full result is bit-identical") {
     val baseline = scanRows(baselineDir, strict = true)
     assert(baseline.size === 20)
