@@ -214,8 +214,10 @@ object Bench {
         s""""cdc_ms_p50":${fmt(latencyMs, 1)},"tailer_ms_p50":${fmt(tailerMs, 2)},""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    // 2,000-char window minus ~100 for sbt's trailing "[success]" line
-    val budget = 1880
+    // 2,000-char window minus ~100 for sbt's trailing "[success]" line;
+    // overridable so a changed capture window never re-truncates the line
+    // mid-object (the rounds-8/9 failure) without an in-repo knob to fix it
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1880").toInt
     val compact = (spreadHi.size to 0 by -1).iterator.map(assemble)
       .find(_.length <= budget).getOrElse(assemble(0))
     println(compact)

@@ -53,5 +53,9 @@ object Verify {
       s"${SparkEntry.queries.size} queries produced results" +
       (if (failures.isEmpty) "" else s"; FAILED: ${failures.keys.mkString(", ")}"))
     spark.stop()
+    // The artifact (_failed.json) is loud, and so is the process: a run
+    // that drops previously-passing gates must not hand the driver rc=0
+    // (round 9's 14-gate drop rode a green exit code).
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

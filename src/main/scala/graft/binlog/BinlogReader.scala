@@ -1484,7 +1484,12 @@ object BinlogReader {
               // known to be closed: there a torn event can only mean
               // corruption (e.g. a flipped length field would otherwise
               // silently truncate the scan at this offset), so fail by
-              // name instead of returning a prefix.
+              // name instead of returning a prefix. Coordinate invariant:
+              // `off`/`startOffset` are REGION-relative (index 0 = the
+              // mapping base mapFile was given), so buf.capacity() is the
+              // region's end in the same coordinates whatever the base —
+              // a caller mixing file-absolute offsets with a non-zero
+              // mapping base is wrong long before this EOF test.
               if (failOnTornTail && off != buf.capacity())
                 throw new IllegalStateException(
                   s"torn or overrunning event at offset $off of a " +

@@ -13,13 +13,18 @@ import graft.binlog.BinlogWriter._
   * Contracts pinned (same 120 seeded flips each run):
   *  - default (`onTornTail=truncate`): a flip either fails the scan
   *    loudly (CRC mismatch / named decode error) or the result is a clean
-  *    PREFIX of the uncorrupted baseline in log_pos order — a flipped
+  *    PREFIX of the uncorrupted baseline in offset order — a flipped
   *    length field can legitimately masquerade as a torn tail (it is
   *    byte-indistinguishable from a crash-rotated or live file), but the
   *    scan must never surface altered values or non-prefix row sets;
   *  - `onTornTail=fail` (the closed-log audit mode): prefix truncation is
   *    also an error, so every flip either throws or leaves the full
   *    20-row result bit-identical.
+  *
+  * The 2x120 flip loops drive [[BinlogReader.eventIterator]] directly —
+  * the decoder IS the contract under test, and a per-flip Spark job would
+  * only add scheduler overhead; the rotated-set test goes through the
+  * DSv2 source so the `ontorntail` option wiring stays covered.
   */
 class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -30,7 +35,30 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private def tempDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    tempDirs.synchronized { tempDirs += d }
+    d
+  }
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    tempDirs.foreach(deleteTree)
+  }
+
+  /** Decode every row image in offset order straight through the
+    * iterator — CRC verification and the torn-tail contract included.
+    */
+  private def decodeRows(file: Path, strict: Boolean): Seq[(Long, String)] =
+    BinlogReader.eventIterator(BinlogReader.mapFile(file.toString), 4L,
+      failOnTornTail = strict)
+      .collect { case re: RowsEvent =>
+        (re.header.offset, (re.rows ++ re.afterRows).map(_.mkString("|")).mkString(";"))
+      }.toSeq
 
   private def scanRows(dir: Path, strict: Boolean): Seq[(Long, String)] = {
     val r = spark.read.format("mysql-binlog")
@@ -44,7 +72,7 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def writeFixtureBytes(): Array[Byte] = {
-    val base = Files.createTempDirectory("fuzz-base")
+    val base = tempDir("fuzz-base")
     val cols = Seq(ColSpec.int, ColSpec.varchar(24))
     val w = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 1)
     for (i <- 1 to 20) {
@@ -64,19 +92,17 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("fuzz-mut")
     Files.write(dir.resolve("binlog.000001"), mutated)
     try f(dir)
-    finally Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    finally deleteTree(dir)
   }
 
   private lazy val original = writeFixtureBytes()
-  private lazy val baselineDir = {
-    val d = Files.createTempDirectory("fuzz-baseline")
+  private lazy val baselineFile = {
+    val d = tempDir("fuzz-baseline")
     Files.write(d.resolve("binlog.000001"), original)
-    d
   }
 
   test("default mode: flips throw or yield a clean prefix — never altered values") {
-    val baseline = scanRows(baselineDir, strict = false)
+    val baseline = decodeRows(baselineFile, strict = false)
     assert(baseline.size === 20)
     val rnd = new scala.util.Random(42)
     var thrown = 0; var full = 0; var prefix = 0
@@ -84,7 +110,7 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pos = rnd.nextInt(original.length); val bit = 1 << rnd.nextInt(8)
       withMutation(original, pos, bit) { dir =>
         try {
-          val rows = scanRows(dir, strict = false)
+          val rows = decodeRows(dir.resolve("binlog.000001"), strict = false)
           assert(rows === baseline.take(rows.size),
             s"NON-PREFIX result after flipping byte $pos bit $bit")
           if (rows.size == baseline.size) full += 1 else prefix += 1
@@ -104,7 +130,7 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-last files end at their ROTATE event (the Some branch of the
     // header walk, not the torn-tail branch) and the last file ends at
     // EOF — strict mode must scan a complete rotated set identically
-    val dir = Files.createTempDirectory("strict-rotated")
+    val dir = tempDir("strict-rotated")
     val cols = Seq(ColSpec.int)
     val w1 = new Writer(checksum = true, rowsV2 = true).writeFormatDescription(ts = 1)
     for (i <- 1 to 5) {
@@ -128,7 +154,7 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("onTornTail=fail: every flip throws or the full result is bit-identical") {
-    val baseline = scanRows(baselineDir, strict = true)
+    val baseline = decodeRows(baselineFile, strict = true)
     assert(baseline.size === 20)
     val rnd = new scala.util.Random(42) // same seeded flips as above
     var thrown = 0; var intact = 0
@@ -136,7 +162,7 @@ class CorruptionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pos = rnd.nextInt(original.length); val bit = 1 << rnd.nextInt(8)
       withMutation(original, pos, bit) { dir =>
         try {
-          val rows = scanRows(dir, strict = true)
+          val rows = decodeRows(dir.resolve("binlog.000001"), strict = true)
           assert(rows === baseline,
             s"flip at byte $pos bit $bit changed a strict-mode scan silently")
           intact += 1
