@@ -1030,30 +1030,56 @@ object Similarity {
   def sim05bViaIndex(s: SparkSession, d: String): DataFrame =
     sim05ViaIndex(s, d, PersistedIndexes.annIndex(s, d))
 
-  // sim09 — hybrid retrieval: a dense (cosine) and a sparse (BM25, txt13)
-  // ranking fused by Reciprocal Rank Fusion, rrf = 1/(60 + r_dense) +
-  // 1/(60 + r_sparse). The gate runs both sides exact over the full corpus
-  // so the DuckDB oracle can reproduce the ranks; at scale each side is a
-  // top-k CANDIDATE stream (sim02/sim05/sim08 for dense, an impact-ordered
-  // posting scan for sparse) and the fusion join touches k rows per query,
-  // so the global rank windows below never see corpus-sized input. Ranks
-  // are integers and the fused score is a fixed two-term sum of IEEE-exact
-  // divisions — bit-identical cross-engine (txt13's determinism notes).
-  def sim09HybridRrf(s: SparkSession, d: String): DataFrame = {
+  /** Exact top-k by (score desc, id asc) with global ranks, shaped so no
+    * single-partition Exchange/Sort ever sees corpus-sized input: the cut
+    * is `orderBy.limit(k)` — planned as TakeOrderedAndProject, i.e. a
+    * bounded per-partition selection feeding a k·P-row single-task merge,
+    * NO corpus shuffle and no global SortExec — and the rank window then
+    * runs on the ≤ k surviving slim rows (already one partition, so it
+    * adds no exchange at all). Rank = true global rank for every surviving
+    * row: any row in the global top-k is in its own partition's top-k.
+    */
+  private def rankedTopK(df: DataFrame, score: Column, id: Column, k: Int,
+                         rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.orderBy(score.desc, id).limit(k)
+      .withColumn(rankName,
+        row_number().over(Window.orderBy(score.desc, id)).cast("long"))
+  }
+
+  // sim09 — hybrid retrieval: a dense (cosine) and a sparse (BM25-RSJ,
+  // txt13) top-kCand candidate stream fused by Reciprocal Rank Fusion,
+  // rrf = 1/(60 + r_dense) + 1/(60 + r_sparse). Each side is an exact
+  // rankedTopK cut — per-partition top-k + a k·P-row merge, never a
+  // global sort of the corpus — and the fusion join touches ≤ kCand rows
+  // per side (inner join: RRF over the docs BOTH streams surface; the
+  // full-corpus configuration makes that every doc). The gate runs with
+  // kCand = 0 → "rank everything" (k := footer row count, same source of
+  // truth the oracle's corpus-wide ranking uses), so the DuckDB oracle
+  // stays exact; production callers pass a bounded kCand and get the
+  // candidate-stream plan the 100 TB story needs — same plan shape either
+  // way, only the TakeOrdered bound changes. For index-accelerated
+  // candidate generation instead of exact scans, see [[sim09bHybridIndexed]].
+  // Ranks are integers and the fused score is a fixed two-term sum of
+  // IEEE-exact divisions — bit-identical cross-engine (txt13's
+  // determinism notes).
+  def sim09HybridRrf(s: SparkSession, d: String, kCand: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    val k = if (kCand > 0) kCand
+      else math.max(parquetRowCount(s"$d/embeddings.parquet"),
+        parquetRowCount(s"$d/documents.parquet")).toInt
     val e = embeddings(s, d)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
-    val dense = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
-      .select($"vec_id".as("id"), cosine($"embedding", $"qv").as("cos"))
-      .withColumn("r_dense",
-        row_number().over(Window.orderBy($"cos".desc, $"id")).cast("long"))
-    val sparse = TextAnalysis.txt13Bm25(s, d)
-      .filter($"doc_id" =!= 0)
-      .select($"doc_id".as("id"), $"bm25")
-      .withColumn("r_sparse",
-        row_number().over(Window.orderBy($"bm25".desc, $"id")).cast("long"))
+    val dense = rankedTopK(
+      e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id".as("id"), cosine($"embedding", $"qv").as("cos")),
+      $"cos", $"id", k, "r_dense")
+    val sparse = rankedTopK(
+      TextAnalysis.bm25Scores(s, d)
+        .filter($"doc_id" =!= 0)
+        .select($"doc_id".as("id"), $"bm25"),
+      $"bm25", $"id", k, "r_sparse")
     dense.join(sparse, "id")
       .select($"id", $"cos", $"bm25", $"r_dense", $"r_sparse",
         ((lit(1.0) / (lit(60.0) + $"r_dense".cast("double"))) +
@@ -1098,7 +1124,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
-    "sim09_hybrid_rrf" -> sim09HybridRrf _,
+    "sim09_hybrid_rrf" -> ((s: SparkSession, d: String) => sim09HybridRrf(s, d)),
     "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
     "sim03b_via_index" -> sim03bViaIndex _,
     "sim05b_via_index" -> sim05bViaIndex _,

@@ -508,14 +508,23 @@ object TextAnalysis {
   // bit-identical cross-engine.
   val bm25Terms: Seq[String] = Seq("fast", "data", "table")
 
-  def txt13Bm25(s: SparkSession, d: String): DataFrame = {
+  /** Per-document BM25-RSJ scores for an arbitrary query-term set, UNSORTED
+    * — the composable form ([[txt13Bm25]] adds the gate's ORDER BY;
+    * [[graft.operators.Similarity.sim09HybridRrf]] feeds it straight into a
+    * top-k cut, where a sort here would only add a useless range exchange).
+    * The gate keeps the fixed [[bm25Terms]] seq; production callers pass
+    * their own query terms — same one-broadcast-stats-row, narrow-map plan
+    * for any term set.
+    */
+  def bm25Scores(s: SparkSession, d: String,
+                 terms: Seq[String] = bm25Terms): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
     val base = documents(s, d).select(
-      ($"doc_id" +: size(toks).cast("long").as("dl") +: bm25Terms.map(t =>
+      ($"doc_id" +: size(toks).cast("long").as("dl") +: terms.map(t =>
         size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
     val statAggs = count(lit(1)).as("n") +: sum($"dl").as("sumdl") +:
-      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     def dbl(c: Column): Column = c.cast("double")
     // k1 = 1.2, b = 0.75; norm = k1 * ((1-b) + b * dl/avgdl)
@@ -528,9 +537,13 @@ object TextAnalysis {
     base.crossJoin(broadcast(stats))
       .select(
         ($"doc_id" +: $"dl".as("n_tokens") +:
-          bm25Terms.map(t => col(s"tf_$t")) :+
-          bm25Terms.map(termScore).reduceLeft(_ + _).as("bm25")): _*)
-      .orderBy($"doc_id")
+          terms.map(t => col(s"tf_$t")) :+
+          terms.map(termScore).reduceLeft(_ + _).as("bm25")): _*)
+  }
+
+  def txt13Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bm25Scores(s, d).orderBy($"doc_id")
   }
 
   val txt13Sql: String = {

@@ -204,11 +204,58 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = physical(p).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.nonEmpty) // the rank windows + fusion join do exchange
+    assert(exchanges.nonEmpty) // the broadcast stats row's final agg does exchange
     exchanges.foreach { e =>
       val cols = e.child.output.map(_.name.toLowerCase)
       assert(!cols.exists(c => c.contains("embedding") || c.contains("text") || c == "qv"),
         "heavy payload column in a sim09 shuffle: " + cols.mkString(","))
+    }
+  }
+
+  test("sim09: no single-partition exchange or global sort over corpus-sized input") {
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the production configuration: bounded candidate streams (kCand=50) —
+    // the SAME plan shape the gate's exhaustive run has, only the bound
+    // differs, so pinning here pins the gate too
+    val p = Similarity.sim09HybridRrf(spark, d, 50)
+    val phys = physical(p)
+    val s = plan(p)
+    // both candidate cuts and the final top-10 are TakeOrderedAndProject:
+    // per-partition top-k feeding a k·P-row bounded merge — the corpus is
+    // never globally sorted and never shuffled
+    assert(s.split("TakeOrderedAndProject").length - 1 >= 3, s.take(2000))
+    assert(phys.collect { case so: SortExec => so }.isEmpty,
+      "global/local SortExec over the corpus reappeared: " + s.take(2000))
+    // the ONLY single-partition exchange allowed is the stats row's final
+    // aggregation, whose input is one partial-agg row per task — a
+    // regression to an unpartitioned rank window would put a corpus-sized
+    // Project/Scan under a SinglePartition exchange and fail here
+    val singles = phys.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.toLowerCase.contains("single") => e
+    }
+    singles.foreach { e =>
+      assert(e.child.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        "single-partition exchange over non-aggregated input: " +
+          e.child.getClass.getName + "\n" + s.take(2000))
+    }
+    // each rank window sits DIRECTLY on its TakeOrdered stream (modulo
+    // projections) — ranks are computed on <= kCand rows, nothing more
+    @annotation.tailrec
+    def unwrapProjects(pl: SparkPlan): SparkPlan = pl match {
+      case pr: ProjectExec => unwrapProjects(pr.child)
+      case other => other
+    }
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2, s.take(2000))
+    windows.foreach { w =>
+      assert(unwrapProjects(w.child).isInstanceOf[TakeOrderedAndProjectExec],
+        "rank window input must be the rank-bounded TakeOrdered stream: " +
+          w.child.getClass.getName + "\n" + s.take(2000))
     }
   }
 
