@@ -87,4 +87,12 @@ object PersistedIndexes {
     cached(s"graft-index-r8b-sim08-${sfKey(sfDir)}") { dir =>
       Similarity.buildIvfPqIndex(embeddings(s, sfDir), dir)
     }
+
+  /** sim09b's persisted inverted keyword index: term-bucketed postings
+    * (dl denormalized), per-term df, corpus stats.
+    */
+  def textIndex(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r11-text-${sfKey(sfDir)}") { dir =>
+      TextAnalysis.buildTextIndex(documents(s, sfDir), dir)
+    }
 }

@@ -553,7 +553,8 @@ object Similarity {
     * probed with mismatched slicing (one driver-side row on a K×M-row
     * table).
     */
-  private def pqProbe(e: DataFrame, cbFlat: DataFrame, codes: DataFrame): DataFrame = {
+  private def pqProbe(e: DataFrame, cbFlat: DataFrame, codes: DataFrame,
+                      kAdc: Int = 50, kOut: Int = 10): DataFrame = {
     import e.sparkSession.implicits._
     val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
     val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
@@ -562,12 +563,12 @@ object Similarity {
       .crossJoin(broadcast(qRow))
       .withColumn("adc", adcCol)
       .orderBy($"adc".desc, $"vec_id")
-      .limit(50)
+      .limit(kAdc)
       .select($"vec_id", $"qv")
     broadcast(cand).join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
       .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
-      .limit(10)
+      .limit(kOut)
   }
 
   /** Flatten + persist the one-row codebook as a (m, code, cw) table. */
@@ -678,7 +679,7 @@ object Similarity {
   }
 
   def sim08ViaIndex(s: SparkSession, d: String, indexDir: String,
-                    nprobe: Int = 3): DataFrame = {
+                    nprobe: Int = 3, kAdc: Int = 50, kOut: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = embeddings(s, d)
@@ -695,7 +696,7 @@ object Similarity {
     pqProbe(e, s.read.parquet(s"$indexDir/codebook"),
       s.read.parquet(s"$indexDir/codes")
         .join(broadcast(probed), Seq("cell"))
-        .filter($"vec_id" =!= 0))
+        .filter($"vec_id" =!= 0), kAdc, kOut)
   }
 
   def sim08IvfPq(s: SparkSession, d: String): DataFrame =
@@ -846,13 +847,13 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  /** The exact IVF-PQ pipeline in DuckDB: sim05's cell/centroid/probe
-    * CTEs compose with sim07's encode/LUT/ADC, restricted to the probed
-    * cells — the oracle recomputes the whole index-and-probe path, so a
-    * wrong cell assignment, a mispruned partition, or an ADC fold in a
-    * different order all hash-fail.
+  /** The exact IVF-PQ probe path as DuckDB CTEs (the WITH body, ending at
+    * `cand` = the ADC top-50 vec_ids): sim05's cell/centroid/probe CTEs
+    * compose with sim07's encode/LUT/ADC, restricted to the probed cells —
+    * shared by [[sim08Sql]] and [[sim09bSql]] so the two oracles can never
+    * drift on the index recomputation.
     */
-  val sim08Sql: String = {
+  private val ivfPqCandCtes: String = {
     val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE)))," +
       " (x, y) -> x + y)"
@@ -860,7 +861,7 @@ object Similarity {
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
         s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
         s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
        |scored AS (SELECT e.vec_id, e.label, e.embedding, s.sid,
        |             ${duckCosine("e.embedding", "s.sv")} AS sim
@@ -900,12 +901,19 @@ object Similarity {
        |                (x, y) -> x + y) AS adc
        |  FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
        |  GROUP BY enc.vec_id),
-       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50)
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50)""".stripMargin
+  }
+
+  /** The exact IVF-PQ pipeline in DuckDB — the oracle recomputes the whole
+    * index-and-probe path, so a wrong cell assignment, a mispruned
+    * partition, or an ADC fold in a different order all hash-fail.
+    */
+  val sim08Sql: String =
+    s"""WITH $ivfPqCandCtes
        |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
        |FROM embeddings e JOIN cand USING (vec_id), q
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
-  }
 
   // ---- dd10: semantic dedup (SemDeDup-style) -----------------------------
   //
@@ -1039,8 +1047,8 @@ object Similarity {
     * adds no exchange at all). Rank = true global rank for every surviving
     * row: any row in the global top-k is in its own partition's top-k.
     */
-  private def rankedTopK(df: DataFrame, score: Column, id: Column, k: Int,
-                         rankName: String): DataFrame = {
+  private[operators] def rankedTopK(df: DataFrame, score: Column, id: Column, k: Int,
+                                    rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.orderBy(score.desc, id).limit(k)
       .withColumn(rankName,
@@ -1088,6 +1096,84 @@ object Similarity {
       .limit(10)
   }
 
+  // sim09b — the INDEXED hybrid composition sim09's scaladoc promises: the
+  // dense candidate stream comes from the persisted IVF-PQ index (sim08's
+  // partition-pruned probe, generalized to top-kCand with ranks) and the
+  // sparse stream from the persisted inverted keyword index
+  // ([[TextAnalysis.bm25TopKViaIndex]] — reads only the query terms'
+  // posting buckets). Fusion is a FULL OUTER RRF over the two ≤ kCand-row
+  // streams (a doc missing from one stream contributes nothing for that
+  // side — the standard RRF treatment; sim09's inner join is the
+  // rank-everything special case where nothing is ever missing). Per query
+  // at 100 TB this touches nprobe code directories + |terms| posting
+  // buckets and fuses ≤ 2·kCand slim rows — the corpus appears nowhere.
+  def sim09bHybridIndexed(s: SparkSession, d: String, kCand: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val denseRaw = sim08ViaIndex(s, d, PersistedIndexes.ivfPqIndex(s, d),
+      kOut = kCand)
+    val dense = rankedTopK(denseRaw.select($"vec_id".as("id"), $"cos"),
+      $"cos", $"id", kCand, "r_dense")
+    val sparse = TextAnalysis.bm25TopKViaIndex(s, PersistedIndexes.textIndex(s, d),
+      TextAnalysis.bm25Terms, kCand, excludeDocId = 0L)
+      .select($"doc_id".as("id"), $"bm25", $"r_sparse")
+    dense.join(sparse, Seq("id"), "full_outer")
+      .select($"id", $"cos", $"bm25", $"r_dense", $"r_sparse",
+        (coalesce(lit(1.0) / (lit(60.0) + $"r_dense".cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"r_sparse".cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy($"rrf".desc, $"id")
+      .limit(10)
+  }
+
+  /** sim09b's oracle: the shared IVF-PQ CTE chain ([[ivfPqCandCtes]])
+    * ranks the dense candidates; the sparse side recomputes the inverted
+    * index's per-(term, doc) postings, per-term df and corpus stats from
+    * the documents table, scores with the txt13 BM25-RSJ formula, and
+    * folds per-doc term scores in sorted term order — exactly the
+    * bm25TopKViaIndex fold contract. FULL OUTER RRF fusion, top 10.
+    */
+  def sim09bSql(kCand: Int = 50): String = {
+    val terms = TextAnalysis.bm25Terms
+    val postings = terms.map(t =>
+      s"""SELECT doc_id, dl, '$t' AS term,
+         |      CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf
+         |    FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |          FROM documents)""".stripMargin)
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH $ivfPqCandCtes,
+       |dcos AS (SELECT e.vec_id AS id, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |         FROM embeddings e JOIN cand USING (vec_id), q),
+       |dr AS (SELECT id, cos,
+       |         CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS r_dense
+       |       FROM dcos QUALIFY r_dense <= $kCand),
+       |pt AS (SELECT doc_id, dl, term, tf FROM (
+       |    $postings
+       |  ) WHERE tf > 0),
+       |sstats AS (SELECT COUNT(*) AS n, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sumdl
+       |           FROM documents),
+       |sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pt GROUP BY term),
+       |ssc AS (SELECT pt.doc_id, pt.term,
+       |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |           * ((CAST(tf AS DOUBLE) * 2.2)
+       |              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS sc
+       |        FROM pt JOIN sdf USING (term), sstats
+       |        WHERE pt.doc_id <> 0),
+       |sagg AS (SELECT doc_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+       |                       (x, y) -> x + y) AS bm25
+       |         FROM ssc GROUP BY doc_id),
+       |kr AS (SELECT doc_id AS id, bm25,
+       |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+       |       FROM sagg QUALIFY r_sparse <= $kCand)
+       |SELECT COALESCE(dr.id, kr.id) AS id, dr.cos, kr.bm25, dr.r_dense, kr.r_sparse,
+       |  COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_dense AS DOUBLE)), CAST(0 AS DOUBLE))
+       |  + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_sparse AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+       |FROM dr FULL OUTER JOIN kr ON dr.id = kr.id
+       |ORDER BY rrf DESC, id
+       |LIMIT 10""".stripMargin
+  }
+
   val sim09Sql: String = {
     // the sparse side re-derives txt13's per-doc BM25 (same fixed
     // association order — see txt13Sql) before ranking
@@ -1125,6 +1211,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
     "sim09_hybrid_rrf" -> ((s: SparkSession, d: String) => sim09HybridRrf(s, d)),
+    "sim09b_hybrid_indexed" -> ((s: SparkSession, d: String) => sim09bHybridIndexed(s, d)),
     "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
     "sim03b_via_index" -> sim03bViaIndex _,
     "sim05b_via_index" -> sim05bViaIndex _,
@@ -1141,6 +1228,7 @@ object Similarity {
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim10_ivfpq_knn_join" -> sim10Sql,
     "sim09_hybrid_rrf" -> sim09Sql,
+    "sim09b_hybrid_indexed" -> sim09bSql(),
     "dd10_semantic_dedup" -> dd10Sql(sfDir),
     "sim03b_via_index" -> sim03Sql,
     "sim05b_via_index" -> sim05Sql,

@@ -570,6 +570,101 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- persisted inverted keyword index (the sparse-retrieval scale path)
+  //
+  // txt13/bm25Scores score by SCANNING the corpus — correct, one narrow
+  // pass, but a retrieval system answering many queries wants the classic
+  // inverted-file shape instead: postings (term, doc_id, tf, dl) persisted
+  // once, a query reading ONLY its terms' postings. dl is DENORMALIZED
+  // into every posting (the impact-ordered-posting trick: everything
+  // needed to score a hit rides the posting row) so query-time scoring
+  // joins nothing corpus-sized — just the broadcast per-term df row and
+  // the one-row corpus stats. Postings are hash-bucketed by term into
+  // `tb = pmod(hash(term), nBuckets)` partition directories rather than
+  // directory-per-term (a 100 TB corpus has millions of distinct terms;
+  // 64-ish directories prune just as well because query terms are
+  // plan-time literals — the probe's `tb IN (...)` is STATIC partition
+  // pruning, no DPP machinery needed) — the same layout contract as
+  // sim05's cell directories.
+  //
+  // Build cost: one (term, doc_id) aggregation of the exploded token
+  // stream — the single corpus-sized shuffle, paid at BUILD time, slim
+  // (term, doc_id, dl) rows. Rebuild on corpus drift; the protocol for
+  // incremental segments would mirror [[Similarity.appendToAnnIndex]].
+
+  def textIndexBuckets: Int = 64
+
+  def buildTextIndex(docs: DataFrame, indexDir: String,
+                     nBuckets: Int = textIndexBuckets): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", size(tokens($"text")).cast("long").as("dl"),
+        explode(tokens($"text")).as("term"))
+    base.groupBy($"term", $"doc_id", $"dl").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/postings")
+    // per-term document frequency — recomputed from the written postings
+    // (slim read, no second corpus tokenization), bucketed like them
+    s.read.parquet(s"$indexDir/postings")
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/termstats")
+    // corpus-level stats over ALL docs (zero-match docs count toward n and
+    // sumdl — the txt13 statistics contract)
+    docs.select(size(tokens($"text")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** The query terms' bucket ids, computed by Spark's own hash expression
+    * over a local relation at plan-build time (constant-folded — no job):
+    * the ONE derivation both the build's partitionBy column and the
+    * probe's pruning literals share, so they can never drift.
+    */
+  private def termBuckets(s: SparkSession, terms: Seq[String],
+                          nBuckets: Int): Seq[Int] = {
+    val row = s.range(1)
+      .select(terms.map(t => pmod(hash(lit(t)), lit(nBuckets))): _*).head()
+    terms.indices.map(row.getInt).distinct
+  }
+
+  /** Top-k BM25-RSJ candidates from the PERSISTED index: reads only the
+    * query terms' posting buckets (static partition pruning), scores each
+    * hit against broadcast df/corpus stats, folds per-doc term scores in
+    * SORTED TERM ORDER (collect_list order is nondeterministic; the
+    * array_sort fixes the double-addition order so the oracle's
+    * `list(sc ORDER BY term)` fold is bit-identical), and cuts to top-k
+    * with ranks via [[Similarity.rankedTopK]] — per-partition top-k, no
+    * corpus-sized sort. Only docs matching >= 1 term appear (retrieval
+    * semantics); the corpus text is never touched.
+    */
+  def bm25TopKViaIndex(s: SparkSession, indexDir: String, terms: Seq[String],
+                       k: Int, nBuckets: Int = textIndexBuckets,
+                       excludeDocId: Long = Long.MinValue): DataFrame = {
+    import s.implicits._
+    val tbs = termBuckets(s, terms, nBuckets)
+    val stats = s.read.parquet(s"$indexDir/stats")
+    val tstats = s.read.parquet(s"$indexDir/termstats")
+      .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
+      .select($"term", $"df")
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
+      .filter($"doc_id" =!= excludeDocId)
+      .select($"term", $"doc_id", $"dl", $"tf")
+    def dbl(c: Column): Column = c.cast("double")
+    val idf = (dbl($"n") - dbl($"df") + lit(0.5)) / (dbl($"df") + lit(0.5))
+    val norm = lit(1.2) * (lit(0.25) +
+      lit(0.75) * (dbl($"dl") / (dbl($"sumdl") / dbl($"n"))))
+    val sc = idf * ((dbl($"tf") * lit(2.2)) / (dbl($"tf") + norm))
+    val perDoc = posts.join(broadcast(tstats), "term").crossJoin(broadcast(stats))
+      .select($"doc_id", struct($"term", sc.as("sc")).as("ts"))
+      .groupBy($"doc_id")
+      .agg(aggregate(array_sort(collect_list($"ts")), lit(0.0),
+        (acc, x) => acc + x.getField("sc")).as("bm25"))
+    Similarity.rankedTopK(perDoc, $"bm25", $"doc_id", k, "r_sparse")
+  }
+
   // txt14 — composite quality gate (the Gopher/FineWeb-style accept/
   // reject stage): every document is tested against a fixed rule set
   // built from the doc-local signals (length, stopword density, lexical

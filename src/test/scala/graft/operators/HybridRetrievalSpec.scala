@@ -74,4 +74,39 @@ class HybridRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = fused.map(r => (r.getDouble(5), r.getLong(0)))
     assert(vals.sortBy { case (v, id) => (-v, id) }.sameElements(vals))
   }
+
+  test("bm25TopKViaIndex == inline bm25Scores on matching docs (bit-identical fold)") {
+    import spark.implicits._
+    val idx = PersistedIndexes.textIndex(spark, d)
+    val viaIndex = TextAnalysis
+      .bm25TopKViaIndex(spark, idx, TextAnalysis.bm25Terms, 10000)
+      .select($"doc_id", $"bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = TextAnalysis.bm25Scores(spark, d)
+      .filter($"bm25" > 0.0).select($"doc_id", $"bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inline.nonEmpty)
+    // exactly the docs matching >= 1 term, each score EXACTLY equal (the
+    // sorted-term fold is a permutation of the inline fixed-order sum that
+    // IEEE addition commutativity keeps bit-identical for this term set)
+    assert(viaIndex.keySet == inline.keySet)
+    inline.foreach { case (id, v) => assert(viaIndex(id) == v, s"doc $id") }
+  }
+
+  test("sim09b: full-outer RRF over indexed streams — null sides contribute 0") {
+    val fused = Similarity.sim09bHybridIndexed(spark, d).collect()
+    assert(fused.length == 10)
+    var sawOneSided = false
+    fused.foreach { r =>
+      val rd = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rs = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rd.isDefined || rs.isDefined)
+      if (rd.isEmpty || rs.isEmpty) sawOneSided = true
+      val expect = rd.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rs.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(5) == expect, s"id ${r.getLong(0)}")
+      // a side that is present carries its score; an absent side is null
+      assert(rd.isDefined == !r.isNullAt(1) && rs.isDefined == !r.isNullAt(2))
+    }
+  }
 }

@@ -259,6 +259,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim09b sparse probe: postings scan is bucket-pruned, corpus text never scanned") {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = PersistedIndexes.textIndex(spark, d)
+    val p = TextAnalysis.bm25TopKViaIndex(spark, idx, TextAnalysis.bm25Terms, 50)
+    val scans = fileScans(p)
+    val postScans = scans.filter(_.relation.location.rootPaths.mkString.contains("postings"))
+    assert(postScans.nonEmpty, plan(p).take(1500))
+    // the probe's `tb IN (...)` literals must land as STATIC partition
+    // filters — without them "read only the query terms' buckets" is a
+    // full posting scan
+    postScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "postings scan lost its static bucket pruning: " + plan(p).take(1500))
+    }
+    assert(!scans.exists(_.relation.location.rootPaths.mkString.contains("documents")),
+      "sparse probe must not touch the corpus text: " + plan(p).take(1500))
+    // the fused sim09b plan never reads documents.parquet either — both
+    // candidate streams come from persisted indexes
+    val pb = Similarity.sim09bHybridIndexed(spark, d)
+    assert(!fileScans(pb).exists(
+      _.relation.location.rootPaths.mkString.contains("documents.parquet")),
+      plan(pb).take(2000))
+  }
+
   test("dd08: eval side broadcasts; train side never cartesians") {
     graft.functions.GraftFunctions.register(spark)
     val p = Dedup.dd08Decontaminate(spark, d)
