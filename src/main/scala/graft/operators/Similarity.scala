@@ -714,17 +714,44 @@ object Similarity {
   // (qid, vec_id, score) rows via bounded windows. At 100 TB: queries ×
   // nprobe cells of 8-byte codes scanned, zero corpus shuffle, exact
   // fetch-join rerank on 50 rows per query.
-  def sim10IvfPqKnnJoin(s: SparkSession, d: String, nprobe: Int = 3): DataFrame = {
+  def sim10IvfPqKnnJoin(s: SparkSession, d: String, nprobe: Int = 3,
+                        maxBroadcastBatch: Long = 1L << 20): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    ivfPqKnnJoin(s, d, e.filter($"vec_id" % 50 === 0), nprobe, maxBroadcastBatch)
+  }
+
+  /** Batch k-NN join over the persisted IVF-PQ index for an arbitrary
+    * query frame (vec_id, embedding, ...). The per-query structures (LUTs,
+    * probe pairs, candidate ids) are BROADCAST only while the batch is
+    * small enough to be one — `maxBroadcastBatch` is the enforced contract
+    * (the round-10 shape assumed it silently; an oversized batch died in
+    * an opaque broadcast OOM). A batch larger than the cap takes the same
+    * pipeline with the broadcast hints dropped: every join keys on
+    * cell/qid/vec_id, so Spark plans shuffle joins — AQE-splittable, skew
+    * -safe, corpus-scale — and the two-phase salted top-k already bounds
+    * every window partition. Results are identical on either path (spec-
+    * pinned); only the join strategy changes.
+    */
+  def ivfPqKnnJoin(s: SparkSession, d: String, queries: DataFrame,
+                   nprobe: Int = 3,
+                   maxBroadcastBatch: Long = 1L << 20): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // bounded probe, not a full count: one slim scan stops at cap+1 rows
+    val small = queries.select($"vec_id")
+      .limit(math.min(maxBroadcastBatch, Int.MaxValue - 1L).toInt + 1)
+      .count() <= maxBroadcastBatch
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val indexDir = PersistedIndexes.ivfPqIndex(s, d)
     val e = embeddings(s, d)
     val cbFlat = s.read.parquet(s"$indexDir/codebook")
     val dims = cbFlat.agg((max($"m") + 1).as("mc"), max(size($"cw")).as("sl")).head()
     val (mCnt, subLen) = (dims.getInt(0), dims.getInt(1))
-    // query batch (every 50th vector) with per-query ADC LUTs
-    val qs = e.filter($"vec_id" % 50 === 0)
+    // query batch with per-query ADC LUTs (the codebook row is tiny and
+    // always broadcast; the per-QUERY structures follow `side`)
+    val qs = queries
       .select($"vec_id".as("qid"), $"embedding".as("qv"),
         pqSubsOf($"embedding", mCnt, subLen).as("qsubs"))
       .crossJoin(broadcast(pqAssemble(cbFlat)))
@@ -752,9 +779,9 @@ object Similarity {
     val wLocal = Window.partitionBy($"qid", $"salt").orderBy($"adc".desc, $"vec_id")
     val wTop = Window.partitionBy($"qid").orderBy($"adc".desc, $"vec_id")
     val cand = s.read.parquet(s"$indexDir/codes")
-      .join(broadcast(probes), Seq("cell"))
+      .join(side(probes), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
-      .join(broadcast(qs.select($"qid", $"lut")), Seq("qid"))
+      .join(side(qs.select($"qid", $"lut")), Seq("qid"))
       .select($"qid", $"vec_id", adcCol.as("adc")) // slim BEFORE the window shuffle
       .withColumn("salt", pmod(hash($"vec_id"), lit(nSalt)))
       .withColumn("rn", row_number().over(wLocal))
@@ -764,9 +791,9 @@ object Similarity {
       .select($"qid", $"vec_id")
     // exact rerank: fetch the candidates' vectors, top-3 per query
     val wFinal = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-    broadcast(cand)
+    side(cand)
       .join(e.select($"vec_id", $"label", $"embedding"), "vec_id")
-      .join(broadcast(qs.select($"qid", $"qv")), Seq("qid"))
+      .join(side(qs.select($"qid", $"qv")), Seq("qid"))
       .select($"qid", $"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .withColumn("rank", row_number().over(wFinal).cast("long"))
       .filter($"rank" <= 3)

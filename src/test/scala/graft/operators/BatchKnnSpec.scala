@@ -64,4 +64,32 @@ class BatchKnnSpec extends AnyFunSuite with BeforeAndAfterAll {
         "heavy payload in a sim10 shuffle: " + cols.mkString(","))
     }
   }
+
+  test("oversized batch takes the shuffle-join fallback with identical results") {
+    // cap of 1 forces the no-broadcast-hint path for the same query batch;
+    // the contract is IDENTITY of results — only the join strategy moves
+    val viaBroadcast = Similarity.sim10IvfPqKnnJoin(spark, d).collect().map(_.toString)
+    val viaShuffle = Similarity.sim10IvfPqKnnJoin(spark, d, maxBroadcastBatch = 1L)
+      .collect().map(_.toString)
+    assert(viaShuffle.sameElements(viaBroadcast))
+    // and the fallback's per-query structures really are un-hinted: with
+    // stats-based auto-broadcast off (the corpus-scale condition — a big
+    // batch's stats blow the threshold), the fallback must plan shuffle
+    // joins while the capped path still broadcasts via its hints
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def initial(df: org.apache.spark.sql.DataFrame) =
+        (df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+          case x => x
+        }).toString
+      val fb = initial(Similarity.sim10IvfPqKnnJoin(spark, d, maxBroadcastBatch = 1L))
+      assert(fb.contains("SortMergeJoin") || fb.contains("ShuffledHashJoin"),
+        "fallback path still plans broadcast-only joins: " + fb.take(1500))
+      val hinted = initial(Similarity.sim10IvfPqKnnJoin(spark, d))
+      assert(hinted.contains("BroadcastHashJoin"),
+        "capped path lost its broadcast hints: " + hinted.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
