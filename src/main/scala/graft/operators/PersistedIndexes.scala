@@ -92,7 +92,7 @@ object PersistedIndexes {
     * (dl denormalized), per-term df, corpus stats.
     */
   def textIndex(s: SparkSession, sfDir: String): String =
-    cached(s"graft-index-r11-text-${sfKey(sfDir)}") { dir =>
+    cached(s"graft-index-r11b-text-${sfKey(sfDir)}") { dir =>
       TextAnalysis.buildTextIndex(documents(s, sfDir), dir)
     }
 }

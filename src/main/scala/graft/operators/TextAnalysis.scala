@@ -594,8 +594,15 @@ object TextAnalysis {
 
   def textIndexBuckets: Int = 64
 
-  def buildTextIndex(docs: DataFrame, indexDir: String,
-                     nBuckets: Int = textIndexBuckets): Unit = {
+  /** Write one segment of the index (postings + per-term df + corpus
+    * stats for `docs` alone) under `seg=<segment>` — the shared engine of
+    * [[buildTextIndex]] (seg=base) and [[appendToTextIndex]]. Re-running
+    * a segment overwrites exactly its own rows, so replayed ingest
+    * batches are idempotent — the [[Similarity.appendToAnnIndex]]
+    * protocol.
+    */
+  private def writeTextSegment(docs: DataFrame, indexDir: String,
+                               segment: String, nBuckets: Int): Unit = {
     val s = docs.sparkSession
     import s.implicits._
     val base = docs
@@ -603,19 +610,42 @@ object TextAnalysis {
         explode(tokens($"text")).as("term"))
     base.groupBy($"term", $"doc_id", $"dl").agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/postings")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$indexDir/postings/seg=$segment")
     // per-term document frequency — recomputed from the written postings
     // (slim read, no second corpus tokenization), bucketed like them
-    s.read.parquet(s"$indexDir/postings")
+    s.read.parquet(s"$indexDir/postings/seg=$segment")
       .groupBy($"term").agg(count(lit(1)).as("df"))
       .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/termstats")
-    // corpus-level stats over ALL docs (zero-match docs count toward n and
-    // sumdl — the txt13 statistics contract)
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$indexDir/termstats/seg=$segment")
+    // segment-level corpus stats over ALL the segment's docs (zero-match
+    // docs count toward n and sumdl — the txt13 statistics contract)
     docs.select(size(tokens($"text")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+      .write.mode("overwrite").parquet(s"$indexDir/stats/seg=$segment")
   }
+
+  def buildTextIndex(docs: DataFrame, indexDir: String,
+                     nBuckets: Int = textIndexBuckets): Unit = {
+    // a (re)build starts a NEW index: earlier segments described a corpus
+    // that no longer exists — the buildAnnIndex wipe contract
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    writeTextSegment(docs, indexDir, "base", nBuckets)
+  }
+
+  /** Append a document batch to an existing index: postings, df and
+    * corpus stats land segment-addressed beside the base segment; the
+    * query path merges them with EXACT integer sums (df/n/sumdl are
+    * longs), so scores after any append sequence are bit-identical to a
+    * full rebuild over the union (spec-pinned). Nothing already indexed
+    * is re-read or re-tokenized — append cost is O(batch).
+    */
+  def appendToTextIndex(batch: DataFrame, indexDir: String, segment: String,
+                        nBuckets: Int = textIndexBuckets): Unit =
+    writeTextSegment(batch, indexDir, segment, nBuckets)
 
   /** The query terms' bucket ids, computed by Spark's own hash expression
     * over a local relation at plan-build time (constant-folded — no job):
@@ -644,10 +674,13 @@ object TextAnalysis {
                        excludeDocId: Long = Long.MinValue): DataFrame = {
     import s.implicits._
     val tbs = termBuckets(s, terms, nBuckets)
+    // segment merge is EXACT: n/sumdl/df are long sums, associative in any
+    // order, so an appended index scores bit-identically to a full rebuild
     val stats = s.read.parquet(s"$indexDir/stats")
+      .agg(sum($"n").as("n"), sum($"sumdl").as("sumdl"))
     val tstats = s.read.parquet(s"$indexDir/termstats")
       .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
-      .select($"term", $"df")
+      .groupBy($"term").agg(sum($"df").as("df"))
     val posts = s.read.parquet(s"$indexDir/postings")
       .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
       .filter($"doc_id" =!= excludeDocId)
