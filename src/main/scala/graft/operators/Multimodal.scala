@@ -199,7 +199,13 @@ object Multimodal {
   // LINEAR in corpus size where raw pair output is quadratic (the dd03
   // lesson transplanted to hamming space). Only slim (type, band) rows
   // shuffle; bounded candidates — never all pairs — pay the verify.
-  def mm05PhashNearDup(s: SparkSession, d: String): DataFrame = {
+  /** mm05's confirmed near-dup pair stream — banded candidate generation
+    * + exact bit-hamming <= 3 verify, BEFORE any per-item cut: the shared
+    * edge stage for mm05's top-3 ranking and mm09's cluster fold (one
+    * definition, so the two gates can never disagree on what "near-dup"
+    * means). Columns: (media_type, item, peer, hamming).
+    */
+  private[operators] def phashPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     // phash travels twice: as the bit STRING (band extraction — the LSH
@@ -226,16 +232,25 @@ object Multimodal {
         $"b.doc_id".as("peer"), $"a.phi".as("ph_a"), $"b.phi".as("ph_b"))
       .distinct()
     val hamming = bit_count($"ph_a".bitwiseXOR($"ph_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"item").orderBy($"hamming", $"peer")
     cand.select($"media_type", $"item", $"peer", hamming.as("hamming"))
       .filter($"hamming" <= 3)
+  }
+
+  def mm05PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"hamming", $"peer")
+    phashPairs(s, d)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .orderBy($"item", $"rnk")
   }
 
-  val mm05Sql: String = {
+  /** The CTE chain computing [[phashPairs]]'s confirmed pair stream in
+    * DuckDB (ends at `scored` = (media_type, item, peer, hamming <= 3)) —
+    * shared by the mm05 and mm09 oracles exactly as the Spark stage is.
+    */
+  private def phashPairsSqlCtes: String = {
     // per-doc 32-bit simhash — identical formulation to the dd03 oracle
     val bitSums = (1 to 32).map { j =>
       s"SUM(CASE WHEN substring(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
@@ -243,7 +258,7 @@ object Multimodal {
     val sigConcat = (1 to 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
     // same popcount-of-xor the Spark side computes (int phash)
     val ham = "bit_count(xor(CAST(ph_a AS BIT), CAST(ph_b AS BIT)))"
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h FROM documents),
        |bitsum AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
        |ph AS (
@@ -268,7 +283,11 @@ object Multimodal {
        |    AND a.band_id = b.band_id AND a.band = b.band AND a.doc_id <> b.doc_id),
        |scored AS (
        |  SELECT media_type, item, peer, CAST($ham AS INT) AS hamming
-       |  FROM cand WHERE $ham <= 3),
+       |  FROM cand WHERE $ham <= 3)""".stripMargin
+  }
+
+  val mm05Sql: String =
+    s"""WITH $phashPairsSqlCtes,
        |ranked AS (
        |  SELECT media_type, item, peer, hamming,
        |    row_number() OVER (PARTITION BY item ORDER BY hamming, peer) AS rnk
@@ -276,7 +295,66 @@ object Multimodal {
        |SELECT media_type, item, peer, hamming, CAST(rnk AS INT) AS rnk
        |FROM ranked WHERE rnk <= 3
        |ORDER BY item, rnk""".stripMargin
+
+  // mm09 — duplicate-cluster CANONICAL selection: the curation decision
+  // mm05's pair list only implies. The verified pair graph folds into
+  // connected components (Dedup.connectedComponents — alternating large-
+  // star/small-star label propagation, O(log diameter) rounds over slim
+  // (id, comp) rows; the transitive closure is never materialized), and
+  // each cluster keeps the copy a pipeline would retain: the LARGEST
+  // payload (highest-fidelity copy), smallest doc_id on ties. The
+  // canonical pick is an argmax folded INSIDE the cluster aggregate
+  // (max of a (n_bytes, -doc_id) struct — map-side partial, no window),
+  // and the blobs never move: the fold runs on slim (id, comp, n_bytes)
+  // rows, payload length having been projected in the scan stage. The
+  // oracle recomputes the same components by recursive transitive
+  // closure, exact at gate scale (dd09's pattern).
+  def mm09MediaCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = phashPairs(s, d)
+      .select($"item".as("doc_a"), $"peer".as("doc_b"))
+    val bytes = mediaTable(s, d).toDF()
+      .select($"doc_id", $"media_type", length($"payload").cast("long").as("n_bytes"))
+    Dedup.connectedComponents(pairs)
+      .join(bytes, $"id" === bytes("doc_id"))
+      .groupBy($"comp".as("cluster_id"))
+      .agg(min($"media_type").as("media_type"),
+        count(lit(1)).as("n_members"),
+        max(struct($"n_bytes".as("nb"), (-$"doc_id").as("nid"))).as("c"))
+      .select($"cluster_id", $"media_type", $"n_members",
+        (-$"c.nid").as("canonical_id"), $"c.nb".as("canonical_bytes"))
+      .orderBy($"cluster_id")
   }
+
+  val mm09Sql: String =
+    s"""WITH RECURSIVE $phashPairsSqlCtes,
+       |edges AS (SELECT item AS a, peer AS b FROM scored
+       |          UNION SELECT peer, item FROM scored),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |comp AS (
+       |  SELECT n.id, LEAST(n.id, MIN(r.b)) AS comp
+       |  FROM nodes n JOIN reach r ON r.a = n.id
+       |  GROUP BY n.id),
+       |m AS (
+       |  SELECT c.comp, c.id,
+       |    ['image','audio','video'][CAST(c.id % 3 + 1 AS INT)] AS media_type,
+       |    CAST(octet_length(encode(dd.text)) AS BIGINT) AS n_bytes
+       |  FROM comp c JOIN documents dd ON dd.doc_id = c.id),
+       |sel AS (
+       |  SELECT comp, id, media_type, n_bytes,
+       |    row_number() OVER (PARTITION BY comp ORDER BY n_bytes DESC, id) AS r
+       |  FROM m)
+       |SELECT comp AS cluster_id, MIN(media_type) AS media_type,
+       |  COUNT(*) AS n_members,
+       |  MAX(CASE WHEN r = 1 THEN id END) AS canonical_id,
+       |  MAX(CASE WHEN r = 1 THEN n_bytes END) AS canonical_bytes
+       |FROM sel
+       |GROUP BY comp
+       |ORDER BY cluster_id""".stripMargin
 
   // mm06 — paired-sample manifest assembly: the join that builds a
   // (caption, media, embedding) training set from three modalities. The
@@ -440,7 +518,8 @@ object Multimodal {
     "mm02_media_stats" -> mm02MediaStats _,
     "mm03_frame_sample" -> mm03FrameSample _,
     "mm04_media_dedup" -> mm04MediaDedup _,
-    "mm05_phash_neardup" -> mm05PhashNearDup _)
+    "mm05_phash_neardup" -> mm05PhashNearDup _,
+    "mm09_media_canonical" -> mm09MediaCanonical _)
 
   def oracles: Map[String, String] = Map(
     "mm08_media_gate" -> mm08Sql,
@@ -450,5 +529,6 @@ object Multimodal {
     "mm02_media_stats" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,
     "mm04_media_dedup" -> mm04Sql,
-    "mm05_phash_neardup" -> mm05Sql)
+    "mm05_phash_neardup" -> mm05Sql,
+    "mm09_media_canonical" -> mm09Sql)
 }

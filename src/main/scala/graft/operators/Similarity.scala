@@ -38,6 +38,39 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // sim11 — exact cosine RANGE search: every corpus vector within cosine
+  // >= tau of the query. The radius contract complements top-k (sim01):
+  // dedup-threshold sweeps, "find every near-copy", and contamination
+  // screens need ALL matches, and the answer size is data-dependent, so a
+  // fixed k is the wrong API. Exact range search is irreducibly a full
+  // pass (any unscanned vector could lie inside the radius), but the pass
+  // is one NARROW broadcast+map+filter stage — the corpus never shuffles;
+  // only the (typically tiny) inside-radius survivors reach the output
+  // sort. At 100 TB this is the same plan at parquet-scan speed, and an
+  // approximate pre-screen composes by swapping the scan input for the
+  // IVF-PQ probe's cell union (same downstream filter). Threshold and
+  // score are bit-identical cross-engine (sim01's cosine contract), so
+  // boundary rows cannot flip between Spark and the oracle.
+  val sim11Tau = 0.2
+  def sim11RangeSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
+      .filter($"cos" >= lit(sim11Tau))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  val sim11Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0 AND ${duckCosine("e.embedding", "q.qv")} >= 0.2
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   // sim02 — LSH-bucketed ANN with Hamming-1 multi-probe: candidates are the
   // query's sign bucket plus the nBits buckets one flipped hyperplane away
   // — the standard recall repair for a bucket family that GROWS with the
@@ -1244,6 +1277,7 @@ object Similarity {
     "sim05b_via_index" -> sim05bViaIndex _,
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
+    "sim11_range_search" -> sim11RangeSearch _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _,
@@ -1261,6 +1295,7 @@ object Similarity {
     "sim05b_via_index" -> sim05Sql,
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
+    "sim11_range_search" -> sim11Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
     "sim04_knn_join" -> sim04Sql(sfDir),

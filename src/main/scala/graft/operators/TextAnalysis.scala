@@ -698,6 +698,105 @@ object TextAnalysis {
     Similarity.rankedTopK(perDoc, $"bm25", $"doc_id", k, "r_sparse")
   }
 
+  // txt16 — RAG-style document chunking: fixed-width character windows
+  // (200 chars) sliding by 150 (50-char overlap), the retrieval-corpus
+  // preparation step between curation and embedding. Character windows —
+  // not token windows — keep the op tokenizer-agnostic and the arithmetic
+  // integer-exact in both engines. The whole op is one NARROW per-row
+  // transform (sequence → posexplode → substr): no join, no aggregate,
+  // and the only exchange is the gate's output sort. At 100 TB chunking
+  // is embarrassingly parallel in the scan stage, and the chunk stream
+  // feeds the embedding/indexing stages partition-locally — a chunk
+  // never needs to see any row but its own document.
+  val txt16ChunkSize = 200
+  val txt16Overlap = 50
+  def txt16Chunking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val step = txt16ChunkSize - txt16Overlap
+    // last window start = step * floor(max(len - overlap - 1, 0) / step):
+    // every chunk but the last contributes `step` fresh chars; a doc
+    // shorter than one window still yields its single (short) chunk
+    val starts = sequence(lit(0),
+      expr(s"greatest(length(text) - ${txt16Overlap + 1}, 0) div $step").cast("int"))
+    documents(s, d)
+      .select($"doc_id", $"text", posexplode(starts).as(Seq("chunk_id", "ci")))
+      .select($"doc_id", $"chunk_id",
+        $"text".substr($"chunk_id" * lit(step) + lit(1), lit(txt16ChunkSize))
+          .as("chunk_text"))
+      .withColumn("n_chunk_chars", length($"chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val txt16Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    greatest(length(text) - ${txt16Overlap + 1}, 0) // ${txt16ChunkSize - txt16Overlap} AS nmax
+       |  FROM documents),
+       |e AS (SELECT doc_id, text, unnest(range(0, nmax + 1)) AS chunk_id FROM s)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  substr(text, CAST(chunk_id * ${txt16ChunkSize - txt16Overlap} + 1 AS BIGINT), $txt16ChunkSize) AS chunk_text,
+       |  CAST(length(substr(text, CAST(chunk_id * ${txt16ChunkSize - txt16Overlap} + 1 AS BIGINT), $txt16ChunkSize)) AS INT) AS n_chunk_chars
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // txt17 — per-document TF-IDF keyword extraction: each document's top-3
+  // terms by tf × RSJ-idf, the classic keyword/tag stage (faceted corpus
+  // browsing, topic balancing, weak labels for mixture design). The idf is
+  // txt13's un-logged RSJ odds (N - df + 0.5)/(df + 0.5) — transcendental-
+  // free, so scores are bit-identical cross-engine; per-term ranking is
+  // monotone-identical to log-idf TF-IDF (see COVERAGE.md on the BM25-RSJ
+  // deviation, which this column inherits deliberately).
+  //
+  // Scale shape: the corpus text never moves — it is exploded to slim
+  // (doc_id, term) rows in the scan stage, and every exchange after that
+  // carries counted-down aggregates: (1) tf = groupBy(doc_id, term) with
+  // map-side partial counts, (2) df = groupBy(term) over the already-
+  // aggregated tf stream (|vocab| rows out), (3) the per-doc top-3 window
+  // partitioned BY DOC — millions of ≤|doc-vocab| partitions, AQE-
+  // splittable, never a global sort. The df join keys on term, so AQE
+  // broadcasts it when the vocab is small and shuffle-joins when it
+  // isn't; N rides a one-row broadcast like every stats frame here.
+  def txt17TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfx, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf",
+        ($"tf".cast("double") *
+          (($"n".cast("double") - $"df".cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)))).as("tfidf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"tfidf")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val txt17Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |    CAST(t.tf AS DOUBLE)
+      |      * ((CAST(n.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |         / (CAST(d.df AS DOUBLE) + 0.5)) AS tfidf
+      |  FROM tf t JOIN dfx d USING (term), n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, tfidf
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   // txt14 — composite quality gate (the Gopher/FineWeb-style accept/
   // reject stage): every document is tested against a fixed rule set
   // built from the doc-local signals (length, stopword density, lexical
@@ -876,6 +975,8 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt15_curation_pipeline" -> txt15CurationPipeline _,
+    "txt16_chunking" -> txt16Chunking _,
+    "txt17_tfidf_keywords" -> txt17TfidfKeywords _,
     "txt14_quality_gate" -> txt14QualityGate _,
     "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
@@ -893,6 +994,8 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "txt15_curation_pipeline" -> txt15Sql,
+    "txt16_chunking" -> txt16Sql,
+    "txt17_tfidf_keywords" -> txt17Sql,
     "txt14_quality_gate" -> txt14Sql,
     "txt13_bm25" -> txt13Sql,
     "txt12_lm_quality" -> txt12Sql,

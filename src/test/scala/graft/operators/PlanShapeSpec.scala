@@ -455,6 +455,56 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "AQE skew-join handling must be on — txt12's hot-key story rests on it")
   }
 
+  test("txt16: chunking is one narrow pass — no join, no aggregate, only the output sort exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = TextAnalysis.txt16Chunking(spark, d)
+    val s = plan(p)
+    assert(!s.contains("Join"), "chunking must not join: " + s.take(1500))
+    assert(!s.contains("Aggregate"), "chunking must not aggregate: " + s.take(1500))
+    val exchanges = physical(p).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, "only the gate's output sort may exchange")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      "the sole exchange is the output ordering: " + e.outputPartitioning))
+  }
+
+  test("txt17: top-3 window partitions by doc, and no shuffle carries the corpus text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = TextAnalysis.txt17TfidfKeywords(spark, d)
+    val phys = physical(p)
+    val s = plan(p)
+    assert(s.contains("Window"), s.take(1500))
+    // the keyword window must partition by doc_id — an unpartitioned
+    // window here is sim09's round-10 scale-killer reborn
+    assert(s.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(doc_id[^\\)]*\\).*"),
+      "per-doc window lost its partitioning: " + s.take(2000))
+    val exchanges = phys.collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("text"), "corpus text in a txt17 shuffle: " + cols.mkString(","))
+      assert(!e.outputPartitioning.toString.toLowerCase.contains("single") ||
+        e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        "single-partition exchange over non-aggregated input")
+    }
+  }
+
+  test("sim11: range search never shuffles the corpus — scan-stage filter, broadcast query") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.functions.GraftFunctions.register(spark)
+    val p = Similarity.sim11RangeSearch(spark, d)
+    val s = plan(p)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "query vector must broadcast: " + s.take(1500))
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      "corpus-side shuffle join in sim11: " + s.take(1500))
+    val exchanges = physical(p).collect { case e: ShuffleExchangeExec => e }
+    // the only shuffle is the output sort over the inside-radius survivors
+    assert(exchanges.size <= 1, "corpus shuffled before the radius filter")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      "the sole exchange is the output ordering: " + e.outputPartitioning))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
