@@ -669,7 +669,65 @@ object Relational {
       |GROUP BY user_id, sess_seq
       |ORDER BY user_id, sess_seq""".stripMargin
 
+  // q30 — ordered funnel (view → click → purchase): each user's furthest
+  // stage with STRICTLY increasing timestamps — the event-log companion
+  // to q29's sessionization and the canonical behavioral rollup. The
+  // stage tests ride RUNNING windows (min qualifying view/click so far),
+  // which turns the three-self-join textbook formulation into ONE
+  // exchange on user_id: both stacked windows and the final per-user
+  // aggregate share the same hash partitioning, so at 100 TB the event
+  // log shuffles once and everything else is partition-local. Ordering
+  // is the total (ts_us, event_id) — equal-timestamp frames are
+  // identical cross-engine — and qualification compares integer micros
+  // strictly, so stage boundaries cannot flip between Spark and the
+  // oracle. ∃ v<c<p  ⟺  min-view-so-far < click and min-qualifying-
+  // click-so-far < purchase: the running form is exact, not heuristic.
+  def q30Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wRun = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = events(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    ev.withColumn("t1r", min(when($"event_type" === "view", $"ts_us")).over(wRun))
+      .withColumn("t2r", min(when($"event_type" === "click" &&
+        $"t1r".isNotNull && $"ts_us" > $"t1r", $"ts_us")).over(wRun))
+      .groupBy($"user_id")
+      .agg((max(when($"event_type" === "view", 1).otherwise(0)) +
+        max(when($"event_type" === "click" &&
+          $"t1r".isNotNull && $"ts_us" > $"t1r", 1).otherwise(0)) +
+        max(when($"event_type" === "purchase" &&
+          $"t2r".isNotNull && $"ts_us" > $"t2r", 1).otherwise(0))).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  val q30Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |w1 AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS t1r
+      |  FROM e),
+      |w2 AS (
+      |  SELECT user_id, event_type, ts_us, t1r,
+      |    MIN(CASE WHEN event_type = 'click' AND t1r IS NOT NULL AND ts_us > t1r
+      |             THEN ts_us END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS t2r
+      |  FROM w1)
+      |SELECT user_id,
+      |  CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |     + MAX(CASE WHEN event_type = 'click' AND t1r IS NOT NULL
+      |                 AND ts_us > t1r THEN 1 ELSE 0 END)
+      |     + MAX(CASE WHEN event_type = 'purchase' AND t2r IS NOT NULL
+      |                 AND ts_us > t2r THEN 1 ELSE 0 END) AS INT) AS stage
+      |FROM w2
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_funnel" -> q30Funnel _,
     "q29_sessionize" -> q29Sessionize _,
     "q28_lead_lag" -> q28LeadLag _,
     "q27_grouping_sets" -> q27GroupingSets _,
@@ -701,6 +759,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q30_funnel" -> q30Sql,
     "q29_sessionize" -> q29Sql,
     "q28_lead_lag" -> q28Sql,
     "q27_grouping_sets" -> q27Sql,

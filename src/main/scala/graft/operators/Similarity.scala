@@ -71,6 +71,51 @@ object Similarity {
        |WHERE e.vec_id <> 0 AND ${duckCosine("e.embedding", "q.qv")} >= 0.2
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  // sim12 — truncated-dimension prefilter + exact rerank (the Matryoshka/
+  // progressive-refinement pattern): a cheap cosine over the first 8 of 64
+  // dimensions ranks the corpus, the top-30 survivors pay the full-width
+  // exact cosine, and the final top-10 is reported with both scores. This
+  // is the third refinement family next to sim06 (scalar quantization)
+  // and sim07 (product quantization): it needs NO trained codebook — the
+  // prefix of the vector IS the coarse representation — which is exactly
+  // the property Matryoshka-style embedding models train for. Scale
+  // shape: the prefix scoring is the same narrow broadcast-map pass as
+  // sim01 but touching 8/64 of the bytes (with column-projected storage,
+  // 1/8th the scan I/O); the top-30 cut is a TakeOrdered per-partition
+  // top-k (never a global sort); only 30 rows pay the full-width cosine.
+  // Both scores are IEEE-exact in a fixed association order, so ranks and
+  // values are bit-identical to the oracle.
+  val sim12PrefixDims = 8
+  def sim12TruncatedPrefilter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val pre = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", $"embedding", $"qv",
+        cosine(slice($"embedding", 1, sim12PrefixDims),
+          slice($"qv", 1, sim12PrefixDims)).as("pre_cos"))
+    pre.orderBy($"pre_cos".desc, $"vec_id").limit(30)
+      .select($"vec_id", $"label", $"pre_cos",
+        cosine($"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val sim12Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pre AS (
+       |  SELECT e.vec_id, e.label, e.embedding, q.qv,
+       |    ${duckCosine("e.embedding[1:8]", "q.qv[1:8]")} AS pre_cos
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> 0),
+       |top AS (SELECT * FROM pre ORDER BY pre_cos DESC, vec_id LIMIT 30)
+       |SELECT vec_id, label, pre_cos, ${duckCosine("embedding", "qv")} AS cos
+       |FROM top
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   // sim02 — LSH-bucketed ANN with Hamming-1 multi-probe: candidates are the
   // query's sign bucket plus the nBits buckets one flipped hyperplane away
   // — the standard recall repair for a bucket family that GROWS with the
@@ -1278,6 +1323,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim11_range_search" -> sim11RangeSearch _,
+    "sim12_truncated_prefilter" -> sim12TruncatedPrefilter _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _,
@@ -1296,6 +1342,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
     "sim11_range_search" -> sim11Sql,
+    "sim12_truncated_prefilter" -> sim12Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
     "sim04_knn_join" -> sim04Sql(sfDir),

@@ -107,6 +107,59 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q30: running-window funnel equals the brute-force exists-chain definition") {
+    import spark.implicits._
+    val out = Relational.q30Funnel(spark, d)
+      .select($"user_id", $"stage").as[(Long, Int)].collect().toMap
+    val ev = graft.core.Tables.events(spark, d)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as t")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    // definition: stage 1 iff a view exists; 2 iff some view < click;
+    // 3 iff some view < click < purchase (strict timestamps)
+    val expect = ev.map { case (u, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      val cs = rows.filter(_._2 == "click").map(_._3)
+      val ps = rows.filter(_._2 == "purchase").map(_._3)
+      val s1 = vs.nonEmpty
+      val s2 = s1 && cs.exists(c => vs.exists(_ < c))
+      val s3 = s2 && ps.exists(p => cs.exists(c => c < p && vs.exists(_ < c)))
+      u -> (Seq(s1, s2, s3).count(identity))
+    }
+    assert(out === expect)
+  }
+
+  test("sim12: rerank scores are the exact cosine; survivors come from the prefix cut") {
+    import spark.implicits._
+    val out = Similarity.sim12TruncatedPrefilter(spark, d)
+      .select($"vec_id", $"pre_cos", $"cos").as[(Long, Double, Double)].collect()
+    assert(out.length == 10)
+    val vecs = graft.core.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val q = vecs(0L)
+    def cos(a: Array[Float], b: Array[Float], dims: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the reported cos is the full-width exact cosine, not the prefix one
+    out.foreach { case (id, _, c) =>
+      assert(math.abs(c - cos(vecs(id), q, q.length)) < 1e-12, s"vec $id exact cos")
+    }
+    // every survivor sits inside the prefix top-30 recomputed independently
+    val pre30 = vecs.collect { case (id, v) if id != 0L =>
+      (id, cos(v, q, Similarity.sim12PrefixDims))
+    }.toSeq.sortBy { case (id, p) => (-p, id) }.take(30).map(_._1).toSet
+    out.foreach { case (id, p, _) =>
+      assert(pre30.contains(id), s"vec $id outside the prefix cut")
+      assert(math.abs(p - cos(vecs(id), q, Similarity.sim12PrefixDims)) < 1e-12)
+    }
+  }
+
   test("mm09: canonical is the largest-payload member, clusters partition the pair graph") {
     import spark.implicits._
     val out = Multimodal.mm09MediaCanonical(spark, d)

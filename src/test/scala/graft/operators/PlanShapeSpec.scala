@@ -505,6 +505,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the sole exchange is the output ordering: " + e.outputPartitioning))
   }
 
+  test("q30: funnel shuffles the event log ONCE — windows and aggregate share the user hash") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = Relational.q30Funnel(spark, d)
+    val exchanges = physical(p).collect { case e: ShuffleExchangeExec => e }
+    val hashes = exchanges.filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+    assert(hashes.size == 1, "event log must shuffle exactly once (user_id): " +
+      exchanges.map(_.outputPartitioning).mkString("; "))
+    assert(hashes.head.outputPartitioning.toString.contains("user_id"))
+    // only the gate's output ordering may add a second (range) exchange
+    assert(exchanges.size <= 2)
+  }
+
+  test("sim12: both cuts are TakeOrdered — the corpus is never globally sorted or shuffled") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.functions.GraftFunctions.register(spark)
+    val p = Similarity.sim12TruncatedPrefilter(spark, d)
+    val s = plan(p)
+    assert(s.split("TakeOrderedAndProject").length - 1 >= 2,
+      "prefix cut and rerank must both be per-partition top-k: " + s.take(1500))
+    assert(physical(p).collect { case so: SortExec => so }.isEmpty,
+      "global sort over the corpus: " + s.take(1500))
+    assert(physical(p).collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "sim12 must not shuffle the corpus at all")
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
