@@ -726,7 +726,46 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // q31 — cohort retention matrix: users grouped by the month of their
+  // FIRST event (the cohort), counted in every later month they were
+  // active, keyed by the integer month offset k. The scale shape is two
+  // slim shuffles: one exchange on user_id where the map-side partial
+  // collect_set already dedups (user, month) pairs before anything moves
+  // (months-per-user is calendar-bounded, so the set is tiny), then a
+  // (cohort, k)-sized final aggregate — the event log itself shuffles
+  // once and only as (user_id, month) pairs. k is pure integer calendar
+  // arithmetic ((Δyear)*12 + Δmonth) — no months_between doubles, no
+  // interval semantics to disagree on cross-engine.
+  def q31Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val um = events(s, d)
+      .select($"user_id", date_trunc("month", $"ts").cast("date").as("m"))
+      .groupBy($"user_id")
+      .agg(min($"m").as("cohort"), collect_set($"m").as("months"))
+    um.select($"cohort", explode($"months").as("m"))
+      .select($"cohort",
+        ((year($"m") - year($"cohort")) * lit(12) +
+          (month($"m") - month($"cohort"))).cast("int").as("k"))
+      .groupBy($"cohort", $"k").agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort", $"k")
+  }
+
+  val q31Sql: String =
+    """WITH um AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, m, MIN(m) OVER (PARTITION BY user_id) AS cohort
+      |  FROM um)
+      |SELECT cohort,
+      |  CAST((year(m) - year(cohort)) * 12 + (month(m) - month(cohort)) AS INT) AS k,
+      |  COUNT(*) AS n_users
+      |FROM c
+      |GROUP BY cohort, k
+      |ORDER BY cohort, k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_retention" -> q31Retention _,
     "q30_funnel" -> q30Funnel _,
     "q29_sessionize" -> q29Sessionize _,
     "q28_lead_lag" -> q28LeadLag _,
@@ -759,6 +798,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q31_retention" -> q31Sql,
     "q30_funnel" -> q30Sql,
     "q29_sessionize" -> q29Sql,
     "q28_lead_lag" -> q28Sql,
