@@ -95,4 +95,21 @@ object PersistedIndexes {
     cached(s"graft-index-r11b-text-${sfKey(sfDir)}") { dir =>
       TextAnalysis.buildTextIndex(documents(s, sfDir), dir)
     }
+
+  /** txt18's maintenance-lifecycle index: base build over 70% of the
+    * corpus, two appended ingest segments (20% + 10%), then a compaction
+    * back to one base segment — the steady-state shape of an index that
+    * has lived through ingest. Covers the same full corpus as [[textIndex]]
+    * by construction, so the probe oracle is the one-shot build's.
+    */
+  def textIndexLifecycle(s: SparkSession, sfDir: String): String =
+    cached(s"graft-index-r11c-textlc-${sfKey(sfDir)}") { dir =>
+      import s.implicits._
+      val docs = documents(s, sfDir)
+      TextAnalysis.buildTextIndex(docs.filter($"doc_id" % 10 < 7), dir)
+      TextAnalysis.appendToTextIndex(
+        docs.filter($"doc_id" % 10 === 7 || $"doc_id" % 10 === 8), dir, "b1")
+      TextAnalysis.appendToTextIndex(docs.filter($"doc_id" % 10 === 9), dir, "b2")
+      TextAnalysis.compactTextIndex(s, dir)
+    }
 }

@@ -406,6 +406,42 @@ object Similarity {
       .partitionBy("cell").parquet(s"$indexDir/cells/seg=$segment")
   }
 
+  /** Fold every segment of the ANN index's cell table into one fresh base
+    * segment. Appends are correctness-neutral but each adds a `seg=` level
+    * under every cell a probe prunes to — steady ingest turns the pruned
+    * read into thousands of tiny files. Rows are concatenated UNCHANGED
+    * (assignments were made under the persisted quantizer, which only a
+    * rebuild replaces, so re-deriving anything would be wrong as well as
+    * wasteful) and land without an exchange: cell files live inside their
+    * `cell=` directories, so read tasks carry single-cell rows and the
+    * partitionBy write keeps them there. Centroids are untouched. Staged
+    * + swapped under the no-concurrent-probes contract
+    * ([[TextAnalysis.compactTextIndex]]).
+    */
+  def compactAnnIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val staging = s"$indexDir/cells.compact-${ProcessHandle.current().pid()}"
+    s.read.parquet(s"$indexDir/cells")
+      .select($"vec_id", $"label", $"embedding", $"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/seg=base")
+    TextAnalysis.swapDirs(s, staging, s"$indexDir/cells")
+  }
+
+  /** [[compactAnnIndex]] for the IVF-PQ layout: fold `codes/seg=*` into a
+    * fresh `codes/seg=base`; centroids and codebook (rebuild-scoped
+    * geometry) are untouched.
+    */
+  def compactIvfPqIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val staging = s"$indexDir/codes.compact-${ProcessHandle.current().pid()}"
+    s.read.parquet(s"$indexDir/codes")
+      .select($"vec_id", $"label", $"codes", $"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/seg=base")
+    TextAnalysis.swapDirs(s, staging, s"$indexDir/codes")
+  }
+
   /** sim05 against the persisted index: centroids are read (tiny), the
     * cell scan is partition-pruned to the probed cells — the corpus table
     * itself is touched only for the query vector.
@@ -1240,34 +1276,13 @@ object Similarity {
     */
   def sim09bSql(kCand: Int = 50): String = {
     val terms = TextAnalysis.bm25Terms
-    val postings = terms.map(t =>
-      s"""SELECT doc_id, dl, '$t' AS term,
-         |      CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf
-         |    FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |          FROM documents)""".stripMargin)
-      .mkString("\n    UNION ALL\n    ")
     s"""WITH $ivfPqCandCtes,
        |dcos AS (SELECT e.vec_id AS id, ${duckCosine("e.embedding", "q.qv")} AS cos
        |         FROM embeddings e JOIN cand USING (vec_id), q),
        |dr AS (SELECT id, cos,
        |         CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS r_dense
        |       FROM dcos QUALIFY r_dense <= $kCand),
-       |pt AS (SELECT doc_id, dl, term, tf FROM (
-       |    $postings
-       |  ) WHERE tf > 0),
-       |sstats AS (SELECT COUNT(*) AS n, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sumdl
-       |           FROM documents),
-       |sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pt GROUP BY term),
-       |ssc AS (SELECT pt.doc_id, pt.term,
-       |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-       |           * ((CAST(tf AS DOUBLE) * 2.2)
-       |              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS sc
-       |        FROM pt JOIN sdf USING (term), sstats
-       |        WHERE pt.doc_id <> 0),
-       |sagg AS (SELECT doc_id,
-       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
-       |                       (x, y) -> x + y) AS bm25
-       |         FROM ssc GROUP BY doc_id),
+       |${TextAnalysis.bm25IndexOracleCtes(terms, "pt.doc_id <> 0")},
        |kr AS (SELECT doc_id AS id, bm25,
        |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
        |       FROM sagg QUALIFY r_sparse <= $kCand)

@@ -647,6 +647,62 @@ object TextAnalysis {
                         nBuckets: Int = textIndexBuckets): Unit =
     writeTextSegment(batch, indexDir, segment, nBuckets)
 
+  /** Fold every segment of a text index into a single fresh base segment.
+    *
+    * Appends keep probe correctness but grow the file fan-out: a probe
+    * reads |segments| x |query-term buckets| directories, and a year of
+    * hourly ingest batches is ~9k segments — at that point the probe's
+    * list/open cost dwarfs its byte cost. Compaction restores O(1) dirs
+    * per bucket without touching the corpus: postings rows are
+    * CONCATENATED unchanged (the probe already merges segments by exact
+    * long-sum, so row concatenation is score-preserving by construction —
+    * bit-identical, spec-pinned), df is re-summed per term from the slim
+    * termstats rows, and stats collapse to one row. No corpus re-read, no
+    * re-tokenization, and no posting shuffle either: posting files live
+    * inside their `tb=` directories, so every read task carries rows of
+    * one bucket and the partitionBy write lands them back without an
+    * exchange.
+    *
+    * The rewritten tree is staged beside the index and swapped in with
+    * recursive-delete + rename. Run from a maintenance job, not
+    * concurrently with probes or appends — the [[graft.streaming.CdcMaterializer.compact]]
+    * contract.
+    */
+  def compactTextIndex(s: SparkSession, indexDir: String,
+                       nBuckets: Int = textIndexBuckets): Unit = {
+    import s.implicits._
+    val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
+    s.read.parquet(s"$indexDir/postings")
+      .select($"term", $"doc_id", $"dl", $"tf", $"tb")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$staging/postings/seg=base")
+    s.read.parquet(s"$indexDir/termstats")
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$staging/termstats/seg=base")
+    s.read.parquet(s"$indexDir/stats")
+      .agg(sum($"n").as("n"), sum($"sumdl").as("sumdl"))
+      .write.mode("overwrite").parquet(s"$staging/stats/seg=base")
+    swapDirs(s, staging, indexDir)
+  }
+
+  /** Recursive-delete + rename swap of a staged index tree over the live
+    * one, via the path's OWN filesystem (HDFS/S3A/local alike). Callers
+    * hold the no-concurrent-probes contract; a crash between delete and
+    * rename leaves the staged tree intact beside the missing index, so
+    * recovery is re-running the swap, never re-running the build.
+    */
+  private[operators] def swapDirs(s: SparkSession, staging: String,
+                                  target: String): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val fs = tgt.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(tgt, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), tgt))
+      throw new IllegalStateException(
+        s"compaction swap failed: could not rename $staging over $target")
+  }
+
   /** The query terms' bucket ids, computed by Spark's own hash expression
     * over a local relation at plan-build time (constant-folded — no job):
     * the ONE derivation both the build's partitionBy column and the
@@ -696,6 +752,63 @@ object TextAnalysis {
       .agg(aggregate(array_sort(collect_list($"ts")), lit(0.0),
         (acc, x) => acc + x.getField("sc")).as("bm25"))
     Similarity.rankedTopK(perDoc, $"bm25", $"doc_id", k, "r_sparse")
+  }
+
+  // txt18 — the index MAINTENANCE lifecycle under the oracle: the gate's
+  // index is built over 70% of the corpus, extended by two appended
+  // ingest segments (20% + 10%), then compacted back to a single base
+  // segment — and only then probed. Every maintenance step is exact by
+  // construction (segment merge and compaction are long-sum/concatenation
+  // preserving), so the probe must hash-match the same full-corpus BM25
+  // the one-shot build would give; a regression in append bookkeeping,
+  // segment layout, or the compaction swap surfaces HERE as a hash
+  // mismatch rather than only in a spec. k=100 with the (bm25, doc_id)
+  // total order keeps the cut deterministic cross-engine.
+  def txt18IndexLifecycle(s: SparkSession, d: String): DataFrame =
+    bm25TopKViaIndex(s, PersistedIndexes.textIndexLifecycle(s, d),
+      bm25Terms, 100)
+
+  val txt18Sql: String =
+    s"""WITH ${bm25IndexOracleCtes(bm25Terms, "pt.doc_id IS NOT NULL")}
+       |SELECT doc_id, bm25,
+       |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+       |FROM sagg
+       |QUALIFY r_sparse <= 100
+       |ORDER BY r_sparse""".stripMargin
+
+  /** The inverted-index probe's DuckDB oracle as a CTE block (no leading
+    * WITH): recompute per-(term, doc) postings, per-term df and corpus
+    * stats from the documents table, score with the txt13 BM25-RSJ
+    * formula, fold per-doc term scores in sorted term order — the
+    * [[bm25TopKViaIndex]] contract. ONE definition shared by sim09b's
+    * oracle and txt18's, so a scoring fix can never reach one and
+    * silently miss the other (the latestImageOracle discipline).
+    * `sscWhere` is the candidate-exclusion predicate (`pt.doc_id <> 0`
+    * for the query-doc exclusion; a vacuous predicate for none).
+    */
+  def bm25IndexOracleCtes(terms: Seq[String], sscWhere: String): String = {
+    val postings = terms.map(t =>
+      s"""SELECT doc_id, dl, '$t' AS term,
+         |      CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf
+         |    FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |          FROM documents)""".stripMargin)
+      .mkString("\n    UNION ALL\n    ")
+    s"""pt AS (SELECT doc_id, dl, term, tf FROM (
+       |    $postings
+       |  ) WHERE tf > 0),
+       |sstats AS (SELECT COUNT(*) AS n, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sumdl
+       |           FROM documents),
+       |sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pt GROUP BY term),
+       |ssc AS (SELECT pt.doc_id, pt.term,
+       |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |           * ((CAST(tf AS DOUBLE) * 2.2)
+       |              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS sc
+       |        FROM pt JOIN sdf USING (term), sstats
+       |        WHERE $sscWhere),
+       |sagg AS (SELECT doc_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+       |                       (x, y) -> x + y) AS bm25
+       |         FROM ssc GROUP BY doc_id)""".stripMargin
   }
 
   // txt16 — RAG-style document chunking: fixed-width character windows
@@ -977,6 +1090,7 @@ object TextAnalysis {
     "txt15_curation_pipeline" -> txt15CurationPipeline _,
     "txt16_chunking" -> txt16Chunking _,
     "txt17_tfidf_keywords" -> txt17TfidfKeywords _,
+    "txt18_index_lifecycle" -> txt18IndexLifecycle _,
     "txt14_quality_gate" -> txt14QualityGate _,
     "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
@@ -998,6 +1112,7 @@ object TextAnalysis {
     "txt17_tfidf_keywords" -> txt17Sql,
     "txt14_quality_gate" -> txt14Sql,
     "txt13_bm25" -> txt13Sql,
+    "txt18_index_lifecycle" -> txt18Sql,
     "txt12_lm_quality" -> txt12Sql,
     "txt09_bpe_tokens" -> txt09Sql,
     "txt10_mixture_sample" -> txt10Sql,

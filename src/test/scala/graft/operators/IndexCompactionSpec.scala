@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Segment compaction across the three persisted index families
+  * ([[TextAnalysis.compactTextIndex]], [[Similarity.compactAnnIndex]],
+  * [[Similarity.compactIvfPqIndex]]). Pinned, for each:
+  *  - probing a compacted index is IDENTICAL to probing the segmented
+  *    one it folded (bit-exact rows — compaction concatenates postings /
+  *    code rows and long-sums stats, all score-preserving by
+  *    construction);
+  *  - the compacted layout is a single `seg=base` directory (the whole
+  *    point: probe file fan-out back to O(buckets), not
+  *    O(segments x buckets)).
+  */
+class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  override def beforeAll(): Unit = graft.functions.GraftFunctions.register(spark)
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def segDirs(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    f.listFiles().toSeq.map(_.getName).filter(_.startsWith("seg="))
+  }
+
+  private def withTmp(test: java.nio.file.Path => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("idxcompact")
+    try test(tmp)
+    finally java.nio.file.Files.walk(tmp)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("text index: compaction preserves probe results bit-exactly, folds to seg=base") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val docs = graft.core.Tables.documents(spark, d)
+      val dir = s"$tmp/idx"
+      TextAnalysis.buildTextIndex(docs.filter($"doc_id" % 10 < 7), dir)
+      TextAnalysis.appendToTextIndex(
+        docs.filter($"doc_id" % 10 === 7 || $"doc_id" % 10 === 8), dir, "b1")
+      TextAnalysis.appendToTextIndex(docs.filter($"doc_id" % 10 === 9), dir, "b2")
+      def probe() = TextAnalysis
+        .bm25TopKViaIndex(spark, dir, TextAnalysis.bm25Terms, 10000)
+        .collect().map(_.toString).sorted.toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      assert(segDirs(s"$dir/postings").toSet == Set("seg=base", "seg=b1", "seg=b2"))
+      TextAnalysis.compactTextIndex(spark, dir)
+      assert(probe() == before)
+      assert(segDirs(s"$dir/postings") == Seq("seg=base"))
+      assert(segDirs(s"$dir/termstats") == Seq("seg=base"))
+      assert(segDirs(s"$dir/stats") == Seq("seg=base"))
+    }
+  }
+
+  test("ann index: compaction preserves probe results bit-exactly, folds to seg=base") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val e = graft.core.Tables.embeddings(spark, d)
+      val dir = s"$tmp/ann"
+      Similarity.buildAnnIndex(e.filter($"vec_id" % 5 =!= 4), dir)
+      Similarity.appendToAnnIndex(spark, e.filter($"vec_id" % 5 === 4), dir, "b1")
+      def probe() = Similarity.sim05ViaIndex(spark, d, dir)
+        .collect().map(_.toString).toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      assert(segDirs(s"$dir/cells").toSet == Set("seg=base", "seg=b1"))
+      Similarity.compactAnnIndex(spark, dir)
+      assert(probe() == before)
+      assert(segDirs(s"$dir/cells") == Seq("seg=base"))
+    }
+  }
+
+  test("ivf-pq index: compaction preserves probe results bit-exactly, folds to seg=base") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val e = graft.core.Tables.embeddings(spark, d)
+      val dir = s"$tmp/ivfpq"
+      Similarity.buildIvfPqIndex(e.filter($"vec_id" % 5 =!= 4), dir)
+      Similarity.appendToIvfPqIndex(spark, e.filter($"vec_id" % 5 === 4), dir, "b1")
+      def probe() = Similarity.sim08ViaIndex(spark, d, dir)
+        .collect().map(_.toString).toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      assert(segDirs(s"$dir/codes").toSet == Set("seg=base", "seg=b1"))
+      Similarity.compactIvfPqIndex(spark, dir)
+      assert(probe() == before)
+      assert(segDirs(s"$dir/codes") == Seq("seg=base"))
+    }
+  }
+}
