@@ -964,21 +964,51 @@ object CdcBinlog {
   // the PREVIOUS invocation's workdir is deleted at that point (its
   // result was consumed before the next run starts), so repeated
   // bench/gate runs hold at most one live table in /tmp.
-  private val cdcm1LastDir =
-    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
-  // the last invocation's workdir would otherwise outlive the JVM in /tmp
-  private lazy val cdcm1ShutdownHook: Unit =
+  // one live workdir per gate slot; the last would otherwise outlive the
+  // JVM in /tmp
+  private val cdcmLastDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val cdcmShutdownHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val d = cdcm1LastDir.get()
-      if (d != null) try deleteRecursively(d) catch { case _: Exception => () }
+      cdcmLastDirs.values.forEach(d =>
+        try deleteRecursively(d) catch { case _: Exception => () })
     }))
-  def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame = synchronized {
-    // synchronized: concurrent invocations must not race the rotation
-    // below (one would delete the directory the other just materialized)
-    import s.implicits._
-    cdcm1ShutdownHook
-    val work = Files.createTempDirectory("graft-cdcm1")
-    try {
+  /** The cdcm gates' shared workdir protocol: fresh temp dir per
+    * invocation (every run pays the real streaming job), the PREVIOUS
+    * invocation's dir deleted only after the new result is fully built
+    * (its DataFrame was consumed before this run started), at most one
+    * live dir per slot. `run` must return a result DETACHED from the
+    * workdir (eager localCheckpoint): a later invocation rotates the
+    * directory away, and a caller re-executing a lazy plan over it would
+    * read deleted files. synchronized: concurrent invocations must not
+    * race the rotation (one would delete the directory the other just
+    * materialized).
+    */
+  private def withRotatingWorkdir(slot: String)
+                                 (run: java.nio.file.Path => DataFrame): DataFrame =
+    synchronized {
+      cdcmShutdownHook
+      val work = Files.createTempDirectory(slot)
+      val out =
+        try run(work)
+        catch {
+          // a failed run must not orphan its half-built workdir (it never
+          // reaches the rotation below, and the shutdown hook only knows
+          // REGISTERED dirs); the cleanup must never REPLACE the real
+          // failure — a held-open checkpoint file making the delete throw
+          // would otherwise mask the root cause
+          case e: Throwable =>
+            try deleteRecursively(work) catch { case _: Exception => () }
+            throw e
+        }
+      val prev = cdcmLastDirs.put(slot, work)
+      if (prev != null) deleteRecursively(prev)
+      out
+    }
+
+  def cdcm1MaterializedTable(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm1") { work =>
+      import s.implicits._
       val changes = s.readStream.format("mysql-binlog")
         .option("payloadDdl", payloadDdl)
         .load(fixtureDir(d))
@@ -986,35 +1016,48 @@ object CdcBinlog {
         changes, "id", work.resolve("table").toString,
         work.resolve("ckpt").toString, nBuckets = 8)
       q.awaitTermination()
-    } catch {
-      // a failed materialization must not orphan its half-built workdir
-      // (it never reaches the rotation below, and the shutdown hook only
-      // knows the LAST registered dir); the cleanup must never REPLACE the
-      // real failure — a held-open checkpoint file making the delete throw
-      // would otherwise mask the root cause
-      case e: Throwable =>
-        try deleteRecursively(work) catch { case _: Exception => () }
-        throw e
+      val out = graft.streaming.CdcMaterializer
+        .readTable(s, work.resolve("table").toString)
+        .select($"id", $"val".cast("double").as("val"), $"word")
+        .orderBy($"id")
+      // DETACH from the workdir (the withRotatingWorkdir contract). A
+      // cache() is not enough — an evicted partition re-reads the files —
+      // but an EAGER local checkpoint severs the lineage: re-execution
+      // serves the checkpointed blocks and can never touch the directory
+      // again. (collect + createDataFrame would also detach, but re-paying
+      // external-row conversion on every execution measured ~1 s at sf0.1;
+      // the checkpointed plan re-executes in milliseconds.)
+      out.localCheckpoint(true).orderBy($"id")
     }
-    // rotate only AFTER the new table is fully materialized: the previous
-    // invocation's returned DataFrame stays readable until the next
-    // invocation completes, instead of breaking the moment it starts
-    val prev = cdcm1LastDir.getAndSet(work)
-    if (prev != null) deleteRecursively(prev)
-    val out = graft.streaming.CdcMaterializer.readTable(s, work.resolve("table").toString)
-      .select($"id", $"val".cast("double").as("val"), $"word")
-      .orderBy($"id")
-    // DETACH the result from the workdir before returning: a later
-    // invocation rotates this table away, and a caller re-executing the
-    // previously returned lazy plan would read a deleted directory. A
-    // cache() is not enough — an evicted partition re-reads the files —
-    // but an EAGER local checkpoint severs the lineage: re-execution
-    // serves the checkpointed blocks and can never touch the directory
-    // again. (collect + createDataFrame would also detach, but re-paying
-    // external-row conversion on every execution measured ~1 s at sf0.1;
-    // the checkpointed plan re-executes in milliseconds.)
-    out.localCheckpoint(true).orderBy($"id")
-  }
+
+  // cdcm2 — incremental aggregate-view maintenance under the oracle: the
+  // per-word COUNT(*)/SUM(val) view is maintained from the change stream
+  // ALONE ([[graft.streaming.CdcMaterializer.maintainAggregate]] — signed
+  // deltas, +after/-before, idempotent batch-addressed delta partitions),
+  // then COMPACTED into a fresh base, then read back. The oracle
+  // aggregates the latest-image ground truth instead — the two agree only
+  // if every retraction, group move (an update changing `word` retracts
+  // from the old group through its before image) and the compaction fold
+  // are exact, which integer fixed-point sums (val scaled x10^4 into a
+  // long) guarantee order-independently. The deltas-path read (before
+  // compaction) is pinned equal in `CdcAggregateSpec`.
+  def cdcm2IncrementalAgg(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm2") { work =>
+      import s.implicits._
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .load(fixtureDir(d))
+        .withColumn("v", ($"val" * 10000).cast("long"))
+      val agg = work.resolve("agg").toString
+      val q = graft.streaming.CdcMaterializer.maintainAggregate(
+        changes, "word", "v", agg, work.resolve("ckpt").toString)
+      q.awaitTermination()
+      graft.streaming.CdcMaterializer.compactAggregate(s, agg)
+      graft.streaming.CdcMaterializer.readAggregate(s, agg)
+        .select($"word", $"n".as("n_rows"), $"s".as("sum_val_e4"))
+        .orderBy($"word")
+        .localCheckpoint(true).orderBy($"word")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
@@ -1024,6 +1067,7 @@ object CdcBinlog {
     "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
     "cdcb16_mariadb_event_stats" -> cdcb16MariadbEventStats _,
     "cdcm1_materialized_table" -> cdcm1MaterializedTable _,
+    "cdcm2_incremental_agg" -> cdcm2IncrementalAgg _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1118,6 +1162,15 @@ object CdcBinlog {
          |ORDER BY event_type""".stripMargin,
     "cdcm1_materialized_table" ->
       latestImageOracle(sfDir),
+    // the view the IVM path maintains, recomputed from the latest-image
+    // ground truth; round() before the fixed-point cast kills the CSV
+    // double's representation error (val has exactly 4 decimal digits)
+    "cdcm2_incremental_agg" ->
+      s"""SELECT word, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(round(val * 10000) AS BIGINT)) AS BIGINT) AS sum_val_e4
+         |FROM (${latestImageOracle(sfDir)})
+         |GROUP BY word
+         |ORDER BY word""".stripMargin,
     "cdcb13_compressed_latest_image" ->
       latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->
