@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChangeOps.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries ++ RangeJoin.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries ++ RangeJoin.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,7 +34,8 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] =
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles(sfDir) ++ Similarity.oracles(sfDir) ++ Multimodal.oracles ++
-      CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles
+      CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles ++
+      graft.streaming.StreamOps.oracles
 
   /** No-arg contract form: the driver gate's sf0.01 fixture paths. */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")

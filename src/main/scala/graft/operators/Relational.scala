@@ -764,7 +764,49 @@ object Relational {
       |GROUP BY cohort, k
       |ORDER BY cohort, k""".stripMargin
 
+  // q32 — co-purchase pair mining (frequent itemset support at size 2):
+  // part pairs appearing together in >= 2 orders. The textbook
+  // formulation is a basket self-join on order id; here pairs are
+  // generated INSIDE each basket instead — one exchange on l_orderkey
+  // collects the order's distinct parts (map-side partial collect_set),
+  // combinations come from a nested HOF transform over the sorted array
+  // (a < b by construction, no post-hoc dedup), and the (a, b) support
+  // count aggregates map-side. A self-join would shuffle the item table
+  // twice and re-discover each basket k times; the in-basket form moves
+  // each basket once and emits C(k,2) pairs partition-locally. Basket
+  // sizes are bounded by catalog reality (~17 parts max at every sf —
+  // C(k,2) is fine); a corpus with degenerate mega-baskets would cap or
+  // salt the basket stage first, trading exactness explicitly.
+  def q32Copurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // no pre-distinct: collect_set dedups repeated parts INSIDE the
+    // basket aggregate (map-side partial), so the slim (order, part)
+    // stream shuffles once instead of twice
+    val baskets = lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("parts"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .orderBy($"n_orders".desc, $"a", $"b")
+  }
+
+  val q32Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_orders
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_copurchase" -> q32Copurchase _,
     "q31_retention" -> q31Retention _,
     "q30_funnel" -> q30Funnel _,
     "q29_sessionize" -> q29Sessionize _,
@@ -798,6 +840,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q32_copurchase" -> q32Sql,
     "q31_retention" -> q31Sql,
     "q30_funnel" -> q30Sql,
     "q29_sessionize" -> q29Sql,

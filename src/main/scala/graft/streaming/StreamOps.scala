@@ -70,6 +70,59 @@ object StreamOps {
       .select($"window.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
   }
 
+  // st01 — streaming SLIDING-window aggregation under the DuckDB oracle:
+  // 2-hour windows sliding hourly (each event lands in exactly two
+  // windows), run as a REAL Structured Streaming job over the staged
+  // events table (AvailableNow, complete-mode memory sink) and read back
+  // once the stream drains. This puts the streaming engine's window
+  // assignment, state merge, and sink path under the same hash compare
+  // the batch operators get — q15 is the tumbling batch twin; the oracle
+  // reproduces the two-window assignment by unioning each event at its
+  // own hour bucket and the preceding one. The value sum follows the
+  // decimal-accumulate convention so the streaming state fold's order
+  // cannot leak into the output. Complete mode (not append): with
+  // AvailableNow the final watermark never passes the last windows, so
+  // append would silently drop them — the classic finalization pitfall;
+  // state stays bounded here because the run is finite by construction.
+  def st01SlidingWindow(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val agg = eventsStream(s, d)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(38, 10))), 2).cast("double")
+          .as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events", $"sum_value")
+    val q = agg.writeStream.format("memory").queryName("graft_st01_sink")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the memory sink table outlives the (stopped) query; a later
+    // invocation re-registers the same name over fresh state
+    s.table("graft_st01_sink").orderBy($"window_start", $"event_type")
+  }
+
+  val st01Sql: String =
+    """WITH e2 AS (
+      |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+      |FROM e2
+      |GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_sliding_window" -> st01SlidingWindow _)
+
+  def oracles: Map[String, String] = Map(
+    "st01_sliding_window" -> st01Sql)
+
   /** Session windows per user: a session closes after 30 minutes of
     * inactivity (builtin session_window keeps state per open session only).
     */

@@ -66,6 +66,16 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("txt18 lifecycle index: the gate probes a genuinely compacted layout") {
+    // the cached gate index must end its build-append-append-compact
+    // lifecycle as a single base segment — otherwise the gate would be
+    // re-testing the multi-segment merge path instead of compaction
+    val dir = PersistedIndexes.textIndexLifecycle(spark, d)
+    assert(segDirs(s"$dir/postings") == Seq("seg=base"))
+    assert(segDirs(s"$dir/termstats") == Seq("seg=base"))
+    assert(segDirs(s"$dir/stats") == Seq("seg=base"))
+  }
+
   test("ann index: compaction preserves probe results bit-exactly, folds to seg=base") {
     import spark.implicits._
     withTmp { tmp =>

@@ -517,6 +517,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.size <= 2)
   }
 
+  test("q31: retention shuffles slim pairs twice — user hash (set-dedup map-side) then cohort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = Relational.q31Retention(spark, d)
+    val exchanges = physical(p).collect { case e: ShuffleExchangeExec => e }
+    val hashes = exchanges.filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+    assert(hashes.size == 2, "exactly two hash exchanges (user_id; cohort,k): " +
+      exchanges.map(_.outputPartitioning).mkString("; "))
+    assert(hashes.exists(_.outputPartitioning.toString.contains("user_id")))
+    assert(hashes.exists(_.outputPartitioning.toString.contains("cohort")))
+    // map-side partial set aggregation must precede the user_id exchange:
+    // the (user, month) pairs dedup before anything moves
+    assert(plan(p).toLowerCase.contains("partial_collect_set") ||
+      plan(p).contains("partial_collect_set") || plan(p).contains("ObjectHashAggregate"),
+      plan(p).take(1500))
+    assert(exchanges.size <= 3) // + the gate's output range sort only
+  }
+
+  test("q32: in-basket pair generation — one orderkey shuffle, one support shuffle, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = Relational.q32Copurchase(spark, d)
+    val s = plan(p)
+    assert(!s.contains("Join"), "pairs must come from the basket array, not a self-join: " +
+      s.take(1500))
+    val exchanges = physical(p).collect { case e: ShuffleExchangeExec => e }
+    val hashes = exchanges.filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+    assert(hashes.size == 2, "exactly two hash exchanges (l_orderkey; a,b): " +
+      exchanges.map(_.outputPartitioning).mkString("; "))
+    assert(hashes.exists(_.outputPartitioning.toString.contains("l_orderkey")))
+    assert(exchanges.size <= 3)
+  }
+
   test("sim12: both cuts are TakeOrdered — the corpus is never globally sorted or shuffled") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
