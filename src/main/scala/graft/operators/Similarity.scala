@@ -71,6 +71,35 @@ object Similarity {
        |WHERE e.vec_id <> 0 AND ${duckCosine("e.embedding", "q.qv")} >= 0.2
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  // sim11b — range search over the persisted IVF index: the approximate
+  // pre-screen sim11's scaladoc promises, as a first-class gate. The
+  // top-nprobe cells by centroid·query are the only partitions read
+  // (cell-pruned scan, like sim05b); exact cosines are computed for
+  // those cells' rows alone and the radius filter runs on them — recall
+  // is bounded by the probe (the standard IVF range contract; sim11 is
+  // the exact full-pass twin), and the oracle reproduces the SAME cell
+  // selection so the approximation itself is hash-checked. At 100 TB the
+  // scan is nprobe/k of the corpus and nothing corpus-sized moves.
+  def sim11bRangeViaIndex(s: SparkSession, d: String,
+                          tau: Double = sim11Tau): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val idx = PersistedIndexes.annIndex(s, d)
+    cellCandidates(s.read.parquet(s"$idx/cells"),
+      s.read.parquet(s"$idx/centroids"), q)
+      .filter($"cos" >= lit(tau))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  val sim11bSql: String =
+    s"""WITH $annProbeCtes
+       |SELECT a.vec_id, a.label, a.cell, ${duckCosine("a.embedding", "q.qv")} AS cos
+       |FROM assigned a JOIN probed p ON a.cell = p.cell, q
+       |WHERE a.vec_id <> 0 AND ${duckCosine("a.embedding", "q.qv")} >= $sim11Tau
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   // sim12 — truncated-dimension prefilter + exact rerank (the Matryoshka/
   // progressive-refinement pattern): a cheap cosine over the first 8 of 64
   // dimensions ranks the corpus, the top-30 survivors pay the full-width
@@ -309,8 +338,12 @@ object Similarity {
       .select($"cell", transform($"pc", p => p.getField("c")).as("centroid"))
   }
 
-  private def cellProbe(assigned: DataFrame, cent: DataFrame, q: DataFrame,
-                        nprobe: Int = 3): DataFrame = {
+  /** The IVF candidate stage shared by top-k probe and range probe:
+    * exact cosines over the top-nprobe cells' rows only (cell-pruned
+    * scan, broadcast query — nothing corpus-sized moves).
+    */
+  private def cellCandidates(assigned: DataFrame, cent: DataFrame, q: DataFrame,
+                             nprobe: Int = 3): DataFrame = {
     import assigned.sparkSession.implicits._
     val probed = cent.crossJoin(broadcast(q))
       .select($"cell", aggregate(
@@ -323,6 +356,12 @@ object Similarity {
       .filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
       .select($"vec_id", $"label", $"cell", cosine($"embedding", $"qv").as("cos"))
+  }
+
+  private def cellProbe(assigned: DataFrame, cent: DataFrame, q: DataFrame,
+                        nprobe: Int = 3): DataFrame = {
+    import assigned.sparkSession.implicits._
+    cellCandidates(assigned, cent, q, nprobe)
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
   }
@@ -455,11 +494,17 @@ object Similarity {
       s.read.parquet(s"$indexDir/centroids"), q)
   }
 
-  val sim05Sql: String = {
+  /** The IVF probe's oracle CTE chain (no leading WITH): recompute seed
+    * assignment, per-cell centroids, and the top-3 probed cells — ONE
+    * definition shared by sim05's top-k oracle and sim11b's range oracle.
+    */
+  // lazy: referenced by sim11bSql, which is declared earlier in the file
+  // (object vals initialize in declaration order)
+  private lazy val annProbeCtes: String = {
     val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE)))," +
       " (x, y) -> x + y)"
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 16),
        |scored AS (SELECT e.vec_id, e.label, e.embedding, s.sid,
        |             ${duckCosine("e.embedding", "s.sv")} AS sim
@@ -473,13 +518,16 @@ object Similarity {
        |cm AS (SELECT cell, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
        |       FROM cd GROUP BY cell, pos),
        |cent AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM cm GROUP BY cell),
-       |probed AS (SELECT c.cell FROM cent c, q ORDER BY $dotCQ DESC, c.cell LIMIT 3)
+       |probed AS (SELECT c.cell FROM cent c, q ORDER BY $dotCQ DESC, c.cell LIMIT 3)""".stripMargin
+  }
+
+  val sim05Sql: String =
+    s"""WITH $annProbeCtes
        |SELECT a.vec_id, a.label, a.cell, ${duckCosine("a.embedding", "q.qv")} AS cos
        |FROM assigned a JOIN probed p ON a.cell = p.cell, q
        |WHERE a.vec_id <> 0
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
-  }
 
   // ---- sim06: int8 scalar quantization + exact rerank --------------------
   //
@@ -1338,6 +1386,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim11_range_search" -> sim11RangeSearch _,
+    "sim11b_range_via_index" -> ((s: SparkSession, d: String) => sim11bRangeViaIndex(s, d)),
     "sim12_truncated_prefilter" -> sim12TruncatedPrefilter _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
@@ -1357,6 +1406,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
     "sim11_range_search" -> sim11Sql,
+    "sim11b_range_via_index" -> sim11bSql,
     "sim12_truncated_prefilter" -> sim12Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,

@@ -117,11 +117,42 @@ object StreamOps {
       |GROUP BY ws, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // st02 — streaming exact dedup under the DuckDB oracle: the events
+  // stream unioned with itself (every event arrives twice, possibly in
+  // different micro-batches) deduped by state-store dropDuplicates. The
+  // oracle is simply the events table: the gate hash-matches only if the
+  // state path emits each key exactly once with its own row's columns.
+  // Append mode is correct HERE (unlike st01): dedup emits on first
+  // arrival — the watermark governs state eviction, not emission, so
+  // nothing is held back at stream end. Duplicate copies are identical
+  // rows, so whichever copy wins the state race carries the same
+  // columns — deterministic by construction.
+  def st02StreamDedup(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val doubled = eventsStream(s, d).union(eventsStream(s, d))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select($"event_id", $"event_type", $"user_id")
+    val q = doubled.writeStream.format("memory").queryName("graft_st02_sink")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_st02_sink").orderBy($"event_id")
+  }
+
+  val st02Sql: String =
+    """SELECT event_id, event_type, user_id
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_sliding_window" -> st01SlidingWindow _)
+    "st01_sliding_window" -> st01SlidingWindow _,
+    "st02_stream_dedup" -> st02StreamDedup _)
 
   def oracles: Map[String, String] = Map(
-    "st01_sliding_window" -> st01Sql)
+    "st01_sliding_window" -> st01Sql,
+    "st02_stream_dedup" -> st02Sql)
 
   /** Session windows per user: a session closes after 30 minutes of
     * inactivity (builtin session_window keeps state per open session only).
