@@ -883,6 +883,18 @@ object Similarity {
     ivfPqKnnJoin(s, d, e.filter($"vec_id" % 50 === 0), nprobe, maxBroadcastBatch)
   }
 
+  /** sim10's corpus-scale twin gate: the SAME query batch forced down the
+    * above-cap SHUFFLE path (maxBroadcastBatch = 0 — every per-query
+    * structure exchanges on cell/qid/vec_id instead of broadcasting).
+    * Result identity across paths is spec-pinned (`BatchKnnSpec`); this
+    * gate additionally runs the shuffle path end-to-end under the DuckDB
+    * oracle (same SQL as sim10 — the contract is that the path choice is
+    * invisible), so the kNN-self-join framing a 100 TB graph build needs
+    * is hash-checked, not just plan-checked.
+    */
+  def sim10bKnnShuffle(s: SparkSession, d: String): DataFrame =
+    sim10IvfPqKnnJoin(s, d, maxBroadcastBatch = 0L)
+
   /** Batch k-NN join over the persisted IVF-PQ index for an arbitrary
     * query frame (vec_id, embedding, ...). The per-query structures (LUTs,
     * probe pairs, candidate ids) are BROADCAST only while the batch is
@@ -1378,6 +1390,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
+    "sim10b_knn_shuffle" -> sim10bKnnShuffle _,
     "sim09_hybrid_rrf" -> ((s: SparkSession, d: String) => sim09HybridRrf(s, d)),
     "sim09b_hybrid_indexed" -> ((s: SparkSession, d: String) => sim09bHybridIndexed(s, d)),
     "dd10_semantic_dedup" -> ((s: SparkSession, d: String) => dd10SemanticDedup(s, d)),
@@ -1398,6 +1411,7 @@ object Similarity {
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim10_ivfpq_knn_join" -> sim10Sql,
+    "sim10b_knn_shuffle" -> sim10Sql,
     "sim09_hybrid_rrf" -> sim09Sql,
     "sim09b_hybrid_indexed" -> sim09bSql(),
     "dd10_semantic_dedup" -> dd10Sql(sfDir),
