@@ -1059,6 +1059,40 @@ object CdcBinlog {
         .localCheckpoint(true).orderBy($"word")
     }
 
+  // cdcm3 — incremental JOIN-view maintenance under the oracle: the
+  // maintained table is the VIEW `T ⋈ nation` (dimension key id % 25),
+  // not T itself. With a static dimension D the view delta is exactly
+  // Δ(T ⋈ D) = ΔT ⋈ D — so the change stream is enriched per micro-batch
+  // with a BROADCAST hash join (work proportional to the delta, never to
+  // |T| or a re-join of the full view) and the enriched deltas flow
+  // through the same bucket-addressed latest-wins merge as cdcm1.
+  // Update-before images join too (same key domain), so a future
+  // group-moving dimension key would retract correctly. The oracle
+  // recomputes the view from the latest-image ground truth joined to the
+  // nation parquet — the two agree only if the per-batch join enriches
+  // every surviving image with the right dimension row AND the merge
+  // machinery keeps exactly the latest enriched image per key.
+  def cdcm3IncrementalJoin(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm3") { work =>
+      import s.implicits._
+      val dim = graft.core.Tables.nation(s, d).toDF()
+        .select($"n_nationkey", $"n_name")
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .load(fixtureDir(d))
+        .join(broadcast(dim), pmod($"id", lit(25)) === $"n_nationkey")
+        .drop("n_nationkey")
+      val q = graft.streaming.CdcMaterializer.materialize(
+        changes, "id", work.resolve("table").toString,
+        work.resolve("ckpt").toString, nBuckets = 8)
+      q.awaitTermination()
+      val out = graft.streaming.CdcMaterializer
+        .readTable(s, work.resolve("table").toString)
+        .select($"id", $"val".cast("double").as("val"), $"word", $"n_name")
+        .orderBy($"id")
+      out.localCheckpoint(true).orderBy($"id")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
     "cdcb19_schema_drift" -> cdcb19SchemaDrift _,
@@ -1068,6 +1102,7 @@ object CdcBinlog {
     "cdcb16_mariadb_event_stats" -> cdcb16MariadbEventStats _,
     "cdcm1_materialized_table" -> cdcm1MaterializedTable _,
     "cdcm2_incremental_agg" -> cdcm2IncrementalAgg _,
+    "cdcm3_incremental_join" -> cdcm3IncrementalJoin _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1171,6 +1206,13 @@ object CdcBinlog {
          |FROM (${latestImageOracle(sfDir)})
          |GROUP BY word
          |ORDER BY word""".stripMargin,
+    // the join view recomputed from the latest-image ground truth ⋈ the
+    // nation dimension, same key derivation (id % 25) as the stream side
+    "cdcm3_incremental_join" ->
+      s"""SELECT l.id, l.val, l.word, n.n_name
+         |FROM (${latestImageOracle(sfDir)}) l
+         |JOIN nation n ON l.id % 25 = n.n_nationkey
+         |ORDER BY l.id""".stripMargin,
     "cdcb13_compressed_latest_image" ->
       latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->

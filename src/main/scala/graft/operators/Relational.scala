@@ -805,8 +805,54 @@ object Relational {
       |HAVING COUNT(*) >= 2
       |ORDER BY n_orders DESC, a, b""".stripMargin
 
+  // q33 — association-rule scoring over q32's frequent pairs: support,
+  // confidence and lift, the classic market-basket mining output. The
+  // pair stream is q32's (in-basket pair generation, no self-join); the
+  // per-item support table is ONE slim (part → basket-count) aggregate,
+  // small by construction (|parts| ≪ |lineitem|), so BOTH enrichment
+  // joins broadcast it — the frequent-pair stream never shuffles for the
+  // lookup. All scores are integer fixed-point (x10^4, truncating `div`),
+  // so the oracle compare is exact integer equality: no cross-engine
+  // float-division or rounding-mode drift can leak in. The basket total
+  // rides in as a literal from its own one-row aggregate (bounded driver
+  // value, like txt19's token total).
+  def q33BasketLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
+    val nBaskets = items.select(countDistinct($"l_orderkey")).as[Long].head()
+    val supp = items.groupBy($"l_partkey").agg(count(lit(1)).as("supp"))
+    q32Copurchase(s, d)
+      .join(broadcast(supp.select($"l_partkey".as("a"), $"supp".as("supp_a"))), "a")
+      .join(broadcast(supp.select($"l_partkey".as("b"), $"supp".as("supp_b"))), "b")
+      .select($"a", $"b", $"n_orders", $"supp_a", $"supp_b",
+        expr("(n_orders * 10000L) div supp_a").cast("long").as("conf_e4"),
+        expr(s"(n_orders * ${nBaskets}L * 10000L) div (supp_a * supp_b)")
+          .cast("long").as("lift_e4"))
+      .orderBy($"lift_e4".desc, $"a", $"b")
+  }
+
+  val q33Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+      |supp AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_orders
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT p.a, p.b, p.n_orders,
+      |  CAST(sa.s AS BIGINT) AS supp_a, CAST(sb.s AS BIGINT) AS supp_b,
+      |  CAST((p.n_orders * 10000) // sa.s AS BIGINT) AS conf_e4,
+      |  CAST((p.n_orders * nb.n * 10000) // (sa.s * sb.s) AS BIGINT) AS lift_e4
+      |FROM pairs p
+      |JOIN supp sa ON p.a = sa.l_partkey
+      |JOIN supp sb ON p.b = sb.l_partkey, nb
+      |ORDER BY lift_e4 DESC, a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_copurchase" -> q32Copurchase _,
+    "q33_basket_lift" -> q33BasketLift _,
     "q31_retention" -> q31Retention _,
     "q30_funnel" -> q30Funnel _,
     "q29_sessionize" -> q29Sessionize _,
@@ -841,6 +887,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q32_copurchase" -> q32Sql,
+    "q33_basket_lift" -> q33Sql,
     "q31_retention" -> q31Sql,
     "q30_funnel" -> q30Sql,
     "q29_sessionize" -> q29Sql,

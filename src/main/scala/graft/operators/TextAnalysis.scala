@@ -776,6 +776,98 @@ object TextAnalysis {
        |QUALIFY r_sparse <= 100
        |ORDER BY r_sparse""".stripMargin
 
+  // txt19 — EXACT heavy hitters via sketch-prune + exact-verify, the
+  // two-phase pattern that makes "which terms dominate the corpus" viable
+  // at 100 TB: a naive groupBy(term) shuffles the corpus's FULL distinct
+  // vocabulary (billions of keys on web-scale text); here a Misra-Gries
+  // sketch (graft.functions.HeavyHitters, a typed Aggregator — bounded
+  // map-side state, mergeable partials, ONE slim row to the driver side
+  // of the plan) first reduces the candidate set to <= capacity terms,
+  // and only candidate-matching tokens enter the exact count. The result
+  // is provably EXACT, not approximate: MG guarantees any term with true
+  // frequency > n/capacity survives the sketch, and the gate's output
+  // threshold (count * 200 > n, i.e. > 0.5% of all tokens) is strictly
+  // above n/capacity with capacity = 400 — so the sketch can never drop a
+  // true heavy hitter, and the exact phase discards any false positives.
+  // That is why a plain GROUP BY / HAVING oracle can hash-match it.
+  def txt19HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    // corpus token total: narrow per-row size() + one tiny agg (no explode)
+    val total = docs.agg(sum(size(tokens($"text"))).cast("long")).as[Long].head()
+    val tokPairs = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    // phase 1 — sketch: bounded-memory candidate terms, capacity 400
+    val mg = new graft.functions.HeavyHitters(capacity = 400, k = 400)
+    val cands = tokPairs.select($"term").as[String]
+      .select(mg.toColumn)
+      .flatMap(_.map(_._1))
+      .toDF("term")
+    // phase 2 — exact verify: only candidate terms pay the count shuffle
+    tokPairs.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct($"doc_id").as("n_docs"))
+      .filter($"n_occurrences" * lit(200L) > lit(total))
+      .orderBy($"n_occurrences".desc, $"term")
+  }
+
+  val txt19Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM tok)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM tok, tot
+      |GROUP BY term, tot.n
+      |HAVING COUNT(*) * 200 > tot.n
+      |ORDER BY n_occurrences DESC, term""".stripMargin
+
+  // txt20 — deterministic STRATIFIED sampling (exactly n per stratum)
+  // with BOUNDED aggregation state, no per-stratum window: ranking inside
+  // a stratum with row_number().over(partitionBy(lang)) would move every
+  // row of a hot stratum through one task (strata are few and huge at
+  // 100 TB — the canonical skew shape). Instead each doc gets a
+  // deterministic md5 draw, (draw, doc_id) is packed into one long, and
+  // the bounded graft_min_k aggregate keeps the n smallest per stratum
+  // with O(n) state and map-side partials — every map task collapses its
+  // slice of a stratum to <= n values BEFORE the shuffle, so the exchange
+  // carries <= n·numMapTasks rows per stratum no matter how hot it is.
+  // Packing: draw is the first 40 md5 bits, doc_id the low 20 bits —
+  // (draw, doc_id) lexicographic order survives the pack exactly while
+  // doc_id < 2^20; out-of-range ids raise by name rather than sampling
+  // wrong (at true 100 TB cardinality you'd widen the pack to two longs).
+  def txt20StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val n = 20
+    val draw = conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    val key = when($"doc_id" >= lit(1L << 20),
+        raise_error(concat(lit("txt20: doc_id exceeds 20-bit pack: "), $"doc_id")))
+      .otherwise(draw * lit(1L << 20) + $"doc_id")
+    documents(s, d)
+      .select($"lang", key.as("key"))
+      .groupBy($"lang")
+      .agg(call_function("graft_min_k", $"key", lit(n)).as("ks"))
+      .select($"lang", posexplode($"ks"))
+      .select($"lang", ($"pos" + 1).cast("long").as("sample_rank"),
+        pmod($"col", lit(1L << 20)).cast("long").as("doc_id"))
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  val txt20Sql: String =
+    """WITH drawn AS (
+      |  SELECT lang, doc_id,
+      |    ('0x' || md5(CAST(doc_id AS VARCHAR))[1:10])::BIGINT AS draw
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS r
+      |  FROM drawn)
+      |SELECT lang, CAST(r AS BIGINT) AS sample_rank, doc_id
+      |FROM ranked WHERE r <= 20
+      |ORDER BY lang, sample_rank""".stripMargin
+
   /** The inverted-index probe's DuckDB oracle as a CTE block (no leading
     * WITH): recompute per-(term, doc) postings, per-term df and corpus
     * stats from the documents table, score with the txt13 BM25-RSJ
@@ -1091,6 +1183,8 @@ object TextAnalysis {
     "txt16_chunking" -> txt16Chunking _,
     "txt17_tfidf_keywords" -> txt17TfidfKeywords _,
     "txt18_index_lifecycle" -> txt18IndexLifecycle _,
+    "txt19_heavy_hitters" -> txt19HeavyHitters _,
+    "txt20_stratified_sample" -> txt20StratifiedSample _,
     "txt14_quality_gate" -> txt14QualityGate _,
     "txt13_bm25" -> txt13Bm25 _,
     "txt12_lm_quality" -> txt12LmQuality _,
@@ -1113,6 +1207,8 @@ object TextAnalysis {
     "txt14_quality_gate" -> txt14Sql,
     "txt13_bm25" -> txt13Sql,
     "txt18_index_lifecycle" -> txt18Sql,
+    "txt19_heavy_hitters" -> txt19Sql,
+    "txt20_stratified_sample" -> txt20Sql,
     "txt12_lm_quality" -> txt12Sql,
     "txt09_bpe_tokens" -> txt09Sql,
     "txt10_mixture_sample" -> txt10Sql,

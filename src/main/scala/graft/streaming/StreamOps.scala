@@ -146,13 +146,106 @@ object StreamOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // st03 — streaming DIMENSION ENRICHMENT under the DuckDB oracle: the
+  // canonical production shape (fact stream ⋈ slowly-changing dimension →
+  // windowed rollup) run as a real Structured Streaming job. The static
+  // customer side is explicitly broadcast — a stream-static join must
+  // never shuffle the stream per micro-batch; with the dimension
+  // broadcast, each micro-batch is a map-side hash join and the only
+  // stateful exchange is the windowed aggregation itself, partitioned by
+  // (window, segment) in the state store. At 100 TB the dimension is the
+  // small side by construction (dimensions are ~10^6 rows; facts are the
+  // 100 TB), so the broadcast is the scale plan, not a local[32]
+  // convenience. Complete mode for the same finalization reason as st01.
+  def st03StreamEnrich(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dim = graft.core.Tables.customer(s, d).toDF()
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = eventsStream(s, d)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 day"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(38, 10))), 2).cast("double")
+          .as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"c_mktsegment", $"n_events", $"sum_value")
+    val q = agg.writeStream.format("memory").queryName("graft_st03_sink")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_st03_sink").orderBy($"window_start", $"c_mktsegment")
+  }
+
+  val st03Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  c_mktsegment,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY window_start, c_mktsegment""".stripMargin
+
+  // st04 — streaming SESSION windows under the DuckDB oracle: per-user
+  // sessions closed by a 30-minute inactivity gap, computed by the
+  // streaming engine's session_window state merge (sessions split/merge
+  // as events arrive across micro-batches) and hash-matched against a
+  // batch lag/cumsum sessionization. Boundary semantics: session_window
+  // is end-exclusive — an event exactly gap after its predecessor starts
+  // a NEW session — so the oracle's split condition is >= gap (q29's
+  // batch twin uses > gap; the conventions differ only on an exact-
+  // microsecond tie, absent by measure in any real event stream, but the
+  // oracle must encode the engine's rule, not almost-encode it).
+  // Complete mode: session windows need no watermark there, and with
+  // AvailableNow the final sessions would be dropped by append's
+  // unfinalized-watermark rule (st01's pitfall, same fix).
+  def st04SessionWindow(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"sw.start").as("sess_start_us"), $"user_id",
+        $"n_events")
+    val q = agg.writeStream.format("memory").queryName("graft_st04_sink")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_st04_sink").orderBy($"user_id", $"sess_start_us")
+  }
+
+  val st04Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                  ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM f)
+      |SELECT CAST(MIN(ts_us) AS BIGINT) AS sess_start_us, user_id,
+      |  COUNT(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, seq
+      |ORDER BY user_id, sess_start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sliding_window" -> st01SlidingWindow _,
-    "st02_stream_dedup" -> st02StreamDedup _)
+    "st02_stream_dedup" -> st02StreamDedup _,
+    "st03_stream_enrich" -> st03StreamEnrich _,
+    "st04_session_window" -> st04SessionWindow _)
 
   def oracles: Map[String, String] = Map(
     "st01_sliding_window" -> st01Sql,
-    "st02_stream_dedup" -> st02Sql)
+    "st02_stream_dedup" -> st02Sql,
+    "st03_stream_enrich" -> st03Sql,
+    "st04_session_window" -> st04Sql)
 
   /** Session windows per user: a session closes after 30 minutes of
     * inactivity (builtin session_window keeps state per open session only).

@@ -562,6 +562,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim12 must not shuffle the corpus at all")
   }
 
+  test("txt19: exact phase only counts sketch candidates — broadcast semi-join, no full-vocab shuffle") {
+    val p = TextAnalysis.txt19HeavyHitters(spark, d)
+    val s = plan(p)
+    // the candidate cut must reach the token stream as a BROADCAST semi
+    // join (sketch output is <= capacity rows); a shuffled semi join here
+    // means the full token stream — and with it the corpus's whole
+    // distinct vocabulary — pays an exchange before the cut
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s.take(1500))
+    assert(!s.contains("SortMergeJoin"), "candidate cut must not sort-merge: " + s.take(1500))
+  }
+
+  test("cdcm3: per-batch view-delta enrichment is a broadcast join of the dimension") {
+    // the batch twin of cdcm3's stream-side join: same dimension, same key
+    // derivation — the stream's micro-batches execute this exact shape
+    import org.apache.spark.sql.functions._
+    val dim = graft.core.Tables.nation(spark, d).toDF()
+      .select(col("n_nationkey"), col("n_name"))
+    val changes = spark.read.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl).load(CdcBinlog.fixtureDir(d))
+      .join(broadcast(dim), pmod(col("id"), lit(25)) === col("n_nationkey"))
+    val s = plan(changes)
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(!s.contains("SortMergeJoin"),
+      "dimension enrichment must never shuffle the change stream: " + s.take(1500))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
