@@ -194,19 +194,27 @@ object Bench {
       else { val t = s.reverse.dropWhile(_ == '0').reverse
              if (t.endsWith(".")) t.dropRight(1) else t }
     }
-    val qCompact = shortNames.zip(results).map { case (n, (_, v, _)) =>
-      "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, 2))
-    }.mkString("{", ",", "}")
     val spreadHi = shortNames.zip(results).collect {
       case (n, (_, v, mx)) if v > 0 && mx / v > 1.5 => (n, mx / v)
     }.sortBy(-_._2)
-    def assemble(spN: Int): String = {
+    // Degradation ladder (the query map itself outgrew the window at 129
+    // gates — sp-shedding alone no longer guarantees fit): shed sp
+    // entries first, then drop time precision 2 → 1 decimals, then omit
+    // sub-threshold queries entirely ("q_min" marks the cutoff; omitted
+    // queries DID run and are in BENCH_LAST.json — absence under a q_min
+    // is "fast", never "missing"; failures are always in "failed").
+    def assemble(spN: Int, dec: Int, minV: Double): String = {
+      val q = shortNames.zip(results).collect {
+        case (n, (_, v, _)) if v < 0 || v >= minV =>
+          "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, dec))
+      }.mkString("{", ",", "}")
+      val qMin = if (minV > 0) s""""q_min":${fmt(minV, 2)},""" else ""
       val kept = spreadHi.take(spN)
       val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"failed":$failedJson,""" +
-        s""""queries":$qCompact,"sp":$sp,"sp_more":${spreadHi.size - kept.size},""" +
-        s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; full: BENCH_LAST.json",""" +
+        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - kept.size},""" +
+        s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
         s""""event_scan_mb_s":${fmt(eventScanMbPerSec, 1)},"decode_ctp_mb_s":${fmt(ctpMbPerSec, 1)},""" +
@@ -218,8 +226,11 @@ object Bench {
     // overridable so a changed capture window never re-truncates the line
     // mid-object (the rounds-8/9 failure) without an in-repo knob to fix it
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1880").toInt
-    val compact = (spreadHi.size to 0 by -1).iterator.map(assemble)
-      .find(_.length <= budget).getOrElse(assemble(0))
+    val attempts =
+      (spreadHi.size to 0 by -1).iterator.map(n => assemble(n, 2, 0.0)) ++
+        Iterator(assemble(0, 1, 0.0), assemble(0, 1, 0.1),
+          assemble(0, 1, 0.25), assemble(0, 1, 0.5))
+    val compact = attempts.find(_.length <= budget).getOrElse(assemble(0, 1, 0.5))
     println(compact)
   }
 

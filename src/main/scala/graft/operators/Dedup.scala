@@ -925,9 +925,24 @@ object Dedup {
   // The oracle brute-forces the quadratic self-join — affordable at gate
   // scale, the very thing the deletion-neighborhood join avoids at 100 TB.
   def dd12FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val p = graft.core.Tables.part(s, d).toDF().select($"p_partkey", $"p_name")
-    val vars = p.select($"p_partkey", $"p_name",
+    // Duplicate-heavy corpora make KEY-level neighborhood joins
+    // quadratic in the duplicate groups (an equal-name group of size g
+    // shares ALL its positional variants pairwise → g²·(len+1) candidate
+    // rows; this corpus has a 347-copy name). So the join runs over
+    // DISTINCT names only; equal-name neighbors are pure group
+    // arithmetic (cnt − 1), and each name carries its two smallest keys
+    // (bounded graft_min_k state) so the per-key nearest same-name
+    // neighbor needs no second pass.
+    val nm = p.groupBy($"p_name")
+      .agg(count(lit(1)).as("cnt"),
+        call_function("graft_min_k", $"p_partkey", lit(2)).as("ks"))
+      .select($"p_name", $"cnt",
+        element_at($"ks", 1).as("k1"), element_at($"ks", 2).as("k2nd"))
+      .persist()
+    val vars = nm.select($"p_name",
       explode(concat(
         array(struct(lit(0).as("pos"), $"p_name".as("v"))),
         expr("""transform(sequence(1, length(p_name)),
@@ -935,18 +950,32 @@ object Dedup {
                |              concat(substring(p_name, 1, i-1),
                |                     substring(p_name, i+1)) AS v))"""
           .stripMargin))).as("pv"))
-      .select($"p_partkey", $"p_name", $"pv.pos".as("pos"), $"pv.v".as("v"))
-    val pairs = vars.as("a").join(vars.as("b"),
-        $"a.v" === $"b.v" && $"a.p_partkey" < $"b.p_partkey" &&
+      .select($"p_name", $"pv.pos".as("pos"), $"pv.v".as("v"))
+    val npairs = vars.as("a").join(vars.as("b"),
+        $"a.v" === $"b.v" && $"a.p_name" < $"b.p_name" &&
           ($"a.pos" === $"b.pos" || $"a.pos" === 0 || $"b.pos" === 0))
-      .select($"a.p_partkey".as("ka"), $"b.p_partkey".as("kb"),
-        $"a.p_name".as("na"), $"b.p_name".as("nb"))
+      .select($"a.p_name".as("na"), $"b.p_name".as("nb"))
       .distinct()
       .filter(levenshtein($"na", $"nb") <= 1)
-    pairs.select($"ka".as("id"), $"kb".as("nb"))
-      .union(pairs.select($"kb", $"ka"))
-      .groupBy($"id".as("p_partkey"))
-      .agg(count(lit(1)).as("n_neighbors"), min($"nb").as("nearest_neighbor"))
+    val sym = npairs.select($"na".as("p_name"), $"nb".as("nbr_name"))
+      .union(npairs.select($"nb", $"na"))
+    // cross-name neighbor mass + smallest cross-name neighbor key, per name
+    val xn = sym
+      .join(nm.select($"p_name".as("nbr_name"), $"cnt".as("bcnt"),
+        $"k1".as("bk1")), "nbr_name")
+      .groupBy($"p_name")
+      .agg(sum($"bcnt").as("xcnt"), min($"bk1").as("xmin"))
+    p.join(broadcast(nm), "p_name")
+      .join(broadcast(xn), Seq("p_name"), "left")
+      .select($"p_partkey",
+        ($"cnt" - 1 + coalesce($"xcnt", lit(0L))).as("n_neighbors"),
+        // least() skips nulls: same-name nearest (k1, or k2nd when this
+        // key IS k1) folded with the smallest cross-name neighbor key
+        least(
+          when($"cnt" > 1,
+            when($"p_partkey" === $"k1", $"k2nd").otherwise($"k1")),
+          $"xmin").as("nearest_neighbor"))
+      .filter($"n_neighbors" > 0)
       .orderBy($"p_partkey")
   }
 

@@ -777,22 +777,33 @@ object Relational {
   // sizes are bounded by catalog reality (~17 parts max at every sf —
   // C(k,2) is fine); a corpus with degenerate mega-baskets would cap or
   // salt the basket stage first, trading exactness explicitly.
-  def q32Copurchase(s: SparkSession, d: String): DataFrame = {
+  // no pre-distinct: collect_set dedups repeated parts INSIDE the
+  // basket aggregate (map-side partial), so the slim (order, part)
+  // stream shuffles once instead of twice
+  private def baskets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // no pre-distinct: collect_set dedups repeated parts INSIDE the
-    // basket aggregate (map-side partial), so the slim (order, part)
-    // stream shuffles once instead of twice
-    val baskets = lineitem(s, d).select($"l_orderkey", $"l_partkey")
+    lineitem(s, d).select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"l_partkey")).as("parts"))
-    baskets
-      .select(explode(expr(
+  }
+
+  /** q32's frequent-pair support computed from a basket frame — shared
+    * with q33 so the two gates can never disagree on pair semantics.
+    */
+  private def pairSupport(b: DataFrame): DataFrame = {
+    import b.sparkSession.implicits._
+    b.select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("n_orders"))
       .filter($"n_orders" >= 2)
+  }
+
+  def q32Copurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pairSupport(baskets(s, d))
       .orderBy($"n_orders".desc, $"a", $"b")
   }
 
@@ -818,12 +829,16 @@ object Relational {
   // value, like txt19's token total).
   def q33BasketLift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val items = lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
-    val nBaskets = items.select(countDistinct($"l_orderkey")).as[Long].head()
-    val supp = items.groupBy($"l_partkey").agg(count(lit(1)).as("supp"))
-    q32Copurchase(s, d)
-      .join(broadcast(supp.select($"l_partkey".as("a"), $"supp".as("supp_a"))), "a")
-      .join(broadcast(supp.select($"l_partkey".as("b"), $"supp".as("supp_b"))), "b")
+    // lineitem is scanned ONCE: the persisted basket frame feeds the
+    // basket total, the per-item support aggregate AND the pair stream
+    // (at scale this is the one orderkey exchange all three share)
+    val b = baskets(s, d).persist()
+    val nBaskets = b.count()
+    val supp = b.select(explode($"parts").as("pk"))
+      .groupBy($"pk").agg(count(lit(1)).as("supp"))
+    pairSupport(b)
+      .join(broadcast(supp.select($"pk".as("a"), $"supp".as("supp_a"))), "a")
+      .join(broadcast(supp.select($"pk".as("b"), $"supp".as("supp_b"))), "b")
       .select($"a", $"b", $"n_orders", $"supp_a", $"supp_b",
         expr("(n_orders * 10000L) div supp_a").cast("long").as("conf_e4"),
         expr(s"(n_orders * ${nBaskets}L * 10000L) div (supp_a * supp_b)")

@@ -1401,6 +1401,7 @@ object Similarity {
     "sim11_range_search" -> sim11RangeSearch _,
     "sim11b_range_via_index" -> ((s: SparkSession, d: String) => sim11bRangeViaIndex(s, d)),
     "sim12_truncated_prefilter" -> sim12TruncatedPrefilter _,
+    "sim13_mmr_rerank" -> sim13MmrRerank _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
     "sim04_knn_join" -> sim04KnnJoin _,
@@ -1409,7 +1410,101 @@ object Similarity {
     "sim07b_via_index" -> sim07bViaIndex _,
     "sim08_ivf_pq" -> sim08IvfPq _)
 
+  // sim13 — MMR (maximal marginal relevance) diversity rerank: top-kCand
+  // by query cosine, then greedily pick kOut maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the standard redundancy-
+  // penalized selection a curation pipeline uses to avoid returning five
+  // copies of the same document. Distribution of work: the corpus-scale
+  // stages (query scoring, the top-kCand cut via TakeOrdered, the
+  // kCand² pairwise sims) are all Spark plans; the greedy fold itself is
+  // inherently sequential (each pick depends on the previous) and runs
+  // on the coordinator over the BOUNDED kCand rel scalars + kCand² sim
+  // scalars — k is the API contract, exactly like collecting any top-k
+  // result. Determinism: λ and (1−λ) are the LITERALS 0.7 / 0.3 on both
+  // engines (1−0.7 ≠ 0.3 in IEEE doubles — deriving one from the other
+  // would flip near-tie argmaxes); rel/sim reuse the bit-exact cosine
+  // contract; ties break on vec_id. The oracle replays the same greedy
+  // as a recursive CTE carrying the selected set as a list.
+  def sim13MmrRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val kCand = 20
+    val kOut = 5
+    val lamRel = 0.7
+    val lamDiv = 0.3
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val cand = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding", cosine($"embedding", $"qv").as("rel"))
+      .orderBy($"rel".desc, $"vec_id").limit(kCand)
+      .persist()
+    try {
+      val rels: Array[(Long, Double)] =
+        cand.select($"vec_id", $"rel").as[(Long, Double)].collect()
+      val simMap: Map[(Long, Long), Double] = cand
+        .select($"vec_id".as("ia"), $"embedding".as("ea"))
+        .crossJoin(cand.select($"vec_id".as("ib"), $"embedding".as("eb")))
+        .filter($"ia" =!= $"ib")
+        .select($"ia", $"ib", cosine($"ea", $"eb").as("sim"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, v) => ((a, b), v) }.toMap
+      val relMap = rels.toMap
+      var selected = Vector.empty[Long]
+      for (_ <- 1 to math.min(kOut, rels.length)) {
+        val best = rels.iterator
+          .filterNot { case (id, _) => selected.contains(id) }
+          .map { case (id, r) =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sid => simMap((id, sid))).max
+            (id, lamRel * r - lamDiv * maxSim)
+          }
+          .reduceLeft { (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+          }
+        selected :+= best._1
+      }
+      val out = selected.zipWithIndex
+        .map { case (id, i) => ((i + 1).toLong, id, relMap(id)) }
+      s.createDataFrame(out).toDF("step", "vec_id", "cos").orderBy($"step")
+    } finally cand.unpersist()
+  }
+
+  val sim13Sql: String = {
+    import VectorOps.duckCosine
+    s"""WITH RECURSIVE
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding, ${duckCosine("e.embedding", "q.qv")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT 20),
+       |sims AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${duckCosine("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel(step, ids) AS (
+       |  SELECT 0, CAST([] AS BIGINT[])
+       |  UNION ALL
+       |  SELECT step + 1, list_append(ids, (
+       |    SELECT c.vec_id FROM cand c
+       |    WHERE NOT list_contains(ids, c.vec_id)
+       |    ORDER BY 0.7 * c.rel - 0.3 * COALESCE((
+       |        SELECT MAX(s.sim) FROM sims s
+       |        WHERE s.ia = c.vec_id AND list_contains(ids, s.ib)), 0.0) DESC,
+       |      c.vec_id
+       |    LIMIT 1))
+       |  FROM sel WHERE step < 5),
+       |fin AS (SELECT ids FROM sel WHERE step = 5),
+       |steps AS (SELECT unnest(range(1, 6)) AS step),
+       |out AS (SELECT s.step, fin.ids[s.step] AS vec_id FROM fin, steps s)
+       |SELECT CAST(o.step AS BIGINT) AS step, o.vec_id, c.rel AS cos
+       |FROM out o JOIN cand c ON c.vec_id = o.vec_id
+       |ORDER BY step""".stripMargin
+  }
+
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim13_mmr_rerank" -> sim13Sql,
     "sim10_ivfpq_knn_join" -> sim10Sql,
     "sim10b_knn_shuffle" -> sim10Sql,
     "sim09_hybrid_rrf" -> sim09Sql,

@@ -589,6 +589,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dimension enrichment must never shuffle the change stream: " + s.take(1500))
   }
 
+  test("dd12: candidate generation is one equi-join on the variant key — no cartesian, no BNL") {
+    val p = Dedup.dd12FuzzyJoin(spark, d)
+    val s = plan(p)
+    // the deletion-neighborhood join must plan as a hash/merge equi-join
+    // keyed on the variant (the position test and key inequality ride as
+    // residual conditions); a BroadcastNestedLoopJoin or cartesian here
+    // means the n² compare the neighborhood exists to avoid
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+  }
+
+  test("q33: both support enrichments broadcast — the frequent-pair stream never shuffles for the lookup") {
+    val p = Relational.q33BasketLift(spark, d)
+    val s = plan(p)
+    assert(s.split("BroadcastHashJoin").length - 1 >= 2,
+      "supp_a and supp_b must both join via broadcast: " + s.take(1500))
+    assert(!s.contains("SortMergeJoin"), s.take(1500))
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
