@@ -925,9 +925,18 @@ object Dedup {
   // The oracle brute-forces the quadratic self-join — affordable at gate
   // scale, the very thing the deletion-neighborhood join avoids at 100 TB.
   def dd12FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fuzzyKeyNeighbors(
+      graft.core.Tables.part(s, d).toDF().select($"p_partkey", $"p_name"))
+  }
+
+  /** [[dd12FuzzyJoin]] on any (p_partkey, p_name) frame — the spec entry
+    * for crafted substitution/insertion/deletion/duplicate cases.
+    */
+  private[operators] def fuzzyKeyNeighbors(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val p = graft.core.Tables.part(s, d).toDF().select($"p_partkey", $"p_name")
     // Duplicate-heavy corpora make KEY-level neighborhood joins
     // quadratic in the duplicate groups (an equal-name group of size g
     // shares ALL its positional variants pairwise → g²·(len+1) candidate
@@ -940,7 +949,9 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"),
         call_function("graft_min_k", $"p_partkey", lit(2)).as("ks"))
       .select($"p_name", $"cnt",
-        element_at($"ks", 1).as("k1"), element_at($"ks", 2).as("k2nd"))
+        // try_element_at: singleton groups have no second key — NULL, not
+        // the ANSI out-of-bounds error element_at raises
+        element_at($"ks", 1).as("k1"), try_element_at($"ks", lit(2)).as("k2nd"))
       .persist()
     val vars = nm.select($"p_name",
       explode(concat(
