@@ -608,6 +608,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("SortMergeJoin"), s.take(1500))
   }
 
+  test("rank-filter gates get WindowGroupLimit — hot window partitions ship <= k rows per map task") {
+    graft.functions.GraftFunctions.register(spark)
+    // Spark inserts a per-partition group limit BELOW the window's
+    // exchange for rank()/row_number() <= k filters: each map task cuts
+    // its slice of every window partition to k rows before anything
+    // shuffles, so a hot key costs k·numMapTasks rows, not its full
+    // cardinality. This pin keeps future edits from breaking the
+    // rewrite's preconditions (e.g. wrapping the rank in an expression
+    // the optimizer can't see through).
+    for ((n, p) <- Seq(
+      "q07" -> Relational.q07WindowRank(spark, d),
+      "txt17" -> TextAnalysis.txt17TfidfKeywords(spark, d),
+      "mm05" -> Multimodal.mm05PhashNearDup(spark, d))) {
+      assert(plan(p).contains("WindowGroupLimit"),
+        s"$n lost its WindowGroupLimit: " + plan(p).take(1200))
+    }
+  }
+
   test("binlog scan: pushed (db, table, _delta_type) filters appear in the DSv2 scan") {
     val dir = CdcBinlog.fixtureDir(d)
     import org.apache.spark.sql.functions.col
