@@ -235,17 +235,70 @@ object StreamOps {
       |GROUP BY user_id, seq
       |ORDER BY user_id, sess_start_us""".stripMargin
 
+  // st05 — ARBITRARY keyed state under the DuckDB oracle: per-user
+  // running (count, total) maintained by flatMapGroupsWithState — the
+  // custom-state API the built-in windows can't express — emitting the
+  // cumulative figures every micro-batch. Determinism comes from two
+  // choices: totals accumulate as fixed-point longs (value × 100 — the
+  // cdcm2 trick), so the stream-order fold equals the oracle's batch sum
+  // exactly; and both emitted figures are strictly MONOTONE per user
+  // (positive values by data contract, counts by construction), so the
+  // final state is recoverable from the append-mode sink as the max
+  // emission per key — no reliance on sink row order or a "latest"
+  // marker. NoTimeout: the run is finite (AvailableNow), state eviction
+  // is not the thing under test; a production deployment would use an
+  // idle TTL like [[runningTotals]].
+  def st05RunningState(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val src = eventsStream(s, d)
+      .select($"user_id", round($"value" * 100).cast("long").as("v100"))
+      .as[(Long, Long)]
+    val updated = src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var t = t0
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          Iterator((uid, n, t))
+      }
+    val q = updated.toDF("user_id", "n_events", "total_e2")
+      .writeStream.format("memory").queryName("graft_st05_sink")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_st05_sink")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_e2")).as("m"))
+      .select($"user_id", $"m.n_events".as("n_events"),
+        $"m.total_e2".as("total_e2"))
+      .orderBy($"user_id")
+  }
+
+  val st05Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_e2
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sliding_window" -> st01SlidingWindow _,
     "st02_stream_dedup" -> st02StreamDedup _,
     "st03_stream_enrich" -> st03StreamEnrich _,
-    "st04_session_window" -> st04SessionWindow _)
+    "st04_session_window" -> st04SessionWindow _,
+    "st05_running_state" -> st05RunningState _)
 
   def oracles: Map[String, String] = Map(
     "st01_sliding_window" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_enrich" -> st03Sql,
-    "st04_session_window" -> st04Sql)
+    "st04_session_window" -> st04Sql,
+    "st05_running_state" -> st05Sql)
 
   /** Session windows per user: a session closes after 30 minutes of
     * inactivity (builtin session_window keeps state per open session only).
