@@ -865,9 +865,42 @@ object Relational {
       |JOIN supp sb ON p.b = sb.l_partkey, nb
       |ORDER BY lift_e4 DESC, a, b""".stripMargin
 
+  // q34 — distribution-rank window family: percent_rank, cume_dist and
+  // ntile deciles of order value within each ORDER DAY (~2,400
+  // partitions here; day granularity keeps partitions numerous and
+  // modest — the scale shape for windows with no rank-filter cut, where
+  // WindowGroupLimit can't apply and each partition pays its full sort).
+  // The (o_totalprice, o_orderkey) ordering is a total order, so every
+  // rank statistic is tie-free and the doubles are single integer
+  // divisions — bit-identical cross-engine.
+  def q34RankDistributions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"order_day")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    orders(s, d)
+      .select(date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
+        $"o_orderkey", $"o_totalprice")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .orderBy($"order_day", $"o_orderkey")
+  }
+
+  val q34Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  o_orderkey, o_totalprice,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m-%d')
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY order_day, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_copurchase" -> q32Copurchase _,
     "q33_basket_lift" -> q33BasketLift _,
+    "q34_rank_distributions" -> q34RankDistributions _,
     "q31_retention" -> q31Retention _,
     "q30_funnel" -> q30Funnel _,
     "q29_sessionize" -> q29Sessionize _,
@@ -903,6 +936,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q32_copurchase" -> q32Sql,
     "q33_basket_lift" -> q33Sql,
+    "q34_rank_distributions" -> q34Sql,
     "q31_retention" -> q31Sql,
     "q30_funnel" -> q30Sql,
     "q29_sessionize" -> q29Sql,
