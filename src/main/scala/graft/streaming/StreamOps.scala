@@ -286,19 +286,66 @@ object StreamOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // st06 — STREAM-STREAM interval join under the DuckDB oracle: view
+  // events joined to purchase events by the same user within the
+  // following hour — the attribution shape, and Structured Streaming's
+  // hardest primitive (both sides buffer keyed state; the watermark plus
+  // the explicit time-range condition bound how long a view waits for
+  // its purchases, so state is evicted as event time advances instead of
+  // growing with the stream). INNER join emits eagerly on match — no
+  // final-watermark loss for the last rows (the outer-join finalization
+  // pitfall does not apply), so AvailableNow + append drains completely.
+  // The delay rides out as exact integer microseconds; inclusive bounds
+  // are written identically on both engines so boundary-equal timestamps
+  // cannot flip.
+  def st06StreamJoin(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val views = eventsStream(s, d).filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"),
+        $"ts".as("vt"))
+      .withWatermark("vt", "1 hour")
+    val purchases = eventsStream(s, d).filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("pt"))
+      .withWatermark("pt", "1 hour")
+    val joined = views.join(purchases,
+        $"v_user" === $"p_user" &&
+          $"pt" >= $"vt" && $"pt" <= $"vt" + expr("INTERVAL 1 HOUR"))
+      .select($"v_user".as("user_id"), $"view_id", $"purchase_id",
+        (unix_micros($"pt") - unix_micros($"vt")).as("delay_us"))
+    val q = joined.writeStream.format("memory").queryName("graft_st06_sink")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_st06_sink").orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+
+  val st06Sql: String =
+    """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_sliding_window" -> st01SlidingWindow _,
     "st02_stream_dedup" -> st02StreamDedup _,
     "st03_stream_enrich" -> st03StreamEnrich _,
     "st04_session_window" -> st04SessionWindow _,
-    "st05_running_state" -> st05RunningState _)
+    "st05_running_state" -> st05RunningState _,
+    "st06_stream_join" -> st06StreamJoin _)
 
   def oracles: Map[String, String] = Map(
     "st01_sliding_window" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_enrich" -> st03Sql,
     "st04_session_window" -> st04Sql,
-    "st05_running_state" -> st05Sql)
+    "st05_running_state" -> st05Sql,
+    "st06_stream_join" -> st06Sql)
 
   /** Session windows per user: a session closes after 30 minutes of
     * inactivity (builtin session_window keeps state per open session only).

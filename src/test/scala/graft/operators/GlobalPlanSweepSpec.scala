@@ -33,7 +33,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
   // executes a bounded driver-side fold — plan-pinned in their own specs
   private val executesOnCall = Set(
     "st01_sliding_window", "st02_stream_dedup", "st03_stream_enrich",
-    "st04_session_window", "st05_running_state",
+    "st04_session_window", "st05_running_state", "st06_stream_join",
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
     "cdcm3_incremental_join",
     "sim13_mmr_rerank",
