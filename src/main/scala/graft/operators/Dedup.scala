@@ -932,8 +932,14 @@ object Dedup {
 
   /** [[dd12FuzzyJoin]] on any (p_partkey, p_name) frame — the spec entry
     * for crafted substitution/insertion/deletion/duplicate cases.
+    * `detach = true` (the gate path) persists the distinct-name stats for
+    * their three consumers, eagerly localCheckpoints the result, and
+    * RELEASES the cache before returning — no session-lifetime pin;
+    * `detach = false` builds the fully lazy plan (what the plan-shape
+    * specs must see — a checkpointed result would show only its scan).
     */
-  private[operators] def fuzzyKeyNeighbors(p: DataFrame): DataFrame = {
+  private[operators] def fuzzyKeyNeighbors(p: DataFrame,
+                                           detach: Boolean = true): DataFrame = {
     val s = p.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
@@ -945,14 +951,15 @@ object Dedup {
     // arithmetic (cnt − 1), and each name carries its two smallest keys
     // (bounded graft_min_k state) so the per-key nearest same-name
     // neighbor needs no second pass.
-    val nm = p.groupBy($"p_name")
+    val nm0 = p.groupBy($"p_name")
       .agg(count(lit(1)).as("cnt"),
         call_function("graft_min_k", $"p_partkey", lit(2)).as("ks"))
       .select($"p_name", $"cnt",
         // try_element_at: singleton groups have no second key — NULL, not
         // the ANSI out-of-bounds error element_at raises
         element_at($"ks", 1).as("k1"), try_element_at($"ks", lit(2)).as("k2nd"))
-      .persist()
+    val nm = if (detach) nm0.persist() else nm0
+    try {
     val vars = nm.select($"p_name",
       explode(concat(
         array(struct(lit(0).as("pos"), $"p_name".as("v"))),
@@ -976,8 +983,13 @@ object Dedup {
         $"k1".as("bk1")), "nbr_name")
       .groupBy($"p_name")
       .agg(sum($"bcnt").as("xcnt"), min($"bk1").as("xmin"))
-    p.join(broadcast(nm), "p_name")
-      .join(broadcast(xn), Seq("p_name"), "left")
+    // NO broadcast hints on nm/xn: both are one-row-per-distinct-name —
+    // data-proportional, not bounded — so the hint would be exactly the
+    // opaque broadcast-OOM contract ivfPqKnnJoin guards against. AQE
+    // broadcasts them from MEASURED size when they're actually small
+    // (they are at gate scale) and plans a shuffle join when they're not.
+    val out = p.join(nm, "p_name")
+      .join(xn, Seq("p_name"), "left")
       .select($"p_partkey",
         ($"cnt" - 1 + coalesce($"xcnt", lit(0L))).as("n_neighbors"),
         // least() skips nulls: same-name nearest (k1, or k2nd when this
@@ -987,7 +999,9 @@ object Dedup {
             when($"p_partkey" === $"k1", $"k2nd").otherwise($"k1")),
           $"xmin").as("nearest_neighbor"))
       .filter($"n_neighbors" > 0)
-      .orderBy($"p_partkey")
+    if (detach) out.localCheckpoint(true).orderBy($"p_partkey")
+    else out.orderBy($"p_partkey")
+    } finally { if (detach) nm.unpersist() }
   }
 
   val dd12Sql: String =

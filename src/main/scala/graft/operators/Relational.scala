@@ -831,19 +831,36 @@ object Relational {
     import s.implicits._
     // lineitem is scanned ONCE: the persisted basket frame feeds the
     // basket total, the per-item support aggregate AND the pair stream
-    // (at scale this is the one orderkey exchange all three share)
+    // (at scale this is the one orderkey exchange all three share); the
+    // result detaches via an eager localCheckpoint so the cache can be
+    // RELEASED here instead of pinning session storage (cdcm1's pattern)
     val b = baskets(s, d).persist()
-    val nBaskets = b.count()
+    try q33LiftPlan(b, b.count()).localCheckpoint(true)
+      .orderBy($"lift_e4".desc, $"a", $"b")
+    finally b.unpersist()
+  }
+
+  /** q33's lazy scoring plan over a basket frame — the plan-shape-spec
+    * entry (the gate's returned frame is checkpointed, so its plan shows
+    * only the checkpoint scan).
+    */
+  private[operators] def q33LiftPlan(b: DataFrame, nBaskets: Long): DataFrame = {
+    import b.sparkSession.implicits._
+    // NO broadcast hints: the support table is item-catalog-sized —
+    // data-proportional, not bounded — so a forced broadcast is the
+    // opaque-OOM shape at catalog scale. AQE promotes both enrichment
+    // joins to broadcast from MEASURED size when supports are actually
+    // small (they are at gate scale; plan-pinned on the final adaptive
+    // plan) and falls back to shuffle joins keyed on the item when not.
     val supp = b.select(explode($"parts").as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("supp"))
     pairSupport(b)
-      .join(broadcast(supp.select($"pk".as("a"), $"supp".as("supp_a"))), "a")
-      .join(broadcast(supp.select($"pk".as("b"), $"supp".as("supp_b"))), "b")
+      .join(supp.select($"pk".as("a"), $"supp".as("supp_a")), "a")
+      .join(supp.select($"pk".as("b"), $"supp".as("supp_b")), "b")
       .select($"a", $"b", $"n_orders", $"supp_a", $"supp_b",
         expr("(n_orders * 10000L) div supp_a").cast("long").as("conf_e4"),
         expr(s"(n_orders * ${nBaskets}L * 10000L) div (supp_a * supp_b)")
           .cast("long").as("lift_e4"))
-      .orderBy($"lift_e4".desc, $"a", $"b")
   }
 
   val q33Sql: String =

@@ -40,7 +40,9 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q33_basket_lift", // persists + counts the basket frame up front
     "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
     "sim07b_via_index", "sim09b_hybrid_indexed", "sim11b_range_via_index",
-    "txt18_index_lifecycle", "sim10_ivfpq_knn_join", "sim10b_knn_shuffle",
+    "txt18_index_lifecycle", "sim08_ivf_pq", // probes the PERSISTED index — building it is the execution
+    "sim10_ivfpq_knn_join", "sim10b_knn_shuffle",
+    "dd12_fuzzy_join", // localCheckpoints (cache-release contract); lazy twin pinned in PlanShapeSpec
     "dd06_incremental_dedup", "dd10_semantic_dedup", "dd09_dup_clusters",
     "mm09_media_canonical", // connected-components loop executes rounds
     "txt19_heavy_hitters")  // token total aggregates up front

@@ -590,7 +590,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dd12: candidate generation is one equi-join on the variant key — no cartesian, no BNL") {
-    val p = Dedup.dd12FuzzyJoin(spark, d)
+    // detach = false: the gate path checkpoints (cache-release contract),
+    // which would leave only the checkpoint scan visible here
+    import org.apache.spark.sql.functions.col
+    val p = Dedup.fuzzyKeyNeighbors(
+      graft.core.Tables.part(spark, d).toDF()
+        .select(col("p_partkey"), col("p_name")), detach = false)
     val s = plan(p)
     // the deletion-neighborhood join must plan as a hash/merge equi-join
     // keyed on the variant (the position test and key inequality ride as
@@ -600,12 +605,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s.take(1500))
   }
 
-  test("q33: both support enrichments broadcast — the frequent-pair stream never shuffles for the lookup") {
-    val p = Relational.q33BasketLift(spark, d)
+  test("q33: AQE promotes both support enrichments to broadcast from measured size") {
+    // the gate's returned frame is checkpointed (cache-release contract),
+    // so pin the inner lazy plan; collect() finalizes AQE — the promotion
+    // must come from measured runtime size, not a data-proportional hint
+    import org.apache.spark.sql.functions.{array_sort, collect_set, col}
+    val b = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val p = Relational.q33LiftPlan(b, 42L)
+    p.collect()
     val s = plan(p)
     assert(s.split("BroadcastHashJoin").length - 1 >= 2,
-      "supp_a and supp_b must both join via broadcast: " + s.take(1500))
-    assert(!s.contains("SortMergeJoin"), s.take(1500))
+      "supp_a and supp_b must both end up broadcast at gate scale: " + s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
   }
 
   test("rank-filter gates get WindowGroupLimit — hot window partitions ship <= k rows per map task") {
