@@ -37,6 +37,13 @@ object Bench {
     val stMbPerSecLarge = singleThreadDecodeMbPerSec(sfDir, overrideDir = bigDir)
 
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 1)
+    // sub-second queries get extra timed runs: their mins are the ones a
+    // noisy host drifts most (r11 official: mm04 4x its controlled time
+    // with warm-up + min-of-3 already in place — every run in the window
+    // was slow), and extra runs are cheapest exactly where they're needed.
+    // The min over 5 one-third-second runs rides out an interference burst
+    // that a min over 3 cannot.
+    val subRuns = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SUB", "5").toInt, runs)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run must surface in the machine-readable output, not just
@@ -48,10 +55,20 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       }
       once() // warm-up
-      val times = (1 to runs).map(_ => once())
+      val base = (1 to runs).map(_ => once())
+      val times =
+        if (base.forall(t => t >= 0 && t < 1000000000L))
+          base ++ (runs until subRuns).map(_ => once())
+        else base
       val ok = !times.exists(_ < 0)
       (name, if (ok) times.min / 1e9 else -1.0, if (ok) times.max / 1e9 else -1.0)
     }
+    // second calibration probe AFTER the query suite: with the start-side
+    // probe (stMbPerSec above) this BRACKETS the query window — a
+    // controlled-vs-official gap on the queries with both probes matching
+    // is query-phase interference; a dropped end-probe names sustained
+    // host contention directly in the artifact, no re-run needed
+    val stMbPerSecEnd = singleThreadDecodeMbPerSec(sfDir)
     val failed = results.collect { case (k, v, _) if v < 0 => k }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-query max/min ratio across the timed runs: host contention during
@@ -157,6 +174,7 @@ object Bench {
       s""""binlog_decode_mb_per_sec_large":$mbPerSecLarge,"binlog_bytes_large":$bigBytes,""" +
       s""""binlog_decode_mb_per_sec_single_thread":$stMbPerSec,""" +
       s""""binlog_decode_mb_per_sec_single_thread_large":$stMbPerSecLarge,""" +
+      s""""binlog_decode_mb_per_sec_single_thread_end":$stMbPerSecEnd,""" +
       s""""binlog_event_scan_mb_per_sec":$eventScanMbPerSec,""" +
       s""""binlog_decode_mb_per_sec_compressed":$ctpMbPerSec,"binlog_bytes_compressed":$ctpBytes,""" +
       s""""binlog_decode_mb_per_sec_mdb":$mdbMbPerSec,"binlog_bytes_mdb":$mdbBytes,""" +
@@ -217,6 +235,7 @@ object Bench {
         s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
+        s""""st_end_mb_s":${fmt(stMbPerSecEnd, 1)},""" +
         s""""event_scan_mb_s":${fmt(eventScanMbPerSec, 1)},"decode_ctp_mb_s":${fmt(ctpMbPerSec, 1)},""" +
         s""""decode_mdb_mb_s":${fmt(mdbMbPerSec, 1)},""" +
         s""""cdc_ms_p50":${fmt(latencyMs, 1)},"tailer_ms_p50":${fmt(tailerMs, 2)},""" +
@@ -229,8 +248,20 @@ object Bench {
     val attempts =
       (spreadHi.size to 0 by -1).iterator.map(n => assemble(n, 2, 0.0)) ++
         Iterator(assemble(0, 1, 0.0), assemble(0, 1, 0.1),
-          assemble(0, 1, 0.25), assemble(0, 1, 0.5))
-    val compact = attempts.find(_.length <= budget).getOrElse(assemble(0, 1, 0.5))
+          assemble(0, 1, 0.25), assemble(0, 1, 0.5)) ++
+        // terminal rungs: keep raising the cutoff so the ladder always has
+        // a rung that shrinks with gate-count growth; the last keeps ONLY
+        // failed queries (every green time is below 1e9 s), so its length
+        // is bounded by the totals + failed list, not by how many gates
+        // exist
+        Iterator(1.0, 2.0, 5.0, 1e9).map(assemble(0, 1, _))
+    val compact = attempts.find(_.length <= budget).getOrElse {
+      val last = assemble(0, 1, 1e9)
+      System.err.println(s"[bench] WARNING: compact line (${last.length} chars) " +
+        s"exceeds SPARK_GRAFT_BENCH_BUDGET=$budget even with all passing " +
+        "queries omitted — the capture window will truncate it mid-object")
+      last
+    }
     println(compact)
   }
 

@@ -984,8 +984,8 @@ object CdcBinlog {
     * race the rotation (one would delete the directory the other just
     * materialized).
     */
-  private def withRotatingWorkdir(slot: String)
-                                 (run: java.nio.file.Path => DataFrame): DataFrame =
+  private[graft] def withRotatingWorkdir(slot: String)
+                                        (run: java.nio.file.Path => DataFrame): DataFrame =
     synchronized {
       cdcmShutdownHook
       val work = Files.createTempDirectory(slot)
@@ -1093,7 +1093,45 @@ object CdcBinlog {
       out.localCheckpoint(true).orderBy($"id")
     }
 
+  // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
+  // insert scan, but through the micro-batch stream with
+  // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
+  // (the gate refuses to pass if admission degenerated to < 3). Each
+  // batch boundary exercises the safe-position machinery end-to-end —
+  // offsets park only on txn boundaries, open transactions always
+  // complete past the byte budget, TABLE_MAP state carries across
+  // batches via the snapshot cache — and the result hash-matches the
+  // single-batch ground truth only if no batch seam dropped, duplicated,
+  // or reordered a row. This is the backpressure shape of a 100 TB
+  // deployment (a trigger must be O(budget), never O(backlog)); the
+  // per-seam unit cases live in `TableMapSnapshotSpec`/`GtidStartSpec`,
+  // this puts the whole contract under the DuckDB oracle.
+  def cdcb20BoundedAdmission(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val fix = fixtureDir(d)
+    val totalBytes = new java.io.File(fix).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+      .map(_.length).sum
+    val cap = math.max(totalBytes / 4, 1L)
+    val q = s.readStream.format("mysql-binlog")
+      .option("payloadDdl", payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(fix)
+      .writeStream.format("memory").queryName("graft_cdcb20_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(nBatches >= 3,
+      s"bounded admission degenerated to $nBatches batches (cap=$cap of $totalBytes bytes)")
+    s.table("graft_cdcb20_sink")
+      .filter($"db" === "bench" && $"table" === "big" && $"_delta_type" === "insert")
+      .select($"log_file", $"log_pos", $"log_seq", $"xid", $"id",
+        $"val".cast("double").as("val"), $"word")
+      .orderBy($"log_file", $"log_pos", $"log_seq")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdcb20_bounded_admission" -> cdcb20BoundedAdmission _,
     "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
     "cdcb19_schema_drift" -> cdcb19SchemaDrift _,
     "cdcb17_sbr_events" -> cdcb17SbrEvents _,
@@ -1264,6 +1302,13 @@ object CdcBinlog {
          |ORDER BY log_file""".stripMargin
     },
     "cdcb1_binlog_insert_scan" ->
+      s"""SELECT log_file, log_pos, log_seq, xid, id, val, word
+         |FROM ${expectedChangesRel(sfDir)}
+         |WHERE _delta_type = 'insert'
+         |ORDER BY log_file, log_pos, log_seq""".stripMargin,
+    // identical ground truth to cdcb1: bounded admission must be
+    // invisible in the result, whatever the batch seams were
+    "cdcb20_bounded_admission" ->
       s"""SELECT log_file, log_pos, log_seq, xid, id, val, word
          |FROM ${expectedChangesRel(sfDir)}
          |WHERE _delta_type = 'insert'

@@ -963,7 +963,12 @@ object Dedup {
     val vars = nm.select($"p_name",
       explode(concat(
         array(struct(lit(0).as("pos"), $"p_name".as("v"))),
-        expr("""transform(sequence(1, length(p_name)),
+        // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — an
+        // empty/null name would emit a spurious i=0 variant shadowing the
+        // reserved pos-0 row instead of producing no deletion variants
+        expr("""transform(
+               |  CASE WHEN length(p_name) >= 1 THEN sequence(1, length(p_name))
+               |       ELSE CAST(array() AS array<int>) END,
                |  i -> struct(i AS pos,
                |              concat(substring(p_name, 1, i-1),
                |                     substring(p_name, i+1)) AS v))"""

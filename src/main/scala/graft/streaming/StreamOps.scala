@@ -123,15 +123,28 @@ object StreamOps {
   // oracle is simply the events table: the gate hash-matches only if the
   // state path emits each key exactly once with its own row's columns.
   // Append mode is correct HERE (unlike st01): dedup emits on first
-  // arrival — the watermark governs state eviction, not emission, so
-  // nothing is held back at stream end. Duplicate copies are identical
-  // rows, so whichever copy wins the state race carries the same
-  // columns — deterministic by construction.
+  // arrival, so nothing is held back at stream end. Duplicate copies are
+  // identical rows, so whichever copy wins the state race carries the
+  // same columns — deterministic by construction.
+  //
+  // State eviction: dropDuplicatesWithinWatermark, NOT plain
+  // dropDuplicates. With keys = {event_id} (event-time column outside
+  // the key set) plain dropDuplicates never evicts state — Spark only
+  // cleans dedup state when the event-time column is among the dedup
+  // keys — so state grows with every key ever seen, unbounded on an
+  // infinite stream. The WithinWatermark variant keys state on event_id
+  // but expires each entry once the watermark passes its event time +
+  // delay, which is exactly the bounded-state contract a 100 TB stream
+  // needs. Semantics are unchanged for this gate: each duplicate pair
+  // carries an identical ts (0 s apart), far inside the 1 h gap the API
+  // guarantees dedup within. StreamingStateSpec pins the eviction
+  // contract (late re-arrival past the watermark is re-emitted, proving
+  // the entry was dropped from the store rather than retained forever).
   def st02StreamDedup(s: SparkSession, d: String): DataFrame = synchronized {
     import s.implicits._
     val doubled = eventsStream(s, d).union(eventsStream(s, d))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select($"event_id", $"event_type", $"user_id")
     val q = doubled.writeStream.format("memory").queryName("graft_st02_sink")
       .outputMode(OutputMode.Append)
@@ -331,7 +344,165 @@ object StreamOps {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Durable finalization for windowed streaming aggregations.
+  //
+  // The st01/st03/st04 gates read back through COMPLETE-mode memory sinks
+  // — driver-resident and whole-result-per-trigger, a gate-harness device,
+  // not a production sink (complete mode re-emits EVERY group every
+  // trigger, O(|groups|) per batch forever). Append mode is not the
+  // answer either: with AvailableNow the final watermark never passes the
+  // last windows, so their rows are silently dropped (st01's pitfall).
+  //
+  // The production shape is UPDATE mode + foreachBatch into
+  // batch-addressed partitions — cdcm2's replay-idempotent protocol
+  // applied to windowed aggregates. Each trigger emits only the groups it
+  // touched (O(|updated|), not O(|groups|)), each batch overwrites its
+  // OWN `batch=<id>` partition (a replayed batch id rewrites exactly that
+  // partition — idempotence by addressing, no transactional sink needed),
+  // and the read folds LATEST-WINS per group by batch id (update mode
+  // emits full current aggregates, so unlike cdcm2's signed deltas the
+  // fold is argmax-by-batch, not a sum). Nothing is ever dropped by
+  // finalization: every window's last update is durable the moment its
+  // batch commits, whether or not the watermark ever passed it.
+  //
+  // At 100 TB: per trigger this moves |touched groups| slim rows; the
+  // state store holds open windows only (bound it with a watermark in a
+  // continuous deployment); [[compactWindowedAgg]] bounds read fan-out at
+  // O(batches since last compaction), same contract as cdcm2's compactor.
+  // ---------------------------------------------------------------------
+
+  /** Start maintaining a durable view of a streaming aggregation.
+    * `agg` must be a streaming aggregate whose rows are keyed by
+    * `keyCols` (one row per key per trigger in update mode).
+    */
+  def maintainWindowedAgg(agg: DataFrame, tablePath: String, checkpoint: String,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeWindowedUpdates(batch, tablePath, batchId)
+      }
+      .start()
+
+  /** One batch's updated groups, written to the batch's own partition
+    * (overwrite: an at-least-once replay rewrites exactly its rows).
+    */
+  private[streaming] def writeWindowedUpdates(batch: DataFrame, tablePath: String,
+                                              batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$tablePath/updates/batch=$batchId")
+
+  private def windowedAggState(s: SparkSession, tablePath: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def existing(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(conf).exists(hp)) Some(s.read.parquet(p)) else None
+    }
+    // the base is a pre-folded snapshot: older than any live update
+    // partition by the compaction contract, so it folds as batch = -1
+    val base = existing(s"$tablePath/base")
+      .map(_.withColumn("_b", lit(-1L)))
+    val updates = existing(s"$tablePath/updates")
+      .map(d => d.withColumn("_b", col("batch").cast("long")).drop("batch"))
+    val parts = Seq(base, updates).flatten
+    require(parts.nonEmpty, s"no windowed-agg state under $tablePath")
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Current view: per `keyCols` group, the aggregate columns from that
+    * group's LATEST update (argmax by batch id — update mode emits full
+    * current aggregates, so the newest row IS the group's value).
+    */
+  def readWindowedAgg(s: SparkSession, tablePath: String,
+                      keyCols: Seq[String]): DataFrame = {
+    val all = windowedAggState(s, tablePath)
+    val valCols = all.columns.filterNot((keyCols :+ "_b").toSet).toSeq
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col("_b") +: valCols.map(col)): _*)).as("_m"))
+      .select(keyCols.map(col) ++ valCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Fold updates into a fresh base and drop the update partitions — the
+    * read-fan-out bound (cdcm2's [[CdcMaterializer.compactAggregate]]
+    * contract: run between triggers, never concurrently with the
+    * maintaining stream; staged + swapped so a crash leaves either the
+    * old state or the staged fold, never a half-written base).
+    */
+  def compactWindowedAgg(s: SparkSession, tablePath: String,
+                         keyCols: Seq[String]): Unit = {
+    val folded = readWindowedAgg(s, tablePath, keyCols)
+    val staging = s"$tablePath/base.compact-${ProcessHandle.current().pid()}"
+    folded.write.mode("overwrite").parquet(staging)
+    val base = new org.apache.hadoop.fs.Path(s"$tablePath/base")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/updates"), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), base))
+      throw new IllegalStateException(
+        s"windowed-agg compaction swap failed under $tablePath")
+  }
+
+  /** Streaming view of the events table staged as `nFiles` parquet files,
+    * so `maxFilesPerTrigger=1` yields `nFiles` real micro-batches (the
+    * single-file staging of [[eventsStream]] always runs as one batch —
+    * useless for exercising cross-batch update folds). Files are split by
+    * repartition, so windows SPAN batches and arrive out of event-time
+    * order — the adversarial case for the latest-wins fold. Staged once
+    * per (dir, nFiles) — the table is immutable per dir.
+    */
+  def eventsStreamMultiFile(spark: SparkSession, dir: String,
+                            nFiles: Int): DataFrame = synchronized {
+    val dirKey = graft.binlog.BinlogReader.toHex(
+      java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))).take(16)
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-events-multi-$dirKey-$nFiles")
+    if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS")))
+      graft.core.Tables.events(spark, dir).toDF()
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
+
+  // st01b — st01's aggregation through the DURABLE finalization path,
+  // under the same DuckDB oracle: the sliding-window rollup runs in
+  // UPDATE mode over a 4-file staging (maxFilesPerTrigger=1 → 4 real
+  // micro-batches; repartition splits windows ACROSS batches and out of
+  // event-time order), each batch lands in its own `batch=<id>`
+  // partition, and the result is the latest-wins fold — which
+  // hash-matches the batch oracle only if every window's final update
+  // survives finalization and the fold picks exactly the newest row per
+  // group. The memory-sink gates prove the aggregation; this one proves
+  // the production sink protocol end-to-end.
+  def st01bDurableWindow(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st01b") { work =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val agg = eventsStreamMultiFile(s, d, 4)
+        .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast(DecimalType(38, 10))), 2).cast("double")
+            .as("sum_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n_events", $"sum_value")
+      val view = work.resolve("view").toString
+      val q = maintainWindowedAgg(agg, view, work.resolve("ckpt").toString)
+      q.awaitTermination()
+      readWindowedAgg(s, view, Seq("window_start", "event_type"))
+        .orderBy($"window_start", $"event_type")
+        .localCheckpoint(true)
+        .orderBy($"window_start", $"event_type")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01b_durable_window" -> st01bDurableWindow _,
     "st01_sliding_window" -> st01SlidingWindow _,
     "st02_stream_dedup" -> st02StreamDedup _,
     "st03_stream_enrich" -> st03StreamEnrich _,
@@ -340,6 +511,7 @@ object StreamOps {
     "st06_stream_join" -> st06StreamJoin _)
 
   def oracles: Map[String, String] = Map(
+    "st01b_durable_window" -> st01Sql,
     "st01_sliding_window" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_enrich" -> st03Sql,

@@ -86,4 +86,18 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(run(rows) === brute(rows))
   }
+
+  test("empty names: only the pos-0 variant, no spurious sequence(1,0) row") {
+    // sequence(1, 0) is DESCENDING in Spark ([1, 0]); unguarded, an empty
+    // name generated a junk i=0 variant duplicating the reserved pos-0
+    // row. "" is a deletion neighbor of every 1-char name and an exact
+    // duplicate of the other "" — both must match the brute twin.
+    val rows = Seq(
+      1L -> "",
+      2L -> "",
+      3L -> "x",
+      4L -> "xy",    // distance 2 from "" — must NOT match it
+      5L -> "y")
+    assert(run(rows) === brute(rows))
+  }
 }

@@ -32,10 +32,11 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
   // invoking these RUNS a streaming query / builds a persisted index /
   // executes a bounded driver-side fold — plan-pinned in their own specs
   private val executesOnCall = Set(
-    "st01_sliding_window", "st02_stream_dedup", "st03_stream_enrich",
-    "st04_session_window", "st05_running_state", "st06_stream_join",
+    "st01_sliding_window", "st01b_durable_window", "st02_stream_dedup",
+    "st03_stream_enrich", "st04_session_window", "st05_running_state",
+    "st06_stream_join",
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
-    "cdcm3_incremental_join",
+    "cdcm3_incremental_join", "cdcb20_bounded_admission",
     "sim13_mmr_rerank",
     "q33_basket_lift", // persists + counts the basket frame up front
     "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
@@ -58,5 +59,107 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     assert(offenders.isEmpty,
       s"gates planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
+  // --- the sim09 bug class, generalized into the sweep -----------------
+  // A rank/row_number Window with NO partitionBy funnels its whole input
+  // through ONE task; a global Sort feeding further computation shuffles
+  // and totally orders its whole input before the real work. Both are
+  // fine over BOUNDED or REDUCED input (below a limit / TakeOrdered, or
+  // above an aggregation that collapsed the corpus to |groups|) and fatal
+  // over corpus-sized input. The gate-output total ORDER BY (the oracle
+  // contract: every gate ends deterministically ordered) is exempt — it
+  // feeds no computation, only the sink.
+
+  import org.apache.spark.sql.execution.{SparkPlan, SortExec,
+    TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec,
+    LocalLimitExec, GenerateExec, ExpandExec}
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+  /** Input no longer corpus-sized: an aggregation collapsed it (grouped →
+    * |groups| rows, global → 1) or a limit bounded it (LocalLimit bounds
+    * at k·P — the per-partition-top-k merge pattern, accepted).
+    */
+  private def reduced(p: SparkPlan): Boolean = p.exists {
+    case _: BaseAggregateExec => true
+    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+         _: CollectLimitExec | _: LocalLimitExec => true
+    case _ => false
+  }
+
+  /** Walks the pre-AQE physical plan; `feedsComputation` becomes true
+    * below any node that does real work (agg/join/window/generate/expand),
+    * which is what separates a mid-plan global sort from the gate-output
+    * ORDER BY at the root.
+    */
+  private def unpartitionedOffenders(p: SparkPlan,
+                                     feedsComputation: Boolean = false): Seq[String] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty && !reduced(w.child) =>
+        Seq("unpartitioned Window over unreduced input")
+      case s: SortExec if s.global && feedsComputation && !reduced(s.child) =>
+        Seq("mid-plan global Sort over unreduced input")
+      case _ => Nil
+    }
+    val childFlag = feedsComputation || (p match {
+      case _: BaseAggregateExec | _: WindowExec | _: BaseJoinExec |
+           _: GenerateExec | _: ExpandExec => true
+      case _ => false
+    })
+    here ++ p.children.flatMap(unpartitionedOffenders(_, childFlag))
+  }
+
+  test("no gate plans an unpartitioned Window or mid-plan global Sort over unreduced input") {
+    graft.functions.GraftFunctions.register(spark)
+    val offenders = graft.SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => executesOnCall(name) }
+      .sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val bad = unpartitionedOffenders(fn(spark, d).queryExecution.sparkPlan)
+        if (bad.nonEmpty) Some(s"$name (${bad.mkString("; ")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"gates with single-task plan shapes: ${offenders.mkString(", ")}")
+  }
+
+  test("the detector goes red on a deliberately unpartitioned rank window, green on the bounded shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.core.Tables.events(spark, d)
+
+    // the sim09 bug, reconstructed: rank over the whole corpus, one task
+    val broken = events.withColumn("rn",
+      row_number().over(Window.orderBy(col("ts"))))
+    assert(unpartitionedOffenders(broken.queryExecution.sparkPlan).nonEmpty,
+      "an unpartitioned corpus-sized rank window must be flagged")
+
+    // mid-plan global sort: totally ordered corpus feeding an
+    // order-SENSITIVE aggregation (EliminateSorts strips the sort before
+    // order-insensitive consumers — Catalyst already fixes those; the
+    // surviving shape is exactly the one worth flagging)
+    val midSort = events.orderBy(col("ts"))
+      .groupBy(col("user_id")).agg(collect_list(col("event_type")))
+    assert(unpartitionedOffenders(midSort.queryExecution.sparkPlan).nonEmpty,
+      "a global sort feeding computation must be flagged")
+
+    // rankedTopK's shape: rank over TakeOrdered-bounded survivors — fine
+    val bounded = events.orderBy(col("ts")).limit(50)
+      .withColumn("rn", row_number().over(Window.orderBy(col("ts"))))
+    assert(unpartitionedOffenders(bounded.queryExecution.sparkPlan).isEmpty,
+      "a rank window over limit-bounded input is the accepted pattern")
+
+    // rank over an aggregated frame (|groups| rows) — fine
+    val aggRank = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("n"))))
+    assert(unpartitionedOffenders(aggRank.queryExecution.sparkPlan).isEmpty,
+      "a rank window over an aggregated frame is fine")
+
+    // the gate-output ORDER BY at the root — exempt by construction
+    val outputSort = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    assert(unpartitionedOffenders(outputSort.queryExecution.sparkPlan).isEmpty,
+      "the oracle-contract output sort must stay exempt")
   }
 }

@@ -20,13 +20,13 @@ class StreamDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("dropDuplicates on a duplicated stream yields each event once") {
+  test("dropDuplicatesWithinWatermark on a duplicated stream yields each event once") {
     val dir = "/root/testdata/sf0.001"
     val s1 = StreamOps.eventsStream(spark, dir)
     val s2 = StreamOps.eventsStream(spark, dir)
-    val doubled = s1.union(s2) // every event twice
+    val doubled = s1.union(s2) // every event twice (identical ts, 0 s apart)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val q = doubled.writeStream.format("memory").queryName("deduped")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
