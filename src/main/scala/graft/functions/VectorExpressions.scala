@@ -100,6 +100,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zorder", exprs => {
+        require(exprs.length >= 3,
+          s"graft_zorder(bits, dim1, dim2, ...) takes >= 3 arguments, got ${exprs.length}")
+        val bits = exprs.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_zorder: bits must be an integer literal, got $other")
+        }
+        ZOrderLong(bits, exprs.tail)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_min_k", exprs => {
         // a named arity error instead of a raw IndexOutOfBounds from the
         // builder during analysis

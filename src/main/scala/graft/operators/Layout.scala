@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout optimization: Z-order clustering for multi-dimensional
+  * data skipping (SURVEY §2.18).
+  *
+  * The reference serves scans straight off the binlog; at 100 TB the
+  * table a pipeline actually queries is the materialized parquet, and
+  * the scan cost there is decided by LAYOUT: parquet pruning compares a
+  * predicate against per-file (and per-row-group) column min/max, so a
+  * file is skipped only if its envelope misses the predicate box. A
+  * linear sort gives tight envelopes on the leading column ONLY — every
+  * file spans the full range of every other column, and any query not
+  * filtering on the sort key reads the whole table. Z-order interleaves
+  * the bits of all clustered columns ([[graft.functions.ZOrderLong]]),
+  * so sorted-adjacent rows are close in EVERY dimension and each file's
+  * envelope is a small hyper-rectangle: queries filtering on any subset
+  * of the clustered columns skip most files. This is the technique
+  * behind Delta/Iceberg OPTIMIZE ZORDER, built here from Spark
+  * primitives: scale each dimension into [0, 2^bits), Morton-interleave
+  * (native codegen'd expression), `repartitionByRange` on the key (range
+  * boundaries from Spark's reservoir sample — one extra slim pass), sort
+  * within partitions, write.
+  *
+  * Cost model at scale: one min/max agg over the clustered columns (at
+  * 100 TB these come equally well from table statistics — recomputing
+  * keeps the op self-contained), the range sampler's scan, and ONE full
+  * shuffle of the table — the same shuffle any re-partitioning write
+  * pays; the z-key computation itself is a per-row bit shuffle inside
+  * whole-stage codegen. `ZOrderSpec` proves the payoff mechanically:
+  * per-file envelopes from a z-ordered write prune a trailing-dimension
+  * box that a linear layout cannot prune at all.
+  */
+object Layout {
+
+  /** Per-dimension linear min-max scaling into [0, 2^bits) as LONG
+    * columns, from one slim agg over `df`. Degenerate dimensions
+    * (min == max) scale to bucket 0.
+    */
+  private def scaledDims(df: DataFrame, cols: Seq[String], bits: Int) = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    cols.zipWithIndex.map { case (c, i) =>
+      val lo = st.getDouble(2 * i)
+      val hi = st.getDouble(2 * i + 1)
+      if (hi > lo)
+        least(lit(top), greatest(lit(0L),
+          (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * lit(top.toDouble))
+            .cast("long")))
+      else lit(0L)
+    }
+  }
+
+  /** Rewrite `df` under `outDir` as `nFiles` parquet files z-order
+    * clustered on `cols`. Content-preserving by construction (no
+    * filter, no projection change — the gate hash-proves it).
+    */
+  def zorderCluster(df: DataFrame, cols: Seq[String], outDir: String,
+                    nFiles: Int, bits: Int = 16): Unit = {
+    val s = df.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val dims = scaledDims(df, cols, bits)
+    df.withColumn("_zkey",
+        call_function("graft_zorder", lit(bits) +: dims: _*))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Linear twin (sort by the leading column only) — the baseline layout
+    * `ZOrderSpec` compares envelopes against.
+    */
+  def linearCluster(df: DataFrame, leadCol: String, outDir: String,
+                    nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(leadCol))
+      .sortWithinPartitions(leadCol)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Per-file min/max envelope of `cols` for a written parquet dir — the
+    * exact statistic parquet pruning consults, materialized as rows so a
+    * spec (or an operator planner) can count which files a predicate box
+    * overlaps.
+    */
+  def fileEnvelopes(s: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    s.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // q35 — Z-order layout under the DuckDB oracle: lineitem's join columns
+  // (l_partkey, l_suppkey) are z-order clustered into 8 files through the
+  // full write path, read back, and emitted in key order. The oracle is
+  // the straight projection of the source table — the gate hash-matches
+  // only if the scale → interleave → range-shuffle → sort → write →
+  // read-back pipeline preserved every row and every value exactly (a
+  // layout op that loses, duplicates or mutates rows is corruption, not
+  // optimization). The pruning PAYOFF is pinned in ZOrderSpec, which
+  // builds linear and z-ordered twins of the same data and compares
+  // per-file envelopes against predicate boxes.
+  def q35ZorderLayout(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q35") { work =>
+      import s.implicits._
+      val li = graft.core.Tables.lineitem(s, d).toDF()
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("double").as("l_quantity"))
+      val out = work.resolve("zordered").toString
+      zorderCluster(li, Seq("l_partkey", "l_suppkey"), out, nFiles = 8)
+      // total order over ALL columns: (l_orderkey, l_linenumber) is NOT
+      // unique in this synthetic data (duplicate-heavy by design), and a
+      // partial sort would leave tie order to shuffle nondeterminism
+      s.read.parquet(out)
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+        .localCheckpoint(true)
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+    }
+
+  val q35Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(l_quantity AS DOUBLE) AS l_quantity
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_zorder_layout" -> q35ZorderLayout _)
+
+  def oracles: Map[String, String] = Map(
+    "q35_zorder_layout" -> q35Sql)
+}

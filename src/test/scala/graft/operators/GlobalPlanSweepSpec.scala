@@ -37,6 +37,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     "st06_stream_join",
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
     "cdcm3_incremental_join", "cdcb20_bounded_admission",
+    "q35_zorder_layout", // writes + reads back a clustered copy on call
     "sim13_mmr_rerank",
     "q33_basket_lift", // persists + counts the basket frame up front
     "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
