@@ -1388,7 +1388,122 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  // ---- sim14: Lloyd k-means codebook training ---------------------------
+  //
+  // The trainer sim05's comment defers to ("production trains per-subspace
+  // codebooks"): true ITERATIVE Lloyd k-means as distributed Spark jobs,
+  // under an exact oracle — the piece sim05's one-shot seeded assignment
+  // deliberately skips. Exactness across engines comes from fixed-point
+  // arithmetic: floats floor-scale to non-negative longs
+  // (floor((x + 2) * 10^6) — identical IEEE double ops both sides), so
+  // squared distances, member sums, and the truncating-division centroid
+  // update are INTEGER math with no order dependence, and two unrolled
+  // Lloyd iterations replay bit-identically in DuckDB.
+  //
+  // Distribution of work per iteration: assignment is a NARROW per-row
+  // argmin — the k centroids travel as broadcast literals and each vector
+  // folds k zip_with distances inside codegen (no join, no corpus
+  // shuffle, no k-fold explosion); the only shuffle is the centroid
+  // update's slim (cid, dim, x) aggregate, map-side combined — at 100 TB
+  // that is |corpus|·dims slim longs reduced to k·dims rows, the minimum
+  // any exact mean needs. Driver holds only the k·dims centroid scalars
+  // between iterations (512 longs here — the bounded-coordinator
+  // contract, sim13 precedent). Ties in assignment break to the smallest
+  // centroid id via struct ordering on BOTH engines; an emptied centroid
+  // drops out of the stats on both engines identically.
+  private[operators] def kmeansAssign(scaled: DataFrame,
+                           cents: Seq[(Int, Array[Long])]): DataFrame = {
+    import scaled.sparkSession.implicits._
+    val dists = cents.map { case (cid, arr) =>
+      struct(
+        aggregate(zip_with($"sv", typedLit(arr.toSeq), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cid).as("cid"))
+    }
+    scaled.withColumn("cid", array_min(array(dists: _*)).getField("cid"))
+  }
+
+  /** Per-(centroid, dim) member sum, truncating-mean and member count —
+    * the Lloyd update, and (after the last iteration) the gate output.
+    */
+  private[operators] def kmeansStats(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"cid", posexplode($"sv").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      .select($"cid", $"dim", expr("sx div n").as("cval"), $"n")
+  }
+
+  def sim14KmeansTrain(s: SparkSession, d: String, k: Int = 8,
+                       iterations: Int = 2): DataFrame = {
+    import s.implicits._
+    val scaled = graft.core.Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor((cast(x as double) + 2.0d) * 1000000.0d) as bigint)) as sv")
+      .persist()
+    try {
+      // init: the k smallest vec_ids, centroid id = rank in that order
+      var cents: Seq[(Int, Array[Long])] =
+        scaled.orderBy($"vec_id").limit(k).collect().zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Long](r.fieldIndex("sv")).toArray)
+        }.toSeq
+      var out: DataFrame = null
+      for (it <- 1 to iterations) {
+        val stats = kmeansStats(kmeansAssign(scaled, cents))
+        if (it < iterations)
+          cents = stats.collect() // bounded: k·dims rows of scalars
+            .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+            .map { case (cid, rows) =>
+              (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+            }
+        else
+          out = stats
+            .select($"cid".cast("int").as("cid"), $"dim".cast("int").as("dim"),
+              $"cval", $"n")
+            .orderBy($"cid", $"dim")
+            .localCheckpoint(true) // detach before the cache below releases
+            .orderBy($"cid", $"dim")
+      }
+      out
+    } finally scaled.unpersist()
+  }
+
+  val sim14Sql: String =
+    """WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 2.0) * 1000000.0) AS BIGINT) AS x
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT i.cid, el.dim, el.x AS c FROM init i JOIN el USING (vec_id)),
+      |d1 AS (
+      |  SELECT el.vec_id, c.cid, SUM((el.x - c.c) * (el.x - c.c)) AS d2
+      |  FROM el JOIN c0 c USING (dim) GROUP BY el.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a.cid, el.dim, CAST(SUM(el.x) // COUNT(*) AS BIGINT) AS c
+      |  FROM a1 a JOIN el USING (vec_id) GROUP BY a.cid, el.dim),
+      |d2s AS (
+      |  SELECT el.vec_id, c.cid, SUM((el.x - c.c) * (el.x - c.c)) AS d2
+      |  FROM el JOIN c1 c USING (dim) GROUP BY el.vec_id, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2s) WHERE rn = 1)
+      |SELECT CAST(a.cid AS INTEGER) AS cid, CAST(el.dim AS INTEGER) AS dim,
+      |  CAST(SUM(el.x) // COUNT(*) AS BIGINT) AS cval,
+      |  COUNT(*) AS n
+      |FROM a2 a JOIN el USING (vec_id)
+      |GROUP BY a.cid, el.dim
+      |ORDER BY cid, dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim14_kmeans_train" -> ((s: SparkSession, d: String) => sim14KmeansTrain(s, d)),
     "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
     "sim10b_knn_shuffle" -> sim10bKnnShuffle _,
     "sim09_hybrid_rrf" -> ((s: SparkSession, d: String) => sim09HybridRrf(s, d)),
@@ -1504,6 +1619,7 @@ object Similarity {
   }
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "sim14_kmeans_train" -> sim14Sql,
     "sim13_mmr_rerank" -> sim13Sql,
     "sim10_ivfpq_knn_join" -> sim10Sql,
     "sim10b_knn_shuffle" -> sim10Sql,

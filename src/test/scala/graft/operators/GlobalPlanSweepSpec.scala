@@ -39,6 +39,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cdcm3_incremental_join", "cdcb20_bounded_admission",
     "q35_zorder_layout", // writes + reads back a clustered copy on call
     "sim13_mmr_rerank",
+    "sim14_kmeans_train", // iterates: collects bounded centroid scalars per round
     "q33_basket_lift", // persists + counts the basket frame up front
     "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
     "sim07b_via_index", "sim09b_hybrid_indexed", "sim11b_range_via_index",
