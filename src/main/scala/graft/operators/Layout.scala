@@ -82,6 +82,37 @@ object Layout {
       .sortWithinPartitions(leadCol)
       .write.mode("overwrite").parquet(outDir)
 
+  /** Bin-pack a parquet directory toward `targetBytes` per output file —
+    * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
+    * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index
+    * segment appends) accretes many small files; at 100 TB the scan cost
+    * of a million 1 MB files is dominated by per-file open/footer
+    * overhead and task scheduling, so periodic repacking into
+    * ceil(total/target) files is table maintenance, run per partition
+    * directory. Content-preserving rewrite (round-robin repartition — no
+    * sort, no column change), staged + swapped like the index/view
+    * compactors: a crash leaves either the old directory or the staged
+    * one, never a half-compacted table. Returns the output file count.
+    */
+  def compactFiles(s: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    // detach before the swap: the lazy plan must not re-read the
+    // directory this compaction is about to replace
+    val packed = s.read.parquet(dir).repartition(n).localCheckpoint(true)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir.compact-${ProcessHandle.current().pid()}")
+    packed.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(p, true)
+    if (!fs.rename(staging, p))
+      throw new IllegalStateException(s"compaction swap failed under $dir")
+    n
+  }
+
   /** Per-file min/max envelope of `cols` for a written parquet dir — the
     * exact statistic parquet pruning consults, materialized as rows so a
     * spec (or an operator planner) can count which files a predicate box
