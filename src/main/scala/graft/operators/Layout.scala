@@ -46,8 +46,9 @@ object Layout {
     val st = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     cols.zipWithIndex.map { case (c, i) =>
-      val lo = st.getDouble(2 * i)
-      val hi = st.getDouble(2 * i + 1)
+      // empty table / all-null column -> null stats -> degenerate dim
+      val lo = if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i)
+      val hi = if (st.isNullAt(2 * i + 1)) 0.0 else st.getDouble(2 * i + 1)
       if (hi > lo)
         least(lit(top), greatest(lit(0L),
           (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * lit(top.toDouble))
@@ -101,12 +102,14 @@ object Layout {
     val total = fs.listStatus(p).filter(f =>
       f.isFile && !f.getPath.getName.startsWith("_")).map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    // detach before the swap: the lazy plan must not re-read the
-    // directory this compaction is about to replace
-    val packed = s.read.parquet(dir).repartition(n).localCheckpoint(true)
+    // the staging write executes the lazy plan against the ORIGINAL
+    // directory (which still exists — the swap below comes after), so no
+    // detach is needed; checkpointing here would transiently materialize
+    // the whole table in block storage, a non-starter at 100 TB
     val staging = new org.apache.hadoop.fs.Path(
       s"$dir.compact-${ProcessHandle.current().pid()}")
-    packed.write.mode("overwrite").parquet(staging.toString)
+    s.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(staging.toString)
     fs.delete(p, true)
     if (!fs.rename(staging, p))
       throw new IllegalStateException(s"compaction swap failed under $dir")
