@@ -10,7 +10,18 @@ object Verify {
     val spark = core.GraftConf.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop only (driver never sets it): restrict to a comma-separated
+    // gate subset so a new gate iterates in seconds, not a full sweep
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY unknown gates: $unknown")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -49,8 +60,8 @@ object Verify {
     val failedJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
-    System.err.println(s"[verify] ${SparkEntry.queries.size - failures.size}/" +
-      s"${SparkEntry.queries.size} queries produced results" +
+    System.err.println(s"[verify] ${selected.size - failures.size}/" +
+      s"${selected.size} queries produced results" +
       (if (failures.isEmpty) "" else s"; FAILED: ${failures.keys.mkString(", ")}"))
     spark.stop()
     // The artifact (_failed.json) is loud, and so is the process: a run

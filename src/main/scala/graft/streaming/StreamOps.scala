@@ -501,7 +501,226 @@ object StreamOps {
         .orderBy($"window_start", $"event_type")
     }
 
+  // st03b — st03's enrichment rollup through the DURABLE finalization
+  // path: the same fact-stream ⋈ broadcast-dimension → windowed rollup
+  // runs in UPDATE mode over a 2-file staging (windows span micro-batches
+  // and arrive out of event-time order), lands batch-addressed update
+  // partitions via [[maintainWindowedAgg]], and the latest-wins fold is
+  // hash-matched against st03's batch oracle. Together with st01b this
+  // retires the complete-mode memory sink as anything but a gate-harness
+  // device for the windowed-aggregation family: both the plain and the
+  // join-upstream shapes now have a proven production sink protocol.
+  def st03bDurableEnrich(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st03b") { work =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val dim = graft.core.Tables.customer(s, d).toDF()
+        .select($"c_custkey", $"c_mktsegment")
+      val agg = eventsStreamMultiFile(s, d, 2)
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy(window($"ts", "1 day"), $"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast(DecimalType(38, 10))), 2).cast("double")
+            .as("sum_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"c_mktsegment", $"n_events", $"sum_value")
+      val view = work.resolve("view").toString
+      val q = maintainWindowedAgg(agg, view, work.resolve("ckpt").toString)
+      q.awaitTermination()
+      readWindowedAgg(s, view, Seq("window_start", "c_mktsegment"))
+        .orderBy($"window_start", $"c_mktsegment")
+        .localCheckpoint(true)
+        .orderBy($"window_start", $"c_mktsegment")
+    }
+
+  /** [[eventsStreamMultiFile]] plus a FINAL sentinel file: two rows for a
+    * reserved user (−1) — one 'view', one 'purchase', so both branches of
+    * a two-sided consumer see it — stamped 30 days past the table's max
+    * event time and admitted LAST (file-source admission is oldest-mtime
+    * first; the staging pins mtimes explicitly). Purpose: watermark
+    * advancement for FINITE replays. With AvailableNow the watermark
+    * derived from real data never passes the last windows/sessions, so
+    * append-mode results are silently dropped at stream end (st01's
+    * pitfall); the sentinel drives the watermark past everything real,
+    * and the engine's closing no-data micro-batch finalizes and emits all
+    * remaining state to the sink. This is the standard production
+    * technique for draining a bounded backfill through a streaming
+    * pipeline — a heartbeat event, not an engine hook — and consumers
+    * filter the reserved user out. At 100 TB nothing changes: the
+    * sentinel is one row per source partition's tail.
+    *
+    * Unlike [[eventsStreamMultiFile]] (random split — fine for
+    * watermark-free consumers), the data files are RANGE-SPLIT BY EVENT
+    * TIME and admitted in time order, so no row ever arrives behind the
+    * watermark, at any `nFiles`. A random split only survives a
+    * watermarked consumer by a one-batch lag in the engine's late-event
+    * filter (Spark filters late rows with the PREVIOUS batch's watermark
+    * and evicts with the current one — measured here: a batch whose rows
+    * all trailed the reported watermark by hours had
+    * numRowsDroppedByWatermark=0), which runs out at 3+ files. Time-
+    * ordered admission is also what a real backfill replay does. Windows
+    * and sessions still span batches: range boundaries cut through them,
+    * and rows WITHIN a file stay unordered.
+    */
+  def eventsStreamWithSentinel(spark: SparkSession, dir: String,
+                               nFiles: Int): DataFrame = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val dirKey = graft.binlog.BinlogReader.toHex(
+      java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))).take(16)
+    val staged = Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-events-sent2-$dirKey-$nFiles")
+    val marker = staged.resolve("_SENTINEL_STAGED")
+    if (!Files.exists(marker)) {
+      import spark.implicits._
+      val ev = graft.core.Tables.events(spark, dir).toDF()
+      ev.repartitionByRange(nFiles, $"ts")
+        .write.mode("overwrite").parquet(staged.toString)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      val sentinel = Seq(
+        (-1L, sentTs, -1L, "view", 0.0, Option.empty[String]),
+        (-2L, sentTs, -1L, "purchase", 0.0, Option.empty[String]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(ev.columns.map(col): _*) // loud on testdata schema drift
+      val tmpOut = staged.resolve("sentinel-tmp")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val part = {
+        val s0 = Files.list(tmpOut)
+        try s0.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow()
+        finally s0.close()
+      }
+      val dest = staged.resolve("zzz-sentinel.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      val tw = Files.walk(tmpOut)
+      try tw.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally tw.close()
+      // admission order = mtime, ascending: range partition k writes as
+      // part-0000k (lowest ts range first), so name order IS time order;
+      // stamp it explicitly rather than trusting tie-breaks, sentinel last
+      val t0 = System.currentTimeMillis() - 3600000L
+      val ls = Files.list(staged)
+      val dataFiles =
+        try ls.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally ls.close()
+      dataFiles.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 1000L))
+      }
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(t0 + 1800000L))
+      Files.createFile(marker) // underscore-prefixed: invisible to listings
+    }
+    val schema = spark.read.parquet(staged.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
+
+  // st04b — st04's session windows through a DURABLE sink. Session
+  // windows reject update mode (state merges can re-key a session, so
+  // "latest row per key" is not a fold — Spark disallows it), which rules
+  // out the st01b protocol; the production finalization shape for
+  // sessions is APPEND mode into the native exactly-once parquet file
+  // sink, with the watermark advanced past all real data by a sentinel
+  // heartbeat ([[eventsStreamWithSentinel]]) so the engine's closing
+  // no-data batch finalizes every session. Each emitted row is final by
+  // the append contract — durable the moment its batch commits, readable
+  // atomically through the sink's _spark_metadata log. Hash-matching
+  // st04's oracle proves no session was dropped or double-emitted across
+  // the multi-batch, out-of-order staging.
+  def st04bDurableSession(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st04b") { work =>
+      import s.implicits._
+      val agg = eventsStreamWithSentinel(s, d, 3)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros($"sw.start").as("sess_start_us"), $"user_id",
+          $"n_events")
+      val out = work.resolve("sessions").toString
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).filter($"user_id" =!= -1L)
+        .orderBy($"user_id", $"sess_start_us")
+        .localCheckpoint(true) // detach from the rotating workdir
+        .orderBy($"user_id", $"sess_start_us")
+    }
+
+  // st07 — stream-stream LEFT OUTER interval join under the DuckDB
+  // oracle: every view, matched to same-user purchases in the following
+  // hour OR emitted once with nulls if none arrive. The outer side is
+  // Structured Streaming's hardest finalization problem — an unmatched
+  // row may only emit once the watermark proves no match can still
+  // arrive (past view-time + 1 h + delay), which with AvailableNow never
+  // happens for the stream's tail; the sentinel heartbeat drives the
+  // watermark past everything, and the closing no-data batch emits the
+  // null-padded remainder. Both branches filter a sentinel row of their
+  // own event type so BOTH watermark operators advance (the global
+  // watermark is the min across them). State on each side is evicted by
+  // the same watermark + time-range bound as st06 — O(active hour), not
+  // O(stream).
+  def st07StreamOuterJoin(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val views = eventsStreamWithSentinel(s, d, 3)
+      .filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"),
+        $"ts".as("vt"))
+      .withWatermark("vt", "1 hour")
+    val purchases = eventsStreamWithSentinel(s, d, 3)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("pt"))
+      .withWatermark("pt", "1 hour")
+    val joined = views.join(purchases,
+        $"v_user" === $"p_user" &&
+          $"pt" >= $"vt" && $"pt" <= $"vt" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      // The sentinel is NOT filtered here: a `v_user =!= -1` predicate
+      // would be pushed below the left branch's EventTimeWatermark
+      // operator (legal — it doesn't touch the event-time column), the
+      // heartbeat would never reach the watermark node, and the last
+      // real unmatched view would silently never finalize (observed:
+      // exactly the stream-tail view dropped). Heartbeats flow through
+      // the join; consumers filter the reserved user downstream.
+      .select($"v_user".as("user_id"), $"view_id", $"purchase_id",
+        (unix_micros($"pt") - unix_micros($"vt")).as("delay_us"))
+    val q = joined.writeStream.format("memory").queryName("graft_st07_sink")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // null purchase_ids order FIRST on both engines (Spark asc default;
+    // oracle says NULLS FIRST explicitly — DuckDB defaults NULLS LAST)
+    s.table("graft_st07_sink")
+      .filter($"user_id" =!= -1L) // drop the sentinel heartbeat pair
+      .orderBy($"user_id", $"view_id", asc_nulls_first("purchase_id"))
+  }
+
+  val st07Sql: String =
+    """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st03b_durable_enrich" -> st03bDurableEnrich _,
+    "st04b_durable_session" -> st04bDurableSession _,
+    "st07_stream_outer_join" -> st07StreamOuterJoin _,
     "st01b_durable_window" -> st01bDurableWindow _,
     "st01_sliding_window" -> st01SlidingWindow _,
     "st02_stream_dedup" -> st02StreamDedup _,
@@ -511,6 +730,9 @@ object StreamOps {
     "st06_stream_join" -> st06StreamJoin _)
 
   def oracles: Map[String, String] = Map(
+    "st03b_durable_enrich" -> st03Sql,
+    "st04b_durable_session" -> st04Sql,
+    "st07_stream_outer_join" -> st07Sql,
     "st01b_durable_window" -> st01Sql,
     "st01_sliding_window" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
