@@ -16,14 +16,18 @@ import org.scalatest.BeforeAndAfterAll
   *   spark.sql.streaming.stateStore.providerClass =
   *     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
   *
-  * This spec runs the state-heavy gates — st02 (dedup state), st05
-  * (arbitrary keyed state via flatMapGroupsWithState), st06 (dual-sided
-  * stream-stream join state) — under BOTH providers against the same
-  * input and asserts row-identical results, pinning that the engine's
-  * semantics do not depend on the provider and the production config is
-  * a drop-in. The conf is read at query start, so setting it between
-  * gate invocations on one session is exactly how a deployment would
-  * flip it.
+  * This spec runs the WHOLE streaming gate family — windowed aggregation
+  * (st01), dedup state (st02), stream-static enrich rollup (st03),
+  * session-window merge state (st04, which additionally needs the
+  * provider's prefix-scan support), arbitrary keyed state via
+  * flatMapGroupsWithState (st05), dual-sided stream-stream join state
+  * (st06), and the outer-join null-side finalization (st07) — under BOTH
+  * providers against the same input and asserts row-identical results,
+  * pinning that the engine's semantics do not depend on the provider and
+  * the production config is a drop-in. The conf is read at query start,
+  * so setting it between gate invocations on one session is exactly how
+  * a deployment would flip it. (The durable b-twins run the same state
+  * operators as their base gates; the sink protocol is provider-blind.)
   */
 class RocksDbStateStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -55,9 +59,13 @@ class RocksDbStateStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private val gates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st01_sliding_window" -> (StreamOps.st01SlidingWindow _),
     "st02_stream_dedup" -> (StreamOps.st02StreamDedup _),
+    "st03_stream_enrich" -> (StreamOps.st03StreamEnrich _),
+    "st04_session_window" -> (StreamOps.st04SessionWindow _),
     "st05_running_state" -> (StreamOps.st05RunningState _),
-    "st06_stream_join" -> (StreamOps.st06StreamJoin _))
+    "st06_stream_join" -> (StreamOps.st06StreamJoin _),
+    "st07_stream_outer_join" -> (StreamOps.st07StreamOuterJoin _))
 
   for ((name, gate) <- gates)
     test(s"$name is row-identical under RocksDBStateStoreProvider") {
