@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChangeOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries ++ RangeJoin.queries ++
-      Layout.queries ++ Quality.queries ++ graft.streaming.StreamOps.queries
+      Layout.queries ++ Quality.queries ++ Graph.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,7 +36,8 @@ object SparkEntry {
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles(sfDir) ++ Similarity.oracles(sfDir) ++ Multimodal.oracles ++
       CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles ++
-      Layout.oracles ++ Quality.oracles ++ graft.streaming.StreamOps.oracles
+      Layout.oracles ++ Quality.oracles ++ Graph.oracles ++
+      graft.streaming.StreamOps.oracles
 
   /** No-arg contract form: the driver gate's sf0.01 fixture paths. */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
