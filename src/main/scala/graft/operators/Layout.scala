@@ -164,9 +164,70 @@ object Layout {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin
 
+  // q36 — MANIFEST-DRIVEN data skipping under the DuckDB oracle: the
+  // Iceberg/Delta pattern of planning a scan from file-level statistics,
+  // built from Spark primitives and proven exact. The z-ordered table's
+  // per-file envelopes ([[fileEnvelopes]] — the manifest) are consulted
+  // for a predicate box (the bottom-quarter corner on both clustered
+  // dims, bounds derived from the data so testdata regeneration cannot
+  // break the gate); only overlapping files are read, the residual
+  // filter is re-applied (envelope overlap is necessary, not
+  // sufficient), and the result hash-matches the full-scan filter — the
+  // skipping-correctness contract. The gate FAILS LOUDLY if nothing was
+  // actually skipped: a quarter-box on a z-ordered 2-dim layout that
+  // prunes zero of 8 files is a layout regression, not a pass. At 100 TB
+  // the manifest is one slim row per file (collected: bounded by file
+  // count, the same size any table-format planner holds), and the pruned
+  // read never opens a skipped file's footer.
+  def q36ManifestPrunedScan(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q36") { work =>
+      import s.implicits._
+      val li = graft.core.Tables.lineitem(s, d).toDF()
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("double").as("l_quantity"))
+      val out = work.resolve("zordered").toString
+      zorderCluster(li, Seq("l_partkey", "l_suppkey"), out, nFiles = 8)
+      // predicate box: keys <= min + (max - min)/4 on both dims,
+      // truncating long division — mirrored with // in the oracle SQL
+      val b = li.agg(min($"l_partkey"), max($"l_partkey"),
+        min($"l_suppkey"), max($"l_suppkey")).head()
+      val pCut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      val sCut = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4
+      val env = fileEnvelopes(s, out, Seq("l_partkey", "l_suppkey")).collect()
+      val keep = env.filter { r =>
+        r.getAs[Long]("min_l_partkey") <= pCut &&
+          r.getAs[Long]("min_l_suppkey") <= sCut
+      }.map(_.getAs[String]("file"))
+      require(keep.nonEmpty, "manifest pruning eliminated every file " +
+        "(the box corner must live in some file)")
+      require(keep.length < env.length, s"manifest pruning skipped nothing " +
+        s"(${env.length} files, box l_partkey<=$pCut l_suppkey<=$sCut) — " +
+        "z-order layout regression")
+      s.read.parquet(keep.toIndexedSeq: _*)
+        .filter($"l_partkey" <= pCut && $"l_suppkey" <= sCut)
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+        .localCheckpoint(true)
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+    }
+
+  val q36Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 4 AS pcut,
+      |    MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) // 4 AS scut
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(l_quantity AS DOUBLE) AS l_quantity
+      |FROM lineitem, b
+      |WHERE l_partkey <= pcut AND l_suppkey <= scut
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q35_zorder_layout" -> q35ZorderLayout _)
+    "q35_zorder_layout" -> q35ZorderLayout _,
+    "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _)
 
   def oracles: Map[String, String] = Map(
-    "q35_zorder_layout" -> q35Sql)
+    "q35_zorder_layout" -> q35Sql,
+    "q36_manifest_pruned_scan" -> q36Sql)
 }
