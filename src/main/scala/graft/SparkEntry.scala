@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChangeOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ CdcBinlog.queries ++ AsOf.queries ++ RangeJoin.queries ++
-      Layout.queries ++ Quality.queries ++ Graph.queries ++
+      Layout.queries ++ Quality.queries ++ Graph.queries ++ Skew.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,7 +36,7 @@ object SparkEntry {
     Relational.oracles ++ ChangeOps.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles(sfDir) ++ Similarity.oracles(sfDir) ++ Multimodal.oracles ++
       CdcBinlog.oracles(sfDir) ++ AsOf.oracles ++ RangeJoin.oracles ++
-      Layout.oracles ++ Quality.oracles ++ Graph.oracles ++
+      Layout.oracles ++ Quality.oracles ++ Graph.oracles ++ Skew.oracles ++
       graft.streaming.StreamOps.oracles
 
   /** No-arg contract form: the driver gate's sf0.01 fixture paths. */

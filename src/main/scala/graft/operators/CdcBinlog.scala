@@ -635,6 +635,39 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcb21 — AS-OF image (time travel to a binlog coordinate): the table
+  // state after applying only the changes at or before a cutoff position
+  // — the capability behind "show me the table as of yesterday's
+  // position" and point-in-time recovery, which a CDC engine gets for
+  // free because the log IS the history. The cutoff is the MEDIAN
+  // distinct (file, pos) coordinate, derived from the data itself with
+  // the same truncating arithmetic on both engines (fixture regeneration
+  // cannot break the gate, and the cutoff always lands strictly inside
+  // the stream so the gate genuinely excludes a suffix). Positions
+  // compare (fileOrd, pos) lexicographically — rollover-safe like every
+  // other ordering in this file. At scale: one distinct-coordinate pass
+  // (slim), a TakeOrdered cutoff probe, then cdcb4's per-key
+  // latest-image window over the bounded prefix.
+  def cdcb21AsofImage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ch = changes(s, d).withColumn("fo", fileOrd($"log_file"))
+    val dist = ch.select($"fo", $"log_file", $"log_pos").distinct()
+    val n = dist.count()
+    val k = (n / 2 + 1).toInt
+    val cutRow = dist.orderBy($"fo", $"log_file", $"log_pos").limit(k)
+      .agg(max(struct($"fo", $"log_file", $"log_pos")).as("c"))
+      .head().getStruct(0)
+    val (cfo, cpos) = (cutRow.getLong(0), cutRow.getLong(2))
+    val w = Window.partitionBy($"id")
+      .orderBy($"fo".desc, $"log_file".desc, $"log_pos".desc, $"log_seq".desc)
+    ch.filter($"fo" < cfo || ($"fo" === cfo && $"log_pos" <= cpos))
+      .filter($"_delta_type" =!= "update-before")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"_delta_type" =!= "delete")
+      .select($"id", $"val".cast("double").as("val"), $"word")
+      .orderBy($"id")
+  }
+
   // cdcb5 — full scan of the CRC32-checksummed twin fixture: every event
   // trailer verified + stripped in the hot path, aggregated to
   // position-independent totals the generator ground truth can oracle
@@ -1151,6 +1184,7 @@ object CdcBinlog {
     "cdcb2_binlog_update_pairs" -> cdcb2UpdatePairs _,
     "cdcb3_binlog_event_stats" -> cdcb3EventStats _,
     "cdcb4_binlog_latest_image" -> cdcb4LatestImage _,
+    "cdcb21_asof_image" -> cdcb21AsofImage _,
     "cdcb5_checksummed_scan" -> cdcb5ChecksummedScan _,
     "cdcb6_v2_rows_scan" -> cdcb6V2RowsScan _,
     "cdcb7_v2_event_stats" -> cdcb7V2EventStats _)
@@ -1342,5 +1376,26 @@ object CdcBinlog {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
     "cdcb4_binlog_latest_image" ->
-      latestImageOracle(sfDir))
+      latestImageOracle(sfDir),
+    "cdcb21_asof_image" ->
+      s"""WITH ch AS (
+         |  SELECT *, ${duckFileOrd("log_file")} AS fo
+         |  FROM ${expectedChangesRel(sfDir)}),
+         |dist AS (SELECT DISTINCT fo, log_file, log_pos FROM ch),
+         |cut AS (
+         |  SELECT fo AS cfo, log_pos AS cpos FROM (
+         |    SELECT fo, log_pos,
+         |      row_number() OVER (ORDER BY fo, log_file, log_pos) AS rn,
+         |      COUNT(*) OVER () AS n
+         |    FROM dist) WHERE rn = n // 2 + 1),
+         |ranked AS (
+         |  SELECT id, val, word, _delta_type,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY fo DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
+         |  FROM ch, cut
+         |  WHERE _delta_type <> 'update-before'
+         |    AND (fo < cfo OR (fo = cfo AND log_pos <= cpos)))
+         |SELECT id, val, word FROM ranked
+         |WHERE rn = 1 AND _delta_type <> 'delete'
+         |ORDER BY id""".stripMargin)
 }
