@@ -1468,8 +1468,13 @@ object Similarity {
     } finally scaled.unpersist()
   }
 
-  val sim14Sql: String =
-    """WITH el AS (
+  /** The two-iteration Lloyd training replay (el → init/c0 → assign a1 →
+    * update c1 → assign a2), shared verbatim by sim14's output query and
+    * sim15's trained-search continuation. (Defined before both dependent
+    * SQL vals — object vals initialize in declaration order.)
+    */
+  private val kmeansTrainCtes: String =
+    """el AS (
       |  SELECT vec_id,
       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
       |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 2.0) * 1000000.0) AS BIGINT) AS x
@@ -1494,7 +1499,100 @@ object Similarity {
       |a2 AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM d2s) WHERE rn = 1)
+      |    FROM d2s) WHERE rn = 1)""".stripMargin
+
+  /** Train centroids with `iterations` full Lloyd updates (same init and
+    * arithmetic as [[sim14KmeansTrain]]) and return the final k·dims
+    * scalars — the bounded-coordinator handoff sim15 searches with.
+    */
+  private[operators] def lloydCentroids(scaled: DataFrame, k: Int,
+                                        iterations: Int): Seq[(Int, Array[Long])] = {
+    var cents: Seq[(Int, Array[Long])] =
+      scaled.orderBy(col("vec_id")).limit(k).collect().zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Long](r.fieldIndex("sv")).toArray)
+      }.toSeq
+    for (_ <- 1 to iterations)
+      cents = kmeansStats(kmeansAssign(scaled, cents)).collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+        }
+    cents
+  }
+
+  // sim15 — the TRAINED-quantizer ANN lifecycle end-to-end under one
+  // exact oracle: train (two Lloyd updates, sim14's arithmetic), index
+  // (assign every vector to its trained centroid — a narrow broadcast-
+  // literal argmin, no join), probe (query→centroid distances folded on
+  // the driver over the k·dims scalars it already holds), search (exact
+  // fixed-point L2 within the nprobe=2 probed cells only, TakeOrdered
+  // top-10). sim05 searches a one-shot seeded quantizer and sim14 proves
+  // the trainer in isolation; this gate closes the loop — the cells
+  // being probed are the cells the trainer actually produced, and the
+  // DuckDB replay re-derives training, assignment, probe selection AND
+  // distances, so a drift anywhere in the lifecycle breaks the hash.
+  // Scale shape: the corpus is touched by narrow per-row argmin/distance
+  // passes and one slim stats shuffle per training iteration; the search
+  // scans only probed cells (nprobe/k of the corpus with balanced
+  // cells); nothing corpus-sized is collected or broadcast.
+  def sim15TrainedIvf(s: SparkSession, d: String, k: Int = 8,
+                      nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val scaled = embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor((cast(x as double) + 2.0d) * 1000000.0d) as bigint)) as sv")
+      .persist()
+    try {
+      val cents = lloydCentroids(scaled, k, iterations = 2)
+      val assigned = kmeansAssign(scaled, cents)
+      val qv = scaled.filter($"vec_id" === 0).head()
+        .getSeq[Long](1).toArray
+      val probed = cents.map { case (cid, arr) =>
+        (cid, arr.zip(qv).map { case (c, q) => (c - q) * (c - q) }.sum)
+      }.sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
+      val qLit = typedLit(qv.toSeq)
+      assigned
+        .filter($"cid".isin(probed: _*) && $"vec_id" =!= 0)
+        .withColumn("d2",
+          aggregate(zip_with($"sv", qLit, (x, q) => (x - q) * (x - q)),
+            lit(0L), (acc, v) => acc + v))
+        .select($"vec_id", $"d2", $"cid".as("cell"))
+        .orderBy($"d2", $"vec_id").limit(topK) // TakeOrderedAndProject
+        .localCheckpoint(true) // detach before the cache releases
+        .orderBy($"d2", $"vec_id")
+    } finally scaled.unpersist()
+  }
+
+  val sim15Sql: String =
+    s"""WITH $kmeansTrainCtes,
+      |c2 AS (
+      |  SELECT a.cid, el.dim, CAST(SUM(el.x) // COUNT(*) AS BIGINT) AS c
+      |  FROM a2 a JOIN el USING (vec_id) GROUP BY a.cid, el.dim),
+      |d3 AS (
+      |  SELECT el.vec_id, c.cid, SUM((el.x - c.c) * (el.x - c.c)) AS d2
+      |  FROM el JOIN c2 c USING (dim) GROUP BY el.vec_id, c.cid),
+      |a3 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d3) WHERE rn = 1),
+      |probed AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn
+      |    FROM d3 WHERE vec_id = 0) WHERE rn <= 2),
+      |qv AS (SELECT dim, x FROM el WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT a.vec_id, a.cid FROM a3 a JOIN probed p USING (cid)
+      |  WHERE a.vec_id <> 0),
+      |dist AS (
+      |  SELECT e.vec_id, CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM el e JOIN qv q USING (dim) JOIN cand c ON c.vec_id = e.vec_id
+      |  GROUP BY e.vec_id)
+      |SELECT d.vec_id, d.d2, CAST(c.cid AS INTEGER) AS cell
+      |FROM dist d JOIN cand c USING (vec_id)
+      |ORDER BY d.d2, d.vec_id LIMIT 10""".stripMargin
+
+  val sim14Sql: String =
+    s"""WITH $kmeansTrainCtes
       |SELECT CAST(a.cid AS INTEGER) AS cid, CAST(el.dim AS INTEGER) AS dim,
       |  CAST(SUM(el.x) // COUNT(*) AS BIGINT) AS cval,
       |  COUNT(*) AS n
@@ -1504,6 +1602,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim14_kmeans_train" -> ((s: SparkSession, d: String) => sim14KmeansTrain(s, d)),
+    "sim15_trained_ivf" -> ((s: SparkSession, d: String) => sim15TrainedIvf(s, d)),
     "sim10_ivfpq_knn_join" -> ((s: SparkSession, d: String) => sim10IvfPqKnnJoin(s, d)),
     "sim10b_knn_shuffle" -> sim10bKnnShuffle _,
     "sim09_hybrid_rrf" -> ((s: SparkSession, d: String) => sim09HybridRrf(s, d)),
@@ -1620,6 +1719,7 @@ object Similarity {
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim14_kmeans_train" -> sim14Sql,
+    "sim15_trained_ivf" -> sim15Sql,
     "sim13_mmr_rerank" -> sim13Sql,
     "sim10_ivfpq_knn_join" -> sim10Sql,
     "sim10b_knn_shuffle" -> sim10Sql,
