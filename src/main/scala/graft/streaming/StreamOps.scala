@@ -672,12 +672,12 @@ object StreamOps {
   // O(stream).
   def st07StreamOuterJoin(s: SparkSession, d: String): DataFrame = synchronized {
     import s.implicits._
-    val views = eventsStreamWithSentinel(s, d, 3)
+    val views = eventsStreamWithSentinel(s, d, 2)
       .filter($"event_type" === "view")
       .select($"user_id".as("v_user"), $"event_id".as("view_id"),
         $"ts".as("vt"))
       .withWatermark("vt", "1 hour")
-    val purchases = eventsStreamWithSentinel(s, d, 3)
+    val purchases = eventsStreamWithSentinel(s, d, 2)
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
         $"ts".as("pt"))
