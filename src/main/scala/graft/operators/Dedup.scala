@@ -64,7 +64,7 @@ object Dedup {
     else df
   }
 
-  private val duckShingles: String =
+  private[operators] val duckShingles: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
       |  list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
       |                 for i in range(1, len(string_split(text, ' ')) - 1)])

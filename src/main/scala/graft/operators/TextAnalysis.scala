@@ -1178,7 +1178,95 @@ object TextAnalysis {
       |GROUP BY split, source
       |ORDER BY split, source""".stripMargin
 
+  // txt21 — per-source BOILERPLATE detection (the RefinedWeb/CCNet
+  // pre-dedup pass: navigation chrome, cookie banners, license footers
+  // repeat across a source's documents and must be found before they
+  // pollute n-gram statistics): the 3-word shingle with the highest
+  // DOCUMENT frequency per source (graft_shingles is per-doc distinct, so
+  // df counts documents, not occurrences), with its penetration in ppm.
+  // The argmax is two map-side-combined aggregates + a slim equi-join —
+  // deliberately NOT a per-source rank window: sources are few and huge
+  // at 100 TB, and a window partitioned by source hands one task an
+  // entire source's shingle vocabulary (the hot-stratum trap txt20
+  // dodges the same way). Ties break to the lexicographically smallest
+  // shingle on both engines.
+  def txt21Boilerplate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val docs = graft.core.Tables.documents(s, d)
+    val dfreq = docs
+      .select($"source", explode(Dedup.shingles($"text")).as("shingle"))
+      .groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
+    val mx = dfreq.groupBy($"source").agg(max($"df").as("max_df"))
+      .select($"source".as("mx_source"), $"max_df")
+    val pick = dfreq.join(mx,
+        $"source" === $"mx_source" && $"df" === $"max_df")
+      .groupBy($"source")
+      .agg(min($"shingle").as("boilerplate_shingle"), max($"df").as("df"))
+    val nd = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    pick.join(nd, "source")
+      .select($"source", $"n_docs", $"boilerplate_shingle", $"df",
+        expr("df * 1000000 div n_docs").as("df_ppm"))
+      .orderBy($"source")
+  }
+
+  val txt21Sql: String =
+    s"""WITH base AS (SELECT doc_id, source, ${Dedup.duckShingles} AS sh
+       |  FROM documents),
+       |ex AS (SELECT source, unnest(sh) AS shingle FROM base),
+       |dfp AS (SELECT source, shingle, COUNT(*) AS df FROM ex GROUP BY 1, 2),
+       |mx AS (SELECT source, MAX(df) AS max_df FROM dfp GROUP BY 1),
+       |pick AS (
+       |  SELECT d.source, MIN(d.shingle) AS boilerplate_shingle,
+       |    MAX(d.df) AS df
+       |  FROM dfp d JOIN mx USING (source)
+       |  WHERE d.df = mx.max_df GROUP BY d.source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT p.source, n.n_docs, p.boilerplate_shingle,
+       |  CAST(p.df AS BIGINT) AS df,
+       |  CAST(p.df * 1000000 // n.n_docs AS BIGINT) AS df_ppm
+       |FROM pick p JOIN nd n USING (source)
+       |ORDER BY source""".stripMargin
+
+  // txt22 — TEMPERATURE-FLATTENED mixture weights (the multilingual
+  // sampling schedule of mT5/XLM-R: raw language shares p are flattened
+  // to p^α so low-resource languages are upsampled; α = 0.5 here, i.e.
+  // sqrt — chosen because IEEE sqrt is correctly rounded and therefore
+  // bit-identical across engines, where a general pow(p, α) is not
+  // guaranteed to be). Everything after the one sqrt is integer: weights
+  // floor-scale to micro-units and shares are truncating-divided ppm, so
+  // the cross-engine hash is exact and the weights are reproducible
+  // regardless of summation order. One slim aggregate + a broadcast
+  // one-row total — the corpus is scanned once for counts and never
+  // shuffled.
+  def txt22MixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = graft.core.Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_e6",
+        floor(sqrt($"n_docs".cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum($"weight_e6").as("tw"))
+    counts.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs", $"weight_e6",
+        expr("weight_e6 * 1000000 div tw").as("share_ppm"))
+      .orderBy($"lang")
+  }
+
+  val txt22Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_e6
+      |  FROM c),
+      |t AS (SELECT SUM(weight_e6) AS tw FROM w)
+      |SELECT lang, n_docs, weight_e6,
+      |  CAST(weight_e6 * 1000000 // tw AS BIGINT) AS share_ppm
+      |FROM w, t
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt21_boilerplate" -> txt21Boilerplate _,
+    "txt22_mixture_weights" -> txt22MixtureWeights _,
     "txt15_curation_pipeline" -> txt15CurationPipeline _,
     "txt16_chunking" -> txt16Chunking _,
     "txt17_tfidf_keywords" -> txt17TfidfKeywords _,
@@ -1201,6 +1289,8 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt21_boilerplate" -> txt21Sql,
+    "txt22_mixture_weights" -> txt22Sql,
     "txt15_curation_pipeline" -> txt15Sql,
     "txt16_chunking" -> txt16Sql,
     "txt17_tfidf_keywords" -> txt17Sql,
