@@ -1264,7 +1264,143 @@ object TextAnalysis {
       |FROM w, t
       |ORDER BY lang""".stripMargin
 
+  // txt23 — distributed BPE MERGE TRAINING, two unrolled iterations under
+  // the exact oracle: the tokenizer-training primitive (Sennrich BPE) as
+  // Spark jobs. Each iteration counts adjacent token pairs over the
+  // frequency-weighted DISTINCT-word vocabulary (classic BPE trains on
+  // word types × counts, so the corpus is touched once for the vocab and
+  // never again), picks the top pair (count desc, pair asc — exact
+  // integer ties), and applies the merge TOKEN-LEVEL with leftmost-
+  // greedy non-overlap semantics. String replace over a space-joined
+  // representation would be WRONG once tokens are multi-char (searching
+  // "t h" as a substring also matches inside "st h", corrupting token
+  // boundaries), so the merge is positional: match starts are grouped
+  // into runs of consecutive positions (overlap is only possible inside
+  // an equal-token run), the run keeps every second match
+  // (gaps-and-islands + parity — exactly leftmost-greedy), kept starts
+  // emit the merged token, their successors drop, everything else
+  // passes through, and the list rebuilds ordered by position. Windows
+  // partition by WORD — vocabulary-bounded partitions of word length,
+  // never corpus-sized. Output: the top-5 pair table of each iteration
+  // (the rank-1 row is the merge actually applied). The driver holds
+  // only the top pair between iterations — bounded-coordinator.
+  def txt23BpeMerges(s: SparkSession, d: String,
+                     iterations: Int = 2, show: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wf = graft.core.Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .select($"w", $"f", split($"w", "").as("t"))
+      .persist()
+    try {
+      var cur = wf.select($"w", $"f", $"t")
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Int, String, Long)]
+      for (it <- 1 to iterations) {
+        // ANSI guard: size(t) >= 2 BEFORE sequence(0, size-2) — a 1-token
+        // word would yield the DESCENDING sequence(0,-1) and element_at(0)
+        val pairs = cur.filter(size($"t") >= 2)
+          .select($"f", explode(expr(
+            "transform(sequence(0, size(t) - 2), " +
+              "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"f").as("cnt"))
+        val top = pairs.orderBy($"cnt".desc, $"pair").limit(show).collect()
+        top.zipWithIndex.foreach { case (r, i) =>
+          out += ((it, i + 1, r.getString(0), r.getLong(1)))
+        }
+        if (it < iterations) {
+          val Array(x, y) = top.head.getString(0).split(" ", 2)
+          cur = mergePair(cur, x, y)
+        }
+      }
+      out.toSeq.toDF("it", "rank", "pair", "cnt").orderBy($"it", $"rank")
+    } finally wf.unpersist()
+  }
+
+  /** Apply one BPE merge (x, y) → xy to every word's token list with
+    * leftmost-greedy non-overlap semantics (see [[txt23BpeMerges]]).
+    */
+  private def mergePair(cur: DataFrame, x: String, y: String): DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byW = Window.partitionBy($"w").orderBy($"p")
+    val pos = cur.select($"w", $"f", posexplode($"t").as(Seq("p", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(byW))
+    val keepSet = pos
+      .filter($"tok" === lit(x) && $"nxt" === lit(y))
+      .withColumn("isl", $"p" - row_number().over(byW))
+      .withColumn("kp",
+        (($"p" - min($"p").over(Window.partitionBy($"w", $"isl"))) % 2) === 0)
+      .select($"w", $"p", $"kp")
+    pos.join(keepSet, Seq("w", "p"), "left")
+      .withColumn("k", coalesce($"kp", lit(false)))
+      .withColumn("consumed", coalesce(lag($"k", 1).over(byW), lit(false)))
+      .filter(!$"consumed")
+      .select($"w", $"f", $"p",
+        when($"k", lit(x + y)).otherwise($"tok").as("tok2"))
+      .groupBy($"w", $"f")
+      .agg(transform(array_sort(collect_list(struct($"p", $"tok2"))),
+        c => c.getField("tok2")).as("t"))
+  }
+
+  val txt23Sql: String = {
+    // one iteration's pair count / top-5 / merge, templated over the
+    // input vocab CTE name; the merge mirrors the engine's positional
+    // leftmost-greedy islands logic exactly
+    def pairCte(sp: String, n: Int): String =
+      s"""p$n AS (
+         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair
+         |    FROM (SELECT string_split(sp, ' ') AS t, f FROM $sp) z)
+         |  GROUP BY pair),
+         |t$n AS (
+         |  SELECT pair, cnt, rnk FROM (
+         |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+         |    FROM p$n) zz WHERE rnk <= 5)""".stripMargin
+    def mergeCte(spIn: String, n: Int, spOut: String): String =
+      s"""top$n AS (
+         |  SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+         |  FROM t$n WHERE rnk = 1),
+         |pos$n AS (
+         |  SELECT w, f, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+         |  FROM (SELECT sp AS w, f, string_split(sp, ' ') AS t FROM $spIn) z),
+         |ld$n AS (
+         |  SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY p) AS nxt FROM pos$n),
+         |mm$n AS (
+         |  SELECT w, p, p - row_number() OVER (PARTITION BY w ORDER BY p) AS isl
+         |  FROM ld$n, top$n WHERE tok = top$n.x AND nxt = top$n.y),
+         |kk$n AS (
+         |  SELECT w, p, ((p - MIN(p) OVER (PARTITION BY w, isl)) % 2 = 0) AS kp
+         |  FROM mm$n),
+         |rr$n AS (
+         |  SELECT q.w, q.f, q.p,
+         |    CASE WHEN COALESCE(k.kp, false) THEN tt.x || tt.y ELSE q.tok END AS tok2,
+         |    COALESCE(lag(COALESCE(k.kp, false))
+         |      OVER (PARTITION BY q.w ORDER BY q.p), false) AS consumed
+         |  FROM ld$n q LEFT JOIN kk$n k ON k.w = q.w AND k.p = q.p, top$n tt),
+         |$spOut AS (
+         |  SELECT string_agg(tok2, ' ' ORDER BY p) AS sp, f
+         |  FROM rr$n WHERE NOT consumed GROUP BY w, f)""".stripMargin
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks
+       |       WHERE len(w) > 0 GROUP BY w),
+       |sp0 AS (SELECT array_to_string([w[i] for i in range(1, len(w) + 1)], ' ') AS sp, f
+       |        FROM wf),
+       |${pairCte("sp0", 1)},
+       |${mergeCte("sp0", 1, "sp1")},
+       |${pairCte("sp1", 2)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS it, CAST(rnk AS INTEGER) AS rank, pair, cnt FROM t1
+       |  UNION ALL
+       |  SELECT CAST(2 AS INTEGER), CAST(rnk AS INTEGER), pair, cnt FROM t2) u
+       |ORDER BY it, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt23_bpe_merges" -> ((s: SparkSession, d: String) => txt23BpeMerges(s, d)),
     "txt21_boilerplate" -> txt21Boilerplate _,
     "txt22_mixture_weights" -> txt22MixtureWeights _,
     "txt15_curation_pipeline" -> txt15CurationPipeline _,
@@ -1289,6 +1425,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt23_bpe_merges" -> txt23Sql,
     "txt21_boilerplate" -> txt21Sql,
     "txt22_mixture_weights" -> txt22Sql,
     "txt15_curation_pipeline" -> txt15Sql,
