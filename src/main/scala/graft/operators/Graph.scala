@@ -32,7 +32,7 @@ object Graph {
     * overlap numerically). DISTINCT first: the pair multiplicity is
     * line-item volume, not graph structure.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  private[operators] def tradeEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
@@ -66,18 +66,67 @@ object Graph {
     val r0 = deg.select($"src".as("node"), lit(1000000L).as("r"))
     val degN = deg.select($"src".as("deg_node"), $"deg")
     val edgesE = edges.select($"src".as("e_src"), $"dst".as("e_dst"))
-    val r2 = (1 to 2).foldLeft(r0) { (ranks, _) =>
-      ranks.join(degN, $"node" === $"deg_node")
-        .select($"node", expr("r div deg").as("contrib"))
-        .join(edgesE, $"node" === $"e_src")
-        .groupBy($"e_dst")
-        .agg(sum($"contrib").as("inflow"))
-        .select($"e_dst".as("node"),
-          (lit(150000L) + expr("85 * inflow div 100")).as("r"))
-    }
+    val r2 = (1 to 2).foldLeft(r0)((ranks, _) => rankStep(ranks, degN, edgesE))
     r2.select(($"node" % 2).as("node_kind"), expr("node div 2").as("node_key"),
         $"r".as("rank_e6"))
       .orderBy($"node_kind", $"node_key")
+  }
+
+  /** One damped fixed-point rank update (shared by the unrolled gate and
+    * the convergence loop): split each node's rank over its out-edges
+    * with truncating division, sum inflows per target, damp.
+    */
+  private def rankStep(ranks: DataFrame, degN: DataFrame,
+                       edgesE: DataFrame): DataFrame = {
+    import ranks.sparkSession.implicits._
+    ranks.join(degN, $"node" === $"deg_node")
+      .select($"node", expr("r div deg").as("contrib"))
+      .join(edgesE, $"node" === $"e_src")
+      .groupBy($"e_dst")
+      .agg(sum($"contrib").as("inflow"))
+      .select($"e_dst".as("node"),
+        (lit(150000L) + expr("85 * inflow div 100")).as("r"))
+  }
+
+  /** Production PageRank: iterate [[rankStep]] to a fixed point — stop
+    * when the largest per-node change is <= `tolE6` micro-units (or at
+    * `maxIter`) — returning (ranks, iterations run). The convergence
+    * probe is one slim max-of-abs-delta aggregate per iteration (an
+    * action is inherent to ANY convergence check; a cost-sensitive
+    * deployment probes every k-th iteration instead). Lineage is cut
+    * with an eager `localCheckpoint` every `checkpointEvery` iterations
+    * — an unbounded loop otherwise accretes a plan per iteration until
+    * analysis time explodes (at cluster scale use `checkpoint` to
+    * reliable storage for executor-loss recovery). Edges and degrees
+    * persist across the whole loop — here, unlike the 2-iteration gate,
+    * every iteration is a separate action, so exchange reuse cannot
+    * serve them (the gate's measured trade-off inverts).
+    */
+  def pageRankConverged(edges: DataFrame, tolE6: Long = 1000,
+                        maxIter: Int = 30,
+                        checkpointEvery: Int = 3): (DataFrame, Int) = {
+    import edges.sparkSession.implicits._
+    val cached = edges.persist()
+    val deg = cached.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val degN = deg.select($"src".as("deg_node"), $"deg").persist()
+    val edgesE = cached.select($"src".as("e_src"), $"dst".as("e_dst"))
+    try {
+      var ranks = degN.select($"deg_node".as("node"), lit(1000000L).as("r"))
+        .localCheckpoint(true)
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        var next = rankStep(ranks, degN, edgesE)
+        it += 1
+        if (it % checkpointEvery == 0) next = next.localCheckpoint(true)
+        val prev = ranks.select($"node".as("p_node"), $"r".as("p_r"))
+        val maxDelta = next.join(prev, $"node" === $"p_node")
+          .agg(max(abs($"r" - $"p_r"))).head().getLong(0)
+        converged = maxDelta <= tolE6
+        ranks = next
+      }
+      (ranks.localCheckpoint(true), it) // detach before unpersist below
+    } finally { degN.unpersist(); cached.unpersist() }
   }
 
   val graph01Sql: String =

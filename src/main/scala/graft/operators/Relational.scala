@@ -914,7 +914,66 @@ object Relational {
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY order_day, o_orderkey""".stripMargin
 
+  // q39 — time-series gap fill (densify + forward-fill): each user's
+  // daily activity series made dense over their [first, last] active
+  // day, missing days filled with 0 events, and the cumulative value
+  // carried forward across the gaps — the resample/ffill shape every
+  // metrics pipeline needs before joins on calendar keys. The calendar
+  // is GENERATED per user with sequence(min_day, max_day) (span is
+  // calendar-bounded — ~30 days here, never data-proportional, so the
+  // explode fan-out is a constant factor), the daily rollup partial-
+  // aggregates map-side before its one user_id exchange, and the
+  // carry-forward is a running sum over (user, day) — day-unique, so
+  // ROWS vs RANGE framing cannot disagree cross-engine. The daily
+  // subplan feeds both the span agg and the join probe; AQE exchange
+  // reuse serves the second consumer from the first's shuffle. Values
+  // ride as exact long cents (round(value*100)) so the running sum is
+  // order-independent.
+  def q39GapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select($"user_id", $"ts".cast("date").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("v100"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"v100", lit(0L)).as("dv"))
+      .withColumn("cum_v100", sum($"dv").over(
+        Window.partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"day", $"n_events", $"cum_v100")
+      .orderBy($"user_id", $"day")
+  }
+
+  val q39Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v100
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |spans AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      |  GROUP BY user_id),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans)
+      |SELECT c.user_id, c.day,
+      |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+      |  CAST(SUM(COALESCE(d.v100, 0)) OVER (
+      |    PARTITION BY c.user_id ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_v100
+      |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+      |ORDER BY c.user_id, c.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_gap_fill" -> q39GapFill _,
     "q32_copurchase" -> q32Copurchase _,
     "q33_basket_lift" -> q33BasketLift _,
     "q34_rank_distributions" -> q34RankDistributions _,
@@ -951,6 +1010,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q39_gap_fill" -> q39Sql,
     "q32_copurchase" -> q32Sql,
     "q33_basket_lift" -> q33Sql,
     "q34_rank_distributions" -> q34Sql,

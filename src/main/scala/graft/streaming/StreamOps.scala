@@ -299,6 +299,57 @@ object StreamOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // st05b — st05's arbitrary keyed state through a DURABLE sink: the
+  // flatMapGroupsWithState running totals run over a 3-file staging
+  // (cumulative figures emitted per touched user per micro-batch, out of
+  // event-time order within batches) into the native exactly-once
+  // parquet file sink. No sentinel needed: flatMapGroupsWithState in
+  // append mode emits eagerly every trigger — nothing is held back by a
+  // watermark — so AvailableNow drains completely; durability comes
+  // from the sink's commit log alone. The read-back fold is the same
+  // monotone max-per-user st05 uses (counts and positive-value totals
+  // only grow), so the final state is recoverable from ANY suffix-
+  // complete set of emissions — the property that makes this sink shape
+  // restart-safe without coordination. Completes the durable-twin
+  // matrix: windows (st01b), enrich rollup (st03b), sessions (st04b),
+  // arbitrary keyed state (here).
+  def st05bDurableState(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st05b") { work =>
+      import s.implicits._
+      val src = eventsStreamMultiFile(s, d, 3)
+        .select($"user_id", round($"value" * 100).cast("long").as("v100"))
+        .as[(Long, Long)]
+      val updated = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[(Long, Long)]) =>
+            val (n0, t0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0
+            var t = t0
+            rows.foreach { r => n += 1; t += r._2 }
+            state.update((n, t))
+            Iterator((uid, n, t))
+        }
+      val out = work.resolve("totals").toString
+      val q = updated.toDF("user_id", "n_events", "total_e2")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_e2")).as("m"))
+        .select($"user_id", $"m.n_events".as("n_events"),
+          $"m.total_e2".as("total_e2"))
+        .orderBy($"user_id")
+        .localCheckpoint(true) // detach from the rotating workdir
+        .orderBy($"user_id")
+    }
+
   // st06 — STREAM-STREAM interval join under the DuckDB oracle: view
   // events joined to purchase events by the same user within the
   // following hour — the attribution shape, and Structured Streaming's
@@ -720,6 +771,7 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st03b_durable_enrich" -> st03bDurableEnrich _,
     "st04b_durable_session" -> st04bDurableSession _,
+    "st05b_durable_state" -> st05bDurableState _,
     "st07_stream_outer_join" -> st07StreamOuterJoin _,
     "st01b_durable_window" -> st01bDurableWindow _,
     "st01_sliding_window" -> st01SlidingWindow _,
@@ -732,6 +784,7 @@ object StreamOps {
   def oracles: Map[String, String] = Map(
     "st03b_durable_enrich" -> st03Sql,
     "st04b_durable_session" -> st04Sql,
+    "st05b_durable_state" -> st05Sql,
     "st07_stream_outer_join" -> st07Sql,
     "st01b_durable_window" -> st01Sql,
     "st01_sliding_window" -> st01Sql,
