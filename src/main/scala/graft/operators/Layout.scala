@@ -223,11 +223,116 @@ object Layout {
       |WHERE l_partkey <= pcut AND l_suppkey <= scut
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin
 
+  /** Build a per-file Bloom-filter manifest over `keyCol` for a written
+    * parquet dir: each row sets k=2 bit positions (xxhash64 under two
+    * seeds, mod `mBits`), positions pack into 64-bit words, and a
+    * `bit_or` aggregate per (file, word) ORs them together — bounded
+    * state (≤ mBits/64 words per file regardless of row count) with
+    * map-side partial combine, i.e. a genuinely distributed bloom build.
+    * Returns sparse (file, word, bits) rows; an absent word is all-zero.
+    * This is the statistic behind parquet column bloom filters and
+    * Delta/Iceberg key-skipping: min/max envelopes cannot prune a point
+    * lookup on a column uncorrelated with the layout order (every file
+    * spans the whole keyspace); a bloom answers "definitely not in this
+    * file" with no false negatives, so dropping non-matching files is
+    * exact.
+    */
+  def bloomManifest(s: SparkSession, dir: String, keyCol: String,
+                    mBits: Long): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      .select(input_file_name().as("file"), col(keyCol).as("k"))
+      .select($"file", explode(array(
+        pmod(xxhash64($"k", lit(1)), lit(mBits)),
+        pmod(xxhash64($"k", lit(2)), lit(mBits)))).as("pos"))
+      .groupBy($"file", expr("pos div 64").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))
+  }
+
+  // q40 — BLOOM-FILTER file skipping under the DuckDB oracle: the
+  // complement of q36's min/max manifest. Orders are laid out by
+  // o_orderdate (the natural ingest order); o_orderkey is uncorrelated
+  // with date (measured |corr| ≈ 0.03 on this data), so for a key point
+  // lookup every file's min/max envelope spans the probe and skips
+  // NOTHING — the gate asserts exactly that, then prunes with the bloom
+  // manifest instead. The probe (the latest order's key — derived from
+  // the data, regeneration-proof) keeps only files whose bloom matches
+  // on BOTH hash positions; no false negatives means every file that
+  // holds the key survives, so re-reading the kept files with the
+  // residual filter is hash-exact vs the full-scan oracle. The gate
+  // fails loudly if the bloom skipped no files (sizing regression: m is
+  // 16 bits/key, k=2 → ~1.5 % false-positive files). At 100 TB the
+  // manifest is mBits/64 words per file — the same order as the bloom
+  // pages a parquet footer already carries — and membership is probed
+  // HERE via a 2-row broadcast join so the per-file word map never
+  // leaves the cluster; only kept file names are collected.
+  def q40BloomPrunedScan(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q40") { work =>
+      import s.implicits._
+      val o = graft.core.Tables.orders(s, d).toDF()
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderdate")
+      val out = work.resolve("bydate").toString
+      val nFiles = 8
+      linearCluster(o, "o_orderdate", out, nFiles)
+      val total = s.read.parquet(out).count()
+      val mBits = math.max(1024L, 16L * (total / nFiles + 1))
+      val probe = o.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        .select($"o_orderkey").head().getLong(0)
+      // layout-stats null result: every file's key envelope spans the probe
+      val env = fileEnvelopes(s, out, Seq("o_orderkey")).collect()
+      val minmaxKeep = env.count(r => r.getAs[Long]("min_o_orderkey") <= probe &&
+        probe <= r.getAs[Long]("max_o_orderkey"))
+      require(minmaxKeep == env.length, s"min/max pruned a key lookup on a " +
+        "date layout — key/date correlation appeared in testdata; q40's " +
+        "premise needs re-checking")
+      val man = bloomManifest(s, out, "o_orderkey", mBits)
+      // distinct probe rows: if both hash positions collide into one
+      // (word, bit), a file holding the key matches only that one pair —
+      // requiring 2 hits there would false-negative the true file
+      val pp = s.range(1).select(explode(array(
+          pmod(xxhash64(lit(probe), lit(1)), lit(mBits)),
+          pmod(xxhash64(lit(probe), lit(2)), lit(mBits)))).as("pos"))
+        .select(expr("pos div 64").as("word"),
+          expr("shiftleft(1L, int(pos % 64))").as("bit"))
+        .distinct().localCheckpoint(true)
+      val need = pp.count()
+      val keep = man.join(broadcast(pp), "word")
+        .filter(($"bits".bitwiseAND($"bit")) =!= 0)
+        .groupBy($"file").agg(count(lit(1)).as("hits"))
+        .filter($"hits" === need)
+        .select($"file").as[String].collect()
+      require(keep.nonEmpty, "bloom pruning eliminated every file — the " +
+        "probe key was just read from the table, so some file holds it")
+      require(keep.length < env.length, s"bloom pruning skipped nothing " +
+        s"(${env.length} files, mBits=$mBits) — sizing regression")
+      s.read.parquet(keep.toIndexedSeq: _*)
+        .filter($"o_orderkey" === probe)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("odate"))
+        .orderBy($"o_orderkey", $"o_custkey", $"odate")
+        .localCheckpoint(true)
+        .orderBy($"o_orderkey", $"o_custkey", $"odate")
+    }
+
+  val q40Sql: String =
+    """WITH probe AS (
+      |  SELECT o_orderkey AS k FROM orders
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+      |FROM orders, probe
+      |WHERE o_orderkey = probe.k
+      |ORDER BY o_orderkey, o_custkey, odate""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_zorder_layout" -> q35ZorderLayout _,
-    "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _)
+    "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _,
+    "q40_bloom_pruned_scan" -> q40BloomPrunedScan _)
 
   def oracles: Map[String, String] = Map(
     "q35_zorder_layout" -> q35Sql,
-    "q36_manifest_pruned_scan" -> q36Sql)
+    "q36_manifest_pruned_scan" -> q36Sql,
+    "q40_bloom_pruned_scan" -> q40Sql)
 }
