@@ -215,11 +215,103 @@ object Graph {
       |FROM d3
       |ORDER BY node_kind, node_key""".stripMargin
 
+  // graph03 — TRIANGLE COUNTING over the co-purchase part graph (edges =
+  // q32's frequent pairs, so the two gates can never disagree on edge
+  // semantics). Output: every node's degree and the number of triangles
+  // through it — the clustering-coefficient numerator, the local-density
+  // statistic curation uses to find tightly-coupled item/domain
+  // clusters. The naive 3-way edge self-join explodes on hubs (a node of
+  // degree d contributes d² wedge candidates); the classic distributed
+  // fix (Suri & Vassilvitskii's MR algorithm) is DEGREE-ORDERED
+  // ORIENTATION: direct each edge toward its higher-(degree, id)
+  // endpoint, which bounds every out-degree by O(√m), so the wedge count
+  // Σ outdeg² is minimal and hub skew cannot appear BY CONSTRUCTION —
+  // the skew fix is algebraic, not physical (no salting needed). Wedges
+  // are generated IN-NEIGHBORHOOD (sorted neighbor array + HOF pair
+  // transform — q32's in-basket idiom, one exchange on src), then one
+  // equi-join against the oriented edge list confirms the closing edge;
+  // each triangle materializes exactly once (at its lowest-ordered
+  // corner) and explodes into 3 per-corner attribution rows. The oracle
+  // replays the id-ordered 3-way join — a different enumeration order of
+  // the SAME triangle set, so the per-node counts hash-match exactly.
+  def graph03Triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the corpus-scale basket → pair pipeline feeds three consumers
+    // (degrees, orientation, and transitively both sides of the confirm
+    // join) — persist the slim edge list so it runs ONCE; the oriented
+    // list is detached eagerly (its two deg-enrichment joins shouldn't
+    // replay per consumer either), and the result detaches before the
+    // caches release (the gate cache contract)
+    val e = Relational.pairSupport(Relational.baskets(s, d))
+      .select($"a", $"b").persist()
+    val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg")).persist()
+    try {
+      val o = e
+        .join(deg.select($"n".as("a"), $"deg".as("deg_a")), "a")
+        .join(deg.select($"n".as("b"), $"deg".as("deg_b")), "b")
+        .select(
+          when(struct($"deg_a", $"a") < struct($"deg_b", $"b"), $"a")
+            .otherwise($"b").as("src"),
+          when(struct($"deg_a", $"a") < struct($"deg_b", $"b"),
+              struct($"deg_b".as("d"), $"b".as("n")))
+            .otherwise(struct($"deg_a".as("d"), $"a".as("n"))).as("dst"))
+        .localCheckpoint(true)
+      val wedges = o.groupBy($"src")
+        .agg(array_sort(collect_list($"dst")).as("nb"))
+        .select($"src", explode(expr(
+          """flatten(transform(nb, (x, i) ->
+            |  transform(slice(nb, i + 2, size(nb)),
+            |            y -> struct(x.n AS v1, y.n AS v2))))""".stripMargin))
+          .as("w"))
+        .select($"src", $"w.v1".as("v1"), $"w.v2".as("v2"))
+      val tri = wedges.join(
+        o.select($"src".as("v1"), $"dst.n".as("v2")), Seq("v1", "v2"))
+      val tcnt = tri
+        .select(explode(array($"src", $"v1", $"v2")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("n_tri"))
+      deg.join(tcnt, Seq("n"), "left")
+        .select($"n".as("part"), $"deg",
+          coalesce($"n_tri", lit(0L)).as("n_tri"))
+        .orderBy($"part")
+        .localCheckpoint(true)
+        .orderBy($"part")
+    } finally { deg.unpersist(); e.unpersist() }
+  }
+
+  val graph03Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS deg FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      |  GROUP BY n),
+      |tri AS (
+      |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      |  FROM e ab JOIN e bc ON ab.b = bc.a
+      |  JOIN e ac ON ab.a = ac.a AND bc.b = ac.b),
+      |tcnt AS (
+      |  SELECT n, COUNT(*) AS n_tri FROM (
+      |    SELECT x AS n FROM tri UNION ALL
+      |    SELECT y AS n FROM tri UNION ALL
+      |    SELECT z AS n FROM tri)
+      |  GROUP BY n)
+      |SELECT deg.n AS part, CAST(deg.deg AS BIGINT) AS deg,
+      |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri
+      |FROM deg LEFT JOIN tcnt t ON deg.n = t.n
+      |ORDER BY part""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph01_pagerank" -> graph01PageRank _,
-    "graph02_hop_distance" -> graph02HopDistance _)
+    "graph02_hop_distance" -> graph02HopDistance _,
+    "graph03_triangles" -> graph03Triangles _)
 
   def oracles: Map[String, String] = Map(
     "graph01_pagerank" -> graph01Sql,
-    "graph02_hop_distance" -> graph02Sql)
+    "graph02_hop_distance" -> graph02Sql,
+    "graph03_triangles" -> graph03Sql)
 }

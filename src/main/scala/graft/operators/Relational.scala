@@ -780,7 +780,7 @@ object Relational {
   // no pre-distinct: collect_set dedups repeated parts INSIDE the
   // basket aggregate (map-side partial), so the slim (order, part)
   // stream shuffles once instead of twice
-  private def baskets(s: SparkSession, d: String): DataFrame = {
+  private[operators] def baskets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d).select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
@@ -790,7 +790,7 @@ object Relational {
   /** q32's frequent-pair support computed from a basket frame — shared
     * with q33 so the two gates can never disagree on pair semantics.
     */
-  private def pairSupport(b: DataFrame): DataFrame = {
+  private[operators] def pairSupport(b: DataFrame): DataFrame = {
     import b.sparkSession.implicits._
     b.select(explode(expr(
         """flatten(transform(parts, (x, i) ->
