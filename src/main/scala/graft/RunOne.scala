@@ -18,9 +18,14 @@ object RunOne {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[runone] $name rep $i: $n rows in $sec%.3f s")
+      // SPARK_GRAFT_EXPLAIN=1 dumps the FINAL adaptive physical plan
+      // (after the count() action, so AQE re-plans are visible)
+      if (i == reps && sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        df.explain("formatted")
     } finally spark.stop()
   }
 }

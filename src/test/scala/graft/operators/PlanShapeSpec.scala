@@ -605,6 +605,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s.take(1500))
   }
 
+  test("q39: window reuses the span-agg's user hash — no dedicated window exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = Relational.q39GapFill(spark, d)
+    val phys = physical(p)
+    val exchanges = phys.collect { case e: ShuffleExchangeExec => e }
+    val hashes = exchanges.filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+    // exactly two hash exchanges: the (user_id, day) daily rollup (which
+    // AQE then broadcasts at gate scale — unhinted, so it degrades to a
+    // shuffle join when daily outgrows the threshold at 100 TB) and the
+    // user_id span agg; the carry-forward Window consumes the span agg's
+    // user_id partitioning directly — a third, window-dedicated exchange
+    // means the reuse broke
+    assert(hashes.size == 2, "daily (user_id, day) + span (user_id) only: " +
+      exchanges.map(_.outputPartitioning).mkString("; "))
+    assert(hashes.exists(e => e.outputPartitioning.toString.contains("user_id") &&
+      e.outputPartitioning.toString.contains("day")))
+    assert(hashes.exists(e => e.outputPartitioning.toString.contains("user_id") &&
+      !e.outputPartitioning.toString.contains("day")))
+    assert(exchanges.size <= 3) // + the gate's output range sort only
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, "exactly one carry-forward window")
+  }
+
   test("q33: AQE promotes both support enrichments to broadcast from measured size") {
     // the gate's returned frame is checkpointed (cache-release contract),
     // so pin the inner lazy plan; collect() finalizes AQE — the promotion
