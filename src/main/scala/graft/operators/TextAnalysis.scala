@@ -1399,7 +1399,57 @@ object TextAnalysis {
        |ORDER BY it, rank""".stripMargin
   }
 
+  // txt24 — WEIGHTED sampling: priority sampling (Duffield-Lund-Thorup),
+  // the size-biased complement of txt20's uniform per-stratum draw —
+  // "sample documents proportionally to length" is the curation move
+  // when token budget, not doc count, is the constraint. Each doc gets
+  // priority w/u (w = token count, u a deterministic md5-derived draw,
+  // txt20's convention); the n largest priorities are the sample. All
+  // arithmetic is exact fixed-point: prio = (w << 40) div u with u in
+  // [1, 2^30] — no float division for engines to disagree on, and the
+  // Spark guard raises BY NAME if w ever approaches the 2^23 overflow
+  // bound instead of silently wrapping. The top-n cut is rankedTopK
+  // (per-partition TakeOrdered + a bounded n·P merge — the corpus is
+  // never globally sorted or shuffled; sim09's scale shape).
+  def txt24PrioritySample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 25
+    val draw = conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    val docs = documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("n_tokens",
+        when($"n_tokens" >= lit(1L << 23),
+          raise_error(concat(lit("txt24: token count exceeds 23-bit "),
+            lit("priority bound: "), $"n_tokens")))
+        .otherwise($"n_tokens"))
+      .withColumn("u", pmod(draw, lit(1L << 30)) + lit(1L))
+      .withColumn("prio", expr(s"n_tokens * ${1L << 40}L div u"))
+    Similarity.rankedTopK(docs, $"prio", $"doc_id", n, "sample_rank")
+      .select($"doc_id", $"n_tokens", $"prio", $"sample_rank")
+      .orderBy($"sample_rank")
+  }
+
+  val txt24Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    (('0x' || md5(CAST(doc_id AS VARCHAR))[1:10])::BIGINT
+      |      % ${1L << 30}) + 1 AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST((n_tokens * ${1L << 40}) // u AS BIGINT) AS prio,
+      |    row_number() OVER (
+      |      ORDER BY (n_tokens * ${1L << 40}) // u DESC, doc_id)
+      |      AS sample_rank
+      |  FROM t)
+      |SELECT doc_id, n_tokens, prio, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM r WHERE sample_rank <= 25
+      |ORDER BY sample_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt24_priority_sample" -> txt24PrioritySample _,
     "txt23_bpe_merges" -> ((s: SparkSession, d: String) => txt23BpeMerges(s, d)),
     "txt21_boilerplate" -> txt21Boilerplate _,
     "txt22_mixture_weights" -> txt22MixtureWeights _,
@@ -1425,6 +1475,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt24_priority_sample" -> txt24Sql,
     "txt23_bpe_merges" -> txt23Sql,
     "txt21_boilerplate" -> txt21Sql,
     "txt22_mixture_weights" -> txt22Sql,
