@@ -326,13 +326,113 @@ object Layout {
       |WHERE o_orderkey = probe.k
       |ORDER BY o_orderkey, o_custkey, odate""".stripMargin
 
+  // q41 — SURGICAL DELETE under the DuckDB oracle: the
+  // right-to-be-forgotten / targeted-retention write path. Deleting one
+  // key from a 100 TB table must not rewrite the table; the deletion
+  // cost should scale with the files that HOLD the key. The bloom
+  // manifest (q40's, over o_custkey) names the candidate files — no
+  // false negatives, so every file holding the victim is a candidate
+  // and dropping the rest from the rewrite set is exact; candidates are
+  // re-written without the victim's rows into a staging dir and swapped
+  // in file-by-file (Delta/Iceberg's rewrite-files commit, on raw
+  // parquet), while every non-candidate file is left PHYSICALLY
+  // untouched — the gate asserts both that some files were untouched
+  // (surgical, not a table rewrite) and that untouched files' modify
+  // times didn't change (actually untouched, not rewritten-identical).
+  // The victim (the key with the fewest rows, ties to the smallest —
+  // derived from data, regeneration-proof) spans few files of the
+  // date-ordered layout; the read-back of untouched + rewritten files
+  // hash-matches the full-table anti-filter oracle.
+  def q41SurgicalDelete(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q41") { work =>
+      import s.implicits._
+      val o = graft.core.Tables.orders(s, d).toDF()
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderdate")
+      val out = work.resolve("bydate").toString
+      val nFiles = 8
+      linearCluster(o, "o_orderdate", out, nFiles)
+      val total = s.read.parquet(out).count()
+      val mBits = math.max(1024L, 16L * (total / nFiles + 1))
+      val victim = o.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"n", $"o_custkey").select($"o_custkey").head().getLong(0)
+      val man = bloomManifest(s, out, "o_custkey", mBits)
+      val pp = s.range(1).select(explode(array(
+          pmod(xxhash64(lit(victim), lit(1)), lit(mBits)),
+          pmod(xxhash64(lit(victim), lit(2)), lit(mBits)))).as("pos"))
+        .select(expr("pos div 64").as("word"),
+          expr("shiftleft(1L, int(pos % 64))").as("bit"))
+        .distinct().localCheckpoint(true)
+      val need = pp.count()
+      val candidates = man.join(broadcast(pp), "word")
+        .filter(($"bits".bitwiseAND($"bit")) =!= 0)
+        .groupBy($"file").agg(count(lit(1)).as("hits"))
+        .filter($"hits" === need)
+        .select($"file").as[String].collect()
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val allFiles = fs.listStatus(p).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      require(candidates.nonEmpty && candidates.length < allFiles.length,
+        s"bloom targeting degenerated (${candidates.length} of " +
+          s"${allFiles.length} files) — delete would not be surgical")
+      // compare by NAME: input_file_name() URIs (file:///…) don't
+      // string-match Hadoop Path.toString (file:/…)
+      val candidateNames = candidates
+        .map(c => new org.apache.hadoop.fs.Path(c).getName).toSet
+      val untouchedMtimes = allFiles
+        .filterNot(f => candidateNames.contains(f.getPath.getName))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+      // rewrite ONLY the candidate files, minus the victim's rows
+      val staging = work.resolve("staging").toString
+      s.read.parquet(candidates.toIndexedSeq: _*)
+        .filter($"o_custkey" =!= victim)
+        .repartition(candidates.length)
+        .write.mode("overwrite").parquet(staging)
+      candidates.foreach(f =>
+        require(fs.delete(new org.apache.hadoop.fs.Path(f), false), s"delete $f"))
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      fs.listStatus(sp).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          val dst = new org.apache.hadoop.fs.Path(p, f.getPath.getName)
+          require(fs.rename(f.getPath, dst), s"swap-in ${f.getPath}")
+        }
+      // untouched files must be PHYSICALLY untouched
+      fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          untouchedMtimes.get(f.getPath.getName).foreach { t =>
+            require(f.getModificationTime == t,
+              s"non-candidate file ${f.getPath.getName} was rewritten")
+          }
+        }
+      s.read.parquet(out)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("odate"))
+        .orderBy($"o_orderkey", $"o_custkey", $"odate", $"o_totalprice")
+        .localCheckpoint(true)
+        .orderBy($"o_orderkey", $"o_custkey", $"odate", $"o_totalprice")
+    }
+
+  val q41Sql: String =
+    """WITH v AS (
+      |  SELECT o_custkey AS vk FROM orders
+      |  GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+      |FROM orders, v
+      |WHERE o_custkey <> vk
+      |ORDER BY o_orderkey, o_custkey, odate, o_totalprice""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_zorder_layout" -> q35ZorderLayout _,
     "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _,
-    "q40_bloom_pruned_scan" -> q40BloomPrunedScan _)
+    "q40_bloom_pruned_scan" -> q40BloomPrunedScan _,
+    "q41_surgical_delete" -> q41SurgicalDelete _)
 
   def oracles: Map[String, String] = Map(
     "q35_zorder_layout" -> q35Sql,
     "q36_manifest_pruned_scan" -> q36Sql,
-    "q40_bloom_pruned_scan" -> q40Sql)
+    "q40_bloom_pruned_scan" -> q40Sql,
+    "q41_surgical_delete" -> q41Sql)
 }
