@@ -350,6 +350,85 @@ object StreamOps {
         .orderBy($"user_id")
     }
 
+  // st08 — BACKFILL ∪ LIVE with seam dedup (the lambda-architecture
+  // merge): a historical slice (oldest 70 % by event time) and a live
+  // slice (newest 50 %) of the SAME log are read as two independent
+  // file streams, unioned, and deduplicated on event_id with
+  // `dropDuplicatesWithinWatermark` — every row in the [50 %, 70 %]
+  // overlap arrives TWICE, from different sources in different
+  // micro-batches, and must survive exactly once. This is the topology
+  // every cutover/backfill runs (replay history next to the live feed
+  // and fence the seam), and the state story is the honest one: the
+  // dedup retention must cover the seam's event-time span — the
+  // watermark delay is sized to the overlap, so state is bounded by the
+  // seam width, not the stream length (st02's eviction lesson, applied
+  // to a union). Deduped rows append eagerly (nothing watermark-held)
+  // through the native exactly-once parquet sink; the read-back is a
+  // plain batch rollup hash-matched against the WHOLE undivided log —
+  // it can only match if the union covered everything and the seam
+  // deduped exactly. The gate requires a non-empty overlap up front (an
+  // empty seam would prove nothing).
+  def st08BackfillUnion(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st08") { work =>
+      import s.implicits._
+      val ev = graft.core.Tables.events(s, d).toDF()
+      // data-derived seam cuts (epoch seconds; regeneration-proof)
+      val mm = ev.agg(min($"ts".cast("long")), max($"ts".cast("long"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t50 = lo + (hi - lo) / 2
+      val t70 = lo + (hi - lo) * 7 / 10
+      val nOverlap = ev.filter($"ts".cast("long").between(t50, t70)).count()
+      require(nOverlap > 0, "empty backfill/live seam — dedup would be vacuous")
+      val dirKey = graft.binlog.BinlogReader.toHex(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8"))).take(16)
+      val staged = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-events-union-$dirKey")
+      StreamOps.synchronized {
+        if (!java.nio.file.Files.exists(staged.resolve("a/_SUCCESS")) ||
+            !java.nio.file.Files.exists(staged.resolve("b/_SUCCESS"))) {
+          ev.filter($"ts".cast("long") <= t70).repartition(2)
+            .write.mode("overwrite").parquet(staged.resolve("a").toString)
+          ev.filter($"ts".cast("long") >= t50).repartition(2)
+            .write.mode("overwrite").parquet(staged.resolve("b").toString)
+        }
+      }
+      val schema = s.read.parquet(staged.resolve("a").toString).schema
+      def src(sub: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.resolve(sub).toString)
+      val deduped = src("a").unionByName(src("b"))
+        // retention sized to the REPLAY HORIZON, not the seam: the live
+        // source runs ahead of the historical replay by up to the whole
+        // backfill, so the watermark can pass a seam row's expiry before
+        // its second copy arrives from the slower source — a seam-sized
+        // delay risks re-admitting that duplicate. Rows are never LOST
+        // either way (DedupLateRowSpec pins that this operator passes
+        // late input through); the horizon-sized delay additionally
+        // guarantees no state expires mid-replay, so the seam dedups
+        // under ANY admission interleaving. State is then bounded by the
+        // replay's distinct keys — the honest cost of a bounded
+        // backfill; a continuous pipeline would coordinate admission
+        // (fence the seam) instead of holding state forever.
+        .withWatermark("ts", s"${hi - lo + 60} seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select($"user_id", round($"value" * 100).cast("long").as("v100"))
+      val out = work.resolve("rows").toString
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"v100").as("total_e2"))
+        .orderBy($"user_id")
+        .localCheckpoint(true) // detach from the rotating workdir
+        .orderBy($"user_id")
+    }
+
   // st06 — STREAM-STREAM interval join under the DuckDB oracle: view
   // events joined to purchase events by the same user within the
   // following hour — the attribution shape, and Structured Streaming's
@@ -772,6 +851,7 @@ object StreamOps {
     "st03b_durable_enrich" -> st03bDurableEnrich _,
     "st04b_durable_session" -> st04bDurableSession _,
     "st05b_durable_state" -> st05bDurableState _,
+    "st08_backfill_union" -> st08BackfillUnion _,
     "st07_stream_outer_join" -> st07StreamOuterJoin _,
     "st01b_durable_window" -> st01bDurableWindow _,
     "st01_sliding_window" -> st01SlidingWindow _,
@@ -785,6 +865,7 @@ object StreamOps {
     "st03b_durable_enrich" -> st03Sql,
     "st04b_durable_session" -> st04Sql,
     "st05b_durable_state" -> st05Sql,
+    "st08_backfill_union" -> st05Sql,
     "st07_stream_outer_join" -> st07Sql,
     "st01b_durable_window" -> st01Sql,
     "st01_sliding_window" -> st01Sql,
