@@ -429,6 +429,62 @@ object StreamOps {
         .orderBy($"user_id")
     }
 
+  // st09 — STREAM-STATIC ANTI JOIN (denylist scrubbing): the ingest-side
+  // curation filter — drop every event from a denylisted user before it
+  // reaches storage. st03 proves the stream-static INNER (enrichment)
+  // path; anti is its own join path with its own planning (broadcast
+  // null-aware semantics don't arise here — equi-anti on a non-null key
+  // plans as a per-batch broadcast hash anti join, the stream never
+  // shuffles). The denylist is computed from the SAME log (users whose
+  // error count is strictly above the per-user average — data-derived,
+  // regeneration-proof, never empty when errors exist and never
+  // everyone), which also makes the oracle a pure-SQL replay. Filtered
+  // rows append eagerly (stateless — no watermark, no finalization
+  // concerns) through the exactly-once parquet sink; read-back rollup
+  // hash-matches the batch anti-filter.
+  def st09DenylistFilter(s: SparkSession, d: String): DataFrame =
+    graft.operators.CdcBinlog.withRotatingWorkdir("graft-st09") { work =>
+      import s.implicits._
+      val ev = graft.core.Tables.events(s, d).toDF()
+      // denylist: error counts strictly above the mean (integer
+      // cross-multiplied compare — no FP threshold to disagree on)
+      val errs = ev.filter($"event_type" === "error")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      val tot = errs.agg(sum($"n_err").as("t"), count(lit(1)).as("u")).head()
+      val (t, u) = (tot.getLong(0), tot.getLong(1))
+      val deny = errs.filter($"n_err" * u > t).select($"user_id")
+      val kept = eventsStreamMultiFile(s, d, 2)
+        .join(broadcast(deny), Seq("user_id"), "left_anti")
+        .select($"event_type", round($"value" * 100).cast("long").as("v100"))
+      val out = work.resolve("rows").toString
+      val q = kept.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"v100").as("total_e2"))
+        .orderBy($"event_type")
+        .localCheckpoint(true) // detach from the rotating workdir
+        .orderBy($"event_type")
+    }
+
+  val st09Sql: String =
+    """WITH errs AS (
+      |  SELECT user_id, COUNT(*) AS n_err FROM events
+      |  WHERE event_type = 'error' GROUP BY user_id),
+      |tot AS (SELECT SUM(n_err) AS t, COUNT(*) AS u FROM errs),
+      |deny AS (SELECT user_id FROM errs, tot WHERE n_err * u > t)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_e2
+      |FROM events
+      |WHERE user_id NOT IN (SELECT user_id FROM deny)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // st06 — STREAM-STREAM interval join under the DuckDB oracle: view
   // events joined to purchase events by the same user within the
   // following hour — the attribution shape, and Structured Streaming's
@@ -852,6 +908,7 @@ object StreamOps {
     "st04b_durable_session" -> st04bDurableSession _,
     "st05b_durable_state" -> st05bDurableState _,
     "st08_backfill_union" -> st08BackfillUnion _,
+    "st09_denylist_filter" -> st09DenylistFilter _,
     "st07_stream_outer_join" -> st07StreamOuterJoin _,
     "st01b_durable_window" -> st01bDurableWindow _,
     "st01_sliding_window" -> st01SlidingWindow _,
@@ -866,6 +923,7 @@ object StreamOps {
     "st04b_durable_session" -> st04Sql,
     "st05b_durable_state" -> st05Sql,
     "st08_backfill_union" -> st05Sql,
+    "st09_denylist_filter" -> st09Sql,
     "st07_stream_outer_join" -> st07Sql,
     "st01b_durable_window" -> st01Sql,
     "st01_sliding_window" -> st01Sql,
