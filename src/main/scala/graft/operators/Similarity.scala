@@ -529,6 +529,52 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // sim16 — ANN RECALL@K measured in-engine: the exact top-10 (sim01's
+  // brute-force contract) flagged row-by-row with membership in the IVF
+  // probe's top-10 (sim05's contract) — the quality metric every index
+  // deployment tunes nprobe/codebooks against, as an oracle-checked
+  // operator instead of an offline notebook. "Measure, don't guess"
+  // applied to the index itself: a probe-parameter regression (fewer
+  // cells, broken centroid fold) flips a flag and breaks the hash. Both
+  // sides are existing shared code (a recall gate that re-derived either
+  // ranking could silently diverge from the thing it claims to measure);
+  // the comparison is a 10-row broadcast join, and the flags are exact
+  // integers. At 100 TB the same shape runs over a query SAMPLE via the
+  // batch kNN join (sim10) — this pins the single-query form both build
+  // from.
+  def sim16RecallAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // rank window over the 10 surviving rows only (bounded, single task)
+    val exact = sim01BruteTopK(s, d)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+    val probeIds = sim05KmeansIvf(s, d).select($"vec_id".as("p_vid"))
+    exact.join(broadcast(probeIds), $"vec_id" === $"p_vid", "left")
+      .select($"rank", $"vec_id",
+        when($"p_vid".isNotNull, 1L).otherwise(0L).as("in_probe"))
+      .orderBy($"rank")
+  }
+
+  val sim16Sql: String =
+    s"""WITH $annProbeCtes,
+       |exact AS (
+       |  SELECT e.vec_id, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |exactr AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact),
+       |probe AS (
+       |  SELECT a.vec_id, ${duckCosine("a.embedding", "q.qv")} AS cos
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell, q
+       |  WHERE a.vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT CAST(r.rank AS BIGINT) AS rank, r.vec_id,
+       |  CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END::BIGINT AS in_probe
+       |FROM exactr r LEFT JOIN probe pr ON r.vec_id = pr.vec_id
+       |ORDER BY rank""".stripMargin
+
   // ---- sim06: int8 scalar quantization + exact rerank --------------------
   //
   // The memory-bandwidth lever every large ANN deployment pulls: store a
@@ -1612,6 +1658,7 @@ object Similarity {
     "sim05b_via_index" -> sim05bViaIndex _,
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
+    "sim16_recall_at_k" -> sim16RecallAtK _,
     "sim11_range_search" -> sim11RangeSearch _,
     "sim11b_range_via_index" -> ((s: SparkSession, d: String) => sim11bRangeViaIndex(s, d)),
     "sim12_truncated_prefilter" -> sim12TruncatedPrefilter _,
@@ -1730,6 +1777,7 @@ object Similarity {
     "sim05b_via_index" -> sim05Sql,
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
+    "sim16_recall_at_k" -> sim16Sql,
     "sim11_range_search" -> sim11Sql,
     "sim11b_range_via_index" -> sim11bSql,
     "sim12_truncated_prefilter" -> sim12Sql,
