@@ -510,7 +510,73 @@ object Multimodal {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** One media item's stub feature embedding. */
+  case class MediaEmbedding(doc_id: Long, media_type: String,
+                            emb: Array[Long])
+
+  // mm10 — media → embedding → similarity search, end-to-end: the
+  // multimodal retrieval capstone connecting the mm plumbing to the sim
+  // search surface. Feature extraction runs partition-parallel over the
+  // opaque payloads (one "model" instance per partition via
+  // mapPartitions — the Scala-native mapInPandas batch shape; the stub
+  // extractor stands in for a CLIP-style encoder and is DETERMINISTIC:
+  // component i = md5(payload ‖ ':' ‖ i) first-4-bytes mod 2001, shifted
+  // to [-1000, 1000] — so DuckDB replays it bit-for-bit from the text
+  // the payload encodes). Search is the exact integer-dot top-10 against
+  // the probe item's embedding: one broadcast row, a narrow map over the
+  // corpus, TakeOrdered cut — no shuffle anywhere (blobs included); at
+  // 100 TB the extraction pass persists its embeddings next to the media
+  // and the search side composes with the IVF/PQ indexes (sim05/sim07)
+  // unchanged.
+  def mm10MediaEmbedSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 8
+    val emb = mediaTable(s, d).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
+      it.map { r =>
+        val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val e = Array.tabulate(dim) { i0 =>
+          val i = i0 + 1
+          val h = md.digest(s"$text:$i".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          u % 2001L - 1000L
+        }
+        MediaEmbedding(r.doc_id, r.media_type, e)
+      }
+    }.toDF()
+    val q = emb.filter($"doc_id" === 0).select($"emb".as("qe"))
+    emb.filter($"doc_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"doc_id", $"media_type",
+        aggregate(zip_with($"emb", $"qe", (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+      .orderBy($"dot".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val mm10Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+      |      ELSE 'video' END AS media_type,
+      |    list_transform(generate_series(1, 8), i ->
+      |      (('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+      |        % 2001) - 1000) AS emb
+      |  FROM documents),
+      |q AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+      |SELECT e.doc_id, e.media_type,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_zip(e.emb, q.qe), p -> p[1] * p[2])),
+      |    (x, y) -> x + y) AS BIGINT) AS dot
+      |FROM e, q
+      |WHERE e.doc_id <> 0
+      |ORDER BY dot DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_media_embed_search" -> mm10MediaEmbedSearch _,
     "mm08_media_gate" -> mm08MediaGate _,
     "mm07_shard_manifest" -> ((s: SparkSession, d: String) => mm07ShardManifest(s, d)),
     "mm06_pair_manifest" -> mm06PairManifest _,
@@ -522,6 +588,7 @@ object Multimodal {
     "mm09_media_canonical" -> mm09MediaCanonical _)
 
   def oracles: Map[String, String] = Map(
+    "mm10_media_embed_search" -> mm10Sql,
     "mm08_media_gate" -> mm08Sql,
     "mm07_shard_manifest" -> mm07Sql,
     "mm06_pair_manifest" -> mm06Sql,
