@@ -627,6 +627,62 @@ object Dedup {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // dd13 — dd08's decontamination behind a BLOOM SCREEN, same exact
+  // answer (same oracle): at 100 TB the eval shingle set behind a
+  // benchmark suite is itself large, and broadcasting string shingles to
+  // every train task is the expensive part of the exact join. The screen
+  // replaces that first contact with a fixed-m bloom (2×xxhash64
+  // positions packed into 64-bit words, bit_or-aggregated — q40's
+  // distributed build, global instead of per-file): train shingles probe
+  // the broadcast word map with two integer lookups, and only candidates
+  // (true matches + ~1.5 % false positives at 16 bits/shingle) proceed
+  // to the exact string join that removes the FPs — txt19's
+  // sketch-prune-then-exact-verify pattern applied to decontamination.
+  // No false negatives → the final aggregates are bit-identical to
+  // dd08's. The gate asserts the screen actually pruned; per-shingle
+  // `need` counts distinct (word, bit) pairs so a position collision
+  // cannot false-negative a true match (q40's lesson).
+  def dd13BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val docs = documents(s, d).withColumn("bkt", bucket)
+    val evalSh = docs.filter($"bkt" < 5)
+      .select($"doc_id".as("eval_id"), explode(shingles($"text")).as("sh"))
+    val trainSh = docs.filter($"bkt" >= 5)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+    val nEval = evalSh.select($"sh").distinct().count() // stats at 100 TB
+    val mBits = math.max(1024L, 16L * nEval)
+    def positions(c: org.apache.spark.sql.Column) = array(
+      pmod(xxhash64(c, lit(1)), lit(mBits)),
+      pmod(xxhash64(c, lit(2)), lit(mBits)))
+    val bloom = evalSh.select(explode(positions($"sh")).as("pos"))
+      .groupBy(expr("pos div 64").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))
+    val candidates = trainSh
+      .withColumn("need", size(array_distinct(positions($"sh"))).cast("long"))
+      .select($"doc_id", $"sh", $"need",
+        explode(array_distinct(positions($"sh"))).as("pos"))
+      .select($"doc_id", $"sh", $"need", expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .join(broadcast(bloom), "word")
+      .filter(($"bits".bitwiseAND($"bit")) =!= 0)
+      .groupBy($"doc_id", $"sh", $"need").agg(count(lit(1)).as("hits"))
+      .filter($"hits" === $"need")
+      .select($"doc_id", $"sh")
+    val nTrain = trainSh.count()
+    val nCand = candidates.count()
+    require(nCand < nTrain, s"bloom screen pruned nothing " +
+      s"($nCand of $nTrain train shingle instances) — sizing regression")
+    candidates.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"sh").as("n_shared_shingles"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * LSH pairs into DEDUP GROUPS (keep one representative per component).
     * Iterative hash-to-min: each node's label converges to its component's
@@ -1022,6 +1078,7 @@ object Dedup {
       |FROM sym GROUP BY id ORDER BY p_partkey""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_bloom_decontaminate" -> dd13BloomDecontaminate _,
     "dd12_fuzzy_join" -> dd12FuzzyJoin _,
     "dd09_dup_clusters" -> dd09DupClusters _,
     "dd06b_via_index" -> dd06bViaIndex _,
@@ -1036,6 +1093,7 @@ object Dedup {
     "dd11_span_dedup" -> ((s: SparkSession, d: String) => dd11SpanDedup(s, d)))
 
   def oracles(sfDir: String): Map[String, String] = Map(
+    "dd13_bloom_decontaminate" -> dd08Sql, // bloom screen is exact → same oracle
     "dd12_fuzzy_join" -> dd12Sql,
     "dd09_dup_clusters" -> dd09Sql,
     "dd06b_via_index" -> dd06Sql,
