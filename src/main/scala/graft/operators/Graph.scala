@@ -215,6 +215,84 @@ object Graph {
       |FROM d3
       |ORDER BY node_kind, node_key""".stripMargin
 
+  // graph04 — PERSONALIZED PageRank: graph01's damped fixed-point update
+  // with the restart mass concentrated on a SEED set (customers of
+  // nations < 5 — graph02's seed flavor) instead of spread uniformly.
+  // This is importance CONDITIONED on a root population — the curation
+  // form: "rank suppliers/domains by relevance to THESE sources" —
+  // and the only changes to the schedule are an indicator-weighted base
+  // term and a left join that keeps zero-rank nodes addressable (a seed
+  // with no inflow still restarts; a non-seed with no inflow still
+  // appears at rank 0 — the pure-join formulation would silently drop
+  // both). Same integer fixed-point arithmetic, two unrolled iterations,
+  // exact DuckDB replay; the convergence loop composes exactly as
+  // [[pageRankConverged]] does for the uniform case.
+  def graph04PersonalizedPr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, d)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val seedSet = Tables.customer(s, d).toDF()
+      .filter($"c_nationkey" < 5)
+      .select(($"c_custkey" * 2).as("s_node")).distinct()
+    val nodes = deg.select($"src".as("node"))
+      .join(seedSet, $"node" === $"s_node", "left")
+      .select($"node", when($"s_node".isNotNull, 1L).otherwise(0L).as("seed"))
+    val degN = deg.select($"src".as("deg_node"), $"deg")
+    val edgesE = edges.select($"src".as("e_src"), $"dst".as("e_dst"))
+    var ranks = nodes.select($"node", ($"seed" * 1000000L).as("r"))
+    for (_ <- 1 to 2) {
+      val inflow = ranks.join(degN, $"node" === $"deg_node")
+        .select($"node", expr("r div deg").as("contrib"))
+        .join(edgesE, $"node" === $"e_src")
+        .groupBy($"e_dst").agg(sum($"contrib").as("inflow"))
+      ranks = nodes.join(inflow, $"node" === $"e_dst", "left")
+        .select($"node",
+          ($"seed" * 150000L +
+            expr("85 * coalesce(inflow, cast(0 as bigint)) div 100")).as("r"))
+    }
+    ranks.select(($"node" % 2).as("node_kind"), expr("node div 2").as("node_key"),
+        $"r".as("rank_e6"))
+      .orderBy($"node_kind", $"node_key")
+  }
+
+  val graph04Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, p AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT p AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |seeds AS (
+      |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+      |  WHERE c_nationkey < 5),
+      |nodes AS (
+      |  SELECT d.src AS node,
+      |    CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed
+      |  FROM deg d LEFT JOIN seeds s ON d.src = s.node),
+      |r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS r FROM nodes),
+      |inf1 AS (
+      |  SELECT e.dst AS node, SUM(r.r // d.deg) AS inflow
+      |  FROM r0 r JOIN deg d ON r.node = d.src JOIN edges e ON e.src = r.node
+      |  GROUP BY e.dst),
+      |i1 AS (
+      |  SELECT n.node, n.seed,
+      |    CAST(n.seed * 150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN inf1 i ON n.node = i.node),
+      |inf2 AS (
+      |  SELECT e.dst AS node, SUM(r.r // d.deg) AS inflow
+      |  FROM i1 r JOIN deg d ON r.node = d.src JOIN edges e ON e.src = r.node
+      |  GROUP BY e.dst),
+      |i2 AS (
+      |  SELECT n.node,
+      |    CAST(n.seed * 150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN inf2 i ON n.node = i.node)
+      |SELECT CAST(node % 2 AS BIGINT) AS node_kind,
+      |  CAST(node // 2 AS BIGINT) AS node_key, r AS rank_e6
+      |FROM i2
+      |ORDER BY node_kind, node_key""".stripMargin
+
   // graph03 — TRIANGLE COUNTING over the co-purchase part graph (edges =
   // q32's frequent pairs, so the two gates can never disagree on edge
   // semantics). Output: every node's degree and the number of triangles
@@ -308,10 +386,12 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph01_pagerank" -> graph01PageRank _,
     "graph02_hop_distance" -> graph02HopDistance _,
-    "graph03_triangles" -> graph03Triangles _)
+    "graph03_triangles" -> graph03Triangles _,
+    "graph04_personalized_pr" -> graph04PersonalizedPr _)
 
   def oracles: Map[String, String] = Map(
     "graph01_pagerank" -> graph01Sql,
     "graph02_hop_distance" -> graph02Sql,
-    "graph03_triangles" -> graph03Sql)
+    "graph03_triangles" -> graph03Sql,
+    "graph04_personalized_pr" -> graph04Sql)
 }
