@@ -48,7 +48,16 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dd12_fuzzy_join", // localCheckpoints (cache-release contract); lazy twin pinned in PlanShapeSpec
     "dd06_incremental_dedup", "dd10_semantic_dedup", "dd09_dup_clusters",
     "mm09_media_canonical", // connected-components loop executes rounds
-    "txt19_heavy_hitters")  // token total aggregates up front
+    "txt19_heavy_hitters",  // token total aggregates up front
+    // wave-2/3 additions that run a full streaming job / write-path /
+    // driver-bounded fold on call: their returned frames are checkpoint
+    // scans (nothing for the sweep to inspect) and executing them twice
+    // per suite is pure runtime
+    "st03b_durable_enrich", "st04b_durable_session", "st05b_durable_state",
+    "st07_stream_outer_join", "st08_backfill_union", "st09_denylist_filter",
+    "q36_manifest_pruned_scan", "q40_bloom_pruned_scan",
+    "q41_surgical_delete", "cdcb21_asof_image", "sim15_trained_ivf",
+    "dd13_bloom_decontaminate", "graph03_triangles", "txt23_bpe_merges")
 
   test("no gate plans a non-broadcast cartesian product") {
     graft.functions.GraftFunctions.register(spark)
