@@ -972,7 +972,68 @@ object Relational {
       |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
       |ORDER BY c.user_id, c.day""".stripMargin
 
+  // q42 — DATA-QUALITY AUDIT (the dbt/great-expectations test suite as
+  // one declarative pass): referential integrity (lineitem→orders,
+  // orders→customer orphans via anti joins — at scale the dimension side
+  // broadcasts or AQE shuffles, the fact side never moves twice), key
+  // uniqueness ((l_orderkey, l_linenumber) groups with >1 row —
+  // partial-aggregated before the one key exchange), null rate and
+  // domain checks (pure filtered counts, pushed into their scans). Each
+  // check reads only its own pruned columns; zero is a meaningful
+  // result (an audit that only reports failures can't distinguish
+  // "clean" from "didn't run"). Output is the (check, violations)
+  // contract a pipeline gate consumes. A production suite fuses
+  // same-table scalar checks into one aggregate pass; the joins and the
+  // group-by are irreducibly their own shapes.
+  def q42DqAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val liOrphans = lineitem(s, d).select($"l_orderkey")
+      .join(orders(s, d).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("li_orphans").as("check_name"), $"violations")
+    val ordOrphans = orders(s, d).select($"o_custkey")
+      .join(customer(s, d).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ord_orphans").as("check_name"), $"violations")
+    val dupKeys = lineitem(s, d)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("li_dup_keys").as("check_name"), $"violations")
+    val nullProps = events(s, d).filter($"props".isNull)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ev_null_props").as("check_name"), $"violations")
+    val negValue = events(s, d).filter($"value" < 0)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ev_neg_value").as("check_name"), $"violations")
+    liOrphans.unionAll(ordOrphans).unionAll(dupKeys)
+      .unionAll(nullProps).unionAll(negValue)
+      .orderBy($"check_name")
+  }
+
+  val q42Sql: String =
+    """SELECT check_name, violations FROM (
+      |  SELECT 'li_orphans' AS check_name, COUNT(*) AS violations
+      |  FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'ord_orphans', COUNT(*)
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'li_dup_keys', COUNT(*) FROM (
+      |    SELECT l_orderkey, l_linenumber FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'ev_null_props', COUNT(*) FROM events WHERE props IS NULL
+      |  UNION ALL
+      |  SELECT 'ev_neg_value', COUNT(*) FROM events WHERE value < 0)
+      |ORDER BY check_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_dq_audit" -> q42DqAudit _,
     "q39_gap_fill" -> q39GapFill _,
     "q32_copurchase" -> q32Copurchase _,
     "q33_basket_lift" -> q33BasketLift _,
@@ -1010,6 +1071,7 @@ object Relational {
     "q17_topk" -> q17TopK _)
 
   def oracles: Map[String, String] = Map(
+    "q42_dq_audit" -> q42Sql,
     "q39_gap_fill" -> q39Sql,
     "q32_copurchase" -> q32Sql,
     "q33_basket_lift" -> q33Sql,
