@@ -229,7 +229,15 @@ object Graph {
   // [[pageRankConverged]] does for the uniform case.
   def graph04PersonalizedPr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, d)
+    // PERSISTED, unlike graph01: the seed left-join gives every consumer
+    // of the edge/node frames a different projection shape, so subtree
+    // canonicalization never matches and exchange reuse serves NOTHING —
+    // measured unpersisted: 62 parquet scans of lineitem/orders in one
+    // plan (graph01's identical-subplan trick doesn't survive the
+    // outer-join asymmetry). The slim cached frames (two longs per edge,
+    // two per node) are exactly what a cluster would pin; the result
+    // detaches eagerly so the caches release here (the cache contract).
+    val edges = tradeEdges(s, d).persist()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val seedSet = Tables.customer(s, d).toDF()
       .filter($"c_nationkey" < 5)
@@ -237,22 +245,27 @@ object Graph {
     val nodes = deg.select($"src".as("node"))
       .join(seedSet, $"node" === $"s_node", "left")
       .select($"node", when($"s_node".isNotNull, 1L).otherwise(0L).as("seed"))
-    val degN = deg.select($"src".as("deg_node"), $"deg")
-    val edgesE = edges.select($"src".as("e_src"), $"dst".as("e_dst"))
-    var ranks = nodes.select($"node", ($"seed" * 1000000L).as("r"))
-    for (_ <- 1 to 2) {
-      val inflow = ranks.join(degN, $"node" === $"deg_node")
-        .select($"node", expr("r div deg").as("contrib"))
-        .join(edgesE, $"node" === $"e_src")
-        .groupBy($"e_dst").agg(sum($"contrib").as("inflow"))
-      ranks = nodes.join(inflow, $"node" === $"e_dst", "left")
-        .select($"node",
-          ($"seed" * 150000L +
-            expr("85 * coalesce(inflow, cast(0 as bigint)) div 100")).as("r"))
-    }
-    ranks.select(($"node" % 2).as("node_kind"), expr("node div 2").as("node_key"),
-        $"r".as("rank_e6"))
-      .orderBy($"node_kind", $"node_key")
+      .persist()
+    try {
+      val degN = deg.select($"src".as("deg_node"), $"deg")
+      val edgesE = edges.select($"src".as("e_src"), $"dst".as("e_dst"))
+      var ranks = nodes.select($"node", ($"seed" * 1000000L).as("r"))
+      for (_ <- 1 to 2) {
+        val inflow = ranks.join(degN, $"node" === $"deg_node")
+          .select($"node", expr("r div deg").as("contrib"))
+          .join(edgesE, $"node" === $"e_src")
+          .groupBy($"e_dst").agg(sum($"contrib").as("inflow"))
+        ranks = nodes.join(inflow, $"node" === $"e_dst", "left")
+          .select($"node",
+            ($"seed" * 150000L +
+              expr("85 * coalesce(inflow, cast(0 as bigint)) div 100")).as("r"))
+      }
+      ranks.select(($"node" % 2).as("node_kind"),
+          expr("node div 2").as("node_key"), $"r".as("rank_e6"))
+        .orderBy($"node_kind", $"node_key")
+        .localCheckpoint(true)
+        .orderBy($"node_kind", $"node_key")
+    } finally { nodes.unpersist(); edges.unpersist() }
   }
 
   val graph04Sql: String =
