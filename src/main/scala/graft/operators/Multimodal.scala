@@ -528,10 +528,17 @@ object Multimodal {
   // 100 TB the extraction pass persists its embeddings next to the media
   // and the search side composes with the IVF/PQ indexes (sim05/sim07)
   // unchanged.
-  def mm10MediaEmbedSearch(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dim = 8
-    val emb = mediaTable(s, d).mapPartitions { it =>
+  /** Partition-parallel stub encoder (one "model" per partition — the
+    * batch-UDF shape). mapPartitions is OPAQUE to Catalyst, so callers
+    * must filter BEFORE encoding: a doc_id predicate above this call
+    * cannot push below it, and the probe side would otherwise re-encode
+    * the whole corpus to extract one row (measured: 4 full encode passes
+    * in mm10's first plan).
+    */
+  private def encodeMedia(media: Dataset[MediaRecord],
+                          dim: Int): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5") // per partition
       it.map { r =>
         val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
@@ -545,9 +552,18 @@ object Multimodal {
         }
         MediaEmbedding(r.doc_id, r.media_type, e)
       }
-    }.toDF()
-    val q = emb.filter($"doc_id" === 0).select($"emb".as("qe"))
-    emb.filter($"doc_id" =!= 0)
+    }
+  }
+
+  def mm10MediaEmbedSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 8
+    // probe and corpus are SEPARATE pipelines, each filtered before the
+    // opaque encoder: the doc_id predicates push into the parquet scans,
+    // so the probe side encodes one row and the corpus encodes once
+    val q = encodeMedia(mediaTable(s, d).filter($"doc_id" === 0), dim)
+      .toDF().select($"emb".as("qe"))
+    encodeMedia(mediaTable(s, d).filter($"doc_id" =!= 0), dim).toDF()
       .crossJoin(broadcast(q))
       .select($"doc_id", $"media_type",
         aggregate(zip_with($"emb", $"qe", (x, y) => x * y),
