@@ -654,9 +654,8 @@ object Dedup {
       .select($"doc_id", explode(shingles($"text")).as("sh"))
     val nEval = evalSh.select($"sh").distinct().count() // stats at 100 TB
     val mBits = math.max(1024L, 16L * nEval)
-    def positions(c: org.apache.spark.sql.Column) = array(
-      pmod(xxhash64(c, lit(1)), lit(mBits)),
-      pmod(xxhash64(c, lit(2)), lit(mBits)))
+    def positions(c: org.apache.spark.sql.Column) =
+      Layout.bloomPositions(c, mBits, k = 2)
     val bloom = evalSh.select(explode(positions($"sh")).as("pos"))
       .groupBy(expr("pos div 64").as("word"))
       .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))

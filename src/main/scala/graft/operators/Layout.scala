@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout optimization: Z-order clustering for multi-dimensional
@@ -237,14 +237,33 @@ object Layout {
     * file" with no false negatives, so dropping non-matching files is
     * exact.
     */
+  /** The k hash positions of `key` in an m-bit bloom — one definition
+    * shared by every build and probe site (a build/probe seed mismatch
+    * is a silent full-false-negative bloom).
+    */
+  def bloomPositions(key: Column, mBits: Long, k: Int): Column =
+    array((1 to k).map(seed => pmod(xxhash64(key, lit(seed)), lit(mBits))): _*)
+
+  /** Probe rows for one literal key: DISTINCT (word, bit) pairs (two
+    * positions can collide into one pair — requiring k hits there would
+    * false-negative the true file), eagerly detached so callers can
+    * count them.
+    */
+  private def probeRows(s: SparkSession, key: Long, mBits: Long,
+                        k: Int): DataFrame = {
+    import s.implicits._
+    s.range(1).select(explode(bloomPositions(lit(key), mBits, k)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .distinct().localCheckpoint(true)
+  }
+
   def bloomManifest(s: SparkSession, dir: String, keyCol: String,
-                    mBits: Long): DataFrame = {
+                    mBits: Long, k: Int = 2): DataFrame = {
     import s.implicits._
     s.read.parquet(dir)
       .select(input_file_name().as("file"), col(keyCol).as("k"))
-      .select($"file", explode(array(
-        pmod(xxhash64($"k", lit(1)), lit(mBits)),
-        pmod(xxhash64($"k", lit(2)), lit(mBits)))).as("pos"))
+      .select($"file", explode(bloomPositions($"k", mBits, k)).as("pos"))
       .groupBy($"file", expr("pos div 64").as("word"))
       .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))
   }
@@ -287,15 +306,7 @@ object Layout {
         "date layout — key/date correlation appeared in testdata; q40's " +
         "premise needs re-checking")
       val man = bloomManifest(s, out, "o_orderkey", mBits)
-      // distinct probe rows: if both hash positions collide into one
-      // (word, bit), a file holding the key matches only that one pair —
-      // requiring 2 hits there would false-negative the true file
-      val pp = s.range(1).select(explode(array(
-          pmod(xxhash64(lit(probe), lit(1)), lit(mBits)),
-          pmod(xxhash64(lit(probe), lit(2)), lit(mBits)))).as("pos"))
-        .select(expr("pos div 64").as("word"),
-          expr("shiftleft(1L, int(pos % 64))").as("bit"))
-        .distinct().localCheckpoint(true)
+      val pp = probeRows(s, probe, mBits, k = 2)
       val need = pp.count()
       val keep = man.join(broadcast(pp), "word")
         .filter(($"bits".bitwiseAND($"bit")) =!= 0)
@@ -357,12 +368,7 @@ object Layout {
       val victim = o.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
         .orderBy($"n", $"o_custkey").select($"o_custkey").head().getLong(0)
       val man = bloomManifest(s, out, "o_custkey", mBits)
-      val pp = s.range(1).select(explode(array(
-          pmod(xxhash64(lit(victim), lit(1)), lit(mBits)),
-          pmod(xxhash64(lit(victim), lit(2)), lit(mBits)))).as("pos"))
-        .select(expr("pos div 64").as("word"),
-          expr("shiftleft(1L, int(pos % 64))").as("bit"))
-        .distinct().localCheckpoint(true)
+      val pp = probeRows(s, victim, mBits, k = 2)
       val need = pp.count()
       val candidates = man.join(broadcast(pp), "word")
         .filter(($"bits".bitwiseAND($"bit")) =!= 0)

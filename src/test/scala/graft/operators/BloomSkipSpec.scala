@@ -31,6 +31,7 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
       val out = work.resolve("bydate").toString
       Layout.linearCluster(o, "o_orderdate", out, nFiles = 8)
       val mBits = 3008L
+      val kHashes = 2
       val man = Layout.bloomManifest(spark, out, "o_orderkey", mBits)
 
       // ground truth: which files actually hold each key
@@ -42,9 +43,7 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
       // positions for all keys, joined to the manifest words, a file
       // passes iff all of the key's distinct (word, bit) pairs are set
       val pos = actual.select($"k").distinct()
-        .select($"k", explode(array(
-          pmod(xxhash64($"k", lit(1)), lit(mBits)),
-          pmod(xxhash64($"k", lit(2)), lit(mBits)))).as("pos"))
+        .select($"k", explode(Layout.bloomPositions($"k", mBits, kHashes)).as("pos"))
         .select($"k", expr("pos div 64").as("word"),
           expr("shiftleft(1L, int(pos % 64))").as("bit"))
         .distinct()
