@@ -338,36 +338,53 @@ object Graph {
     val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg")).persist()
     try {
-      val o = e
-        .join(deg.select($"n".as("a"), $"deg".as("deg_a")), "a")
-        .join(deg.select($"n".as("b"), $"deg".as("deg_b")), "b")
-        .select(
-          when(struct($"deg_a", $"a") < struct($"deg_b", $"b"), $"a")
-            .otherwise($"b").as("src"),
-          when(struct($"deg_a", $"a") < struct($"deg_b", $"b"),
-              struct($"deg_b".as("d"), $"b".as("n")))
-            .otherwise(struct($"deg_a".as("d"), $"a".as("n"))).as("dst"))
-        .localCheckpoint(true)
-      val wedges = o.groupBy($"src")
-        .agg(array_sort(collect_list($"dst")).as("nb"))
-        .select($"src", explode(expr(
-          """flatten(transform(nb, (x, i) ->
-            |  transform(slice(nb, i + 2, size(nb)),
-            |            y -> struct(x.n AS v1, y.n AS v2))))""".stripMargin))
-          .as("w"))
-        .select($"src", $"w.v1".as("v1"), $"w.v2".as("v2"))
-      val tri = wedges.join(
-        o.select($"src".as("v1"), $"dst.n".as("v2")), Seq("v1", "v2"))
-      val tcnt = tri
-        .select(explode(array($"src", $"v1", $"v2")).as("n"))
-        .groupBy($"n").agg(count(lit(1)).as("n_tri"))
-      deg.join(tcnt, Seq("n"), "left")
-        .select($"n".as("part"), $"deg",
-          coalesce($"n_tri", lit(0L)).as("n_tri"))
-        .orderBy($"part")
+      val o = graph03Orient(e, deg).localCheckpoint(true)
+      graph03TriCounts(o, deg)
         .localCheckpoint(true)
         .orderBy($"part")
     } finally { deg.unpersist(); e.unpersist() }
+  }
+
+  /** Degree-ordered orientation: each undirected edge directed toward its
+    * higher-(degree, id) endpoint, dst carried with its ordering struct so
+    * neighbor arrays sort by the same total order. Lazy — the gate layers
+    * persist/checkpoint; `PlanShapeSpec` pins the lazy composition.
+    */
+  private[operators] def graph03Orient(e: DataFrame, deg: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(deg.select($"n".as("a"), $"deg".as("deg_a")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("deg_b")), "b")
+      .select(
+        when(struct($"deg_a", $"a") < struct($"deg_b", $"b"), $"a")
+          .otherwise($"b").as("src"),
+        when(struct($"deg_a", $"a") < struct($"deg_b", $"b"),
+            struct($"deg_b".as("d"), $"b".as("n")))
+          .otherwise(struct($"deg_a".as("d"), $"a".as("n"))).as("dst"))
+  }
+
+  /** Wedge generation (in-neighborhood HOF pairs over the sorted neighbor
+    * array — one src exchange, never an o⋈o self-join on src) + the
+    * closing-edge confirm equi-join + per-corner attribution counts.
+    */
+  private[operators] def graph03TriCounts(o: DataFrame, deg: DataFrame): DataFrame = {
+    import o.sparkSession.implicits._
+    val wedges = o.groupBy($"src")
+      .agg(array_sort(collect_list($"dst")).as("nb"))
+      .select($"src", explode(expr(
+        """flatten(transform(nb, (x, i) ->
+          |  transform(slice(nb, i + 2, size(nb)),
+          |            y -> struct(x.n AS v1, y.n AS v2))))""".stripMargin))
+        .as("w"))
+      .select($"src", $"w.v1".as("v1"), $"w.v2".as("v2"))
+    val tri = wedges.join(
+      o.select($"src".as("v1"), $"dst.n".as("v2")), Seq("v1", "v2"))
+    val tcnt = tri
+      .select(explode(array($"src", $"v1", $"v2")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("n_tri"))
+    deg.join(tcnt, Seq("n"), "left")
+      .select($"n".as("part"), $"deg",
+        coalesce($"n_tri", lit(0L)).as("n_tri"))
+      .orderBy($"part")
   }
 
   val graph03Sql: String =

@@ -629,6 +629,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows.size == 1, "exactly one carry-forward window")
   }
 
+  test("graph03: wedge stage is one src aggregation, confirm is an equi-join — no self-join blowup") {
+    // the gate's returned frame is checkpointed (cache contract), so pin
+    // the lazy inner composition (orient → wedges → confirm → counts)
+    import org.apache.spark.sql.functions.col
+    val e = Relational.pairSupport(Relational.baskets(spark, d))
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val p = Graph.graph03TriCounts(Graph.graph03Orient(e, deg), deg)
+    val s = plan(p)
+    assert(!s.contains("CartesianProduct"), s.take(1200))
+    assert(!s.contains("BroadcastNestedLoop"), s.take(1200))
+    // wedges come from ONE collect_list aggregation keyed by src — a
+    // src-keyed o ⋈ o self-join (the d² hub-blowup formulation) would
+    // show a second corpus-pair join instead
+    assert(s.split("ObjectHashAggregate").length - 1 >= 1 ||
+      s.contains("collect_list"), s.take(1200))
+  }
+
   test("q33: AQE promotes both support enrichments to broadcast from measured size") {
     // the gate's returned frame is checkpointed (cache-release contract),
     // so pin the inner lazy plan; collect() finalizes AQE — the promotion
