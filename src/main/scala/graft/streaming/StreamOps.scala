@@ -368,53 +368,64 @@ object StreamOps {
   // it can only match if the union covered everything and the seam
   // deduped exactly. The gate requires a non-empty overlap up front (an
   // empty seam would prove nothing).
+  /** The st08 streaming pipeline (two overlapping staged sources →
+    * union → seam dedup → slim (user_id, v100) rows), factored so the
+    * gate and `StreamRestartSpec`'s union-restart proof run the SAME
+    * code. `filesPerSide` sizes the staging (more files → more
+    * micro-batches — the restart proof needs room to kill mid-stream).
+    */
+  private[graft] def st08Deduped(s: SparkSession, d: String,
+                                 filesPerSide: Int = 2): DataFrame = {
+    import s.implicits._
+    val ev = graft.core.Tables.events(s, d).toDF()
+    // data-derived seam cuts (epoch seconds; regeneration-proof)
+    val mm = ev.agg(min($"ts".cast("long")), max($"ts".cast("long"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val t50 = lo + (hi - lo) / 2
+    val t70 = lo + (hi - lo) * 7 / 10
+    val nOverlap = ev.filter($"ts".cast("long").between(t50, t70)).count()
+    require(nOverlap > 0, "empty backfill/live seam — dedup would be vacuous")
+    val dirKey = graft.binlog.BinlogReader.toHex(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))).take(16)
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-events-union-$dirKey-$filesPerSide")
+    StreamOps.synchronized {
+      if (!java.nio.file.Files.exists(staged.resolve("a/_SUCCESS")) ||
+          !java.nio.file.Files.exists(staged.resolve("b/_SUCCESS"))) {
+        ev.filter($"ts".cast("long") <= t70).repartition(filesPerSide)
+          .write.mode("overwrite").parquet(staged.resolve("a").toString)
+        ev.filter($"ts".cast("long") >= t50).repartition(filesPerSide)
+          .write.mode("overwrite").parquet(staged.resolve("b").toString)
+      }
+    }
+    val schema = s.read.parquet(staged.resolve("a").toString).schema
+    def src(sub: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.resolve(sub).toString)
+    src("a").unionByName(src("b"))
+      // retention sized to the REPLAY HORIZON, not the seam: the live
+      // source runs ahead of the historical replay by up to the whole
+      // backfill, so the watermark can pass a seam row's expiry before
+      // its second copy arrives from the slower source — a seam-sized
+      // delay risks re-admitting that duplicate. Rows are never LOST
+      // either way (DedupLateRowSpec pins that this operator passes
+      // late input through); the horizon-sized delay additionally
+      // guarantees no state expires mid-replay, so the seam dedups
+      // under ANY admission interleaving. State is then bounded by the
+      // replay's distinct keys — the honest cost of a bounded
+      // backfill; a continuous pipeline would coordinate admission
+      // (fence the seam) instead of holding state forever.
+      .withWatermark("ts", s"${hi - lo + 60} seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"user_id", round($"value" * 100).cast("long").as("v100"))
+  }
+
   def st08BackfillUnion(s: SparkSession, d: String): DataFrame =
     graft.operators.CdcBinlog.withRotatingWorkdir("graft-st08") { work =>
       import s.implicits._
-      val ev = graft.core.Tables.events(s, d).toDF()
-      // data-derived seam cuts (epoch seconds; regeneration-proof)
-      val mm = ev.agg(min($"ts".cast("long")), max($"ts".cast("long"))).head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val t50 = lo + (hi - lo) / 2
-      val t70 = lo + (hi - lo) * 7 / 10
-      val nOverlap = ev.filter($"ts".cast("long").between(t50, t70)).count()
-      require(nOverlap > 0, "empty backfill/live seam — dedup would be vacuous")
-      val dirKey = graft.binlog.BinlogReader.toHex(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8"))).take(16)
-      val staged = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-events-union-$dirKey")
-      StreamOps.synchronized {
-        if (!java.nio.file.Files.exists(staged.resolve("a/_SUCCESS")) ||
-            !java.nio.file.Files.exists(staged.resolve("b/_SUCCESS"))) {
-          ev.filter($"ts".cast("long") <= t70).repartition(2)
-            .write.mode("overwrite").parquet(staged.resolve("a").toString)
-          ev.filter($"ts".cast("long") >= t50).repartition(2)
-            .write.mode("overwrite").parquet(staged.resolve("b").toString)
-        }
-      }
-      val schema = s.read.parquet(staged.resolve("a").toString).schema
-      def src(sub: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.resolve(sub).toString)
-      val deduped = src("a").unionByName(src("b"))
-        // retention sized to the REPLAY HORIZON, not the seam: the live
-        // source runs ahead of the historical replay by up to the whole
-        // backfill, so the watermark can pass a seam row's expiry before
-        // its second copy arrives from the slower source — a seam-sized
-        // delay risks re-admitting that duplicate. Rows are never LOST
-        // either way (DedupLateRowSpec pins that this operator passes
-        // late input through); the horizon-sized delay additionally
-        // guarantees no state expires mid-replay, so the seam dedups
-        // under ANY admission interleaving. State is then bounded by the
-        // replay's distinct keys — the honest cost of a bounded
-        // backfill; a continuous pipeline would coordinate admission
-        // (fence the seam) instead of holding state forever.
-        .withWatermark("ts", s"${hi - lo + 60} seconds")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select($"user_id", round($"value" * 100).cast("long").as("v100"))
       val out = work.resolve("rows").toString
-      val q = deduped.writeStream.format("parquet")
+      val q = st08Deduped(s, d).writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .outputMode(OutputMode.Append)

@@ -101,4 +101,69 @@ class StreamRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally tw.close()
   }
+
+  test("union + seam-dedup pipeline survives a mid-stream kill exactly-once") {
+    // st08's state shape: DEDUP state spanning two sources. The part the
+    // gate can't prove: a seam row whose first copy committed BEFORE the
+    // kill and whose second copy arrives AFTER the resume must still
+    // dedup — i.e. the dedup state store is recovered from the
+    // checkpoint, not rebuilt empty (an empty rebuild would double every
+    // seam row straddling the kill; a lost sink commit would drop rows).
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-restart-union")
+    val out = work.resolve("rows").toString
+    val ckpt = work.resolve("ckpt").toString
+    def pipeline() = StreamOps.st08Deduped(spark, dir, filesPerSide = 4)
+
+    val firstCommit = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) firstCommit.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q1 = pipeline().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "no data batch committed within 120 s")
+      q1.stop()
+      q1.awaitTermination()
+    } finally spark.streams.removeListener(listener)
+
+    val expected = graft.core.Tables.events(spark, dir).toDF()
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("total_e2"))
+      .orderBy($"user_id").collect().map(_.toString).toSeq
+    val committed = spark.read.parquet(out).count()
+    val totalRows = graft.core.Tables.events(spark, dir).count()
+    assert(committed < totalRows,
+      s"kill landed after the stream drained ($committed of $totalRows) — " +
+        "nothing left for the restart to prove")
+
+    val q2 = pipeline().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+
+    val resumed = spark.read.parquet(out)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"v100").as("total_e2"))
+      .orderBy($"user_id").collect().map(_.toString).toSeq
+    assert(resumed === expected,
+      "resumed union+dedup sink does not equal the whole undivided log — " +
+        "a seam duplicate survived the restart or a commit was lost")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
 }
