@@ -104,19 +104,33 @@ object Graph {
     */
   def pageRankConverged(edges: DataFrame, tolE6: Long = 1000,
                         maxIter: Int = 30,
-                        checkpointEvery: Int = 3): (DataFrame, Int) = {
+                        checkpointEvery: Int = 3,
+                        seeds: Option[DataFrame] = None): (DataFrame, Int) = {
     import edges.sparkSession.implicits._
     val cached = edges.persist()
     val deg = cached.groupBy($"src").agg(count(lit(1)).as("deg"))
     val degN = deg.select($"src".as("deg_node"), $"deg").persist()
     val edgesE = cached.select($"src".as("e_src"), $"dst".as("e_dst"))
+    // seeded (personalized) restart: nodes carry an indicator; uniform PR
+    // is the all-ones special case. Persisted — the node frame recurs in
+    // every iteration's base term and (seeded) the left join breaks
+    // exchange-reuse canonicalization, graph04's measured lesson.
+    val nodes = (seeds match {
+      case Some(sd) =>
+        deg.select($"src".as("node"))
+          .join(sd.select($"node".as("s_node")).distinct(),
+            $"node" === $"s_node", "left")
+          .select($"node",
+            when($"s_node".isNotNull, 1L).otherwise(0L).as("seed"))
+      case None => deg.select($"src".as("node"), lit(1L).as("seed"))
+    }).persist()
     try {
-      var ranks = degN.select($"deg_node".as("node"), lit(1000000L).as("r"))
+      var ranks = nodes.select($"node", ($"seed" * 1000000L).as("r"))
         .localCheckpoint(true)
       var it = 0
       var converged = false
       while (it < maxIter && !converged) {
-        var next = rankStep(ranks, degN, edgesE)
+        var next = pprStep(ranks, nodes, degN, edgesE)
         it += 1
         if (it % checkpointEvery == 0) next = next.localCheckpoint(true)
         val prev = ranks.select($"node".as("p_node"), $"r".as("p_r"))
@@ -126,7 +140,26 @@ object Graph {
         ranks = next
       }
       (ranks.localCheckpoint(true), it) // detach before unpersist below
-    } finally { degN.unpersist(); cached.unpersist() }
+    } finally { nodes.unpersist(); degN.unpersist(); cached.unpersist() }
+  }
+
+  /** Seed-indicator-weighted damped update over the full node set —
+    * [[rankStep]] generalized: base term = seed·150000, inflow-less
+    * nodes stay addressable via the left join (graph04's formulation).
+    * With seed ≡ 1 this equals [[rankStep]]'s result on graphs where
+    * every node has inflow (symmetric edge lists — both gate graphs).
+    */
+  private def pprStep(ranks: DataFrame, nodes: DataFrame, degN: DataFrame,
+                      edgesE: DataFrame): DataFrame = {
+    import ranks.sparkSession.implicits._
+    val inflow = ranks.join(degN, $"node" === $"deg_node")
+      .select($"node", expr("r div deg").as("contrib"))
+      .join(edgesE, $"node" === $"e_src")
+      .groupBy($"e_dst").agg(sum($"contrib").as("inflow"))
+    nodes.join(inflow, $"node" === $"e_dst", "left")
+      .select($"node",
+        ($"seed" * 150000L +
+          expr("85 * coalesce(inflow, cast(0 as bigint)) div 100")).as("r"))
   }
 
   val graph01Sql: String =

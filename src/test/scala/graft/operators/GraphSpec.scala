@@ -49,6 +49,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       ranks.orderBy($"node").collect().toSeq)
   }
 
+  test("seeded loop's two-iteration prefix equals the graph04 gate") {
+    import spark.implicits._
+    val seeds = graft.core.Tables.customer(spark, dir).toDF()
+      .filter($"c_nationkey" < 5)
+      .select(($"c_custkey" * 2).as("node"))
+    val (r2, it) = Graph.pageRankConverged(Graph.tradeEdges(spark, dir),
+      tolE6 = -1, maxIter = 2, checkpointEvery = 10, seeds = Some(seeds))
+    assert(it === 2)
+    val loop = r2.select(($"node" % 2).as("node_kind"),
+        expr("node div 2").as("node_key"), $"r".as("rank_e6"))
+      .orderBy($"node_kind", $"node_key").collect().toSeq
+    val gate = Graph.graph04PersonalizedPr(spark, dir).collect().toSeq
+    assert(loop === gate)
+  }
+
   test("two-iteration prefix equals the unrolled oracle-checked gate") {
     import spark.implicits._
     // tolE6 = -1 can never be met (max |delta| >= 0), so exactly maxIter run
