@@ -1448,7 +1448,47 @@ object TextAnalysis {
       |FROM r WHERE sample_rank <= 25
       |ORDER BY sample_rank""".stripMargin
 
+  // txt25 — DETERMINISTIC EPOCH SHUFFLE + SHARD ASSIGNMENT: what every
+  // training reader does per epoch — give each document a pseudo-random
+  // but REPRODUCIBLE position (seeded by epoch, so epoch 2 is a
+  // different permutation than epoch 1, and any worker can recompute
+  // its shard without coordination). Draw = md5(doc_id ‖ ':' ‖ epoch);
+  // shard = draw mod nShards (workers read disjoint shards), position =
+  // rank of draw within the shard. The rank window partitions BY SHARD —
+  // shards are the unit of worker parallelism, and each holds ~1/nShards
+  // of the corpus, so no single task ever sees the whole table (at
+  // 100 TB nShards is thousands; here 8). All integer/md5 arithmetic —
+  // DuckDB replays the exact permutation.
+  def txt25EpochShuffle(s: SparkSession, d: String, epoch: Int = 2,
+                        nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val draw = conv(substring(md5(
+      concat($"doc_id".cast("string"), lit(":"), lit(epoch))), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"shard").orderBy($"draw", $"doc_id")
+    documents(s, d)
+      .select($"doc_id", draw.as("draw"))
+      .withColumn("shard", pmod($"draw", lit(nShards.toLong)))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select($"shard", $"position", $"doc_id")
+      .orderBy($"shard", $"position")
+  }
+
+  val txt25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    ('0x' || md5(CAST(doc_id AS VARCHAR) || ':2')[1:12])::BIGINT AS draw
+      |  FROM documents)
+      |SELECT draw % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY draw % 8 ORDER BY draw, doc_id)
+      |    AS BIGINT) AS position,
+      |  doc_id
+      |FROM t
+      |ORDER BY shard, position""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt25_epoch_shuffle" -> ((s: SparkSession, d: String) => txt25EpochShuffle(s, d)),
     "txt24_priority_sample" -> txt24PrioritySample _,
     "txt23_bpe_merges" -> ((s: SparkSession, d: String) => txt23BpeMerges(s, d)),
     "txt21_boilerplate" -> txt21Boilerplate _,
@@ -1475,6 +1515,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt25_epoch_shuffle" -> txt25Sql,
     "txt24_priority_sample" -> txt24Sql,
     "txt23_bpe_merges" -> txt23Sql,
     "txt21_boilerplate" -> txt21Sql,
