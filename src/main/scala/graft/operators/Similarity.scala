@@ -575,6 +575,51 @@ object Similarity {
        |FROM exactr r LEFT JOIN probe pr ON r.vec_id = pr.vec_id
        |ORDER BY rank""".stripMargin
 
+  // sim17 — EMBEDDING-SPACE HEALTH AUDIT: per-dimension statistics over
+  // the corpus — count, mean, min/max, spread, and a dead-dimension flag
+  // (spread below 1 % of the value range) — the diagnostic every
+  // embedding pipeline runs before trusting an index (collapsed or dead
+  // dimensions silently degrade cosine/L2 contrast; a model regression
+  // shows up here first). Arithmetic is the sim family's fixed-point e6
+  // convention (floor((x+2)·10⁶) — exact cross-engine), so mean is a
+  // truncating integer division and the flag is an integer compare: no
+  // variance/stddev floats to disagree on. Scale shape: one narrow
+  // posexplode feeding a |dims|-group aggregate — partial aggregation
+  // collapses per-dimension sums map-side, the corpus never shuffles
+  // (the exchange carries ≤ dims rows per map task).
+  def sim17EmbeddingHealth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select(posexplode(expr(
+        "transform(embedding, x -> cast(floor((cast(x as double) + 2.0d)" +
+          " * 1000000.0d) as bigint))")).as(Seq("dim", "v")))
+      .groupBy($"dim".cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(v) div count(1)").as("mean_e6"),
+        min($"v").as("lo_e6"), max($"v").as("hi_e6"))
+      .select($"dim", $"n", $"mean_e6", $"lo_e6", $"hi_e6",
+        ($"hi_e6" - $"lo_e6").as("spread_e6"),
+        // dead if the dimension moves < 1 % of the scaled [-2, 2] range
+        when($"hi_e6" - $"lo_e6" < 40000L, 1L).otherwise(0L).as("is_dead"))
+      .orderBy($"dim")
+  }
+
+  val sim17Sql: String =
+    """WITH v AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 2.0) * 1000000.0)
+      |      AS BIGINT) AS v
+      |  FROM embeddings)
+      |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_e6,
+      |  MIN(v) AS lo_e6, MAX(v) AS hi_e6,
+      |  MAX(v) - MIN(v) AS spread_e6,
+      |  CAST(CASE WHEN MAX(v) - MIN(v) < 40000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_dead
+      |FROM v
+      |GROUP BY dim
+      |ORDER BY dim""".stripMargin
+
   // ---- sim06: int8 scalar quantization + exact rerank --------------------
   //
   // The memory-bandwidth lever every large ANN deployment pulls: store a
@@ -1659,6 +1704,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06QuantRerank _,
     "sim01_brute_topk" -> sim01BruteTopK _,
     "sim16_recall_at_k" -> sim16RecallAtK _,
+    "sim17_embedding_health" -> sim17EmbeddingHealth _,
     "sim11_range_search" -> sim11RangeSearch _,
     "sim11b_range_via_index" -> ((s: SparkSession, d: String) => sim11bRangeViaIndex(s, d)),
     "sim12_truncated_prefilter" -> sim12TruncatedPrefilter _,
@@ -1778,6 +1824,7 @@ object Similarity {
     "sim06_quant_rerank" -> sim06Sql,
     "sim01_brute_topk" -> sim01Sql,
     "sim16_recall_at_k" -> sim16Sql,
+    "sim17_embedding_health" -> sim17Sql,
     "sim11_range_search" -> sim11Sql,
     "sim11b_range_via_index" -> sim11bSql,
     "sim12_truncated_prefilter" -> sim12Sql,
