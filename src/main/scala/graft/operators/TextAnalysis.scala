@@ -1487,7 +1487,59 @@ object TextAnalysis {
       |FROM t
       |ORDER BY shard, position""".stripMargin
 
+  // txt26 — TERM-DISTRIBUTION DRIFT between two corpus partitions (the
+  // new-crawl-vs-reference monitor: distribution shift between crawls,
+  // sources, or time slices is the signal that retrains quality filters
+  // and reweights mixtures). Halves split deterministically by doc_id
+  // parity; each term's frequency is expressed in ppm OF ITS HALF's
+  // token total (truncating integer division — exact), and the report is
+  // the top-20 terms by absolute ppm delta, FULL OUTER joined so a term
+  // collapsing to zero (or newly appearing) registers as full-magnitude
+  // drift instead of vanishing from the join. Scale shape: token
+  // streams partial-aggregate into vocabulary-sized count tables before
+  // the one term-keyed exchange; the two one-row totals ride in as
+  // literals; the cut is a TakeOrdered, never a global sort.
+  def txt26TermDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(($"doc_id" % 2).as("half"), explode(tokens($"text")).as("term"))
+    val counts = toks.groupBy($"half", $"term").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"half").agg(sum($"c").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = counts.filter($"half" === 0)
+      .select($"term", expr(s"c * 1000000L div ${totals(0L)}L").as("ppm_a"))
+    val b = counts.filter($"half" === 1)
+      .select($"term", expr(s"c * 1000000L div ${totals(1L)}L").as("ppm_b"))
+    a.join(b, Seq("term"), "full_outer")
+      .select($"term",
+        coalesce($"ppm_a", lit(0L)).as("ppm_a"),
+        coalesce($"ppm_b", lit(0L)).as("ppm_b"))
+      .withColumn("drift_ppm", abs($"ppm_a" - $"ppm_b"))
+      .orderBy($"drift_ppm".desc, $"term")
+      .limit(20)
+  }
+
+  val txt26Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT half, term, COUNT(*) AS c FROM toks GROUP BY half, term),
+      |totals AS (SELECT half, SUM(c) AS t FROM counts GROUP BY half),
+      |ppm AS (
+      |  SELECT c.term, c.half, CAST((c.c * 1000000) // t.t AS BIGINT) AS ppm
+      |  FROM counts c JOIN totals t ON c.half = t.half)
+      |SELECT COALESCE(a.term, b.term) AS term,
+      |  COALESCE(a.ppm, 0) AS ppm_a, COALESCE(b.ppm, 0) AS ppm_b,
+      |  ABS(COALESCE(a.ppm, 0) - COALESCE(b.ppm, 0)) AS drift_ppm
+      |FROM (SELECT term, ppm FROM ppm WHERE half = 0) a
+      |FULL OUTER JOIN (SELECT term, ppm FROM ppm WHERE half = 1) b
+      |  ON a.term = b.term
+      |ORDER BY drift_ppm DESC, term
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt26_term_drift" -> txt26TermDrift _,
     "txt25_epoch_shuffle" -> ((s: SparkSession, d: String) => txt25EpochShuffle(s, d)),
     "txt24_priority_sample" -> txt24PrioritySample _,
     "txt23_bpe_merges" -> ((s: SparkSession, d: String) => txt23BpeMerges(s, d)),
@@ -1515,6 +1567,7 @@ object TextAnalysis {
     "txt05_lang_id" -> txt05LangId _)
 
   def oracles: Map[String, String] = Map(
+    "txt26_term_drift" -> txt26Sql,
     "txt25_epoch_shuffle" -> txt25Sql,
     "txt24_priority_sample" -> txt24Sql,
     "txt23_bpe_merges" -> txt23Sql,
