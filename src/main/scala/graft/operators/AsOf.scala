@@ -133,11 +133,52 @@ object AsOf {
       |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
       |ORDER BY c.event_id""".stripMargin
 
+  // asof03 — as-of with TOLERANCE (pandas merge_asof's `tolerance`, kdb
+  // wj's window bound): the most recent prior click only counts if it is
+  // at most 1 hour stale — the "don't enrich from ancient state" rule
+  // every real-time feature store applies. Pure composition over the
+  // same one-shuffle window join: the right TIME rides along as a carry
+  // column and a residual staleness filter nulls matches outside the
+  // bound — correct because the as-of match is the CLOSEST prior row, so
+  // if it exceeds the tolerance no earlier row can be inside it. Output
+  // includes the measured staleness (exact integer micros).
+  def asof03ToleranceEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tolUs = 3600L * 1000000L
+    val ev = events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("click_value"))
+      .withColumn("click_ts", $"ts_us")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us", $"value")
+    join(purchases, clicks, "user_id", "ts_us", Seq("click_value", "click_ts"))
+      .filter($"click_ts".isNotNull && $"ts_us" - $"click_ts" <= tolUs)
+      .select($"event_id", $"user_id", $"value", $"click_value",
+        ($"ts_us" - $"click_ts").as("staleness_us"))
+      .orderBy($"event_id")
+  }
+
+  val asof03Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.value, c.click_value,
+      |  p.ts_us - c.ts_us AS staleness_us
+      |FROM p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |WHERE p.ts_us - c.ts_us <= 3600000000
+      |ORDER BY p.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof03_tolerance" -> asof03ToleranceEnrich _,
     "asof01_enrich" -> asof01Enrich _,
     "asof02_next_purchase" -> asof02NextPurchase _)
 
   def oracles: Map[String, String] = Map(
+    "asof03_tolerance" -> asof03Sql,
     "asof01_enrich" -> asof01Sql,
     "asof02_next_purchase" -> asof02Sql)
 }
