@@ -430,13 +430,88 @@ object Layout {
       |WHERE o_custkey <> vk
       |ORDER BY o_orderkey, o_custkey, odate, o_totalprice""".stripMargin
 
+  // q43 — SHARD EXPORT: the curation pipeline's last step — write the
+  // corpus as size-budgeted shards in a deterministic order (training
+  // readers address shards, so assignment must be reproducible). Shard
+  // id = exclusive running character total div budget, over doc_id
+  // order. The running total is NOT a global window (an unpartitioned
+  // running sum funnels 100 TB through one task — the sweep's
+  // anti-pattern): it is the classic TWO-PASS DISTRIBUTED PREFIX SUM —
+  // range-partition by doc_id, per-partition running sums from a
+  // partition-local window, per-partition TOTALS collected (bounded by
+  // partition count) and turned into driver-side cumulative offsets
+  // that join back as a tiny broadcast. The assignment depends only on
+  // doc_id order, so the result is identical at any partition count —
+  // which is exactly what the oracle's single global window computes.
+  // The write is partitionBy(shard) parquet; the gate re-reads the
+  // shards and hash-matches content + assignment against the oracle —
+  // content-preserving AND reproducibly addressed.
+  def q43ShardExport(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q43") { work =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 20000L // chars per shard
+      val nPart = 8
+      val docs = graft.core.Tables.documents(s, d).toDF()
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .repartitionByRange(nPart, $"doc_id")
+        .withColumn("_pid", spark_partition_id())
+      val wIn = Window.partitionBy($"_pid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = docs.withColumn("_cum_in", sum($"n_chars").over(wIn))
+        .persist() // feeds the totals pass AND the assignment write
+      val out = work.resolve("shards").toString
+      try {
+        // pass 2: per-partition totals (bounded by partition count) →
+        // driver-side exclusive cumulative offsets, rejoined as a CASE
+        // column (a handful of literals — no broadcast machinery needed)
+        val totals = local.groupBy($"_pid").agg(max($"_cum_in").as("t"))
+          .orderBy($"_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+        var acc = 0L
+        val offMap = totals.map { case (pid, t) =>
+          val o = pid -> acc; acc += t; o
+        }.toMap
+        val offCol = offMap.keys.toSeq.sorted.foldLeft(lit(0L)) { (c, pid) =>
+          when($"_pid" === pid, lit(offMap(pid))).otherwise(c)
+        }
+        local
+          .withColumn("_off", offCol)
+          // exclusive global running total div budget — all operands
+          // non-negative, truncating div matches DuckDB's //
+          .withColumn("shard",
+            expr(s"(_cum_in + _off - n_chars) div ${budget}L"))
+          .select($"doc_id", $"lang", $"source", $"n_chars", $"shard")
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+      } finally local.unpersist()
+      s.read.parquet(out)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          $"shard".cast("long").as("shard"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+        .orderBy($"doc_id")
+    }
+
+  val q43Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+      |      AS cum_ex
+      |  FROM documents)
+      |SELECT doc_id, lang, source, n_chars,
+      |  CAST(cum_ex // 20000 AS BIGINT) AS shard
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_shard_export" -> q43ShardExport _,
     "q35_zorder_layout" -> q35ZorderLayout _,
     "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _,
     "q40_bloom_pruned_scan" -> q40BloomPrunedScan _,
     "q41_surgical_delete" -> q41SurgicalDelete _)
 
   def oracles: Map[String, String] = Map(
+    "q43_shard_export" -> q43Sql,
     "q35_zorder_layout" -> q35Sql,
     "q36_manifest_pruned_scan" -> q36Sql,
     "q40_bloom_pruned_scan" -> q40Sql,
