@@ -90,6 +90,45 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY keeper_doc_id""".stripMargin
 
+  // dd14 — DUPLICATION-IMPACT HISTOGRAM: the accounting report every
+  // dedup decision is justified with — how much of the corpus sits in
+  // duplicate groups of which size (group sizes bucketed by bit length =
+  // floor(log2)+1, computed via the BINARY-STRING length on both engines
+  // because floor(log2(double)) is not cross-engine-stable at power-of-
+  // two boundaries). Per bucket: group count, doc count, and the ppm
+  // share of all docs (truncating div — exact). Built on dd01's exact
+  // fingerprint groups (shared code), so the report can never disagree
+  // with the dedup pass it describes. Scale shape: the fingerprint
+  // aggregate is dd01's one corpus shuffle; everything after is
+  // group-count-sized with map-side partials; the one-row doc total
+  // rides in as a literal.
+  def dd14DupHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val groups = documents(s, d)
+      .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
+      .agg(count(lit(1)).as("sz"))
+    val nDocs = documents(s, d).count()
+    groups
+      .withColumn("bucket", length(expr("bin(sz)")).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_groups"), sum($"sz").as("n_docs"))
+      .withColumn("docs_ppm", expr(s"n_docs * 1000000L div ${nDocs}L"))
+      .orderBy($"bucket")
+  }
+
+  val dd14Sql: String =
+    """WITH g AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    COUNT(*) AS sz
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_groups, CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST((SUM(sz) * 1000000) // t.n AS BIGINT) AS docs_ppm
+      |FROM g, t
+      |GROUP BY bucket, t.n
+      |ORDER BY bucket""".stripMargin
+
   // dd02 — MinHash(4) + LSH (2 bands × 2 rows) near-dup candidate pairs,
   // verified with exact shingle Jaccard ≥ 0.2.
   def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
@@ -1078,6 +1117,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd13_bloom_decontaminate" -> dd13BloomDecontaminate _,
+    "dd14_dup_histogram" -> dd14DupHistogram _,
     "dd12_fuzzy_join" -> dd12FuzzyJoin _,
     "dd09_dup_clusters" -> dd09DupClusters _,
     "dd06b_via_index" -> dd06bViaIndex _,
@@ -1093,6 +1133,7 @@ object Dedup {
 
   def oracles(sfDir: String): Map[String, String] = Map(
     "dd13_bloom_decontaminate" -> dd08Sql, // bloom screen is exact → same oracle
+    "dd14_dup_histogram" -> dd14Sql,
     "dd12_fuzzy_join" -> dd12Sql,
     "dd09_dup_clusters" -> dd09Sql,
     "dd06b_via_index" -> dd06Sql,
