@@ -65,7 +65,12 @@ class RocksDbStateStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     "st04_session_window" -> (StreamOps.st04SessionWindow _),
     "st05_running_state" -> (StreamOps.st05RunningState _),
     "st06_stream_join" -> (StreamOps.st06StreamJoin _),
-    "st07_stream_outer_join" -> (StreamOps.st07StreamOuterJoin _))
+    "st07_stream_outer_join" -> (StreamOps.st07StreamOuterJoin _),
+    // st08's union+seam-dedup holds the replay's distinct keys in dedup
+    // state — the state-heaviest shape after the two-sided joins, and
+    // exactly what RocksDB exists for at 100 TB (st09 is stateless —
+    // nothing to prove)
+    "st08_backfill_union" -> (StreamOps.st08BackfillUnion _))
 
   for ((name, gate) <- gates)
     test(s"$name is row-identical under RocksDBStateStoreProvider") {
