@@ -139,13 +139,85 @@ object Dedup {
     // window minima in one traversal) spread over all cores. The banding
     // is the SAME bandsOf dd06's incremental path indexes — one
     // implementation, so the gate query and the index cannot drift.
-    val docs = spread(s, documents(s, d))
+    dd02PairsVia(spread(s, documents(s, d)), bandsOf)
+  }
+
+  /** dd02's candidate-pair engine with identical-text PRE-COLLAPSE.
+    *
+    * The naive band self-join is quadratic in a duplicate group's size:
+    * g identical docs share every band, so each band bucket holding the
+    * group pairs g·(g−1)/2 rows through the JOIN and re-verifies the
+    * same Jaccard g² times (this corpus has a 347-copy group; dd12
+    * learned the same lesson). Fix — group arithmetic, mirroring dd12:
+    * collapse identical RAW text (md5(text) — raw, not the normalized
+    * dd01 fingerprint: bands hash the raw token stream, so only raw
+    * equality guarantees identical bands) to ONE representative before
+    * banding. The band join and the Jaccard verification then run on
+    * representatives only — work bounded by DISTINCT-text count, not
+    * doc count. Member pairs are reconstructed afterwards by local
+    * array expansion: cross pairs inherit the representative pair's
+    * Jaccard (members are byte-identical), intra-group pairs are
+    * Jaccard 1.0 by construction. The expansion is output-sized — the
+    * oracle's answer IS all-pairs — but it is a generator over small
+    * per-group id arrays, not a shuffle join. (A group too large for
+    * its id array in memory is a corpus whose pair LIST is infeasible
+    * to emit at all — the bound is inherent to the query's shape.)
+    */
+  /** Spec hook: the collapsed engine on an arbitrary docs frame. */
+  private[operators] def dd02PairsCollapsed(docs: DataFrame): DataFrame =
+    dd02PairsVia(docs, bandsOf)
+
+  /** The PRE-collapse dd02 formulation (band self-join over ALL docs) —
+    * reference semantics, kept as the spec equality baseline only: its
+    * band join is quadratic in a duplicate group's size, which is
+    * exactly what [[dd02PairsVia]] bounds away.
+    */
+  private[operators] def dd02PairsNaive(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val bands = bandsOf(docs)
     val cands = bands.as("a").join(bands.as("b"),
-        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" &&
+          $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     verifyJaccard(cands, docs.select($"doc_id", shingles($"text").as("sh")), 0.2)
+  }
+
+  private def dd02PairsVia(docsIn: DataFrame,
+                           bandsFn: DataFrame => DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val grouped = docsIn
+      .groupBy(md5($"text").as("rawfp"))
+      .agg(min(struct($"doc_id", $"text")).as("rep"),
+        sort_array(collect_list($"doc_id")).as("members"))
+    val reps = grouped.select($"rep.doc_id".as("doc_id"),
+      $"rep.text".as("text"), $"members")
+    val bands = bandsFn(reps.select($"doc_id", $"text"))
+    val candReps = bands.as("a").join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val verified = verifyJaccardRaw(candReps,
+      reps.select($"doc_id", shingles($"text").as("sh")), 0.2)
+    // cross-group expansion: every member pair inherits the rep pair
+    val cross = verified
+      .join(reps.select($"doc_id".as("doc_a"), $"members".as("ms_a")), "doc_a")
+      .join(reps.select($"doc_id".as("doc_b"), $"members".as("ms_b")), "doc_b")
+      .select($"jaccard", explode($"ms_a").as("x"), $"ms_b")
+      .select($"jaccard", $"x", explode($"ms_b").as("y"))
+      .select(least($"x", $"y").as("doc_a"),
+        greatest($"x", $"y").as("doc_b"), $"jaccard")
+    // intra-group pairs: identical docs share all bands (always
+    // candidates) and have Jaccard exactly 1.0
+    val intra = grouped.select($"members")
+      .where(size($"members") >= 2)
+      .select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+          "transform(slice(members, i + 2, size(members)), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select($"p.doc_a", $"p.doc_b", lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy($"doc_a", $"doc_b")
   }
 
   /** Exact shingle-Jaccard confirmation of candidate pairs: arrays are
@@ -154,6 +226,15 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, shSets: DataFrame,
                             threshold: Double): DataFrame = {
     import cands.sparkSession.implicits._
+    verifyJaccardRaw(cands, shSets, threshold).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[verifyJaccard]] without the output ordering — for callers that
+    * keep transforming the verified pairs (dd02's member expansion).
+    */
+  private def verifyJaccardRaw(cands: DataFrame, shSets: DataFrame,
+                               threshold: Double): DataFrame = {
+    import cands.sparkSession.implicits._
     cands
       .join(shSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -161,7 +242,6 @@ object Dedup {
         (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
       .filter($"jaccard" >= threshold)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val dd02Sql: String =
@@ -192,20 +272,20 @@ object Dedup {
   def dd02MinhashLshXx(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val docs = spread(s, documents(s, d))
-    val shs = docs.select($"doc_id", shingles($"text").as("sh"))
-    val sigs = shs.select(($"doc_id" +:
-      (0 until 4).map(j => array_min(transform($"sh", x => xxhash64(lit(j), x))).as(s"mh$j"))): _*)
-    val bands = sigs.select($"doc_id",
-        explode(array(
-          struct(lit(0).as("band_id"), xxhash64($"mh0", $"mh1").as("h")),
-          struct(lit(1).as("band_id"), xxhash64($"mh2", $"mh3").as("h")))).as("b"))
-      .select($"doc_id", $"b.band_id", $"b.h")
-    val cands = bands.as("a").join(bands.as("b"),
-        $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, shs, 0.2)
+    // same collapsed engine as the gate so the md5-vs-xxhash64 bench
+    // delta measures the hash, not a structural difference
+    def bandsXx(docs: DataFrame): DataFrame = {
+      val shs = docs.select($"doc_id", shingles($"text").as("sh"))
+      val sigs = shs.select(($"doc_id" +:
+        (0 until 4).map(j =>
+          array_min(transform($"sh", x => xxhash64(lit(j), x))).as(s"mh$j"))): _*)
+      sigs.select($"doc_id",
+          explode(array(
+            struct(lit(0).as("band_id"), xxhash64($"mh0", $"mh1").as("h")),
+            struct(lit(1).as("band_id"), xxhash64($"mh2", $"mh3").as("h")))).as("b"))
+        .select($"doc_id", $"b.band_id", $"b.h")
+    }
+    dd02PairsVia(spread(s, documents(s, d)), bandsXx)
   }
 
   // dd03 — SimHash dedup. 32-bit signature: bit j is the sign of Σ over

@@ -446,43 +446,95 @@ object Layout {
   // The write is partitionBy(shard) parquet; the gate re-reads the
   // shards and hash-matches content + assignment against the oracle —
   // content-preserving AND reproducibly addressed.
+  /** Range partition count for a prefix-sum pass over `path`, derived
+    * from the input's on-disk size (metadata only — no data pass):
+    * one range partition per ~`targetBytes` of input, floor 8. At the
+    * gate's scale factors this resolves to 8 (matching earlier rounds'
+    * literal); at 100 TB it resolves to ~10⁵ partitions, which is
+    * exactly why the offsets rejoin below must be a broadcast JOIN and
+    * not a per-partition expression chain.
+    */
+  private[graft] def prefixSumPartitions(
+      s: SparkSession, path: String,
+      targetBytes: Long = 64L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(8L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** TWO-PASS DISTRIBUTED PREFIX SUM over `docs0` (doc_id, …, n_chars),
+    * yielding the exclusive global running-char total bucketed by
+    * `budget` as a `shard` column — identical to a single global
+    * window's assignment at ANY partition count, without funneling the
+    * table through one task. Pass 1: range-partition by doc_id,
+    * partition-local running sums. Pass 2: per-partition totals
+    * (bounded by partition count) → driver-side exclusive offsets →
+    * rejoined as a TINY BROADCAST equi-join on the partition id. The
+    * join is O(1) plan depth at any partition count — a per-partition
+    * CASE chain would break codegen/analysis at the 10³–10⁵ partitions
+    * 100 TB implies long before data volume matters.
+    *
+    * Correctness precondition: doc_id must be UNIQUE. Equal keys land
+    * in one range partition (RangePartitioner maps a key value
+    * deterministically), so duplicates would make tie order — and thus
+    * the shard split point inside a tied run — partition-count-
+    * dependent. The totals pass piggybacks a per-partition
+    * count vs distinct-count check (no extra job) and fails fast.
+    *
+    * The assignment frame is handed to `use` while its persisted
+    * intermediate is live, then released (the gate cache contract).
+    */
+  private[graft] def withShardAssignment[A](
+      s: SparkSession, docs0: DataFrame, budget: Long, nPart: Int)(
+      use: DataFrame => A): A = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0
+      .repartitionByRange(nPart, $"doc_id")
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy($"_pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("_cum_in", sum($"n_chars").over(wIn))
+      .persist() // feeds the totals pass AND the assignment
+    try {
+      val totals = local.groupBy($"_pid")
+        .agg(max($"_cum_in").as("t"), count(lit(1)).as("n"),
+          countDistinct($"doc_id").as("nd"))
+        .orderBy($"_pid").collect() // bounded by partition count
+      totals.foreach { r =>
+        require(r.getLong(2) == r.getLong(3),
+          s"duplicate doc_id in partition ${r.getInt(0)}: shard " +
+            "assignment of tied rows would depend on partition count")
+      }
+      var acc = 0L
+      val offRows = totals.map { r =>
+        val o = (r.getInt(0), acc); acc += r.getLong(1); o
+      }.toSeq
+      val offs = offRows.toDF("_pid", "_off")
+      val assigned = local
+        .join(broadcast(offs), Seq("_pid"))
+        // exclusive global running total div budget — all operands
+        // non-negative, truncating div matches DuckDB's //
+        .withColumn("shard",
+          expr(s"(_cum_in + _off - n_chars) div ${budget}L"))
+      use(assigned)
+    } finally local.unpersist()
+  }
+
   def q43ShardExport(s: SparkSession, d: String): DataFrame =
     CdcBinlog.withRotatingWorkdir("graft-q43") { work =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val budget = 20000L // chars per shard
-      val nPart = 8
+      val nPart = prefixSumPartitions(s, s"$d/documents.parquet")
       val docs = graft.core.Tables.documents(s, d).toDF()
         .select($"doc_id", $"lang", $"source", $"n_chars")
-        .repartitionByRange(nPart, $"doc_id")
-        .withColumn("_pid", spark_partition_id())
-      val wIn = Window.partitionBy($"_pid").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = docs.withColumn("_cum_in", sum($"n_chars").over(wIn))
-        .persist() // feeds the totals pass AND the assignment write
       val out = work.resolve("shards").toString
-      try {
-        // pass 2: per-partition totals (bounded by partition count) →
-        // driver-side exclusive cumulative offsets, rejoined as a CASE
-        // column (a handful of literals — no broadcast machinery needed)
-        val totals = local.groupBy($"_pid").agg(max($"_cum_in").as("t"))
-          .orderBy($"_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
-        var acc = 0L
-        val offMap = totals.map { case (pid, t) =>
-          val o = pid -> acc; acc += t; o
-        }.toMap
-        val offCol = offMap.keys.toSeq.sorted.foldLeft(lit(0L)) { (c, pid) =>
-          when($"_pid" === pid, lit(offMap(pid))).otherwise(c)
-        }
-        local
-          .withColumn("_off", offCol)
-          // exclusive global running total div budget — all operands
-          // non-negative, truncating div matches DuckDB's //
-          .withColumn("shard",
-            expr(s"(_cum_in + _off - n_chars) div ${budget}L"))
+      withShardAssignment(s, docs, budget, nPart) { assigned =>
+        assigned
           .select($"doc_id", $"lang", $"source", $"n_chars", $"shard")
           .write.mode("overwrite").partitionBy("shard").parquet(out)
-      } finally local.unpersist()
+      }
       s.read.parquet(out)
         .select($"doc_id", $"lang", $"source", $"n_chars",
           $"shard".cast("long").as("shard"))
