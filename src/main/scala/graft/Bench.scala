@@ -230,7 +230,7 @@ object Bench {
       val kept = spreadHi.take(spN)
       val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"failed":$failedJson,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"bench_runs_sub":$subRuns,"failed":$failedJson,""" +
         s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - kept.size},""" +
         s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
@@ -245,18 +245,24 @@ object Bench {
     // overridable so a changed capture window never re-truncates the line
     // mid-object (the rounds-8/9 failure) without an in-repo knob to fix it
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1880").toInt
+    // every rung keeps at least the top-3 spreads (r12 lesson: the
+    // official artifact shed ALL spread entries exactly when dd09's
+    // official-window burst needed adjudicating — the ~60 chars they
+    // cost always fit, and they make bursts self-evident without
+    // BENCH_LAST.json)
+    val spKeep = math.min(3, spreadHi.size)
     val attempts =
-      (spreadHi.size to 0 by -1).iterator.map(n => assemble(n, 2, 0.0)) ++
-        Iterator(assemble(0, 1, 0.0), assemble(0, 1, 0.1),
-          assemble(0, 1, 0.25), assemble(0, 1, 0.5)) ++
+      (spreadHi.size to spKeep by -1).iterator.map(n => assemble(n, 2, 0.0)) ++
+        Iterator(assemble(spKeep, 1, 0.0), assemble(spKeep, 1, 0.1),
+          assemble(spKeep, 1, 0.25), assemble(spKeep, 1, 0.5)) ++
         // terminal rungs: keep raising the cutoff so the ladder always has
         // a rung that shrinks with gate-count growth; the last keeps ONLY
         // failed queries (every green time is below 1e9 s), so its length
-        // is bounded by the totals + failed list, not by how many gates
-        // exist
-        Iterator(1.0, 2.0, 5.0, 1e9).map(assemble(0, 1, _))
+        // is bounded by the totals + failed list + top-3 spreads, not by
+        // how many gates exist
+        Iterator(1.0, 2.0, 5.0, 1e9).map(assemble(spKeep, 1, _))
     val compact = attempts.find(_.length <= budget).getOrElse {
-      val last = assemble(0, 1, 1e9)
+      val last = assemble(spKeep, 1, 1e9)
       System.err.println(s"[bench] WARNING: compact line (${last.length} chars) " +
         s"exceeds SPARK_GRAFT_BENCH_BUDGET=$budget even with all passing " +
         "queries omitted — the capture window will truncate it mid-object")

@@ -91,10 +91,38 @@ object Layout {
     * overhead and task scheduling, so periodic repacking into
     * ceil(total/target) files is table maintenance, run per partition
     * directory. Content-preserving rewrite (round-robin repartition — no
-    * sort, no column change), staged + swapped like the index/view
-    * compactors: a crash leaves either the old directory or the staged
-    * one, never a half-compacted table. Returns the output file count.
+    * sort, no column change), staged and published via [[publishDir]]'s
+    * two-rename swap: a crash leaves a complete directory recoverable
+    * by a single rename, never a half-compacted table. Returns the
+    * output file count.
     */
+  /** Publish a staged directory at `live` via TWO RENAMES of complete
+    * directories — never delete-then-rename (a crash between a delete
+    * of the live dir and the rename of staging would leave NOTHING at
+    * the published path, with the data surviving only under a
+    * PID-suffixed staging name). Here the live dir is first renamed
+    * aside to a trash name, then staging renamed in, then trash
+    * deleted: a crash leaves either the old directory, or a brief
+    * window where the path is absent but BOTH complete directories
+    * exist under adjacent names (trash + live, or trash + staging) —
+    * recovery is renaming one back, never reconstructing data. If the
+    * staging rename fails the set-aside is rolled back so the
+    * published path does not stay absent on a clean error path.
+    */
+  private[graft] def publishDir(fs: org.apache.hadoop.fs.FileSystem,
+                                staging: org.apache.hadoop.fs.Path,
+                                live: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(live.getParent,
+      s"${live.getName}.trash-${ProcessHandle.current().pid()}")
+    if (fs.exists(live))
+      require(fs.rename(live, trash), s"publish: set-aside of $live failed")
+    if (!fs.rename(staging, live)) {
+      if (fs.exists(trash)) fs.rename(trash, live)
+      throw new IllegalStateException(s"publish of $staging at $live failed")
+    }
+    fs.delete(trash, true)
+  }
+
   def compactFiles(s: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -110,9 +138,7 @@ object Layout {
       s"$dir.compact-${ProcessHandle.current().pid()}")
     s.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(p, true)
-    if (!fs.rename(staging, p))
-      throw new IllegalStateException(s"compaction swap failed under $dir")
+    publishDir(fs, staging, p)
     n
   }
 
@@ -395,14 +421,29 @@ object Layout {
         .filter($"o_custkey" =!= victim)
         .repartition(candidates.length)
         .write.mode("overwrite").parquet(staging)
-      candidates.foreach(f =>
-        require(fs.delete(new org.apache.hadoop.fs.Path(f), false), s"delete $f"))
+      // file-level two-rename swap: candidates are renamed ASIDE into a
+      // trash dir (metadata op — never deleted before replacements are
+      // in), staged replacements renamed in, trash dropped last. A
+      // crash mid-swap leaves every displaced file intact under the
+      // trash name and every replacement under staging — recovery is
+      // renames of complete files, never data reconstruction. (The
+      // whole-directory set-aside of [[publishDir]] doesn't apply here:
+      // non-candidate files must stay physically untouched in place.)
+      val trash = new org.apache.hadoop.fs.Path(p.getParent,
+        s"${p.getName}.trash-${ProcessHandle.current().pid()}")
+      fs.mkdirs(trash)
+      candidates.foreach { f =>
+        val fp = new org.apache.hadoop.fs.Path(f)
+        require(fs.rename(fp, new org.apache.hadoop.fs.Path(trash, fp.getName)),
+          s"set-aside $f")
+      }
       val sp = new org.apache.hadoop.fs.Path(staging)
       fs.listStatus(sp).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .foreach { f =>
           val dst = new org.apache.hadoop.fs.Path(p, f.getPath.getName)
           require(fs.rename(f.getPath, dst), s"swap-in ${f.getPath}")
         }
+      fs.delete(trash, true)
       // untouched files must be PHYSICALLY untouched
       fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .foreach { f =>

@@ -286,6 +286,9 @@ object StreamOps {
     q.awaitTermination()
     s.table("graft_st05_sink")
       .groupBy($"user_id")
+      // field order load-bearing: n_events (strictly increasing per
+      // user) must lead so the lexicographic max picks the LAST
+      // emission — total_e2 alone is not monotone for negative values
       .agg(max(struct($"n_events", $"total_e2")).as("m"))
       .select($"user_id", $"m.n_events".as("n_events"),
         $"m.total_e2".as("total_e2"))
@@ -307,10 +310,16 @@ object StreamOps {
   // append mode emits eagerly every trigger — nothing is held back by a
   // watermark — so AvailableNow drains completely; durability comes
   // from the sink's commit log alone. The read-back fold is the same
-  // monotone max-per-user st05 uses (counts and positive-value totals
-  // only grow), so the final state is recoverable from ANY suffix-
-  // complete set of emissions — the property that makes this sink shape
-  // restart-safe without coordination. Completes the durable-twin
+  // max(struct(n_events, total_e2)) per user st05 uses. The invariant
+  // that makes it correct is NOT that both fields grow (total_e2 is
+  // not monotone when value is negative): it is that n_events — the
+  // FIRST struct field, which dominates the lexicographic max — is
+  // strictly increasing across a user's emissions, so the max selects
+  // the chronologically last emission and total_e2 merely rides along.
+  // Field order in that struct is load-bearing. The final state is
+  // thus recoverable from ANY emission set containing the last one —
+  // the property that makes this sink shape restart-safe without
+  // coordination. Completes the durable-twin
   // matrix: windows (st01b), enrich rollup (st03b), sessions (st04b),
   // arbitrary keyed state (here).
   def st05bDurableState(s: SparkSession, d: String): DataFrame =
@@ -342,7 +351,10 @@ object StreamOps {
       q.awaitTermination()
       s.read.parquet(out)
         .groupBy($"user_id")
-        .agg(max(struct($"n_events", $"total_e2")).as("m"))
+        // field order load-bearing: n_events (strictly increasing per
+      // user) must lead so the lexicographic max picks the LAST
+      // emission — total_e2 alone is not monotone for negative values
+      .agg(max(struct($"n_events", $"total_e2")).as("m"))
         .select($"user_id", $"m.n_events".as("n_events"),
           $"m.total_e2".as("total_e2"))
         .orderBy($"user_id")
@@ -636,11 +648,15 @@ object StreamOps {
     folded.write.mode("overwrite").parquet(staging)
     val base = new org.apache.hadoop.fs.Path(s"$tablePath/base")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(base, true)
+    // publish the fold FIRST (two-rename swap — a crash never leaves
+    // the path with no complete directory), THEN drop the folded-in
+    // update partitions: a crash in between leaves new base + old
+    // updates, and re-folding those updates is idempotent (update mode
+    // emits full current aggregates; argmax by batch re-selects the
+    // same newest row per group).
+    graft.operators.Layout.publishDir(fs,
+      new org.apache.hadoop.fs.Path(staging), base)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/updates"), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), base))
-      throw new IllegalStateException(
-        s"windowed-agg compaction swap failed under $tablePath")
   }
 
   /** Streaming view of the events table staged as `nFiles` parquet files,

@@ -30,35 +30,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val d = "/root/testdata/sf0.001"
 
   // invoking these RUNS a streaming query / builds a persisted index /
-  // executes a bounded driver-side fold — plan-pinned in their own specs
-  private val executesOnCall = Set(
-    "st01_sliding_window", "st01b_durable_window", "st02_stream_dedup",
-    "st03_stream_enrich", "st04_session_window", "st05_running_state",
-    "st06_stream_join",
-    "cdcm1_materialized_table", "cdcm2_incremental_agg",
-    "cdcm3_incremental_join", "cdcb20_bounded_admission",
-    "q35_zorder_layout", // writes + reads back a clustered copy on call
-    "sim13_mmr_rerank",
-    "sim14_kmeans_train", // iterates: collects bounded centroid scalars per round
-    "q33_basket_lift", // persists + counts the basket frame up front
-    "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
-    "sim07b_via_index", "sim09b_hybrid_indexed", "sim11b_range_via_index",
-    "txt18_index_lifecycle", "sim08_ivf_pq", // probes the PERSISTED index — building it is the execution
-    "sim10_ivfpq_knn_join", "sim10b_knn_shuffle",
-    "dd12_fuzzy_join", // localCheckpoints (cache-release contract); lazy twin pinned in PlanShapeSpec
-    "dd06_incremental_dedup", "dd10_semantic_dedup", "dd09_dup_clusters",
-    "mm09_media_canonical", // connected-components loop executes rounds
-    "txt19_heavy_hitters",  // token total aggregates up front
-    // wave-2/3 additions that run a full streaming job / write-path /
-    // driver-bounded fold on call: their returned frames are checkpoint
-    // scans (nothing for the sweep to inspect) and executing them twice
-    // per suite is pure runtime
-    "st03b_durable_enrich", "st04b_durable_session", "st05b_durable_state",
-    "st07_stream_outer_join", "st08_backfill_union", "st09_denylist_filter",
-    "q36_manifest_pruned_scan", "q40_bloom_pruned_scan",
-    "q41_surgical_delete", "q43_shard_export", "cdcb21_asof_image",
-    "sim15_trained_ivf",
-    "dd13_bloom_decontaminate", "graph03_triangles", "txt23_bpe_merges")
+  // executes a bounded driver-side fold — their AQE-final EXECUTED plans
+  // are swept by ExecutedPlanSweepSpec via listener capture, so a gate
+  // added to this set is never silently unswept
+  private val executesOnCall = GlobalPlanSweepSpec.executesOnCall
 
   test("no gate plans a non-broadcast cartesian product") {
     graft.functions.GraftFunctions.register(spark)
@@ -174,4 +149,41 @@ class GlobalPlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unpartitionedOffenders(outputSort.queryExecution.sparkPlan).isEmpty,
       "the oracle-contract output sort must stay exempt")
   }
+}
+
+object GlobalPlanSweepSpec {
+  /** Shared contract between the lazy sweep (every gate NOT listed
+    * here) and ExecutedPlanSweepSpec (exactly this set): together they
+    * cover every registered gate, with zero per-gate hand exclusions
+    * for new gates — a new lazy gate is swept automatically, and a new
+    * execute-on-call gate added here is swept by listener capture.
+    */
+  val executesOnCall: Set[String] = Set(
+    "st01_sliding_window", "st01b_durable_window", "st02_stream_dedup",
+    "st03_stream_enrich", "st04_session_window", "st05_running_state",
+    "st06_stream_join",
+    "cdcm1_materialized_table", "cdcm2_incremental_agg",
+    "cdcm3_incremental_join", "cdcb20_bounded_admission",
+    "q35_zorder_layout", // writes + reads back a clustered copy on call
+    "sim13_mmr_rerank",
+    "sim14_kmeans_train", // iterates: collects bounded centroid scalars per round
+    "q33_basket_lift", // persists + counts the basket frame up front
+    "dd06b_via_index", "sim03b_via_index", "sim05b_via_index",
+    "sim07b_via_index", "sim09b_hybrid_indexed", "sim11b_range_via_index",
+    "txt18_index_lifecycle", "sim08_ivf_pq", // probes the PERSISTED index — building it is the execution
+    "sim10_ivfpq_knn_join", "sim10b_knn_shuffle",
+    "dd12_fuzzy_join", // localCheckpoints (cache-release contract); lazy twin pinned in PlanShapeSpec
+    "dd06_incremental_dedup", "dd10_semantic_dedup", "dd09_dup_clusters",
+    "mm09_media_canonical", // connected-components loop executes rounds
+    "txt19_heavy_hitters",  // token total aggregates up front
+    // wave-2/3 additions that run a full streaming job / write-path /
+    // driver-bounded fold on call: their returned frames are checkpoint
+    // scans (nothing for the sweep to inspect) and executing them twice
+    // per suite is pure runtime
+    "st03b_durable_enrich", "st04b_durable_session", "st05b_durable_state",
+    "st07_stream_outer_join", "st08_backfill_union", "st09_denylist_filter",
+    "q36_manifest_pruned_scan", "q40_bloom_pruned_scan",
+    "q41_surgical_delete", "q43_shard_export", "cdcb21_asof_image",
+    "sim15_trained_ivf",
+    "dd13_bloom_decontaminate", "graph03_triangles", "txt23_bpe_merges")
 }
