@@ -761,7 +761,19 @@ object Dedup {
   // dd08's. The gate asserts the screen actually pruned; per-shingle
   // `need` counts distinct (word, bit) pairs so a position collision
   // cannot false-negative a true match (q40's lesson).
-  def dd13BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def dd13BloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    dd13BloomDecontaminateWith(s, d)
+
+  /** dd13 with the bloom parameters exposed (defaults are the gate's
+    * values): `bitsPerKey` sizes m from the distinct eval-shingle count,
+    * `kHashes` is the hash count. The screen is exact at ANY (k, m) —
+    * no false negatives, so the decontamination report is identical;
+    * only the candidate (pre-confirm) volume varies. BloomSkipSpec pins
+    * the no-false-negative property over k in {1, 2, 4}.
+    */
+  private[operators] def dd13BloomDecontaminateWith(
+      s: SparkSession, d: String,
+      bitsPerKey: Long = 16L, kHashes: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
@@ -772,9 +784,9 @@ object Dedup {
     val trainSh = docs.filter($"bkt" >= 5)
       .select($"doc_id", explode(shingles($"text")).as("sh"))
     val nEval = evalSh.select($"sh").distinct().count() // stats at 100 TB
-    val mBits = math.max(1024L, 16L * nEval)
+    val mBits = math.max(1024L, bitsPerKey * nEval)
     def positions(c: org.apache.spark.sql.Column) =
-      Layout.bloomPositions(c, mBits, k = 2)
+      Layout.bloomPositions(c, mBits, kHashes)
     val bloom = evalSh.select(explode(positions($"sh")).as("pos"))
       .groupBy(expr("pos div 64").as("word"))
       .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("bits"))

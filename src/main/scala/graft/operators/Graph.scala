@@ -360,13 +360,28 @@ object Graph {
   // the SAME triangle set, so the per-node counts hash-match exactly.
   def graph03Triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // SCALE-AWARE support threshold, derived from the DATA (mirrored
+    // verbatim in the oracle SQL, so both sides derive the same rule):
+    // the fixed ">= 2" of q32 thins the co-purchase graph as SF grows —
+    // part count scales with SF while the per-order basket stays
+    // constant-sized, so random pair repeats get rarer and sf0.1 kept a
+    // single triangle (a hash-exact but weakly discriminating gate).
+    // Above 20k baskets the graph drops to support >= 1 (all
+    // co-purchase pairs), restoring a ~10^6-triangle population at
+    // sf0.1; orientation still bounds every out-degree by O(sqrt(m)),
+    // so the denser edge list raises work linearly in wedge count, not
+    // quadratically in any hub's degree. The basket count is one slim
+    // distinct-count pass (at 100 TB this is a table statistic).
+    val nBaskets = graft.core.Tables.lineitem(s, d)
+      .select($"l_orderkey").distinct().count()
+    val minSup = if (nBaskets > 20000L) 1L else 2L
     // the corpus-scale basket → pair pipeline feeds three consumers
     // (degrees, orientation, and transitively both sides of the confirm
     // join) — persist the slim edge list so it runs ONCE; the oriented
     // list is detached eagerly (its two deg-enrichment joins shouldn't
     // replay per consumer either), and the result detaches before the
     // caches release (the gate cache contract)
-    val e = Relational.pairSupport(Relational.baskets(s, d))
+    val e = Relational.pairSupport(Relational.baskets(s, d), minSup)
       .select($"a", $"b").persist()
     val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg")).persist()
@@ -426,7 +441,10 @@ object Graph {
       |  SELECT a.l_partkey AS a, b.l_partkey AS b
       |  FROM items a JOIN items b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= (CASE WHEN (SELECT COUNT(DISTINCT l_orderkey)
+      |                                 FROM lineitem) > 20000
+      |                      THEN 1 ELSE 2 END)),
       |deg AS (
       |  SELECT n, COUNT(*) AS deg FROM (
       |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)

@@ -83,19 +83,6 @@ object Layout {
       .sortWithinPartitions(leadCol)
       .write.mode("overwrite").parquet(outDir)
 
-  /** Bin-pack a parquet directory toward `targetBytes` per output file —
-    * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
-    * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index
-    * segment appends) accretes many small files; at 100 TB the scan cost
-    * of a million 1 MB files is dominated by per-file open/footer
-    * overhead and task scheduling, so periodic repacking into
-    * ceil(total/target) files is table maintenance, run per partition
-    * directory. Content-preserving rewrite (round-robin repartition — no
-    * sort, no column change), staged and published via [[publishDir]]'s
-    * two-rename swap: a crash leaves a complete directory recoverable
-    * by a single rename, never a half-compacted table. Returns the
-    * output file count.
-    */
   /** Publish a staged directory at `live` via TWO RENAMES of complete
     * directories — never delete-then-rename (a crash between a delete
     * of the live dir and the rename of staging would leave NOTHING at
@@ -123,6 +110,19 @@ object Layout {
     fs.delete(trash, true)
   }
 
+  /** Bin-pack a parquet directory toward `targetBytes` per output file —
+    * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
+    * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index
+    * segment appends) accretes many small files; at 100 TB the scan cost
+    * of a million 1 MB files is dominated by per-file open/footer
+    * overhead and task scheduling, so periodic repacking into
+    * ceil(total/target) files is table maintenance, run per partition
+    * directory. Content-preserving rewrite (round-robin repartition — no
+    * sort, no column change), staged and published via [[publishDir]]'s
+    * two-rename swap: a crash leaves a complete directory recoverable
+    * by a single rename, never a half-compacted table. Returns the
+    * output file count.
+    */
   def compactFiles(s: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -275,8 +275,8 @@ object Layout {
     * false-negative the true file), eagerly detached so callers can
     * count them.
     */
-  private def probeRows(s: SparkSession, key: Long, mBits: Long,
-                        k: Int): DataFrame = {
+  private[operators] def probeRows(s: SparkSession, key: Long, mBits: Long,
+                                   k: Int): DataFrame = {
     import s.implicits._
     s.range(1).select(explode(bloomPositions(lit(key), mBits, k)).as("pos"))
       .select(expr("pos div 64").as("word"),
@@ -312,6 +312,18 @@ object Layout {
   // HERE via a 2-row broadcast join so the per-file word map never
   // leaves the cluster; only kept file names are collected.
   def q40BloomPrunedScan(s: SparkSession, d: String): DataFrame =
+    q40BloomPrunedScanWith(s, d)
+
+  /** q40 with the bloom parameters exposed: `bitsPerKey` sizes m from
+    * the per-file key count, `kHashes` is the hash-function count. The
+    * defaults (16, 2) are the gate's values (~1.5 % false-positive
+    * files); ANY (k, m) yields the same query RESULT — the bloom has no
+    * false negatives at any parameterization, only a different
+    * files-kept count — which BloomSkipSpec pins over k in {1, 2, 4}.
+    */
+  private[operators] def q40BloomPrunedScanWith(
+      s: SparkSession, d: String,
+      bitsPerKey: Long = 16L, kHashes: Int = 2): DataFrame =
     CdcBinlog.withRotatingWorkdir("graft-q40") { work =>
       import s.implicits._
       val o = graft.core.Tables.orders(s, d).toDF()
@@ -321,7 +333,7 @@ object Layout {
       val nFiles = 8
       linearCluster(o, "o_orderdate", out, nFiles)
       val total = s.read.parquet(out).count()
-      val mBits = math.max(1024L, 16L * (total / nFiles + 1))
+      val mBits = math.max(1024L, bitsPerKey * (total / nFiles + 1))
       val probe = o.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
         .select($"o_orderkey").head().getLong(0)
       // layout-stats null result: every file's key envelope spans the probe
@@ -331,8 +343,8 @@ object Layout {
       require(minmaxKeep == env.length, s"min/max pruned a key lookup on a " +
         "date layout — key/date correlation appeared in testdata; q40's " +
         "premise needs re-checking")
-      val man = bloomManifest(s, out, "o_orderkey", mBits)
-      val pp = probeRows(s, probe, mBits, k = 2)
+      val man = bloomManifest(s, out, "o_orderkey", mBits, kHashes)
+      val pp = probeRows(s, probe, mBits, kHashes)
       val need = pp.count()
       val keep = man.join(broadcast(pp), "word")
         .filter(($"bits".bitwiseAND($"bit")) =!= 0)
@@ -381,6 +393,15 @@ object Layout {
   // date-ordered layout; the read-back of untouched + rewritten files
   // hash-matches the full-table anti-filter oracle.
   def q41SurgicalDelete(s: SparkSession, d: String): DataFrame =
+    q41SurgicalDeleteWith(s, d)
+
+  /** q41 with (bitsPerKey, kHashes) exposed — same contract as
+    * [[q40BloomPrunedScanWith]]: the rewrite set varies with the
+    * parameters, the surviving table content never does.
+    */
+  private[operators] def q41SurgicalDeleteWith(
+      s: SparkSession, d: String,
+      bitsPerKey: Long = 16L, kHashes: Int = 2): DataFrame =
     CdcBinlog.withRotatingWorkdir("graft-q41") { work =>
       import s.implicits._
       val o = graft.core.Tables.orders(s, d).toDF()
@@ -390,11 +411,11 @@ object Layout {
       val nFiles = 8
       linearCluster(o, "o_orderdate", out, nFiles)
       val total = s.read.parquet(out).count()
-      val mBits = math.max(1024L, 16L * (total / nFiles + 1))
+      val mBits = math.max(1024L, bitsPerKey * (total / nFiles + 1))
       val victim = o.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
         .orderBy($"n", $"o_custkey").select($"o_custkey").head().getLong(0)
-      val man = bloomManifest(s, out, "o_custkey", mBits)
-      val pp = probeRows(s, victim, mBits, k = 2)
+      val man = bloomManifest(s, out, "o_custkey", mBits, kHashes)
+      val pp = probeRows(s, victim, mBits, kHashes)
       val need = pp.count()
       val candidates = man.join(broadcast(pp), "word")
         .filter(($"bits".bitwiseAND($"bit")) =!= 0)

@@ -790,7 +790,8 @@ object Relational {
   /** q32's frequent-pair support computed from a basket frame — shared
     * with q33 so the two gates can never disagree on pair semantics.
     */
-  private[operators] def pairSupport(b: DataFrame): DataFrame = {
+  private[operators] def pairSupport(b: DataFrame,
+                                     minSupport: Long = 2L): DataFrame = {
     import b.sparkSession.implicits._
     b.select(explode(expr(
         """flatten(transform(parts, (x, i) ->
@@ -798,7 +799,7 @@ object Relational {
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("n_orders"))
-      .filter($"n_orders" >= 2)
+      .filter($"n_orders" >= minSupport)
   }
 
   def q32Copurchase(s: SparkSession, d: String): DataFrame = {

@@ -24,15 +24,18 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("bloom manifest has zero false negatives and prunes point lookups") {
+  // the contract must hold at EVERY hash-count parameterization a
+  // caller can choose (q40/q41/dd13 expose kHashes with default 2):
+  // exactness is k-independent, only the false-positive rate moves
+  for (kHashes <- Seq(1, 2, 4))
+  test(s"bloom manifest has zero false negatives and prunes point lookups (k=$kHashes)") {
     import spark.implicits._
-    CdcBinlog.withRotatingWorkdir("graft-bloomspec") { work =>
+    CdcBinlog.withRotatingWorkdir(s"graft-bloomspec-k$kHashes") { work =>
       val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001").toDF()
       val out = work.resolve("bydate").toString
       Layout.linearCluster(o, "o_orderdate", out, nFiles = 8)
       val mBits = 3008L
-      val kHashes = 2
-      val man = Layout.bloomManifest(spark, out, "o_orderkey", mBits)
+      val man = Layout.bloomManifest(spark, out, "o_orderkey", mBits, kHashes)
 
       // ground truth: which files actually hold each key
       val actual = spark.read.parquet(out)
@@ -61,7 +64,8 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
         "although the file holds the key — false negatives break exactness")
 
       // payoff: on average a key keeps well under half the files (each
-      // key lives in 1 file here; FP rate at 16 bits/key, k=2 is ~1.5 %)
+      // key lives in 1 file here; FP at 16 bits/key stays low for every
+      // k in the grid — the half-the-files bound is loose on purpose)
       val nFiles = spark.read.parquet(out)
         .select(input_file_name()).distinct().count()
       val avgKept = kept.groupBy($"k").agg(count(lit(1)).as("n"))
@@ -69,6 +73,19 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(avgKept < nFiles / 2.0,
         s"bloom kept $avgKept of $nFiles files per key on average — no pruning")
       spark.emptyDataFrame // withRotatingWorkdir's block yields a DataFrame
+    }
+  }
+
+  test("q40's query result is invariant under the bloom parameterization") {
+    val d = "/root/testdata/sf0.001"
+    val base = Layout.q40BloomPrunedScan(spark, d)
+      .collect().map(_.toString).toSeq
+    for (k <- Seq(1, 4)) {
+      val alt = Layout.q40BloomPrunedScanWith(spark, d, 16L, k)
+        .collect().map(_.toString).toSeq
+      assert(alt === base,
+        s"k=$k changed the query result — the bloom must only move the " +
+          "false-positive rate, never correctness")
     }
   }
 }
