@@ -1126,6 +1126,94 @@ object CdcBinlog {
       out.localCheckpoint(true).orderBy($"id")
     }
 
+  /** cdcm4's probe prefixes — generator-vocabulary constants (fixture
+    * words are `<greek>_<n>`, so the prefix is a high-df query term).
+    */
+  private[operators] val cdcm4Terms = Seq("gamma", "zeta")
+
+  /** cdcm4's per-batch latest images: one row per key the batch touched,
+    * carrying the synthesized index text, the batch id as the doc
+    * VERSION (stream order makes it monotone per key — exactly the
+    * contract [[graft.operators.TextAnalysis.appendCdcTextSegment]]
+    * needs), and delete-ness. Within a batch the latest change wins
+    * under the same rollover-safe (file ordinal, file, pos, seq) total
+    * order the materializer's merge uses. The text is derived from the
+    * row (`prefix` repeated 1 + id % 3 times, then the full word), so
+    * dl ∈ {2..4} and tf ∈ {1..3} keep BM25 non-degenerate; the oracle
+    * reproduces the same derivation in SQL from the latest images.
+    */
+  private def cdcm4BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.filter($"_delta_type" =!= "update-before")
+      .groupBy($"id")
+      .agg(max(struct(
+        graft.streaming.CdcMaterializer.fileSeq($"log_file").as("fo"),
+        $"log_file".as("lf"), $"log_pos".as("lp"), $"log_seq".as("ls"),
+        $"_delta_type".as("dt"), $"word".as("w"))).as("m"))
+      .select($"id".as("doc_id"), $"m.w".as("word"),
+        lit(batchId).as("ver"), ($"m.dt" === "delete").as("deleted"))
+      .select($"doc_id",
+        expr("concat(repeat(concat(substring_index(word, '_', 1), ' '), " +
+          "int(1 + doc_id % 3)), word)").as("text"),
+        $"ver", $"deleted")
+  }
+
+  // cdcm4 — the CDC → INDEX FRESHNESS capstone: the engine's two halves
+  // fused end-to-end. A bounded-admission binlog stream (cdcb20's
+  // backpressure shape — maxBytesPerTrigger forces >= 3 real
+  // micro-batches) incrementally maintains a PERSISTED text index: each
+  // batch folds to per-key latest images and appends one versioned
+  // segment (postings + doc log) in O(batch) — nothing indexed is ever
+  // re-read or re-tokenized. The probe then answers top-k BM25 through
+  // the merge-on-read liveness join, and the DuckDB oracle recomputes
+  // the SAME query from a full rebuild over the latest-image ground
+  // truth: the two hash-match only if every update superseded its stale
+  // postings, every delete's tombstone held, df/n/sumdl counted live
+  // docs only, and the batch seams neither dropped nor duplicated a
+  // change. This is the reference's streaming consumption story
+  // (mysql_binlog.clj's queue consumer feeding a downstream view) fused
+  // with the LLM-pipeline index surface — index freshness measured
+  // against the log, not against a rebuild schedule.
+  def cdcm4IndexFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm4") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 4, 1L)
+      val idx = work.resolve("index").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // persist: the images feed postings AND the doc log (plus the
+          // emptiness probe) — without it each consumer re-decodes the
+          // batch's binlog span
+          val imgs = cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty)
+              graft.operators.TextAnalysis.appendCdcTextSegment(
+                imgs, idx, f"b$batchId%06d")
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val segs = new java.io.File(s"$idx/doclog").listFiles()
+      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
+          "the freshness gate needs >= 3 real ingest segments")
+      graft.operators.TextAnalysis
+        .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100)
+        .orderBy($"r_sparse")
+        .localCheckpoint(true) // DETACH — the workdir rotates away
+        .orderBy($"r_sparse")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1174,6 +1262,7 @@ object CdcBinlog {
     "cdcm1_materialized_table" -> cdcm1MaterializedTable _,
     "cdcm2_incremental_agg" -> cdcm2IncrementalAgg _,
     "cdcm3_incremental_join" -> cdcm3IncrementalJoin _,
+    "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1285,6 +1374,22 @@ object CdcBinlog {
          |FROM (${latestImageOracle(sfDir)}) l
          |JOIN nation n ON l.id % 25 = n.n_nationkey
          |ORDER BY l.id""".stripMargin,
+    // the full-rebuild twin of the CDC-maintained index: the same text
+    // derivation over the latest-image ground truth, scored by the same
+    // BM25 CTEs the txt18 lifecycle oracle uses
+    "cdcm4_index_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+         |SELECT doc_id, bm25,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+         |FROM sagg
+         |QUALIFY r_sparse <= 100
+         |ORDER BY r_sparse""".stripMargin,
     "cdcb13_compressed_latest_image" ->
       latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->

@@ -741,6 +741,20 @@ object TextAnalysis {
       .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
       .filter($"doc_id" =!= excludeDocId)
       .select($"term", $"doc_id", $"dl", $"tf")
+    bm25ScoreTopK(posts, tstats, stats, k)
+  }
+
+  /** The BM25-RSJ scoring core shared by [[bm25TopKViaIndex]] and
+    * [[bm25TopKViaCdcIndex]]: `posts` = (term, doc_id, dl, tf) pruned
+    * hits, `tstats` = per-term df (≤ |query terms| rows — broadcast),
+    * `stats` = one (n, sumdl) row. Per-doc term scores fold in SORTED
+    * TERM ORDER so the double addition is bit-identical to the oracle's
+    * `list(sc ORDER BY term)` fold; top-k cuts per-partition via
+    * rankedTopK — never a corpus-sized global sort.
+    */
+  private def bm25ScoreTopK(posts: DataFrame, tstats: DataFrame,
+                            stats: DataFrame, k: Int): DataFrame = {
+    import posts.sparkSession.implicits._
     def dbl(c: Column): Column = c.cast("double")
     val idf = (dbl($"n") - dbl($"df") + lit(0.5)) / (dbl($"df") + lit(0.5))
     val norm = lit(1.2) * (lit(0.25) +
@@ -752,6 +766,120 @@ object TextAnalysis {
       .agg(aggregate(array_sort(collect_list($"ts")), lit(0.0),
         (acc, x) => acc + x.getField("sc")).as("bm25"))
     Similarity.rankedTopK(perDoc, $"bm25", $"doc_id", k, "r_sparse")
+  }
+
+  // ---- CDC-maintained text index (cdcm4) -------------------------------
+  //
+  // The append-only segment protocol above assumes docs are immutable;
+  // a CDC stream UPDATES and DELETES them. The CDC index handles both
+  // with MERGE-ON-READ versioning (the Lucene/Delta shape, built from
+  // Spark primitives): postings rows carry the writing version, and a
+  // slim per-segment DOC LOG records (doc_id, ver, deleted, dl) for
+  // every key the batch touched. Nothing is ever rewritten on ingest —
+  // append cost stays O(batch) — and the probe reconstructs liveness:
+  // latest version per doc from the doc log (one argmax over slim
+  // rows), postings joined on (doc_id, ver) so stale versions drop out,
+  // df/n/sumdl recomputed from LIVE rows only. Probe results are
+  // therefore exactly a full rebuild over the latest images — the
+  // freshness contract cdcm4 puts under the DuckDB oracle.
+
+  /** Append one CDC micro-batch's per-key latest images to the index.
+    * `images` must hold one row per touched key: (doc_id, text, ver,
+    * deleted), with `ver` strictly increasing across a key's successive
+    * batches (the batch id — stream order makes it monotone). Replaying
+    * a batch rewrites exactly its own segment — idempotent, the
+    * [[Similarity.appendToAnnIndex]] protocol.
+    */
+  def appendCdcTextSegment(images: DataFrame, indexDir: String,
+                           segment: String,
+                           nBuckets: Int = textIndexBuckets): Unit = {
+    val s = images.sparkSession
+    import s.implicits._
+    images.filter(!$"deleted")
+      .select($"doc_id", $"ver",
+        size(tokens($"text")).cast("long").as("dl"),
+        explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id", $"ver", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$indexDir/postings/seg=$segment")
+    // the doc log records DELETES too (a tombstone is a version)
+    images.select($"doc_id", $"ver", $"deleted",
+        when($"deleted", lit(0L))
+          .otherwise(size(tokens($"text")).cast("long")).as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+  }
+
+  /** Fold the CDC index to a live-only single base segment: superseded
+    * and deleted versions' postings are DROPPED (the only operation that
+    * ever removes them — ingest is append-only), the doc log collapses
+    * to one row per live doc, tombstones vanish (no older segment
+    * remains for them to mask). Probe results are unchanged by
+    * construction — the probe's liveness join already ignored everything
+    * compaction removes (spec-pinned) — but the probe's doc-log scan
+    * shrinks from O(touched-versions) to O(live docs) and the pruned
+    * posting read loses its seg fan-out, the [[compactTextIndex]]
+    * economics. Maintenance-job contract: never run concurrently with
+    * ingest or probes; the stream's checkpoint guarantees committed
+    * batches are not replayed, so no re-appended segment can resurrect
+    * a compacted-away version. Published via the two-rename
+    * [[graft.operators.Layout.publishDir]] swap.
+    */
+  def compactCdcTextIndex(s: SparkSession, indexDir: String,
+                          nBuckets: Int = textIndexBuckets): Unit = {
+    import s.implicits._
+    val live = s.read.parquet(s"$indexDir/doclog")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"),
+        $"m.deleted".as("deleted"), $"m.dl".as("dl"))
+      .filter(!$"deleted")
+      .persist() // feeds the posting filter AND the folded doc log
+    try {
+      val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
+      s.read.parquet(s"$indexDir/postings")
+        .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+        .select($"term", $"doc_id", $"ver", $"dl", $"tf", $"tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$staging/postings/seg=base")
+      live.select($"doc_id", $"ver", $"deleted", $"dl")
+        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      Layout.publishDir(
+        p.getFileSystem(s.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(staging), p)
+    } finally live.unpersist()
+  }
+
+  /** Top-k BM25 over the CDC-maintained index, exactly as fresh as the
+    * last appended batch. Plan shape at scale: the doc-log argmax is one
+    * shuffle of slim 4-long rows (the only corpus-proportional step —
+    * periodic compaction folds the log like [[compactTextIndex]] folds
+    * segments); the liveness join's posting side is bucket-pruned to the
+    * query terms, so AQE broadcasts it and the corpus-sized side never
+    * shuffles twice; scoring is [[bm25ScoreTopK]]'s pruned-hits path.
+    */
+  def bm25TopKViaCdcIndex(s: SparkSession, indexDir: String,
+                          terms: Seq[String], k: Int,
+                          nBuckets: Int = textIndexBuckets): DataFrame = {
+    import s.implicits._
+    val doclog = s.read.parquet(s"$indexDir/doclog")
+    val live = doclog.groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"),
+        $"m.deleted".as("deleted"), $"m.dl".as("dl"))
+      .filter(!$"deleted")
+    val stats = live.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val tbs = termBuckets(s, terms, nBuckets)
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
+      .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+      .select($"term", $"doc_id", $"dl", $"tf")
+    // df from LIVE postings only — a stale or deleted version must not
+    // inflate document frequency
+    val tstats = posts.groupBy($"term").agg(count(lit(1)).as("df"))
+    bm25ScoreTopK(posts, tstats, stats, k)
   }
 
   // txt18 — the index MAINTENANCE lifecycle under the oracle: the gate's
@@ -878,18 +1006,19 @@ object TextAnalysis {
     * `sscWhere` is the candidate-exclusion predicate (`pt.doc_id <> 0`
     * for the query-doc exclusion; a vacuous predicate for none).
     */
-  def bm25IndexOracleCtes(terms: Seq[String], sscWhere: String): String = {
+  def bm25IndexOracleCtes(terms: Seq[String], sscWhere: String,
+                          docsRel: String = "documents"): String = {
     val postings = terms.map(t =>
       s"""SELECT doc_id, dl, '$t' AS term,
          |      CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf
          |    FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |          FROM documents)""".stripMargin)
+         |          FROM $docsRel)""".stripMargin)
       .mkString("\n    UNION ALL\n    ")
     s"""pt AS (SELECT doc_id, dl, term, tf FROM (
        |    $postings
        |  ) WHERE tf > 0),
        |sstats AS (SELECT COUNT(*) AS n, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sumdl
-       |           FROM documents),
+       |           FROM $docsRel),
        |sdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pt GROUP BY term),
        |ssc AS (SELECT pt.doc_id, pt.term,
        |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))

@@ -49,7 +49,7 @@ object CdcMaterializer {
     * image would win the merge. Non-numeric extensions order first (-1)
     * with the raw name as tiebreak.
     */
-  private[streaming] def fileSeq(c: Column): Column = {
+  private[graft] def fileSeq(c: Column): Column = {
     val ext = regexp_extract(c, "\\.([0-9]+)$", 1)
     when(ext === "", lit(-1L)).otherwise(ext.cast("long"))
   }

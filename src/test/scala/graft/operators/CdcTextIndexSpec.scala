@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The CDC text index's merge-on-read contract, in miniature (the full
+  * pipeline is gate cdcm4): updates supersede their stale postings,
+  * deletes tombstone the doc out of results AND out of df/n/sumdl, the
+  * probe equals a full rebuild over the latest images, and replaying a
+  * segment (the streaming retry path) changes nothing.
+  */
+class CdcTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def images(rows: Seq[(Long, String, Long, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "ver", "deleted")
+  }
+
+  private val terms = Seq("alpha", "delta", "gamma", "shared")
+
+  private def probeRows(df: DataFrame): Seq[(Long, Double, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  test("updates supersede, deletes tombstone, probe equals full rebuild, replay is idempotent") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcidx")
+    val idx = work.resolve("cdc").toString
+    val rebuilt = work.resolve("rebuilt").toString
+
+    // batch 0: three docs; batch 1: A re-written (alpha -> delta),
+    // B deleted, D born
+    val b0 = Seq(
+      (1L, "alpha shared alpha", 0L, false),
+      (2L, "beta shared", 0L, false),
+      (3L, "gamma shared gamma gamma", 0L, false))
+    val b1 = Seq(
+      (1L, "delta shared", 1L, false),
+      (2L, null: String, 1L, true),
+      (4L, "delta delta shared", 1L, false))
+    TextAnalysis.appendCdcTextSegment(images(b0), idx, "b000000")
+    TextAnalysis.appendCdcTextSegment(images(b1), idx, "b000001")
+
+    val got = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10).orderBy("r_sparse"))
+
+    // staleness: doc 1 must NOT be reachable via its old term
+    val alphaHits = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, Seq("alpha"), 10))
+    assert(alphaHits.isEmpty, "doc 1's stale alpha postings survived the update")
+    // tombstone: doc 2 gone entirely
+    assert(!got.exists(_._1 == 2L), "deleted doc 2 still probeable")
+    // live docs present
+    assert(got.map(_._1).toSet === Set(1L, 3L, 4L))
+
+    // equivalence: full rebuild over the LATEST images scores identically
+    // (df/n/sumdl must count live docs only for this to hold)
+    import spark.implicits._
+    val latest = Seq((1L, "delta shared"), (3L, "gamma shared gamma gamma"),
+      (4L, "delta delta shared")).toDF("doc_id", "text")
+    TextAnalysis.buildTextIndex(latest, rebuilt)
+    val want = probeRows(
+      TextAnalysis.bm25TopKViaIndex(spark, rebuilt, terms, 10).orderBy("r_sparse"))
+    assert(got === want, "CDC merge-on-read probe != full rebuild over latest images")
+
+    // replay: re-appending batch 1's segment (streaming retry) is a no-op
+    TextAnalysis.appendCdcTextSegment(images(b1), idx, "b000001")
+    val replayed = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10).orderBy("r_sparse"))
+    assert(replayed === got, "segment replay changed the probe")
+
+    // compaction: probe-invariant, folds to a single live-only base
+    TextAnalysis.compactCdcTextIndex(spark, idx)
+    val compacted = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10).orderBy("r_sparse"))
+    assert(compacted === got, "compaction changed the probe")
+    val segDirs = new java.io.File(s"$idx/doclog").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+    assert(segDirs === Seq("seg=base"),
+      s"compaction left segments: $segDirs")
+    // superseded + deleted versions physically gone
+    val remaining = spark.read.parquet(s"$idx/doclog")
+    assert(remaining.count() === 3L) // live docs 1, 3, 4 only
+    assert(remaining.filter(org.apache.spark.sql.functions.col("deleted")).count() === 0L)
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
+  test("a delete arriving in the same batch as the insert wins (tombstone only)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcidx2")
+    val idx = work.resolve("cdc").toString
+    TextAnalysis.appendCdcTextSegment(images(Seq(
+      (1L, "solo term", 0L, false),
+      (2L, null, 0L, true))), idx, "b000000")
+    val got = probeRows(TextAnalysis.bm25TopKViaCdcIndex(spark, idx, Seq("solo", "term"), 10))
+    assert(got.map(_._1) === Seq(1L))
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+}

@@ -163,7 +163,8 @@ object GlobalPlanSweepSpec {
     "st03_stream_enrich", "st04_session_window", "st05_running_state",
     "st06_stream_join",
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
-    "cdcm3_incremental_join", "cdcb20_bounded_admission",
+    "cdcm3_incremental_join", "cdcm4_index_freshness",
+    "cdcb20_bounded_admission",
     "q35_zorder_layout", // writes + reads back a clustered copy on call
     "sim13_mmr_rerank",
     "sim14_kmeans_train", // iterates: collects bounded centroid scalars per round
