@@ -1214,6 +1214,92 @@ object CdcBinlog {
         .orderBy($"r_sparse")
     }
 
+  /** cdcm5's stub encoder, columnar: component i = first 4 bytes of
+    * md5(word ‖ ':' ‖ i) mod 2001, shifted to [-1000, 1000] — the mm10
+    * idiom (integer embeddings, DuckDB replays the exact values). An
+    * UPDATE changes the word and therefore the vector, so supersession
+    * is observable in search results.
+    */
+  private def cdcm5Embedding(
+      word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((1 to 8).map { i =>
+      conv(substring(md5(concat(word, lit(s":$i"))), 1, 8), 16, 10)
+        .cast("long") % 2001 - 1000
+    }: _*)
+
+  private def cdcm5BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.filter($"_delta_type" =!= "update-before")
+      .groupBy($"id")
+      .agg(max(struct(
+        graft.streaming.CdcMaterializer.fileSeq($"log_file").as("fo"),
+        $"log_file".as("lf"), $"log_pos".as("lp"), $"log_seq".as("ls"),
+        $"_delta_type".as("dt"), $"word".as("w"))).as("m"))
+      .select($"id".as("vec_id"), cdcm5Embedding($"m.w").as("embedding"),
+        lit(batchId).as("ver"), ($"m.dt" === "delete").as("deleted"))
+  }
+
+  // cdcm5 — CDC-maintained ANN index, cdcm4's dense twin: the same
+  // bounded-admission change stream maintains an IVF vector index
+  // (first batch defines the coarse quantizer; every batch's latest
+  // images land as one versioned cell-partitioned segment in O(batch)),
+  // and the probe — exact integer inner product through the
+  // merge-on-read liveness join — is hash-compared against DuckDB's
+  // brute-force scan over the latest-image ground truth. The probe
+  // vector is itself derived from the index (the smallest live id's
+  // embedding), so the gate is self-contained and regeneration-proof.
+  // Together with cdcm4 this closes the retrieval story: a row changed
+  // in MySQL is searchable — sparse and dense — after its micro-batch,
+  // with staleness impossible by construction rather than bounded by a
+  // rebuild schedule.
+  def cdcm5AnnFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm5") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 4, 1L)
+      val idx = work.resolve("annindex").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm5BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty)
+              graft.operators.Similarity.appendCdcAnnSegment(
+                imgs, idx, f"b$batchId%06d")
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val segs = new java.io.File(s"$idx/doclog").listFiles()
+      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
+          "the ANN freshness gate needs >= 3 real ingest segments")
+      // probe vector: the smallest live id's embedding, read back from
+      // the index itself (one slim row to the driver)
+      val doclog = s.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$idx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      graft.operators.Similarity
+        .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
+        .orderBy($"r_dense")
+        .localCheckpoint(true) // DETACH — the workdir rotates away
+        .orderBy($"r_dense")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1263,6 +1349,7 @@ object CdcBinlog {
     "cdcm2_incremental_agg" -> cdcm2IncrementalAgg _,
     "cdcm3_incremental_join" -> cdcm3IncrementalJoin _,
     "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
+    "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1390,6 +1477,28 @@ object CdcBinlog {
          |FROM sagg
          |QUALIFY r_sparse <= 100
          |ORDER BY r_sparse""".stripMargin,
+    // brute-force MIPS over the latest images with the mm10-style
+    // integer stub embeddings; probe vector = smallest id's embedding
+    "cdcm5_ann_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |emb AS (
+         |  SELECT id AS vec_id,
+         |    list_transform(generate_series(1, 8), i ->
+         |      (('0x' || substr(md5(word || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+         |        % 2001) - 1000) AS e
+         |  FROM latest),
+         |q AS (SELECT e AS qe FROM emb ORDER BY vec_id LIMIT 1),
+         |sc AS (
+         |  SELECT vec_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(e, qe), p -> p[1] * p[2])),
+         |      (x, y) -> x + y) AS BIGINT) AS dot
+         |  FROM emb, q)
+         |SELECT vec_id, dot,
+         |  CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS r_dense
+         |FROM sc
+         |QUALIFY r_dense <= 100
+         |ORDER BY r_dense""".stripMargin,
     "cdcb13_compressed_latest_image" ->
       latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->

@@ -323,8 +323,10 @@ object Similarity {
       .withColumn("best", array_max(transform($"seeds",
         s => struct(cosine($"embedding", s.getField("sv")).as("sim"),
           (-s.getField("sid")).as("nsid")))))
-      .select($"vec_id", $"label", $"embedding",
-        (-$"best".getField("nsid")).cast("int").as("cell"))
+      // passthrough: every input column survives (the CDC path rides its
+      // version/tombstone columns through the assignment)
+      .select(e.columns.map(col) :+
+        (-$"best".getField("nsid")).cast("int").as("cell"): _*)
   }
 
   /** Exact decimal-mean centroid per cell (same math as [[ivfCentroids]]). */
@@ -426,8 +428,10 @@ object Similarity {
       .withColumn("best", array_max(transform($"seeds",
         s => struct(rank($"embedding", s.getField("sv")).as("sim"),
           (-s.getField("sid")).as("nsid")))))
-      .select($"vec_id", $"label", $"embedding",
-        (-$"best".getField("nsid")).cast("int").as("cell"))
+      // passthrough, like assignCells: extra batch columns (CDC version,
+      // tombstone flag) ride through the assignment untouched
+      .select(batch.columns.map(col) :+
+        (-$"best".getField("nsid")).cast("int").as("cell"): _*)
   }
 
   /** Append a batch to an existing ANN index: assign against the persisted
@@ -465,6 +469,77 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/seg=base")
     TextAnalysis.swapDirs(s, staging, s"$indexDir/cells")
+  }
+
+  // ---- CDC-maintained ANN index (cdcm5) --------------------------------
+  //
+  // The ANN twin of the CDC text index (cdcm4): a change stream's vectors
+  // land in an IVF layout with MERGE-ON-READ versioning. Each batch's
+  // per-key latest images are assigned to the PERSISTED coarse quantizer
+  // (the IVF contract — the quantizer changes only on a rebuild; the
+  // FIRST batch defines it) and appended as one cell-partitioned segment
+  // whose rows carry the writing version; a slim doc log records
+  // (vec_id, ver, deleted) per touched key. Ingest is O(batch); the
+  // probe reconstructs liveness exactly like the text twin, so search
+  // results equal a brute-force pass over the latest images.
+
+  /** Append one CDC batch's latest images (vec_id, embedding, ver,
+    * deleted) to the ANN index; the first batch also writes the
+    * centroids it was quantized under. Segment replay is idempotent
+    * (same overwrite-own-rows protocol as [[appendToAnnIndex]]).
+    */
+  def appendCdcAnnSegment(images: DataFrame, indexDir: String,
+                          segment: String, k: Int = 16): Unit = {
+    val s = images.sparkSession
+    import s.implicits._
+    // the quantizer runs on a float view (the assigners' native-dot
+    // path); the STORED embedding stays the exact long array the
+    // integer-dot probe scores — cell choice may be float-rounded,
+    // scores never are
+    val live = images.filter(!$"deleted")
+      .withColumn("emb_exact", $"embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = centPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (!fs.exists(centPath)) {
+        // checkpoint: the assignment feeds the centroid aggregate AND
+        // the segment write — and must not replay the source batch
+        val a = assignCells(live, k).localCheckpoint(true)
+        cellCentroids(a).write.mode("overwrite").parquet(centPath.toString)
+        a
+      } else assignToCentroids(live, s.read.parquet(centPath.toString))
+    assigned
+      .withColumn("embedding", $"emb_exact").drop("emb_exact")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells/seg=$segment")
+    images.select($"vec_id", $"ver", $"deleted")
+      .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+  }
+
+  /** Exact inner-product top-k over the CDC ANN index, as fresh as the
+    * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
+    * integer dot per live row → rankedTopK. Integer embeddings keep the
+    * score exact cross-engine (no FP fold order). The gate probes ALL
+    * cells so the DuckDB brute-force oracle is bit-identical; a
+    * production caller composes the same liveness join under
+    * [[cellCandidates]]'s nprobe pruning and touches only probed cells.
+    */
+  def mipsTopKViaCdcAnnIndex(s: SparkSession, indexDir: String,
+                             qVec: Seq[Long], kTop: Int): DataFrame = {
+    import s.implicits._
+    val live = s.read.parquet(s"$indexDir/doclog")
+      .groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val q = lit(qVec.toArray)
+    val scored = s.read.parquet(s"$indexDir/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .select($"vec_id",
+        aggregate(zip_with($"embedding", q, (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    rankedTopK(scored, $"dot", $"vec_id", kTop, "r_dense")
   }
 
   /** [[compactAnnIndex]] for the IVF-PQ layout: fold `codes/seg=*` into a

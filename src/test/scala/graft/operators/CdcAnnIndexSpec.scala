@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The CDC ANN index's merge-on-read contract in miniature (the full
+  * pipeline is gate cdcm5): the first batch defines the quantizer and
+  * appends never change it, updates supersede their stale vectors,
+  * deletes tombstone, the probe equals a brute-force pass over the
+  * latest images, and segment replay is a no-op.
+  */
+class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def images(rows: Seq[(Long, Seq[Long], Long, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "ver", "deleted")
+  }
+
+  private def vec(seed: Long): Seq[Long] =
+    (1 to 8).map(i => (seed * 31 + i * 17) % 2001 - 1000)
+
+  test("quantizer stability, supersession, tombstones, brute-force equivalence, replay") {
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcann")
+    val idx = work.resolve("ann").toString
+
+    val b0 = (1L to 40L).map(i => (i, vec(i), 0L, false))
+    // batch 1: vec 7 re-embedded (moved far away), vec 9 deleted, 41 born
+    val b1 = Seq((7L, vec(7007), 1L, false), (9L, Seq.empty[Long], 1L, true),
+      (41L, vec(41), 1L, false))
+    Similarity.appendCdcAnnSegment(images(b0), idx, "b000000", k = 4)
+    val centBefore = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    Similarity.appendCdcAnnSegment(images(b1), idx, "b000001", k = 4)
+    val centAfter = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(centAfter === centBefore,
+      "appending must never move the coarse quantizer")
+
+    // latest images the index should now represent
+    val latest = (1L to 40L).filterNot(_ == 9L)
+      .map(i => (i, if (i == 7L) vec(7007) else vec(i))) :+ ((41L, vec(41)))
+    val qv = vec(7) // the SUPERSEDED vector — its old row must not answer
+    def dot(a: Seq[Long]) = a.zip(qv).map { case (x, y) => x * y }.sum
+    val want = latest.map { case (id, e) => (id, dot(e)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), r) => (id, s, (r + 1).toLong) }
+
+    val got = Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "CDC ANN probe != brute force over latest images")
+    assert(!got.exists(_._1 == 9L), "deleted vec 9 still probeable")
+    // the probe vector IS doc 7's old embedding: if the stale row
+    // survived, doc 7 would rank first with the max self-dot — pin that
+    // its score is the NEW embedding's dot instead
+    got.find(_._1 == 7L).foreach { case (_, s, _) =>
+      assert(s === dot(vec(7007)), "doc 7 answered with its stale vector")
+    }
+
+    // replay of batch 1 changes nothing
+    Similarity.appendCdcAnnSegment(images(b1), idx, "b000001", k = 4)
+    val replayed = Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(replayed === got, "segment replay changed the probe")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+}
