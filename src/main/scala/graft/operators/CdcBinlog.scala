@@ -1131,6 +1131,15 @@ object CdcBinlog {
     */
   private[operators] val cdcm4Terms = Seq("gamma", "zeta")
 
+  /** cdcm4's bucket count: smaller than the batch-built text index's 64
+    * because EVERY micro-batch writes one file set per bucket — at 64
+    * the per-segment file fan-out dominates gate cost; 16 keeps probe
+    * pruning (the query's 2 terms read 2/16 of postings) at a quarter
+    * of the files. Build and probe share the constant, so they cannot
+    * drift.
+    */
+  private[operators] val cdcm4Buckets = 16
+
   /** cdcm4's per-batch latest images: one row per key the batch touched,
     * carrying the synthesized index text, the batch id as the doc
     * VERSION (stream order makes it monotone per key — exactly the
@@ -1197,7 +1206,7 @@ object CdcBinlog {
           try {
             if (!imgs.isEmpty)
               graft.operators.TextAnalysis.appendCdcTextSegment(
-                imgs, idx, f"b$batchId%06d")
+                imgs, idx, f"b$batchId%06d", nBuckets = cdcm4Buckets)
           } finally imgs.unpersist()
           ()
         }
@@ -1208,7 +1217,7 @@ object CdcBinlog {
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
           "the freshness gate needs >= 3 real ingest segments")
       graft.operators.TextAnalysis
-        .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100)
+        .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = cdcm4Buckets)
         .orderBy($"r_sparse")
         .localCheckpoint(true) // DETACH — the workdir rotates away
         .orderBy($"r_sparse")

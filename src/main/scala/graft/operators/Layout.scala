@@ -190,6 +190,140 @@ object Layout {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin
 
+  // ---- incremental OPTIMIZE (q44) --------------------------------------
+  //
+  // A 100 TB table cannot re-sort on every ingest batch: the steady
+  // state is a large z-clustered BASE plus a small unclustered tail of
+  // freshly appended files, and OPTIMIZE must cost O(tail), never
+  // O(table). The clustered set is tracked in a manifest BESIDE the
+  // table (data-file names only — the Delta/Iceberg "which files are
+  // already clustered" bit, on raw parquet); incremental optimize
+  // rewrites exactly the files the manifest doesn't know, z-orders them
+  // into their own sorted run next to the base, and folds them into the
+  // manifest. Base files are physically untouched (the gate
+  // mtime-proves it); scan-side pruning sees tight envelopes from BOTH
+  // runs (per-run hyper-rectangles — IncrementalZorderSpec measures the
+  // payoff on the tail).
+
+  private def clusteredManifestPath(dir: String) = s"$dir.clustered-manifest"
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path) =
+    fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+
+  /** Record the table's CURRENT data files as clustered — run once after
+    * a full [[zorderCluster]] (or full rewrite) to initialize the
+    * incremental-optimize state.
+    */
+  def recordClustered(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    dataFiles(fs, p).map(_.getPath.getName).toSeq.toDF("file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(clusteredManifestPath(dir))
+  }
+
+  /** Z-order ONLY the table's unclustered tail (files absent from the
+    * clustered manifest) into `nFiles` sorted files, swap them in
+    * file-level (two-rename protocol — candidates move to a trash dir
+    * before replacements land), and fold the result into the manifest.
+    * Returns the number of tail files rewritten (0 = already optimal,
+    * nothing touched — idempotence). The z-scaling is computed from the
+    * tail alone: the tail run's envelopes are tight in every clustered
+    * dimension regardless of the base's value range.
+    */
+  def incrementalZorder(s: SparkSession, dir: String, cols: Seq[String],
+                        nFiles: Int, bits: Int = 16): Int = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val manifest = clusteredManifestPath(dir)
+    val clustered: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
+        s.read.parquet(manifest).as[String].collect().toSet
+      else Set.empty
+    val tail = dataFiles(fs, p)
+      .filterNot(f => clustered(f.getPath.getName))
+    if (tail.isEmpty) return 0
+    val staging = s"$dir.optimize-${ProcessHandle.current().pid()}"
+    zorderCluster(
+      s.read.parquet(tail.map(_.getPath.toString).toIndexedSeq: _*),
+      cols, staging, nFiles, bits)
+    // file-level two-rename swap (the q41 protocol): displaced tail
+    // files survive under a trash name until the staged run is in
+    val trash = new org.apache.hadoop.fs.Path(p.getParent,
+      s"${p.getName}.trash-${ProcessHandle.current().pid()}")
+    fs.mkdirs(trash)
+    tail.foreach { f =>
+      require(fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(trash, f.getPath.getName)),
+        s"set-aside ${f.getPath}")
+    }
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(sp).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .foreach { f =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(p, f.getPath.getName)),
+          s"swap-in ${f.getPath}")
+      }
+    fs.delete(sp, true)
+    fs.delete(trash, true)
+    // the manifest now covers everything in the directory
+    recordClustered(s, dir)
+    tail.length
+  }
+
+  // q44 — INCREMENTAL OPTIMIZE under the DuckDB oracle: a z-ordered base
+  // (70% of orders), five appended unsorted ingest files (the steady
+  // ingest state), one incrementalZorder pass. The gate proves the
+  // three-sided contract in one hash compare plus in-gate requires:
+  // content preservation (read-back equals the straight-projection
+  // oracle), O(tail) cost (every BASE file's mtime unchanged — only the
+  // ingest tail was rewritten), and idempotence (a second pass rewrites
+  // nothing). This is Delta/Iceberg OPTIMIZE's incremental mode built
+  // on raw parquet + a file manifest.
+  def q44IncrementalOptimize(s: SparkSession, d: String): DataFrame =
+    CdcBinlog.withRotatingWorkdir("graft-q44") { work =>
+      import s.implicits._
+      val o = graft.core.Tables.orders(s, d).toDF()
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("odate"))
+      val out = work.resolve("table").toString
+      val zcols = Seq("o_custkey", "o_totalprice")
+      zorderCluster(o.filter($"o_orderkey" % 10 < 7), zcols, out, nFiles = 6)
+      recordClustered(s, out)
+      o.filter($"o_orderkey" % 10 >= 7).repartition(5)
+        .write.mode("append").parquet(out)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val baseMtimes = s.read.parquet(clusteredManifestPath(out)).as[String]
+        .collect().map { n =>
+          n -> fs.getFileStatus(new org.apache.hadoop.fs.Path(p, n))
+            .getModificationTime
+        }.toMap
+      val rewritten = incrementalZorder(s, out, zcols, nFiles = 2)
+      require(rewritten == 5,
+        s"expected the 5 ingest files rewritten, got $rewritten")
+      baseMtimes.foreach { case (n, t) =>
+        require(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p, n)).getModificationTime == t,
+          s"base file $n was rewritten — optimize was not incremental")
+      }
+      require(incrementalZorder(s, out, zcols, nFiles = 2) == 0,
+        "second optimize pass rewrote files — not idempotent")
+      s.read.parquet(out)
+        .orderBy($"o_orderkey", $"o_custkey", $"o_totalprice", $"odate")
+        .localCheckpoint(true)
+        .orderBy($"o_orderkey", $"o_custkey", $"o_totalprice", $"odate")
+    }
+
+  val q44Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+      |FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_totalprice, odate""".stripMargin
+
   // q36 — MANIFEST-DRIVEN data skipping under the DuckDB oracle: the
   // Iceberg/Delta pattern of planning a scan from file-level statistics,
   // built from Spark primitives and proven exact. The z-ordered table's
@@ -619,6 +753,7 @@ object Layout {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_shard_export" -> q43ShardExport _,
+    "q44_incremental_optimize" -> q44IncrementalOptimize _,
     "q35_zorder_layout" -> q35ZorderLayout _,
     "q36_manifest_pruned_scan" -> q36ManifestPrunedScan _,
     "q40_bloom_pruned_scan" -> q40BloomPrunedScan _,
@@ -626,6 +761,7 @@ object Layout {
 
   def oracles: Map[String, String] = Map(
     "q43_shard_export" -> q43Sql,
+    "q44_incremental_optimize" -> q44Sql,
     "q35_zorder_layout" -> q35Sql,
     "q36_manifest_pruned_scan" -> q36Sql,
     "q40_bloom_pruned_scan" -> q40Sql,

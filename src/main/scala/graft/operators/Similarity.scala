@@ -511,9 +511,13 @@ object Similarity {
       } else assignToCentroids(live, s.read.parquet(centPath.toString))
     assigned
       .withColumn("embedding", $"emb_exact").drop("emb_exact")
+      // cluster by cell before the partitionBy write (tasks x cells
+      // small files per segment otherwise — see appendCdcTextSegment)
+      .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells/seg=$segment")
     images.select($"vec_id", $"ver", $"deleted")
+      .coalesce(4)
       .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
   }
 

@@ -802,12 +802,19 @@ object TextAnalysis {
       .groupBy($"term", $"doc_id", $"ver", $"dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+      // cluster by bucket before the partitionBy write: without this
+      // every task writes into every bucket dir (tasks x buckets small
+      // files PER SEGMENT — a steady stream melts the probe's listing
+      // cost); with it each bucket's rows land in O(1) files
+      .repartition($"tb")
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexDir/postings/seg=$segment")
-    // the doc log records DELETES too (a tombstone is a version)
+    // the doc log records DELETES too (a tombstone is a version); slim
+    // rows — a handful of files per segment, not one per task
     images.select($"doc_id", $"ver", $"deleted",
         when($"deleted", lit(0L))
           .otherwise(size(tokens($"text")).cast("long")).as("dl"))
+      .coalesce(4)
       .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
   }
 

@@ -184,7 +184,7 @@ object GlobalPlanSweepSpec {
     "st03b_durable_enrich", "st04b_durable_session", "st05b_durable_state",
     "st07_stream_outer_join", "st08_backfill_union", "st09_denylist_filter",
     "q36_manifest_pruned_scan", "q40_bloom_pruned_scan",
-    "q41_surgical_delete", "q43_shard_export", "cdcb21_asof_image",
+    "q41_surgical_delete", "q43_shard_export", "q44_incremental_optimize", "cdcb21_asof_image",
     "sim15_trained_ivf",
     "dd13_bloom_decontaminate", "graph03_triangles", "txt23_bpe_merges")
 }
