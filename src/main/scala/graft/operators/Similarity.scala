@@ -203,7 +203,8 @@ object Similarity {
   def buildIvfIndex(e: DataFrame, indexDir: String): Unit =
     ivfCentroids(e).write.mode("overwrite").parquet(s"$indexDir/centroids")
 
-  private def ivfProbe(e: DataFrame, cent: DataFrame, q: DataFrame): DataFrame = {
+  private def ivfProbe(e: DataFrame, cent: DataFrame, q: DataFrame,
+                       preFilter: Column = lit(true)): DataFrame = {
     import e.sparkSession.implicits._
     val probed = cent.crossJoin(broadcast(q))
       .select($"label", aggregate( // centroid is array<double>: HOF fold here
@@ -213,11 +214,46 @@ object Similarity {
       .limit(3)
       .select($"label")
     e.join(broadcast(probed), Seq("label"))
-      .filter($"vec_id" =!= 0)
+      .filter($"vec_id" =!= 0 && preFilter)
       .crossJoin(broadcast(q))
       .select($"vec_id", $"label", cosine($"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
+  }
+
+  // sim18 — FILTERED vector search, the production retrieval pattern
+  // (metadata predicate + ANN in one query). The predicate applies
+  // INSIDE the cell-pruned scan, BEFORE scoring and the top-k cut:
+  // post-filtering a plain top-k under-fills k whenever the filter is
+  // selective (the classic filtered-search bug — k results that
+  // satisfy the filter, not k results minus casualties), and because
+  // the predicate is a plain Catalyst filter it pushes into the
+  // parquet scan of the probed cells, so selectivity makes the probe
+  // CHEAPER rather than wasted. Cell ranking stays corpus-wide (the
+  // quantizer doesn't know the filter — the standard engine contract);
+  // the oracle replays the same probed-cells + WHERE logic.
+  def sim18FilteredSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    ivfProbe(e, ivfCentroids(e), q, preFilter = $"vec_id" % 7 === 3)
+  }
+
+  val sim18Sql: String = {
+    val dotCQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(c.centroid, q.qv), p -> p[1] * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cd AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings),
+       |cm AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM cd GROUP BY label, pos),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY label),
+       |probed AS (SELECT c.label FROM cent c, q ORDER BY $dotCQ DESC, c.label LIMIT 3)
+       |SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS cos
+       |FROM embeddings e JOIN probed p ON e.label = p.label, q
+       |WHERE e.vec_id <> 0 AND e.vec_id % 7 = 3
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
   }
 
   // sim03 — IVF probe: rank cells by centroid distance to the query,
@@ -1790,6 +1826,7 @@ object Similarity {
     "sim13_mmr_rerank" -> sim13MmrRerank _,
     "sim02_lsh_topk" -> sim02LshTopK _,
     "sim03_ivf_topk" -> sim03IvfTopK _,
+    "sim18_filtered_search" -> sim18FilteredSearch _,
     "sim04_knn_join" -> sim04KnnJoin _,
     "sim05_kmeans_ivf" -> sim05KmeansIvf _,
     "sim07_pq_adc" -> sim07PqAdc _,
@@ -1909,6 +1946,7 @@ object Similarity {
     "sim12_truncated_prefilter" -> sim12Sql,
     "sim02_lsh_topk" -> sim02Sql(sfDir),
     "sim03_ivf_topk" -> sim03Sql,
+    "sim18_filtered_search" -> sim18Sql,
     "sim04_knn_join" -> sim04Sql(sfDir),
     "sim05_kmeans_ivf" -> sim05Sql,
     "sim07_pq_adc" -> sim07Sql,

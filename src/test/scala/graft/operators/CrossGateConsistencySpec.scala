@@ -64,4 +64,20 @@ class CrossGateConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.orderBy($"shard", $"position").collect().toSeq ===
       e2b.orderBy($"shard", $"position").collect().toSeq)
   }
+
+  test("sim18 filters BEFORE the cut: full k of qualifying rows, not a post-filtered top-k") {
+    import spark.implicits._
+    val filtered = Similarity.sim18FilteredSearch(spark, d).collect()
+    assert(filtered.length === 10, "filtered search must still fill k")
+    assert(filtered.forall(_.getLong(0) % 7 == 3),
+      "a result violating the metadata predicate")
+    // the classic filtered-search bug, demonstrated: post-filtering the
+    // UNfiltered top-k under-fills k (expected ~k/7 survivors here) —
+    // if this ever reaches 10, the predicate stopped being selective
+    // and the gate no longer discriminates the two semantics
+    val postFiltered = Similarity.sim03IvfTopK(spark, d)
+      .filter($"vec_id" % 7 === 3).collect()
+    assert(postFiltered.length < filtered.length,
+      "predicate not selective in top-k — pick a rarer one")
+  }
 }
