@@ -123,6 +123,50 @@ object Layout {
     * by a single rename, never a half-compacted table. Returns the
     * output file count.
     */
+  /** Automate [[publishDir]]'s documented crash recovery. For a
+    * published path `live`, inspect its sibling `.trash-*` /
+    * `.compact-*` / `.optimize-*` residues:
+    *
+    *  - `live` missing + a trash sibling present → the crash hit
+    *    between the two renames; rename the trash back (the OLD state —
+    *    the staged result, if also present, is re-derivable and
+    *    dropped).
+    *  - `live` missing + only a staging sibling present → the crash hit
+    *    after the old dir was consumed (or first publish); rename the
+    *    staging in (the NEW state — it is complete by the publish
+    *    protocol: staging is only ever a fully-written directory).
+    *  - `live` present → every residue is a leftover from a completed
+    *    or abandoned maintenance run; delete them.
+    *
+    * Returns what it did as a small report string (callers log it).
+    * Run from the same maintenance context as the compactors — never
+    * concurrently with a publish in flight (a LIVE publisher's staging
+    * dir is indistinguishable from a crashed one's).
+    */
+  private[graft] def recoverPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                    live: org.apache.hadoop.fs.Path): String = {
+    val parent = live.getParent
+    def siblings(tag: String) =
+      if (!fs.exists(parent)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(parent).map(_.getPath)
+        .filter(p => p.getName.startsWith(s"${live.getName}.$tag-"))
+    val trash = siblings("trash")
+    val staged = siblings("compact") ++ siblings("optimize")
+    if (!fs.exists(live) && trash.nonEmpty) {
+      require(fs.rename(trash.head, live), s"recover: restore ${trash.head}")
+      (trash.tail ++ staged).foreach(fs.delete(_, true))
+      s"restored ${live.getName} from trash"
+    } else if (!fs.exists(live) && staged.nonEmpty) {
+      require(fs.rename(staged.head, live), s"recover: publish ${staged.head}")
+      staged.tail.foreach(fs.delete(_, true))
+      s"published staged ${live.getName}"
+    } else {
+      val residues = trash ++ staged
+      residues.foreach(fs.delete(_, true))
+      if (residues.isEmpty) "clean" else s"vacuumed ${residues.length} residues"
+    }
+  }
+
   def compactFiles(s: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(dir)

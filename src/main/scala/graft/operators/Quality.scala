@@ -117,9 +117,45 @@ object Quality {
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
       |ORDER BY chk""".stripMargin
 
+  // q45 — EXACT grouped quantiles: per-language p50/p90/p99 of document
+  // length, the distribution profile a curation run reports before
+  // thresholds are chosen (a mean hides the head/tail shape that
+  // quality cuts act on). EXACT percentile is deliberate, with its
+  // scale contract stated: Spark's percentile aggregate keeps
+  // counts-per-distinct-VALUE state with map-side partial merge, so
+  // memory is O(|distinct lengths|) — bounded here (and for most
+  // integer quality metrics: lengths, token counts, scores on a fixed
+  // grid) regardless of row count. For genuinely unbounded domains the
+  // same query swaps in approx_percentile (t-digest sketch) — same
+  // shape, bounded state, no longer oracle-exact. Both engines use the
+  // standard linear interpolation at rank q*(n-1); results round to 4
+  // digits so representation noise can't flip the hash.
+  def q45LengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.core.Tables.documents(s, d).toDF()
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"))
+      .orderBy($"lang")
+  }
+
+  val q45Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_quality_report" -> q37QualityReport _)
+    "q37_quality_report" -> q37QualityReport _,
+    "q45_length_quantiles" -> q45LengthQuantiles _)
 
   def oracles: Map[String, String] = Map(
-    "q37_quality_report" -> q37Sql)
+    "q37_quality_report" -> q37Sql,
+    "q45_length_quantiles" -> q45Sql)
 }

@@ -687,20 +687,19 @@ object TextAnalysis {
     swapDirs(s, staging, indexDir)
   }
 
-  /** Recursive-delete + rename swap of a staged index tree over the live
-    * one, via the path's OWN filesystem (HDFS/S3A/local alike). Callers
-    * hold the no-concurrent-probes contract; a crash between delete and
-    * rename leaves the staged tree intact beside the missing index, so
-    * recovery is re-running the swap, never re-running the build.
+  /** Swap a staged index tree over the live one via the two-rename
+    * publish ([[graft.operators.Layout.publishDir]]): a crash always
+    * leaves a COMPLETE tree recoverable by one rename — never a window
+    * where the only copy survives under a PID-suffixed staging name.
+    * Callers hold the no-concurrent-probes contract; the path's OWN
+    * filesystem is used (HDFS/S3A/local alike).
     */
   private[operators] def swapDirs(s: SparkSession, staging: String,
                                   target: String): Unit = {
     val tgt = new org.apache.hadoop.fs.Path(target)
-    val fs = tgt.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(tgt, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), tgt))
-      throw new IllegalStateException(
-        s"compaction swap failed: could not rename $staging over $target")
+    Layout.publishDir(
+      tgt.getFileSystem(s.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(staging), tgt)
   }
 
   /** The query terms' bucket ids, computed by Spark's own hash expression
