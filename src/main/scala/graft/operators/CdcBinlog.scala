@@ -1161,7 +1161,9 @@ object CdcBinlog {
         $"_delta_type".as("dt"), $"word".as("w"))).as("m"))
       .select($"id".as("doc_id"), $"m.w".as("word"),
         lit(batchId).as("ver"), ($"m.dt" === "delete").as("deleted"))
-      .select($"doc_id",
+      // keep the raw word beside the synthesized text: cdcm4 indexes the
+      // text, cdcm6 fingerprints the word (its dedup content column)
+      .select($"doc_id", $"word",
         expr("concat(repeat(concat(substring_index(word, '_', 1), ' '), " +
           "int(1 + doc_id % 3)), word)").as("text"),
         $"ver", $"deleted")
@@ -1309,6 +1311,64 @@ object CdcBinlog {
         .orderBy($"r_dense")
     }
 
+  // cdcm6 — CDC-maintained DEDUP state, the third freshness leg (text
+  // cdcm4, vectors cdcm5, duplicates here): each micro-batch appends a
+  // slim versioned fingerprint log (doc_id, ver, deleted, fp =
+  // md5(normalized synthesized text) — dd01's exact-dedup key, shared
+  // derivation), and the probe reads CURRENT duplicate groups through
+  // the same doc-log argmax: groups of size >= 2 among live latest
+  // images, keeper = min doc_id (dd01's convention). A row UPDATE moves
+  // its doc between groups, a DELETE shrinks its group — both visible
+  // at the next batch without ever re-reading earlier state (append is
+  // O(batch): the fp is 16 bytes per touched key). The oracle
+  // recomputes the groups from the latest-image ground truth. At 100 TB
+  // the fp log IS the dedup index: one slim argmax + one fp shuffle per
+  // report, compacted like the cdcm4 doc log when segment count grows.
+  def cdcm6DedupFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm6") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 4, 1L)
+      val log = work.resolve("fplog").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId)
+            // dd01's exact-dedup key over the row's content column (the
+            // word — the synthesized cdcm4 text mixes in id, which would
+            // make every doc trivially unique)
+            .withColumn("fp", md5(TextAnalysis.normalize($"word")))
+            .select($"doc_id", $"ver", $"deleted", $"fp")
+            .coalesce(4)
+          imgs.write.mode("overwrite")
+            .parquet(f"$log/seg=b$batchId%06d")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val segs = new java.io.File(log).listFiles()
+      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes)")
+      s.read.parquet(log)
+        .groupBy($"doc_id")
+        .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+        .select($"doc_id", $"m.deleted".as("deleted"), $"m.fp".as("fp"))
+        .filter(!$"deleted")
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"keeper_doc_id")
+        .localCheckpoint(true) // DETACH — the workdir rotates away
+        .orderBy($"keeper_doc_id")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1359,6 +1419,7 @@ object CdcBinlog {
     "cdcm3_incremental_join" -> cdcm3IncrementalJoin _,
     "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
+    "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1486,6 +1547,20 @@ object CdcBinlog {
          |FROM sagg
          |QUALIFY r_sparse <= 100
          |ORDER BY r_sparse""".stripMargin,
+    // current duplicate groups recomputed from the latest-image ground
+    // truth, same text synthesis + dd01 fingerprint derivation
+    "cdcm6_dedup_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |g AS (
+         |  SELECT id,
+         |    md5(trim(regexp_replace(lower(word), '\\s+', ' ', 'g'))) AS fp
+         |  FROM latest)
+         |SELECT fp, MIN(id) AS keeper_doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM g
+         |GROUP BY fp
+         |HAVING COUNT(*) >= 2
+         |ORDER BY keeper_doc_id""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding
     "cdcm5_ann_freshness" ->

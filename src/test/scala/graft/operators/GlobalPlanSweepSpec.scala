@@ -164,7 +164,8 @@ object GlobalPlanSweepSpec {
     "st06_stream_join",
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
     "cdcm3_incremental_join", "cdcm4_index_freshness",
-    "cdcm5_ann_freshness", "cdcb20_bounded_admission",
+    "cdcm5_ann_freshness", "cdcm6_dedup_freshness",
+    "cdcb20_bounded_admission",
     "q35_zorder_layout", // writes + reads back a clustered copy on call
     "sim13_mmr_rerank",
     "sim14_kmeans_train", // iterates: collects bounded centroid scalars per round
