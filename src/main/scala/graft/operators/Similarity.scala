@@ -557,6 +557,45 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
   }
 
+  /** Fold the CDC ANN index to a live-only base segment — the ANN twin
+    * of [[TextAnalysis.compactCdcTextIndex]]: superseded and deleted
+    * versions' rows are dropped (cell assignments are kept — they were
+    * made under the persisted quantizer, which only a rebuild
+    * replaces), the doc log collapses to live rows, tombstones vanish.
+    * Probe-invariant by construction (spec-pinned); restores O(live)
+    * doc-log scans and O(1) seg fan-out per cell. Maintenance-job
+    * contract as the text twin; two-rename publish.
+    */
+  def compactCdcAnnIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val live = s.read.parquet(s"$indexDir/doclog")
+      .groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+      .persist() // feeds the cell filter AND the folded doc log
+    try {
+      val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
+      val cellCols = s.read.parquet(s"$indexDir/cells").columns
+      s.read.parquet(s"$indexDir/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .select(cellCols.map(col): _*)
+        .repartition($"cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/cells/seg=base")
+      live.select($"vec_id", $"ver", $"deleted")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+      // centroids carry over unchanged (the quantizer is rebuild-only)
+      s.read.parquet(s"$indexDir/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      Layout.publishDir(
+        p.getFileSystem(s.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(staging), p)
+    } finally live.unpersist()
+  }
+
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the
     * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
     * integer dot per live row → rankedTopK. Integer embeddings keep the

@@ -74,6 +74,19 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(replayed === got, "segment replay changed the probe")
 
+    // compaction: probe-invariant, single live-only base, quantizer kept
+    Similarity.compactCdcAnnIndex(spark, idx)
+    val compacted = Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(compacted === got, "compaction changed the probe")
+    val segDirs = new java.io.File(s"$idx/doclog").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+    assert(segDirs === Seq("seg=base"))
+    assert(spark.read.parquet(s"$idx/doclog").count() === 40L) // live only
+    val centCompacted = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(centCompacted === centBefore, "compaction moved the quantizer")
+
     val tw = java.nio.file.Files.walk(work)
     try tw.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

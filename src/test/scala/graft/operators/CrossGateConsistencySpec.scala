@@ -80,4 +80,22 @@ class CrossGateConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postFiltered.length < filtered.length,
       "predicate not selective in top-k — pick a rarer one")
   }
+
+  test("cdcm6's incremental dup groups equal groups recomputed from cdcm1's materialized table") {
+    import spark.implicits._
+    // two INDEPENDENT paths to the same truth: cdcm1 materializes latest
+    // images through bucketed latest-wins merges; cdcm6 never
+    // materializes images at all (versioned fingerprint log + argmax).
+    // Each is oracle-checked alone; this pins them against each other.
+    val viaTable = CdcBinlog.cdcm1MaterializedTable(spark, d)
+      .groupBy(md5(TextAnalysis.normalize($"word")).as("fp"))
+      .agg(min($"id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"keeper_doc_id")
+      .collect().map(_.toString).toSeq
+    val viaLog = CdcBinlog.cdcm6DedupFreshness(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(viaLog === viaTable,
+      "fingerprint-log dedup state disagrees with the materialized table")
+  }
 }
