@@ -1129,7 +1129,7 @@ object CdcBinlog {
   /** cdcm4's probe prefixes — generator-vocabulary constants (fixture
     * words are `<greek>_<n>`, so the prefix is a high-df query term).
     */
-  private[operators] val cdcm4Terms = Seq("gamma", "zeta")
+  private[graft] val cdcm4Terms = Seq("gamma", "zeta")
 
   /** cdcm4's bucket count: smaller than the batch-built text index's 64
     * because EVERY micro-batch writes one file set per bucket — at 64
@@ -1151,7 +1151,7 @@ object CdcBinlog {
     * dl ∈ {2..4} and tf ∈ {1..3} keep BM25 non-degenerate; the oracle
     * reproduces the same derivation in SQL from the latest images.
     */
-  private def cdcm4BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
+  private[graft] def cdcm4BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
     import batch.sparkSession.implicits._
     batch.filter($"_delta_type" =!= "update-before")
       .groupBy($"id")

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.binlog.{BinlogReader, EventType, TableMapEvent, TxnBoundary}
@@ -44,10 +44,40 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
                              dbFilter: Option[String], tableFilter: Option[String],
                              deltaFilter: Option[String],
                              checkpointLocation: Option[String] = None)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   private val path = options("path")
   private val maxBytes = options.get("maxbytespertrigger").map(_.toLong)
+
+  /** Native Trigger.AvailableNow: the run processes exactly the log
+    * present when the trigger started, in admission-bounded batches,
+    * then terminates. Without this interface Spark's DEFAULT fallback
+    * for admission-controlled sources is Trigger.Once semantics — ONE
+    * batch — which silently under-drains any AvailableNow run that has
+    * `maxBytesPerTrigger` set (found by CdcIndexRestartSpec: a resumed
+    * cdcm4 pipeline stopped after one batch and probed a prefix of the
+    * corpus). The capture is the last file's torn-tail-safe end; data
+    * appended after the capture is left for the next run, which is the
+    * AvailableNow contract and also what makes the clamp a guaranteed
+    * termination bound.
+    */
+  @volatile private var availableNowEnd: Option[BinlogOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val fs = files()
+    require(fs.nonEmpty, s"no binlog files under $path")
+    availableNowEnd =
+      Some(BinlogOffset(fs.last, lastSafePos(fs.last, 4L, Long.MaxValue)))
+  }
+
+  /** `a` at or before `b` in the rotation-ordered (file, pos) log order. */
+  private def atOrBefore(a: BinlogOffset, b: BinlogOffset,
+                         fs: Vector[String]): Boolean = {
+    val ia = fs.indexOf(a.file)
+    val ib = fs.indexOf(b.file)
+    ia < ib || (ia == ib && a.pos <= b.pos)
+  }
 
   /** Table-map snapshots learned by the offset walk: (file, pos) -> state
     * valid when decoding resumes at pos. Driver-side only; bounded by one
@@ -273,9 +303,17 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
         remaining -= (p - 4L)
         i += 1
       }
-      off
-    } else BinlogOffset(fs(idx), newPos)
+      clampToAvailableNow(off, fs)
+    } else clampToAvailableNow(BinlogOffset(fs(idx), newPos), fs)
   }
+
+  /** Under Trigger.AvailableNow, never admit past the captured end. */
+  private def clampToAvailableNow(cand: BinlogOffset,
+                                  fs: Vector[String]): BinlogOffset =
+    availableNowEnd match {
+      case Some(end) => if (atOrBefore(cand, end, fs)) cand else end
+      case None => cand
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BinlogOffset]
