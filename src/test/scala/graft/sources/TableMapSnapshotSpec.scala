@@ -173,4 +173,50 @@ class TableMapSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.initialTableMaps.nonEmpty,
       s"restarted stream lost the snapshot; cache=${s2.tableMapCache.keys}")
   }
+
+  test("AvailableNow: capture drains to the captured end in bounded steps; later appends excluded") {
+    val dir = Files.createTempDirectory("availnow")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer().writeFormatDescription(ts = 1000)
+    (0 until 12).foreach { i =>
+      w.writeTableMap(23, "foo", "auto", cols, ts = 1000 + i)
+        .writeInsert(23, cols, Seq(Seq(i, s"r$i")), ts = 1000 + i)
+        .writeXid(i + 1, ts = 1000 + i)
+    }
+    w.save(f1)
+
+    val stream = new BinlogMicroBatchStream(
+      BinlogSchemas.forOptions(Map("payloadddl" -> "id INT, value STRING")),
+      Map("path" -> dir.toString, "payloadddl" -> "id INT, value STRING",
+        "maxbytespertrigger" -> "300"),
+      None, None, None)
+    stream.prepareForTriggerAvailableNow()
+    val capturedEnd = new java.io.File(f1).length
+
+    // data appended AFTER the capture must not be admitted this run
+    val w2 = new Writer().writeFormatDescription(ts = 2000)
+    (0 until 5).foreach { i =>
+      w2.writeTableMap(23, "foo", "auto", cols, ts = 2000 + i)
+        .writeInsert(23, cols, Seq(Seq(100 + i, s"late$i")), ts = 2000 + i)
+        .writeXid(100 + i, ts = 2000 + i)
+    }
+    w2.save(dir.resolve("binlog.000002").toString)
+
+    var off = stream.initialOffset().asInstanceOf[BinlogOffset]
+    var steps = 0
+    var prev = -1L
+    while (off.pos != capturedEnd || off.file != f1) {
+      val next = stream.latestOffset(off, ReadLimit.allAvailable())
+        .asInstanceOf[BinlogOffset]
+      assert(next.pos > prev, s"no progress at $off")
+      prev = next.pos
+      off = next
+      steps += 1
+      assert(steps < 50, "drain did not terminate")
+    }
+    // MULTIPLE bounded batches (the Trigger.Once fallback would need 1),
+    // parking exactly at the captured end, never entering file 2
+    assert(steps >= 3, s"expected several bounded admission steps, got $steps")
+    assert(off.file === f1 && off.pos === capturedEnd)
+  }
 }
