@@ -89,6 +89,39 @@ class ShardExportScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("duplicate doc_id"))
   }
 
+  test("property: assignment equals the global window at RANDOM corpus " +
+      "shapes and partition counts (deterministic samples)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sampling (the BinlogDecoderSpec idiom): the law is
+    // partition-count invariance — two fixed counts can only witness it,
+    // sampled (n, nPart, skew) shapes pin it as a property
+    val gen = for {
+      n <- Gen.choose(50, 3000)
+      nPart <- Gen.choose(1, 48)
+      maxLen <- Gen.oneOf(3L, 400L, 100000L) // uniform tiny / mixed / huge docs
+    } yield (n, nPart, maxLen)
+    var seed = Seed(20260815L)
+    (1 to 6).foreach { i =>
+      val (n, nPart, maxLen) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val d = spark.range(n.toLong).select(
+        concat(lit("doc_"), format_string("%06d", col("id"))).as("doc_id"),
+        lit("en").as("lang"), lit("web").as("source"),
+        (pmod(xxhash64(col("id"), lit(i)), lit(maxLen)) + 1).as("n_chars"))
+      val got = assign(d, nPart)
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = d
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("shard", expr(s"(cum - n_chars) div ${budget}L"))
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got === want, s"case $i: n=$n nPart=$nPart maxLen=$maxLen")
+    }
+  }
+
   test("prefixSumPartitions derives count from input bytes, floor 8") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psp").toString
     docs(50).write.mode("overwrite").parquet(dir)
