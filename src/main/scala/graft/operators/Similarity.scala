@@ -600,12 +600,28 @@ object Similarity {
     * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
     * integer dot per live row → rankedTopK. Integer embeddings keep the
     * score exact cross-engine (no FP fold order). The gate probes ALL
-    * cells so the DuckDB brute-force oracle is bit-identical; a
-    * production caller composes the same liveness join under
-    * [[cellCandidates]]'s nprobe pruning and touches only probed cells.
+    * cells so the DuckDB brute-force oracle is bit-identical; the
+    * production caller is [[mipsTopKViaCdcAnnIndexPruned]], which runs
+    * the same liveness join under nprobe cell pruning.
     */
   def mipsTopKViaCdcAnnIndex(s: SparkSession, indexDir: String,
-                             qVec: Seq[Long], kTop: Int): DataFrame = {
+                             qVec: Seq[Long], kTop: Int): DataFrame =
+    mipsTopKViaCdcAnnIndexPruned(s, indexDir, qVec, kTop, nprobe = Int.MaxValue)
+
+  /** The PRODUCTION probe shape: rank cells by centroid inner product
+    * (the centroid table is bounded by the quantizer's k — a slim
+    * driver-side cut, the sim03 contract), then scan ONLY the top
+    * `nprobe` cells' partitions — the `cell IN (...)` literals prune
+    * the parquet read statically, so probe cost is cells-touched, not
+    * corpus. The liveness join is unchanged: approximation comes only
+    * from cell pruning, never from staleness. `nprobe >= |cells|` is
+    * the exact probe (what gate cdcm5 runs against the brute-force
+    * oracle); CdcAnnIndexSpec pins pruned ⊆ exact with identical
+    * scores.
+    */
+  def mipsTopKViaCdcAnnIndexPruned(s: SparkSession, indexDir: String,
+                                   qVec: Seq[Long], kTop: Int,
+                                   nprobe: Int): DataFrame = {
     import s.implicits._
     val live = s.read.parquet(s"$indexDir/doclog")
       .groupBy($"vec_id")
@@ -613,7 +629,20 @@ object Similarity {
       .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
       .filter(!$"deleted")
     val q = lit(qVec.toArray)
-    val scored = s.read.parquet(s"$indexDir/cells")
+    val cellsBase = s.read.parquet(s"$indexDir/cells")
+    val pruned =
+      if (nprobe == Int.MaxValue) cellsBase
+      else {
+        val probed = s.read.parquet(s"$indexDir/centroids")
+          .select($"cell",
+            aggregate(zip_with($"centroid", q, (x, y) => x * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v).as("cdot"))
+          .orderBy($"cdot".desc, $"cell")
+          .limit(nprobe)
+          .select($"cell").as[Int].collect() // bounded by the quantizer's k
+        cellsBase.filter($"cell".isin(probed.toIndexedSeq: _*))
+      }
+    val scored = pruned
       .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
       .select($"vec_id",
         aggregate(zip_with($"embedding", q, (x, y) => x * y),

@@ -74,6 +74,24 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(replayed === got, "segment replay changed the probe")
 
+    // nprobe-pruned probe (the production shape): with all cells it IS
+    // the exact probe; with one cell it returns a subset whose scores
+    // match the exact map, and the scan is partition-pruned to that cell
+    val prunedAll = Similarity
+      .mipsTopKViaCdcAnnIndexPruned(spark, idx, qv, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(prunedAll === got, "nprobe = |cells| must equal the exact probe")
+    val exactByDoc = latest.map { case (id, e) => id -> dot(e) }.toMap
+    val pruned1 = Similarity
+      .mipsTopKViaCdcAnnIndexPruned(spark, idx, qv, 10, nprobe = 1)
+    pruned1.collect().foreach { r =>
+      assert(exactByDoc(r.getLong(0)) === r.getLong(1),
+        "pruning changed a score — it may only narrow the candidate set")
+    }
+    val plan1 = pruned1.queryExecution.executedPlan.toString
+    assert(plan1.contains("PartitionFilters: [") && plan1.contains("cell#"),
+      s"cell pruning did not reach the scan's partition filters:\n$plan1")
+
     // compaction: probe-invariant, single live-only base, quantizer kept
     Similarity.compactCdcAnnIndex(spark, idx)
     val compacted = Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
