@@ -1347,8 +1347,15 @@ object CdcBinlog {
             .withColumn("fp", md5(TextAnalysis.normalize($"word")))
             .select($"doc_id", $"ver", $"deleted", $"fp")
             .coalesce(4)
-          imgs.write.mode("overwrite")
-            .parquet(f"$log/seg=b$batchId%06d")
+            .persist()
+          // mirror cdcm4/cdcm5: an EMPTY micro-batch must not mint a
+          // seg= directory — it would count toward the ">= 3 real
+          // ingest segments" admission proof as a degenerate segment
+          try {
+            if (!imgs.isEmpty)
+              imgs.write.mode("overwrite")
+                .parquet(f"$log/seg=b$batchId%06d")
+          } finally imgs.unpersist()
           ()
         }
         .start()

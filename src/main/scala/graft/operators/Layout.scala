@@ -104,9 +104,60 @@ object Layout {
     if (fs.exists(live))
       require(fs.rename(live, trash), s"publish: set-aside of $live failed")
     if (!fs.rename(staging, live)) {
-      if (fs.exists(trash)) fs.rename(trash, live)
-      throw new IllegalStateException(s"publish of $staging at $live failed")
+      // roll the set-aside back so the published path does not stay
+      // absent on a clean error path — and if THAT also fails, say so:
+      // the old state then survives only under the PID-suffixed trash
+      // name, and a caller reading just "publish failed" would not know
+      // to go looking for it
+      val rollback =
+        if (!fs.exists(trash)) " (no prior state existed; nothing to roll back)"
+        else if (fs.rename(trash, live)) " (old state rolled back to live)"
+        else s"; ROLLBACK ALSO FAILED — old state survives only at $trash"
+      throw new IllegalStateException(
+        s"publish of $staging at $live failed$rollback")
     }
+    fs.delete(trash, true)
+  }
+
+  /** FILE-LEVEL two-rename swap (the q41 / incrementalZorder protocol):
+    * `displaced` files move into a `.ftrash-PID` sibling of `liveDir`,
+    * then `stagedFiles` (complete replacement files, written anywhere)
+    * are renamed into `liveDir`, then the trash is dropped. The live
+    * directory EXISTS THROUGHOUT — which is exactly why this protocol
+    * must not share [[publishDir]]'s `.trash-*` namespace: that
+    * protocol's recovery rule "live present ⇒ residues are garbage"
+    * would delete the only copies of the displaced rows if a crash hit
+    * between set-aside and swap-in. Instead the distinct `ftrash`
+    * namespace carries its own commit marker: a `_PENDING` file listing
+    * the replacement file names is written FIRST and deleted only after
+    * every replacement is in, so [[recoverPublish]] can tell the two
+    * crash families apart — marker present = swap incomplete, roll back
+    * (drop any listed replacements already in live, restore the
+    * originals); marker absent = swap committed, the trash is garbage.
+    */
+  private[graft] def fileLevelSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                   liveDir: org.apache.hadoop.fs.Path,
+                                   stagedFiles: Seq[org.apache.hadoop.fs.Path],
+                                   displaced: Seq[org.apache.hadoop.fs.Path])
+      : Unit = {
+    val trash = new org.apache.hadoop.fs.Path(liveDir.getParent,
+      s"${liveDir.getName}.ftrash-${ProcessHandle.current().pid()}")
+    fs.mkdirs(trash)
+    val marker = new org.apache.hadoop.fs.Path(trash, "_PENDING")
+    val out = fs.create(marker, false)
+    out.write(stagedFiles.map(_.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    displaced.foreach { f =>
+      require(fs.rename(f, new org.apache.hadoop.fs.Path(trash, f.getName)),
+        s"set-aside $f")
+    }
+    stagedFiles.foreach { f =>
+      require(fs.rename(f, new org.apache.hadoop.fs.Path(liveDir, f.getName)),
+        s"swap-in $f")
+    }
+    require(fs.delete(marker, false),
+      s"file-level swap commit (marker delete) of $marker failed")
     fs.delete(trash, true)
   }
 
@@ -135,8 +186,14 @@ object Layout {
     *    after the old dir was consumed (or first publish); rename the
     *    staging in (the NEW state — it is complete by the publish
     *    protocol: staging is only ever a fully-written directory).
-    *  - `live` present → every residue is a leftover from a completed
-    *    or abandoned maintenance run; delete them.
+    *  - `live` present → every `.trash-*`/`.compact-*`/`.optimize-*`
+    *    residue is a leftover from a completed or abandoned
+    *    maintenance run; delete them.
+    *  - `.ftrash-*` residues ([[fileLevelSwap]]'s namespace, where live
+    *    exists throughout) are handled FIRST by their own `_PENDING`
+    *    commit marker: present → roll the incomplete swap back (drop
+    *    re-derivable replacements, restore displaced originals);
+    *    absent → the swap committed, the trash is garbage.
     *
     * Returns what it did as a small report string (callers log it).
     * Run from the same maintenance context as the compactors — never
@@ -150,11 +207,48 @@ object Layout {
       if (!fs.exists(parent)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(parent).map(_.getPath)
         .filter(p => p.getName.startsWith(s"${live.getName}.$tag-"))
+    // FILE-LEVEL swap residues first ([[fileLevelSwap]]'s `.ftrash-*`
+    // namespace — live exists throughout that protocol, so these must
+    // NOT fall through to the "live present ⇒ vacuum" rule below): the
+    // `_PENDING` commit marker decides. Present → the swap never
+    // committed; undo any replacements already renamed in (their names
+    // are the marker's content; they are re-derivable) and restore the
+    // displaced originals — the only copies. Absent → the swap
+    // committed and the trash is garbage.
+    val fRolledBack = siblings("ftrash").map { t =>
+      val marker = new org.apache.hadoop.fs.Path(t, "_PENDING")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val stagedNames =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        fs.mkdirs(live)
+        stagedNames.foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(live, n), false)
+        }
+        fs.listStatus(t).map(_.getPath)
+          .filter(_.getName != "_PENDING").foreach { f =>
+            require(fs.rename(f, new org.apache.hadoop.fs.Path(live, f.getName)),
+              s"recover: restore displaced $f")
+          }
+        fs.delete(t, true)
+        true
+      } else { fs.delete(t, true); false }
+    }
+    if (fRolledBack.contains(true))
+      return s"rolled back incomplete file-level swap of ${live.getName}"
     val trash = siblings("trash")
     val staged = siblings("compact") ++ siblings("optimize")
     if (!fs.exists(live) && trash.nonEmpty) {
+      // with residues from TWO crashed maintenance runs the right old
+      // state is ambiguous — refuse rather than restore an arbitrary one
+      require(trash.length == 1,
+        s"recover: ${trash.length} trash residues for ${live.getName} " +
+          s"(${trash.map(_.getName).mkString(", ")}) — which old state to " +
+          "restore is ambiguous; resolve manually")
       require(fs.rename(trash.head, live), s"recover: restore ${trash.head}")
-      (trash.tail ++ staged).foreach(fs.delete(_, true))
+      staged.foreach(fs.delete(_, true))
       s"restored ${live.getName} from trash"
     } else if (!fs.exists(live) && staged.nonEmpty) {
       require(fs.rename(staged.head, live), s"recover: publish ${staged.head}")
@@ -294,25 +388,16 @@ object Layout {
     zorderCluster(
       s.read.parquet(tail.map(_.getPath.toString).toIndexedSeq: _*),
       cols, staging, nFiles, bits)
-    // file-level two-rename swap (the q41 protocol): displaced tail
-    // files survive under a trash name until the staged run is in
-    val trash = new org.apache.hadoop.fs.Path(p.getParent,
-      s"${p.getName}.trash-${ProcessHandle.current().pid()}")
-    fs.mkdirs(trash)
-    tail.foreach { f =>
-      require(fs.rename(f.getPath,
-        new org.apache.hadoop.fs.Path(trash, f.getPath.getName)),
-        s"set-aside ${f.getPath}")
-    }
+    // file-level two-rename swap ([[fileLevelSwap]] — marker-committed
+    // `.ftrash-*` protocol): displaced tail files survive under the
+    // trash name until the staged run is in, and a crash mid-swap is
+    // rolled back deterministically by [[recoverPublish]]
     val sp = new org.apache.hadoop.fs.Path(staging)
-    fs.listStatus(sp).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .foreach { f =>
-        require(fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(p, f.getPath.getName)),
-          s"swap-in ${f.getPath}")
-      }
+    val stagedFiles = fs.listStatus(sp)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath).toIndexedSeq
+    fileLevelSwap(fs, p, stagedFiles, tail.map(_.getPath).toIndexedSeq)
     fs.delete(sp, true)
-    fs.delete(trash, true)
     // the manifest now covers everything in the directory
     recordClustered(s, dir)
     tail.length
@@ -620,29 +705,20 @@ object Layout {
         .filter($"o_custkey" =!= victim)
         .repartition(candidates.length)
         .write.mode("overwrite").parquet(staging)
-      // file-level two-rename swap: candidates are renamed ASIDE into a
-      // trash dir (metadata op — never deleted before replacements are
-      // in), staged replacements renamed in, trash dropped last. A
-      // crash mid-swap leaves every displaced file intact under the
-      // trash name and every replacement under staging — recovery is
-      // renames of complete files, never data reconstruction. (The
+      // file-level two-rename swap ([[fileLevelSwap]]): candidates are
+      // renamed ASIDE into the marker-committed `.ftrash-*` dir (a
+      // metadata op — never deleted before replacements are in), staged
+      // replacements renamed in, trash dropped last. A crash mid-swap
+      // leaves every displaced file intact under the trash name and is
+      // rolled back deterministically by [[recoverPublish]]. (The
       // whole-directory set-aside of [[publishDir]] doesn't apply here:
       // non-candidate files must stay physically untouched in place.)
-      val trash = new org.apache.hadoop.fs.Path(p.getParent,
-        s"${p.getName}.trash-${ProcessHandle.current().pid()}")
-      fs.mkdirs(trash)
-      candidates.foreach { f =>
-        val fp = new org.apache.hadoop.fs.Path(f)
-        require(fs.rename(fp, new org.apache.hadoop.fs.Path(trash, fp.getName)),
-          s"set-aside $f")
-      }
       val sp = new org.apache.hadoop.fs.Path(staging)
-      fs.listStatus(sp).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        .foreach { f =>
-          val dst = new org.apache.hadoop.fs.Path(p, f.getPath.getName)
-          require(fs.rename(f.getPath, dst), s"swap-in ${f.getPath}")
-        }
-      fs.delete(trash, true)
+      val stagedFiles = fs.listStatus(sp)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getPath).toIndexedSeq
+      fileLevelSwap(fs, p, stagedFiles,
+        candidates.toIndexedSeq.map(c => new org.apache.hadoop.fs.Path(c)))
       // untouched files must be PHYSICALLY untouched
       fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .foreach { f =>

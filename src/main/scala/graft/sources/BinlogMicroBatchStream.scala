@@ -71,11 +71,19 @@ class BinlogMicroBatchStream(schema: StructType, options: Map[String, String],
       Some(BinlogOffset(fs.last, lastSafePos(fs.last, 4L, Long.MaxValue)))
   }
 
-  /** `a` at or before `b` in the rotation-ordered (file, pos) log order. */
+  /** `a` at or before `b` in the rotation-ordered (file, pos) log order.
+    * Both files must still be in the current listing: `indexOf` returns
+    * -1 for an absent file, which would silently misorder the compare
+    * and let the AvailableNow clamp hand out an offset into a missing
+    * file instead of failing fast (log pruning between the capture and
+    * a later `latestOffset` call is the realistic way to get here). */
   private def atOrBefore(a: BinlogOffset, b: BinlogOffset,
                          fs: Vector[String]): Boolean = {
     val ia = fs.indexOf(a.file)
     val ib = fs.indexOf(b.file)
+    require(ia >= 0 && ib >= 0,
+      s"binlog file rotated away under AvailableNow capture: " +
+        s"${if (ia < 0) a.file else b.file} is no longer in the log listing")
     ia < ib || (ia == ib && a.pos <= b.pos)
   }
 
