@@ -154,8 +154,10 @@ object Bench {
     eventScanOnce() // warm
     val eventScanMbPerSec = fixBytes / 1e6 / (1 to runs).map(_ => eventScanOnce()).min
 
-    // dd02 hash-choice twin: same pipeline with xxhash64 signatures (md5
-    // is the oracle-portability choice; this measures what it costs)
+    // dd02 hash-choice twin: the SAME collapsed engine as the gate with
+    // xxhash64 replacing md5 everywhere (signatures, bands, collapse
+    // key), so gate-minus-twin is the oracle-portability hash cost alone
+    // — not hash-plus-structure (VERDICT r13 #2)
     def dd02XxOnce(): Double = {
       val t0 = System.nanoTime()
       operators.Dedup.dd02MinhashLshXx(spark, sfDir).count()

@@ -1218,11 +1218,82 @@ object CdcBinlog {
       require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
           "the freshness gate needs >= 3 real ingest segments")
-      graft.operators.TextAnalysis
-        .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = cdcm4Buckets)
-        .orderBy($"r_sparse")
-        .localCheckpoint(true) // DETACH — the workdir rotates away
-        .orderBy($"r_sparse")
+      // materialize via the publish-race guard: the by-name block
+      // rebuilds AND executes the probe, so a concurrent compactor's
+      // two-rename swap costs at most one retry (Layout.retryOnceOnMissing)
+      Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = cdcm4Buckets)
+          .orderBy($"r_sparse")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"r_sparse")
+    }
+
+  // cdcm7 — the index MAINTENANCE lifecycle fused with CDC ingest,
+  // under the oracle: cdcm4's pipeline, but compactCdcTextIndex runs
+  // MID-STREAM (between micro-batches — the real maintenance window:
+  // foreachBatch bodies serialize on the driver, satisfying the
+  // never-concurrent-with-ingest contract without any pause) after the
+  // third appended segment, and ingest continues over the compacted
+  // base for >= 2 more segments before the probe. txt18 proved
+  // build→append→compact→probe for the immutable index; this proves
+  // compact-UNDER-ingest for the CDC-maintained one — the steady-state
+  // economics a production deployment actually runs (periodic folds
+  // below continuous ingest) — by hash-matching the final probe
+  // against the same full-rebuild-over-latest-images oracle as cdcm4:
+  // the fold must drop exactly the superseded and tombstoned rows,
+  // the two-rename publish must be invisible to the appends that
+  // follow it, and post-compaction versions must supersede folded ones.
+  def cdcm7CompactedIndexFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm7") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      // /6 (vs cdcm4's /4): the gate needs 3 pre-compaction segments
+      // AND >= 2 post-compaction ones out of the same fixture
+      val cap = math.max(totalBytes / 6, 1L)
+      val idx = work.resolve("index").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty) {
+              graft.operators.TextAnalysis.appendCdcTextSegment(
+                imgs, idx, f"b$batchId%06d", nBuckets = cdcm4Buckets)
+              if (appended.incrementAndGet() == 3)
+                graft.operators.TextAnalysis.compactCdcTextIndex(
+                  s, idx, nBuckets = cdcm4Buckets)
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-compaction " +
+          "segments and >= 2 post-compaction ones")
+      // the physical state must show the fold actually happened under
+      // the ingest: one base segment + ONLY the post-compaction appends
+      val docSegs = new java.io.File(s"$idx/doclog").listFiles()
+        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      require(docSegs.contains("seg=base") &&
+        docSegs.size == appended.get() - 3 + 1,
+        s"expected seg=base + ${appended.get() - 3} ingest segments, got $docSegs")
+      Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = cdcm4Buckets)
+          .orderBy($"r_sparse")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"r_sparse")
     }
 
   /** cdcm5's stub encoder, columnar: component i = first 4 bytes of
@@ -1304,10 +1375,12 @@ object CdcBinlog {
         .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
         .orderBy($"vec_id").select($"embedding")
         .head().getSeq[Long](0)
-      graft.operators.Similarity
-        .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
-        .orderBy($"r_dense")
-        .localCheckpoint(true) // DETACH — the workdir rotates away
+      Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
+          .orderBy($"r_dense")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
         .orderBy($"r_dense")
     }
 
@@ -1323,7 +1396,7 @@ object CdcBinlog {
   // O(batch): the fp is 16 bytes per touched key). The oracle
   // recomputes the groups from the latest-image ground truth. At 100 TB
   // the fp log IS the dedup index: one slim argmax + one fp shuffle per
-  // report, compacted like the cdcm4 doc log when segment count grows.
+  // report, compacted by [[compactCdcFpLog]] when segment count grows.
   def cdcm6DedupFreshness(s: SparkSession, d: String): DataFrame =
     withRotatingWorkdir("graft-cdcm6") { work =>
       import s.implicits._
@@ -1363,18 +1436,58 @@ object CdcBinlog {
       val segs = new java.io.File(log).listFiles()
       require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes)")
-      s.read.parquet(log)
-        .groupBy($"doc_id")
-        .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
-        .select($"doc_id", $"m.deleted".as("deleted"), $"m.fp".as("fp"))
-        .filter(!$"deleted")
-        .groupBy($"fp")
-        .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
-        .filter($"n_docs" >= 2)
-        .orderBy($"keeper_doc_id")
-        .localCheckpoint(true) // DETACH — the workdir rotates away
-        .orderBy($"keeper_doc_id")
+      Layout.retryOnceOnMissing {
+        cdcFpGroups(s, log)
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"keeper_doc_id")
     }
+
+  /** Current duplicate groups from a cdcm6 fingerprint log: doc-log
+    * argmax to the latest version per doc, live rows only, then group
+    * by fingerprint (keeper = min doc_id, dd01's convention). The one
+    * corpus-proportional step is the argmax over the log — bounded by
+    * [[compactCdcFpLog]] in steady state.
+    */
+  private[graft] def cdcFpGroups(s: SparkSession, logDir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(logDir)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+      .select($"doc_id", $"m.deleted".as("deleted"), $"m.fp".as("fp"))
+      .filter(!$"deleted")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"keeper_doc_id")
+  }
+
+  /** Fold the cdcm6 fingerprint log to a live-only single base segment —
+    * the dedup twin of [[TextAnalysis.compactCdcTextIndex]] /
+    * [[Similarity.compactCdcAnnIndex]]: superseded versions and delete
+    * tombstones are dropped (nothing older remains for a tombstone to
+    * mask), so the per-report argmax shrinks from O(touched-versions)
+    * to O(live docs). [[cdcFpGroups]] is invariant across the fold by
+    * construction — the argmax already ignored everything compaction
+    * removes (spec-pinned in CdcFpLogCompactSpec). Same maintenance
+    * contract as the siblings: never run concurrently with ingest or a
+    * report; published via the two-rename [[Layout.publishDir]] swap.
+    */
+  def compactCdcFpLog(s: SparkSession, logDir: String): Unit = {
+    import s.implicits._
+    val staging = s"$logDir.compact-${ProcessHandle.current().pid()}"
+    s.read.parquet(logDir)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"),
+        $"m.deleted".as("deleted"), $"m.fp".as("fp"))
+      .filter(!$"deleted")
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$staging/seg=base")
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    Layout.publishDir(
+      p.getFileSystem(s.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(staging), p)
+  }
 
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
@@ -1427,6 +1540,7 @@ object CdcBinlog {
     "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
+    "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1542,6 +1656,21 @@ object CdcBinlog {
     // derivation over the latest-image ground truth, scored by the same
     // BM25 CTEs the txt18 lifecycle oracle uses
     "cdcm4_index_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+         |SELECT doc_id, bm25,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+         |FROM sagg
+         |QUALIFY r_sparse <= 100
+         |ORDER BY r_sparse""".stripMargin,
+    // cdcm7: compaction under ingest must be INVISIBLE to the probe —
+    // the oracle is cdcm4's full rebuild over latest images, verbatim
+    "cdcm7_compacted_index_freshness" ->
       s"""WITH latest AS (${latestImageOracle(sfDir)}),
          |docs AS (
          |  SELECT id AS doc_id,

@@ -184,10 +184,11 @@ object Dedup {
   }
 
   private def dd02PairsVia(docsIn: DataFrame,
-                           bandsFn: DataFrame => DataFrame): DataFrame = {
+                           bandsFn: DataFrame => DataFrame,
+                           rawfpFn: Column => Column = md5(_)): DataFrame = {
     import docsIn.sparkSession.implicits._
     val grouped = docsIn
-      .groupBy(md5($"text").as("rawfp"))
+      .groupBy(rawfpFn($"text").as("rawfp"))
       .agg(min(struct($"doc_id", $"text")).as("rep"),
         sort_array(collect_list($"doc_id")).as("members"))
     val reps = grouped.select($"rep.doc_id".as("doc_id"),
@@ -262,18 +263,20 @@ object Dedup {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Bench-only twin of dd02 with xxhash64 signatures instead of md5.
+  /** Bench-only twin of dd02 with xxhash64 EVERYWHERE md5 appears —
+    * signatures, band hashes, AND the raw-text collapse fingerprint.
     * md5 is the ORACLE choice (DuckDB computes the identical digest);
     * xxhash64 is what a production deployment would use when cross-engine
-    * determinism isn't required — same banding, same slim-row shuffle,
-    * same verify. The bench emits both so the hash cost is measured, not
-    * guessed.
+    * determinism isn't required. Both tiers run the SAME collapsed
+    * engine ([[dd02PairsVia]]), so the bench delta measures hash choice
+    * alone — not hash-plus-collapse against a slim path (round-13 tier
+    * drift, VERDICT r13 #2). The 64-bit collapse key is bench-only: a
+    * cross-text collision would merge distinct docs (~n²/2⁶⁴), which the
+    * md5 gate's 128-bit key makes negligible.
     */
   def dd02MinhashLshXx(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    // same collapsed engine as the gate so the md5-vs-xxhash64 bench
-    // delta measures the hash, not a structural difference
     def bandsXx(docs: DataFrame): DataFrame = {
       val shs = docs.select($"doc_id", shingles($"text").as("sh"))
       val sigs = shs.select(($"doc_id" +:
@@ -285,7 +288,8 @@ object Dedup {
             struct(lit(1).as("band_id"), xxhash64($"mh2", $"mh3").as("h")))).as("b"))
         .select($"doc_id", $"b.band_id", $"b.h")
     }
-    dd02PairsVia(spread(s, documents(s, d)), bandsXx)
+    dd02PairsVia(spread(s, documents(s, d)), bandsXx,
+      rawfpFn = t => xxhash64(lit("rawfp"), t))
   }
 
   // dd03 — SimHash dedup. 32-bit signature: bit j is the sign of Σ over

@@ -161,6 +161,45 @@ object Layout {
     fs.delete(trash, true)
   }
 
+  /** Run a probe body that may race a [[publishDir]] two-rename swap,
+    * retrying ONCE if it fails on a missing path. The swap's invariant
+    * makes this sufficient: every rename moves a COMPLETE directory, so
+    * a racing reader either (a) lists one consistent version — old or
+    * new — and succeeds, (b) hits the one-rename window where the live
+    * path is absent (`PATH_NOT_FOUND` at plan time), or (c) lists the
+    * old version and then scans after the trash delete has removed
+    * those files (`FileNotFoundException` mid-scan). There is NO
+    * outcome that silently mixes versions: stale listings point at
+    * renamed-away paths, which fail loudly rather than resolve to new
+    * content. The retry re-runs `body` from scratch — it must REBUILD
+    * its DataFrames (a by-name block calling `spark.read` again, so
+    * the second attempt re-lists) and MATERIALIZE them (a lazy frame
+    * returned unexecuted would defeat the guard). One retry suffices
+    * because the publisher performs exactly one swap; if the path is
+    * still missing on attempt two the state needs [[recoverPublish]],
+    * and the rethrown error says so.
+    */
+  private[graft] def retryOnceOnMissing[T](body: => T): T = {
+    def missing(e: Throwable): Boolean =
+      if (e == null) false
+      else e.isInstanceOf[java.io.FileNotFoundException] ||
+        (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+          e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND")) ||
+        missing(e.getCause)
+    try body
+    catch {
+      case e: Throwable if missing(e) =>
+        try body
+        catch {
+          case e2: Throwable if missing(e2) =>
+            throw new IllegalStateException(
+              "probe failed on a missing path twice — not a transient " +
+                "publish window; run Layout.recoverPublish on the index " +
+                s"path (first failure: ${e.getMessage})", e2)
+        }
+    }
+  }
+
   /** Bin-pack a parquet directory toward `targetBytes` per output file —
     * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
     * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** compactCdcFpLog's contract: the dedup group report is INVARIANT
+  * across the fold (the argmax already ignored superseded versions and
+  * tombstoned docs — compaction merely stops paying to skip them), the
+  * log physically collapses to one live-only base segment, and ingest
+  * composes after a compaction exactly as it would have without it.
+  */
+class CdcFpLogCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeSeg(log: String, seg: String,
+                       rows: Seq[(Long, Long, Boolean, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "ver", "deleted", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$log/seg=$seg")
+  }
+
+  private def groups(log: String): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    CdcBinlog.cdcFpGroups(spark, log)
+      .as[(String, Long, Long)].collect().toSeq
+  }
+
+  private def segDirs(log: String): Set[String] =
+    new java.io.File(log).listFiles().filter(_.getName.startsWith("seg="))
+      .map(_.getName).toSet
+
+  // three ingest segments: b0 inserts docs 1-5 (1,2 dups of fp "a";
+  // 4,5 dups of "b"), b1 updates doc 2 away from "a" (group "a" dies)
+  // and doc 3 onto "b" (group "b" grows), b2 deletes doc 4
+  private def seedLog(log: String): Unit = {
+    writeSeg(log, "b000000", Seq(
+      (1L, 0L, false, "a"), (2L, 0L, false, "a"), (3L, 0L, false, "c"),
+      (4L, 0L, false, "b"), (5L, 0L, false, "b")))
+    writeSeg(log, "b000001", Seq(
+      (2L, 1L, false, "z"), (3L, 1L, false, "b")))
+    writeSeg(log, "b000002", Seq((4L, 2L, true, "b")))
+  }
+
+  test("group report is invariant across the fold; log collapses to seg=base") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fpc").toString
+    val log = s"$work/fplog"
+    seedLog(log)
+    val before = groups(log)
+    // sanity on the seed itself: group "b" = {3,5} after update+delete
+    assert(before === Seq(("b", 3L, 2L)))
+    CdcBinlog.compactCdcFpLog(spark, log)
+    assert(segDirs(log) === Set("seg=base"))
+    assert(groups(log) === before)
+    // the fold dropped the superseded and tombstoned rows: 4 live docs
+    assert(spark.read.parquet(log).count() === 4)
+  }
+
+  test("ingest after compaction supersedes compacted rows exactly as before") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fpc2").toString
+    val compacted = s"$work/fplog"
+    val straight = s"$work/fplog_straight"
+    seedLog(compacted); seedLog(straight)
+    CdcBinlog.compactCdcFpLog(spark, compacted)
+    // b3: doc 1 deleted (the tombstone must mask its COMPACTED row),
+    // doc 6 joins "b", doc 2 moves to "c" (supersedes its folded "z")
+    val b3 = Seq((1L, 3L, true, "a"), (6L, 3L, false, "b"),
+      (2L, 3L, false, "c"))
+    writeSeg(compacted, "b000003", b3)
+    writeSeg(straight, "b000003", b3)
+    assert(groups(compacted) === groups(straight))
+    assert(groups(compacted).nonEmpty)
+  }
+}
