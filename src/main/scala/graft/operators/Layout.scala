@@ -142,12 +142,34 @@ object Layout {
       : Unit = {
     val trash = new org.apache.hadoop.fs.Path(liveDir.getParent,
       s"${liveDir.getName}.ftrash-${ProcessHandle.current().pid()}")
+    // a surviving residue under OUR pid means an earlier swap in this
+    // process failed (or its trash delete did) and was never recovered;
+    // proceeding would hit the marker create with an unrelated-looking
+    // FileAlreadyExistsException — name the real remedy instead
+    if (fs.exists(trash))
+      throw new IllegalStateException(
+        s"file-level swap: residue $trash already exists from an earlier " +
+          s"failed swap in this process; run Layout.recoverPublish on " +
+          s"$liveDir first")
     fs.mkdirs(trash)
+    // the marker's staged-file list must be durably COMPLETE before the
+    // first displaced rename: renames are metadata ops that can persist
+    // across a power loss while unsynced file data does not, and a
+    // truncated list would make recovery restore originals while
+    // leaving un-listed replacements in live (duplicate rows). So:
+    // write to a temp name, sync, rename into place — the marker either
+    // exists with its full content or not at all.
     val marker = new org.apache.hadoop.fs.Path(trash, "_PENDING")
-    val out = fs.create(marker, false)
-    out.write(stagedFiles.map(_.getName).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    val markerTmp = new org.apache.hadoop.fs.Path(trash, "_PENDING.tmp")
+    val out = fs.create(markerTmp, false)
+    try {
+      out.write(stagedFiles.map(_.getName).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
+    require(fs.rename(markerTmp, marker),
+      s"file-level swap: marker commit rename of $markerTmp failed")
     displaced.foreach { f =>
       require(fs.rename(f, new org.apache.hadoop.fs.Path(trash, f.getName)),
         s"set-aside $f")
@@ -180,18 +202,32 @@ object Layout {
     * and the rethrown error says so.
     */
   private[graft] def retryOnceOnMissing[T](body: => T): T = {
-    def missing(e: Throwable): Boolean =
-      if (e == null) false
-      else e.isInstanceOf[java.io.FileNotFoundException] ||
-        (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
-          e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND")) ||
-        missing(e.getCause)
+    // cause-chain walk is BOUNDED (depth cap + identity cycle guard —
+    // a cyclic cause chain must not hang the probe) and the catch
+    // matches NonFatal only, so an Error wrapping a FNF propagates
+    // instead of being silently retried
+    def missing(e: Throwable): Boolean = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+      var t = e
+      var depth = 0
+      while (t != null && depth < 16 && seen.add(t)) {
+        if (t.isInstanceOf[java.io.FileNotFoundException] ||
+            (t.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+              t.getMessage != null && t.getMessage.contains("PATH_NOT_FOUND")))
+          return true
+        t = t.getCause
+        depth += 1
+      }
+      false
+    }
+    import scala.util.control.NonFatal
     try body
     catch {
-      case e: Throwable if missing(e) =>
+      case NonFatal(e) if missing(e) =>
         try body
         catch {
-          case e2: Throwable if missing(e2) =>
+          case NonFatal(e2) if missing(e2) =>
             throw new IllegalStateException(
               "probe failed on a missing path twice — not a transient " +
                 "publish window; run Layout.recoverPublish on the index " +
@@ -246,7 +282,25 @@ object Layout {
       if (!fs.exists(parent)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(parent).map(_.getPath)
         .filter(p => p.getName.startsWith(s"${live.getName}.$tag-"))
-    // FILE-LEVEL swap residues first ([[fileLevelSwap]]'s `.ftrash-*`
+    val report = scala.collection.mutable.ListBuffer.empty[String]
+    // DIRECTORY-LEVEL restore first when live itself is gone: a
+    // publishDir crash between its two renames leaves the only complete
+    // copy under `.trash-*`. The ftrash rollback below mkdirs(live) —
+    // running IT first would fabricate a live dir holding only the
+    // displaced files, and the NEXT recovery call, seeing live present,
+    // would vacuum the `.trash-*` residue holding the real old state.
+    val dirTrash = siblings("trash")
+    if (!fs.exists(live) && dirTrash.nonEmpty) {
+      // with residues from TWO crashed maintenance runs the right old
+      // state is ambiguous — refuse rather than restore an arbitrary one
+      require(dirTrash.length == 1,
+        s"recover: ${dirTrash.length} trash residues for ${live.getName} " +
+          s"(${dirTrash.map(_.getName).mkString(", ")}) — which old state to " +
+          "restore is ambiguous; resolve manually")
+      require(fs.rename(dirTrash.head, live), s"recover: restore ${dirTrash.head}")
+      report += s"restored ${live.getName} from trash"
+    }
+    // FILE-LEVEL swap residues next ([[fileLevelSwap]]'s `.ftrash-*`
     // namespace — live exists throughout that protocol, so these must
     // NOT fall through to the "live present ⇒ vacuum" rule below): the
     // `_PENDING` commit marker decides. Present → the swap never
@@ -267,7 +321,7 @@ object Layout {
           fs.delete(new org.apache.hadoop.fs.Path(live, n), false)
         }
         fs.listStatus(t).map(_.getPath)
-          .filter(_.getName != "_PENDING").foreach { f =>
+          .filterNot(_.getName.startsWith("_PENDING")).foreach { f =>
             require(fs.rename(f, new org.apache.hadoop.fs.Path(live, f.getName)),
               s"recover: restore displaced $f")
           }
@@ -276,28 +330,18 @@ object Layout {
       } else { fs.delete(t, true); false }
     }
     if (fRolledBack.contains(true))
-      return s"rolled back incomplete file-level swap of ${live.getName}"
-    val trash = siblings("trash")
+      report += s"rolled back incomplete file-level swap of ${live.getName}"
     val staged = siblings("compact") ++ siblings("optimize")
-    if (!fs.exists(live) && trash.nonEmpty) {
-      // with residues from TWO crashed maintenance runs the right old
-      // state is ambiguous — refuse rather than restore an arbitrary one
-      require(trash.length == 1,
-        s"recover: ${trash.length} trash residues for ${live.getName} " +
-          s"(${trash.map(_.getName).mkString(", ")}) — which old state to " +
-          "restore is ambiguous; resolve manually")
-      require(fs.rename(trash.head, live), s"recover: restore ${trash.head}")
-      staged.foreach(fs.delete(_, true))
-      s"restored ${live.getName} from trash"
-    } else if (!fs.exists(live) && staged.nonEmpty) {
+    if (!fs.exists(live) && staged.nonEmpty) {
       require(fs.rename(staged.head, live), s"recover: publish ${staged.head}")
       staged.tail.foreach(fs.delete(_, true))
-      s"published staged ${live.getName}"
+      report += s"published staged ${live.getName}"
     } else {
-      val residues = trash ++ staged
+      val residues = siblings("trash") ++ staged
       residues.foreach(fs.delete(_, true))
-      if (residues.isEmpty) "clean" else s"vacuumed ${residues.length} residues"
+      if (residues.nonEmpty) report += s"vacuumed ${residues.length} residues"
     }
+    if (report.isEmpty) "clean" else report.mkString("; ")
   }
 
   def compactFiles(s: SparkSession, dir: String, targetBytes: Long): Int = {

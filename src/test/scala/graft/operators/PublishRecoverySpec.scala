@@ -129,6 +129,55 @@ class PublishRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getPath.getName).toSet === Set("t", "stage"))
   }
 
+  /** The round-14 ADVICE shape: live is ABSENT (a publishDir crash left
+    * the only full copy under `.trash-*`) AND an incomplete file-level
+    * swap's `.ftrash-*` residue exists. Running the ftrash rollback
+    * first would mkdirs a fabricated live dir holding only the displaced
+    * files — and the next recovery call, seeing live present, would
+    * vacuum the `.trash-*` residue holding the real old state. The
+    * directory-level restore must run first.
+    */
+  test("live absent + trash + incomplete ftrash: directory restore precedes rollback") {
+    val work = java.nio.file.Files.createTempDirectory("graft-recov8")
+    val trashDir = work.resolve("t.trash-555")
+    java.nio.file.Files.createDirectories(trashDir)
+    write(trashDir, "part-base.parquet", 1)      // the REAL old state
+    write(trashDir, "part-old.parquet", 2)
+    val ftrashDir = work.resolve("t.ftrash-777")
+    java.nio.file.Files.createDirectories(ftrashDir)
+    write(ftrashDir, "part-d.parquet", 3)        // displaced — only copies
+    java.nio.file.Files.write(ftrashDir.resolve("_PENDING"),
+      "part-new1.parquet".getBytes("UTF-8"))
+    val live = new org.apache.hadoop.fs.Path(work.resolve("t").toString)
+    val r = Layout.recoverPublish(fs, live)
+    assert(r.contains("restored") && r.contains("rolled back"))
+    // the real old state AND the displaced originals both survive in live
+    assert(names(live) === Set("part-base.parquet", "part-old.parquet", "part-d.parquet"))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(work.toString)).length === 1)
+    assert(Layout.recoverPublish(fs, live) === "clean")
+  }
+
+  test("pre-existing ftrash residue for this pid: swap refuses, names recoverPublish") {
+    val work = java.nio.file.Files.createTempDirectory("graft-recov9")
+    val liveDir = work.resolve("t")
+    val stageDir = work.resolve("stage")
+    java.nio.file.Files.createDirectories(liveDir)
+    java.nio.file.Files.createDirectories(stageDir)
+    write(liveDir, "part-old.parquet", 2)
+    write(stageDir, "part-new.parquet", 3)
+    val residue = work.resolve(s"t.ftrash-${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(residue)
+    val live = new org.apache.hadoop.fs.Path(liveDir.toString)
+    val e = intercept[IllegalStateException](Layout.fileLevelSwap(fs, live,
+      Seq(new org.apache.hadoop.fs.Path(stageDir.resolve("part-new.parquet").toString)),
+      Seq(new org.apache.hadoop.fs.Path(liveDir.resolve("part-old.parquet").toString))))
+    assert(e.getMessage.contains("recoverPublish"))
+    // nothing moved: live and staging are untouched by the refusal
+    assert(names(live) === Set("part-old.parquet"))
+    assert(names(new org.apache.hadoop.fs.Path(stageDir.toString)) ===
+      Set("part-new.parquet"))
+  }
+
   test("two trash residues with live missing: refuses rather than guess") {
     val work = java.nio.file.Files.createTempDirectory("graft-recov7")
     mkdir(work, "t.trash-111")
