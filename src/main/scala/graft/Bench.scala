@@ -214,8 +214,18 @@ object Bench {
       else { val t = s.reverse.dropWhile(_ == '0').reverse
              if (t.endsWith(".")) t.dropRight(1) else t }
     }
+    // every gate whose min time is >=5 s gets an UNCONDITIONAL spread
+    // entry (round-14 lesson: mm09's official 14.2 s reading was only
+    // adjudicable by a judge re-run because its spread was shed — the
+    // expensive gates are exactly the ones whose burst-vs-regression
+    // question must be answerable from the artifact alone); these are
+    // pinned and never shed by the ladder below
+    val spreadPinned = shortNames.zip(results).collect {
+      case (n, (_, v, mx)) if v >= 5.0 => (n, mx / v)
+    }.sortBy(-_._2)
+    val pinnedNames = spreadPinned.map(_._1).toSet
     val spreadHi = shortNames.zip(results).collect {
-      case (n, (_, v, mx)) if v > 0 && mx / v > 1.5 => (n, mx / v)
+      case (n, (_, v, mx)) if v > 0 && mx / v > 1.5 && !pinnedNames(n) => (n, mx / v)
     }.sortBy(-_._2)
     // Degradation ladder (the query map itself outgrew the window at 129
     // gates — sp-shedding alone no longer guarantees fit): shed sp
@@ -229,12 +239,12 @@ object Bench {
           "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, dec))
       }.mkString("{", ",", "}")
       val qMin = if (minV > 0) s""""q_min":${fmt(minV, 2)},""" else ""
-      val kept = spreadHi.take(spN)
+      val kept = spreadPinned ++ spreadHi.take(spN)
       val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"bench_runs_sub":$subRuns,"failed":$failedJson,""" +
-        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - kept.size},""" +
-        s""""k":"sec; sp=max/min>1.5 largest-first, absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
+        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - spN.min(spreadHi.size)},""" +
+        s""""k":"sec; sp=all >=5s gates + max/min>1.5 largest-first, other absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
         s""""st_end_mb_s":${fmt(stMbPerSecEnd, 1)},""" +

@@ -1309,7 +1309,7 @@ object CdcBinlog {
         .cast("long") % 2001 - 1000
     }: _*)
 
-  private def cdcm5BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
+  private[graft] def cdcm5BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
     import batch.sparkSession.implicits._
     batch.filter($"_delta_type" =!= "update-before")
       .groupBy($"id")
@@ -1366,6 +1366,83 @@ object CdcBinlog {
           "the ANN freshness gate needs >= 3 real ingest segments")
       // probe vector: the smallest live id's embedding, read back from
       // the index itself (one slim row to the driver)
+      val doclog = s.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$idx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
+          .orderBy($"r_dense")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+        .orderBy($"r_dense")
+    }
+
+  // cdcm8 — cdcm7's ANN twin: compact-UNDER-ingest for the CDC-
+  // maintained vector index, under the oracle. cdcm5's pipeline, but
+  // compactCdcAnnIndex runs MID-STREAM after the third appended
+  // segment (foreachBatch bodies serialize on the driver — the real
+  // maintenance window) and ingest continues for >= 2 more segments
+  // before the probe. The fold keeps cell assignments (made under the
+  // persisted quantizer, which only a rebuild replaces) while dropping
+  // superseded and tombstoned versions; the whole-index two-rename
+  // publish must be invisible to the appends that follow it — the very
+  // next batch re-reads the centroids THROUGH the published path — and
+  // the final exact-MIPS probe hash-matches cdcm5's brute-force oracle
+  // over the latest-image ground truth.
+  def cdcm8CompactedAnnFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm8") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      // /6 (vs cdcm5's /4): 3 pre-compaction segments AND >= 2
+      // post-compaction ones out of the same fixture (the cdcm7 recipe)
+      val cap = math.max(totalBytes / 6, 1L)
+      val idx = work.resolve("annindex").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm5BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty) {
+              graft.operators.Similarity.appendCdcAnnSegment(
+                imgs, idx, f"b$batchId%06d")
+              if (appended.incrementAndGet() == 3)
+                graft.operators.Similarity.compactCdcAnnIndex(s, idx)
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-compaction " +
+          "segments and >= 2 post-compaction ones")
+      // physical state: the fold happened under the ingest — one base
+      // segment + ONLY the post-compaction appends, in BOTH layouts
+      for (leg <- Seq("doclog", "cells")) {
+        val segs = new java.io.File(s"$idx/$leg").listFiles()
+          .map(_.getName).filter(_.startsWith("seg=")).toSet
+        require(segs.contains("seg=base") &&
+          segs.size == appended.get() - 3 + 1,
+          s"$leg: expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
+      }
+      // probe vector: the smallest live id's embedding, read back from
+      // the index itself (one slim row to the driver — cdcm5's shape)
       val doclog = s.read.parquet(s"$idx/doclog")
       val live = doclog.groupBy($"vec_id")
         .agg(max(struct($"ver", $"deleted")).as("m"))
@@ -1489,6 +1566,65 @@ object CdcBinlog {
       new org.apache.hadoop.fs.Path(staging), p)
   }
 
+  // cdcm9 — the dedup leg of the compact-under-ingest family (text
+  // cdcm7, vectors cdcm8): cdcm6's fingerprint-log pipeline with
+  // compactCdcFpLog folding the log MID-STREAM after the third
+  // appended segment, ingest continuing for >= 2 more. The fold drops
+  // superseded versions and delete tombstones; post-compaction batches
+  // must supersede folded rows through the same argmax, and the final
+  // duplicate-group report hash-matches cdcm6's latest-image oracle.
+  // With cdcm7/cdcm8 this proves the WHOLE maintenance story — every
+  // CDC-maintained structure (text postings, IVF cells, fp log) folds
+  // under live ingest with its probe none the wiser.
+  def cdcm9CompactedFpFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm9") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 6, 1L)
+      val log = work.resolve("fplog").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId)
+            .withColumn("fp", md5(TextAnalysis.normalize($"word")))
+            .select($"doc_id", $"ver", $"deleted", $"fp")
+            .coalesce(4)
+            .persist()
+          try {
+            if (!imgs.isEmpty) {
+              imgs.write.mode("overwrite")
+                .parquet(f"$log/seg=b$batchId%06d")
+              if (appended.incrementAndGet() == 3)
+                compactCdcFpLog(s, log)
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-compaction " +
+          "segments and >= 2 post-compaction ones")
+      val segs = new java.io.File(log).listFiles()
+        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      require(segs.contains("seg=base") &&
+        segs.size == appended.get() - 3 + 1,
+        s"expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
+      Layout.retryOnceOnMissing {
+        cdcFpGroups(s, log)
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"keeper_doc_id")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1541,6 +1677,8 @@ object CdcBinlog {
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
+    "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
+    "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -1566,6 +1704,49 @@ object CdcBinlog {
     * (file ordinal, file, pos, seq) total order — ONE definition so an
     * ordering fix can never apply to one twin and silently miss another.
     */
+  /** cdcm6/cdcm9's shared oracle: current duplicate groups recomputed
+    * from the latest-image ground truth, same dd01 fingerprint
+    * derivation — ONE definition so the steady-state gate and its
+    * compact-under-ingest twin can never drift apart.
+    */
+  private def fpGroupsOracle(sfDir: String): String =
+    s"""WITH latest AS (${latestImageOracle(sfDir)}),
+       |g AS (
+       |  SELECT id,
+       |    md5(trim(regexp_replace(lower(word), '\\s+', ' ', 'g'))) AS fp
+       |  FROM latest)
+       |SELECT fp, MIN(id) AS keeper_doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM g
+       |GROUP BY fp
+       |HAVING COUNT(*) >= 2
+       |ORDER BY keeper_doc_id""".stripMargin
+
+  /** cdcm5/cdcm8's shared oracle: brute-force MIPS over the latest
+    * images with the mm10-style integer stub embeddings; probe vector =
+    * smallest live id's embedding.
+    */
+  private def annFreshnessOracle(sfDir: String): String =
+    s"""WITH latest AS (${latestImageOracle(sfDir)}),
+       |emb AS (
+       |  SELECT id AS vec_id,
+       |    list_transform(generate_series(1, 8), i ->
+       |      (('0x' || substr(md5(word || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+       |        % 2001) - 1000) AS e
+       |  FROM latest),
+       |q AS (SELECT e AS qe FROM emb ORDER BY vec_id LIMIT 1),
+       |sc AS (
+       |  SELECT vec_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(e, qe), p -> p[1] * p[2])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM emb, q)
+       |SELECT vec_id, dot,
+       |  CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS r_dense
+       |FROM sc
+       |QUALIFY r_dense <= 100
+       |ORDER BY r_dense""".stripMargin
+
   private def latestImageOracle(sfDir: String): String =
     s"""WITH ranked AS (
        |  SELECT id, val, word, _delta_type,
@@ -1685,40 +1866,14 @@ object CdcBinlog {
          |ORDER BY r_sparse""".stripMargin,
     // current duplicate groups recomputed from the latest-image ground
     // truth, same text synthesis + dd01 fingerprint derivation
-    "cdcm6_dedup_freshness" ->
-      s"""WITH latest AS (${latestImageOracle(sfDir)}),
-         |g AS (
-         |  SELECT id,
-         |    md5(trim(regexp_replace(lower(word), '\\s+', ' ', 'g'))) AS fp
-         |  FROM latest)
-         |SELECT fp, MIN(id) AS keeper_doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs
-         |FROM g
-         |GROUP BY fp
-         |HAVING COUNT(*) >= 2
-         |ORDER BY keeper_doc_id""".stripMargin,
+    "cdcm6_dedup_freshness" -> fpGroupsOracle(sfDir),
+    // the compact-under-ingest twins share their steady-state siblings'
+    // oracles VERBATIM: compaction must be invisible to the probe
+    "cdcm8_compacted_ann_freshness" -> annFreshnessOracle(sfDir),
+    "cdcm9_compacted_fp_freshness" -> fpGroupsOracle(sfDir),
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding
-    "cdcm5_ann_freshness" ->
-      s"""WITH latest AS (${latestImageOracle(sfDir)}),
-         |emb AS (
-         |  SELECT id AS vec_id,
-         |    list_transform(generate_series(1, 8), i ->
-         |      (('0x' || substr(md5(word || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
-         |        % 2001) - 1000) AS e
-         |  FROM latest),
-         |q AS (SELECT e AS qe FROM emb ORDER BY vec_id LIMIT 1),
-         |sc AS (
-         |  SELECT vec_id,
-         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(list_zip(e, qe), p -> p[1] * p[2])),
-         |      (x, y) -> x + y) AS BIGINT) AS dot
-         |  FROM emb, q)
-         |SELECT vec_id, dot,
-         |  CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS r_dense
-         |FROM sc
-         |QUALIFY r_dense <= 100
-         |ORDER BY r_dense""".stripMargin,
+    "cdcm5_ann_freshness" -> annFreshnessOracle(sfDir),
     "cdcb13_compressed_latest_image" ->
       latestImageOracle(sfDir),
     "cdcb12_partial_json_latest" ->

@@ -1,17 +1,23 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** The CDC-maintained index's exactly-once story END-TO-END: the cdcm4
-  * pipeline killed mid-stream and resumed from the same checkpoint must
-  * probe identically to an uninterrupted run. Segment idempotence
+/** The CDC-maintained indexes' exactly-once story END-TO-END, one leg
+  * per freshness gate: the cdcm4 (text), cdcm5 (ANN) and cdcm6 (dedup)
+  * pipelines killed mid-stream and resumed from the same checkpoint
+  * must probe identically to an uninterrupted run. Segment idempotence
   * (batch-id-addressed overwrites) is what makes the replayed batch
-  * harmless; this spec measures the whole contract instead of asserting
-  * it — checkpointed binlog offsets + idempotent segment rewrites +
-  * merge-on-read liveness, through a real kill.
+  * harmless; these specs measure the whole contract instead of
+  * asserting it — checkpointed binlog offsets + idempotent segment
+  * rewrites + merge-on-read liveness, through a real kill. The ANN leg
+  * additionally pins QUANTIZER IDENTITY: the coarse centroids are
+  * derived once, from the first batch (`Similarity.appendCdcAnnSegment`
+  * first-batch contract), and a resume must NOT re-derive them — a
+  * restart that re-ran batch 0's centroid derivation against different
+  * admission boundaries would silently re-cluster the whole index.
   */
 class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -26,6 +32,79 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private def rmTree(work: java.nio.file.Path): Unit = {
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
+  /** The admission cap that forces ~9 micro-batches out of the sf0.001
+    * fixture — small enough that a kill after the first commit lands
+    * mid-stream with room on both sides.
+    */
+  private lazy val cap = {
+    val fix = graft.operators.CdcBinlog.fixtureDir(dir)
+    val totalBytes = new java.io.File(fix).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+      .map(_.length).sum
+    math.max(totalBytes / 8, 1L)
+  }
+
+  private def changeStream = {
+    import graft.operators.CdcBinlog
+    spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(CdcBinlog.fixtureDir(dir))
+  }
+
+  /** Kill-then-resume protocol shared by the three legs: start the
+    * pipeline, wait for the first committed batch, stop (graceful kill —
+    * the crash seam is the checkpoint boundary, same as StreamRestartSpec);
+    * racy by nature, so retry with a fresh work dir until the kill
+    * landed mid-stream (`segCount` in (0, 8) — a full drain at cap/8 is
+    * ~9 segments). Then resume from the SAME checkpoint and index state
+    * with AvailableNow and drain. Returns the work dir for probing.
+    */
+  private def killThenResume(prefix: String,
+      start: (java.nio.file.Path, Trigger) => StreamingQuery,
+      segCount: java.nio.file.Path => Int): java.nio.file.Path = {
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory(prefix)
+      val firstCommit = new java.util.concurrent.CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) firstCommit.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = start(work, Trigger.ProcessingTime(0))
+        assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = segCount(work)
+      landed = segs >= 1 && segs < 8
+      if (!landed) rmTree(work)
+    }
+    assert(landed, s"$prefix: kill never landed mid-stream in 5 attempts")
+    val before = segCount(work)
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    info(s"$prefix: $before segments at the kill, ${segCount(work)} after resume")
+    work
+  }
+
+  private def segDirs(path: java.nio.file.Path): Int =
+    Option(path.toFile.listFiles())
+      .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
+
   test("cdcm4 pipeline: kill mid-stream, resume, probe == uninterrupted run") {
     import graft.operators.{CdcBinlog, TextAnalysis}
     graft.functions.GraftFunctions.register(spark)
@@ -34,19 +113,9 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = CdcBinlog.cdcm4IndexFreshness(spark, dir)
       .collect().map(_.toString).toSeq
 
-    val fix = CdcBinlog.fixtureDir(dir)
-    val totalBytes = new java.io.File(fix).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-      .map(_.length).sum
-    // small admission cap -> many micro-batches -> a kill can land
-    val cap = math.max(totalBytes / 8, 1L)
-
-    def stream(work: java.nio.file.Path, idx: String, trigger: Trigger) =
-      spark.readStream.format("mysql-binlog")
-        .option("payloadDdl", CdcBinlog.payloadDdl)
-        .option("maxBytesPerTrigger", cap.toString)
-        .load(fix)
-        .writeStream
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val idx = work.resolve("index").toString
+      changeStream.writeStream
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val imgs = CdcBinlog.cdcm4BatchImages(batch, batchId).persist()
@@ -59,65 +128,132 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         .trigger(trigger)
         .start()
-
-    // phase 1 — kill after the first committed batch, before the drain;
-    // racy by nature, so retry with a fresh work dir a bounded number
-    // of times (the StreamRestartSpec protocol)
-    var work: java.nio.file.Path = null
-    var idx: String = null
-    var landed = false
-    var attempt = 0
-    while (!landed && attempt < 5) {
-      attempt += 1
-      work = java.nio.file.Files.createTempDirectory("graft-cdcm4-restart")
-      idx = work.resolve("index").toString
-      val firstCommit = new java.util.concurrent.CountDownLatch(1)
-      val listener = new StreamingQueryListener {
-        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-          if (e.progress.numInputRows > 0) firstCommit.countDown()
-      }
-      spark.streams.addListener(listener)
-      try {
-        val q1 = stream(work, idx, Trigger.ProcessingTime(0))
-        assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
-        q1.stop(); q1.awaitTermination()
-      } finally spark.streams.removeListener(listener)
-      val segs = Option(new java.io.File(s"$idx/doclog").listFiles())
-        .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
-      // at cap/8 the full drain is ~9 segments; landed = partial
-      landed = segs >= 1 && segs < 8
-      if (!landed) {
-        val tw = java.nio.file.Files.walk(work)
-        try tw.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally tw.close()
-      }
     }
-    assert(landed, "kill never landed mid-stream in 5 attempts")
-
-    // phase 2 — resume from the SAME checkpoint + index dir and drain
-    val segsBefore = new java.io.File(s"$idx/doclog").listFiles()
-      .count(_.getName.startsWith("seg="))
-    val q2 = stream(work, idx, Trigger.AvailableNow())
-    q2.awaitTermination()
-    val segsAfter = new java.io.File(s"$idx/doclog").listFiles()
-      .count(_.getName.startsWith("seg="))
-    info(s"segments: $segsBefore before resume, $segsAfter after; " +
-      s"q2 progress batches=${q2.recentProgress.length} " +
-      s"rows=${q2.recentProgress.map(_.numInputRows).sum}")
+    val work = killThenResume("graft-cdcm4-restart", start,
+      w => segDirs(w.resolve("index").resolve("doclog")))
 
     val got = TextAnalysis
-      .bm25TopKViaCdcIndex(spark, idx, CdcBinlog.cdcm4Terms, 100, nBuckets = 16)
+      .bm25TopKViaCdcIndex(spark, work.resolve("index").toString,
+        CdcBinlog.cdcm4Terms, 100, nBuckets = 16)
       .orderBy("r_sparse").collect().map(_.toString).toSeq
     assert(got === want,
       "resumed CDC index probe differs from the uninterrupted run — " +
         "a batch seam dropped or duplicated index state")
+    rmTree(work)
+  }
 
-    val tw = java.nio.file.Files.walk(work)
-    try tw.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally tw.close()
+  /** cdcm5's leg. The reference run here is a from-scratch AvailableNow
+    * drain of the SAME pipeline at the SAME cap (not the gate, whose
+    * cap/4 admission makes a different batch 0 and therefore a
+    * different — equally valid — quantizer): with identical admission
+    * boundaries the uninterrupted and resumed runs must agree on the
+    * probe AND on the quantizer itself, value-exactly (centroids are
+    * exact decimal means of a deterministic batch 0).
+    */
+  test("cdcm5 pipeline: kill mid-stream, resume — probe AND quantizer identical") {
+    import graft.operators.{CdcBinlog, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val idx = work.resolve("annindex").toString
+      changeStream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = CdcBinlog.cdcm5BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty)
+              Similarity.appendCdcAnnSegment(imgs, idx, f"b$batchId%06d")
+          } finally imgs.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    def centroids(work: java.nio.file.Path): Seq[(Int, Seq[Double])] =
+      spark.read.parquet(work.resolve("annindex").resolve("centroids").toString)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+    def probe(work: java.nio.file.Path): Seq[String] = {
+      import spark.implicits._
+      val idx = work.resolve("annindex").toString
+      val doclog = spark.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = spark.read.parquet(s"$idx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      Similarity.mipsTopKViaCdcAnnIndex(spark, idx, probeVec, 100)
+        .orderBy("r_dense").collect().map(_.toString).toSeq
+    }
+
+    // uninterrupted reference at the same cap
+    val ref = java.nio.file.Files.createTempDirectory("graft-cdcm5-ref")
+    val qRef = start(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    assert(segDirs(ref.resolve("annindex").resolve("doclog")) >= 3)
+    val wantProbe = probe(ref)
+    val wantCent = centroids(ref)
+
+    val work = killThenResume("graft-cdcm5-restart", start,
+      w => segDirs(w.resolve("annindex").resolve("doclog")))
+
+    // the quantizer must be the one batch 0 defined — value-exact
+    // (first-batch contract: a resume NEVER re-derives centroids)
+    assert(centroids(work) === wantCent,
+      "resumed CDC ANN index re-derived its coarse quantizer — " +
+        "the first-batch centroid contract broke across the restart")
+    assert(probe(work) === wantProbe,
+      "resumed CDC ANN probe differs from the uninterrupted run")
+    rmTree(ref); rmTree(work)
+  }
+
+  test("cdcm6 pipeline: kill mid-stream, resume, duplicate groups identical") {
+    import graft.operators.{CdcBinlog, TextAnalysis}
+    import org.apache.spark.sql.functions.md5
+    graft.functions.GraftFunctions.register(spark)
+
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      import spark.implicits._
+      val log = work.resolve("fplog").toString
+      changeStream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = CdcBinlog.cdcm4BatchImages(batch, batchId)
+            .withColumn("fp", md5(TextAnalysis.normalize($"word")))
+            .select($"doc_id", $"ver", $"deleted", $"fp")
+            .coalesce(4)
+            .persist()
+          try {
+            if (!imgs.isEmpty)
+              imgs.write.mode("overwrite").parquet(f"$log/seg=b$batchId%06d")
+          } finally imgs.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    def groups(work: java.nio.file.Path): Seq[String] =
+      CdcBinlog.cdcFpGroups(spark, work.resolve("fplog").toString)
+        .collect().map(_.toString).toSeq
+
+    val ref = java.nio.file.Files.createTempDirectory("graft-cdcm6-ref")
+    val qRef = start(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    assert(segDirs(ref.resolve("fplog")) >= 3)
+    val want = groups(ref)
+    assert(want.nonEmpty, "reference run found no duplicate groups — thin data")
+
+    val work = killThenResume("graft-cdcm6-restart", start,
+      w => segDirs(w.resolve("fplog")))
+    assert(groups(work) === want,
+      "resumed CDC dedup state differs from the uninterrupted run — " +
+        "a batch seam dropped or duplicated fingerprint log rows")
+    rmTree(ref); rmTree(work)
   }
 }
