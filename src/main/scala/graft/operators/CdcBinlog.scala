@@ -1265,13 +1265,12 @@ object CdcBinlog {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val imgs = cdcm4BatchImages(batch, batchId).persist()
           try {
-            if (!imgs.isEmpty) {
-              graft.operators.TextAnalysis.appendCdcTextSegment(
-                imgs, idx, f"b$batchId%06d", nBuckets = cdcm4Buckets)
-              if (appended.incrementAndGet() == 3)
-                graft.operators.TextAnalysis.compactCdcTextIndex(
-                  s, idx, nBuckets = cdcm4Buckets)
-            }
+            if (!imgs.isEmpty &&
+                graft.operators.TextAnalysis.appendCdcTextSegment(
+                  imgs, idx, f"b$batchId%06d", nBuckets = cdcm4Buckets) &&
+                appended.incrementAndGet() == 3)
+              graft.operators.TextAnalysis.compactCdcTextIndex(
+                s, idx, nBuckets = cdcm4Buckets)
           } finally imgs.unpersist()
           ()
         }
@@ -1417,12 +1416,11 @@ object CdcBinlog {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val imgs = cdcm5BatchImages(batch, batchId).persist()
           try {
-            if (!imgs.isEmpty) {
-              graft.operators.Similarity.appendCdcAnnSegment(
-                imgs, idx, f"b$batchId%06d")
-              if (appended.incrementAndGet() == 3)
-                graft.operators.Similarity.compactCdcAnnIndex(s, idx)
-            }
+            if (!imgs.isEmpty &&
+                graft.operators.Similarity.appendCdcAnnSegment(
+                  imgs, idx, f"b$batchId%06d") &&
+                appended.incrementAndGet() == 3)
+              graft.operators.Similarity.compactCdcAnnIndex(s, idx)
           } finally imgs.unpersist()
           ()
         }
@@ -1503,8 +1501,7 @@ object CdcBinlog {
           // ingest segments" admission proof as a degenerate segment
           try {
             if (!imgs.isEmpty)
-              imgs.write.mode("overwrite")
-                .parquet(f"$log/seg=b$batchId%06d")
+              appendCdcFpSegment(imgs, log, f"b$batchId%06d")
           } finally imgs.unpersist()
           ()
         }
@@ -1538,6 +1535,26 @@ object CdcBinlog {
       .orderBy($"keeper_doc_id")
   }
 
+  /** Append one CDC batch's fingerprint images (doc_id, ver, deleted,
+    * fp) to the log — one slim segment per batch, batch-id-addressed so
+    * replay is an idempotent overwrite, UNLESS [[compactCdcFpLog]]
+    * already folded that segment into seg=base ([[Layout.replayFenced]]):
+    * then the append is skipped. (The fp report's per-doc argmax happens
+    * to tolerate duplicated rows, but the fence keeps the log's segment
+    * set a function of committed state — and byte growth bounded —
+    * under the same contract as the text/ANN twins.) Returns true iff
+    * a segment was written.
+    */
+  private[graft] def appendCdcFpSegment(images: DataFrame, logDir: String,
+                                        segment: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    val fs = root.getFileSystem(
+      images.sparkSession.sparkContext.hadoopConfiguration)
+    if (Layout.replayFenced(fs, root, segment)) return false
+    images.write.mode("overwrite").parquet(s"$logDir/seg=$segment")
+    true
+  }
+
   /** Fold the cdcm6 fingerprint log to a live-only single base segment —
     * the dedup twin of [[TextAnalysis.compactCdcTextIndex]] /
     * [[Similarity.compactCdcAnnIndex]]: superseded versions and delete
@@ -1551,8 +1568,18 @@ object CdcBinlog {
     */
   def compactCdcFpLog(s: SparkSession, logDir: String): Unit = {
     import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // committed segments only + the replay fence — the text/ANN twins'
+    // contract (Layout's replay-fence block)
+    val segs = Layout.committedSegs(fs, p)
+    require(segs.nonEmpty, s"compact: no committed segments under $logDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
     val staging = s"$logDir.compact-${ProcessHandle.current().pid()}"
-    s.read.parquet(logDir)
+    s.read.option("basePath", logDir)
+      .parquet(segs.map(n => s"$logDir/$n"): _*)
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
       .select($"doc_id", $"m.ver".as("ver"),
@@ -1560,10 +1587,9 @@ object CdcBinlog {
       .filter(!$"deleted")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$staging/seg=base")
-    val p = new org.apache.hadoop.fs.Path(logDir)
-    Layout.publishDir(
-      p.getFileSystem(s.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(staging), p)
+    upTo.foreach(u =>
+      Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+    Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
   }
 
   // cdcm9 — the dedup leg of the compact-under-ingest family (text
@@ -1599,12 +1625,10 @@ object CdcBinlog {
             .coalesce(4)
             .persist()
           try {
-            if (!imgs.isEmpty) {
-              imgs.write.mode("overwrite")
-                .parquet(f"$log/seg=b$batchId%06d")
-              if (appended.incrementAndGet() == 3)
-                compactCdcFpLog(s, log)
-            }
+            if (!imgs.isEmpty &&
+                appendCdcFpSegment(imgs, log, f"b$batchId%06d") &&
+                appended.incrementAndGet() == 3)
+              compactCdcFpLog(s, log)
           } finally imgs.unpersist()
           ()
         }

@@ -236,6 +236,68 @@ object Layout {
     }
   }
 
+  // ---- replay fence for CDC-maintained structures -----------------------
+  //
+  // foreachBatch is AT-LEAST-ONCE: a crash between a batch's side effects
+  // and its checkpoint commit replays the batch on resume. Segment writes
+  // are batch-id-addressed overwrites, so a plain replay is idempotent —
+  // EXCEPT across a mid-stream compaction: if the fold consumed the
+  // batch's segment into seg=base before the crash, the replay would
+  // re-create rows base already holds, and the merge-on-read probes
+  // (which join postings/cells on (doc_id|vec_id, ver)) would double-
+  // count them. The fence closes that seam: every fold records the
+  // highest segment ordinal it consumed in a `_folded_through` marker at
+  // the structure root (written into staging, published atomically with
+  // the fold), and appends SKIP any segment at or below it — the skipped
+  // replay's content is already in base, byte-for-byte, because batch
+  // offsets come from the checkpoint WAL and the image derivation is
+  // deterministic. Folds consume only segments whose write COMMITTED
+  // (`_SUCCESS` present): a torn segment from a crashed append belongs
+  // to an uncommitted batch, so it is dropped from the published tree —
+  // never folded, never fenced — and the batch's replay rewrites it.
+
+  /** Ordinal of a `bNNNNNN` segment name (zero-padding-independent). */
+  private[graft] def segmentOrdinal(segment: String): Long =
+    segment.stripPrefix("b").toLong
+
+  /** The structure's replay fence, if any fold has run. */
+  private[graft] def foldedThrough(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path): Option[Long] = {
+    val marker = new org.apache.hadoop.fs.Path(root, "_folded_through")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** True iff `segment` is at or below the fence — the append must skip. */
+  private[graft] def replayFenced(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  segment: String): Boolean =
+    foldedThrough(fs, root).exists(segmentOrdinal(segment) <= _)
+
+  /** Record the fence in a staging tree about to be published. */
+  private[graft] def writeFoldedThrough(fs: org.apache.hadoop.fs.FileSystem,
+                                        stagingRoot: org.apache.hadoop.fs.Path,
+                                        upTo: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(stagingRoot, "_folded_through"), false)
+    try out.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The COMMITTED `seg=*` directory names under a leg (those whose
+    * write finished — `_SUCCESS` present). Fold input comes from here.
+    */
+  private[graft] def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
+                                   legDir: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(legDir)) Seq.empty
+    else fs.listStatus(legDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName).toSeq.sorted
+
   /** Bin-pack a parquet directory toward `targetBytes` per output file —
     * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
     * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index

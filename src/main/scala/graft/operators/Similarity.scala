@@ -522,12 +522,19 @@ object Similarity {
   /** Append one CDC batch's latest images (vec_id, embedding, ver,
     * deleted) to the ANN index; the first batch also writes the
     * centroids it was quantized under. Segment replay is idempotent
-    * (same overwrite-own-rows protocol as [[appendToAnnIndex]]).
+    * (same overwrite-own-rows protocol as [[appendToAnnIndex]]) —
+    * unless a fold already consumed the segment into seg=base
+    * ([[Layout.replayFenced]]): then the append is skipped (returns
+    * false), since re-created rows would score twice through the
+    * probe's (vec_id, ver) liveness join. Returns true iff written.
     */
   def appendCdcAnnSegment(images: DataFrame, indexDir: String,
-                          segment: String, k: Int = 16): Unit = {
+                          segment: String, k: Int = 16): Boolean = {
     val s = images.sparkSession
     import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val rootFs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (Layout.replayFenced(rootFs, root, segment)) return false
     // the quantizer runs on a float view (the assigners' native-dot
     // path); the STORED embedding stays the exact long array the
     // integer-dot probe scores — cell choice may be float-rounded,
@@ -555,6 +562,7 @@ object Similarity {
     images.select($"vec_id", $"ver", $"deleted")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+    true
   }
 
   /** Fold the CDC ANN index to a live-only base segment — the ANN twin
@@ -568,7 +576,18 @@ object Similarity {
     */
   def compactCdcAnnIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
-    val live = s.read.parquet(s"$indexDir/doclog")
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // committed segments only, in BOTH legs, + the replay fence — the
+    // text twin's contract verbatim (Layout's replay-fence block)
+    val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
+      .intersect(Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/cells")))
+    require(segs.nonEmpty, s"compact: no committed segments under $indexDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
+    val live = s.read.option("basePath", s"$indexDir/doclog")
+      .parquet(segs.map(n => s"$indexDir/doclog/$n"): _*)
       .groupBy($"vec_id")
       .agg(max(struct($"ver", $"deleted")).as("m"))
       .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
@@ -576,10 +595,12 @@ object Similarity {
       .persist() // feeds the cell filter AND the folded doc log
     try {
       val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
-      val cellCols = s.read.parquet(s"$indexDir/cells").columns
-      s.read.parquet(s"$indexDir/cells")
+      val cells = s.read.option("basePath", s"$indexDir/cells")
+        .parquet(segs.map(n => s"$indexDir/cells/$n"): _*)
+        .drop("seg")
+      cells
         .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .select(cellCols.map(col): _*)
+        .select(cells.columns.map(col): _*)
         .repartition($"cell")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$staging/cells/seg=base")
@@ -589,10 +610,9 @@ object Similarity {
       // centroids carry over unchanged (the quantizer is rebuild-only)
       s.read.parquet(s"$indexDir/centroids")
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      Layout.publishDir(
-        p.getFileSystem(s.sparkContext.hadoopConfiguration),
-        new org.apache.hadoop.fs.Path(staging), p)
+      upTo.foreach(u =>
+        Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+      Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     } finally live.unpersist()
   }
 

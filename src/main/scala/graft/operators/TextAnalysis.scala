@@ -787,13 +787,20 @@ object TextAnalysis {
     * deleted), with `ver` strictly increasing across a key's successive
     * batches (the batch id — stream order makes it monotone). Replaying
     * a batch rewrites exactly its own segment — idempotent, the
-    * [[Similarity.appendToAnnIndex]] protocol.
+    * [[Similarity.appendToAnnIndex]] protocol — UNLESS a fold already
+    * consumed that segment into seg=base ([[Layout.replayFenced]]): then
+    * the append is SKIPPED (returns false) — re-creating the rows would
+    * double them against base through the probe's (doc_id, ver) join.
+    * Returns true iff a segment was written.
     */
   def appendCdcTextSegment(images: DataFrame, indexDir: String,
                            segment: String,
-                           nBuckets: Int = textIndexBuckets): Unit = {
+                           nBuckets: Int = textIndexBuckets): Boolean = {
     val s = images.sparkSession
     import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (Layout.replayFenced(fs, root, segment)) return false
     images.filter(!$"deleted")
       .select($"doc_id", $"ver",
         size(tokens($"text")).cast("long").as("dl"),
@@ -815,6 +822,7 @@ object TextAnalysis {
           .otherwise(size(tokens($"text")).cast("long")).as("dl"))
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+    true
   }
 
   /** Fold the CDC index to a live-only single base segment: superseded
@@ -835,7 +843,21 @@ object TextAnalysis {
   def compactCdcTextIndex(s: SparkSession, indexDir: String,
                           nBuckets: Int = textIndexBuckets): Unit = {
     import s.implicits._
-    val live = s.read.parquet(s"$indexDir/doclog")
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fold only COMMITTED segments, in BOTH legs (a batch writes
+    // postings then doclog; either torn means the batch never committed
+    // and will replay — its segment must be dropped, not folded), and
+    // record the replay fence so the replay skips instead of doubling
+    // rows against base (Layout's replay-fence contract)
+    val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
+      .intersect(Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings")))
+    require(segs.nonEmpty, s"compact: no committed segments under $indexDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
+    val live = s.read.option("basePath", s"$indexDir/doclog")
+      .parquet(segs.map(n => s"$indexDir/doclog/$n"): _*)
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))
       .select($"doc_id", $"m.ver".as("ver"),
@@ -844,17 +866,17 @@ object TextAnalysis {
       .persist() // feeds the posting filter AND the folded doc log
     try {
       val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
-      s.read.parquet(s"$indexDir/postings")
+      s.read.option("basePath", s"$indexDir/postings")
+        .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
         .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
         .select($"term", $"doc_id", $"ver", $"dl", $"tf", $"tb")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$staging/postings/seg=base")
       live.select($"doc_id", $"ver", $"deleted", $"dl")
         .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      Layout.publishDir(
-        p.getFileSystem(s.sparkContext.hadoopConfiguration),
-        new org.apache.hadoop.fs.Path(staging), p)
+      upTo.foreach(u =>
+        Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+      Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     } finally live.unpersist()
   }
 

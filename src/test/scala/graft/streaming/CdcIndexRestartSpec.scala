@@ -212,6 +212,92 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(ref); rmTree(work)
   }
 
+  /** The cdcm7 seam: a kill AFTER the mid-stream compaction. The resumed
+    * run replays at most one uncommitted batch — if the fold already
+    * consumed that batch's segment, the `_folded_through` fence skips
+    * the replay instead of doubling rows against seg=base (the
+    * CdcReplayFenceSpec seam, here driven through a real checkpoint
+    * restart); the resumed gate code may also fold AGAIN (its in-memory
+    * segment counter restarts), which must stay probe-invariant. The
+    * landing condition requires seg=base present and the drain
+    * incomplete, so every attempt exercises resume-over-a-compacted-base.
+    */
+  test("cdcm7 pipeline: kill AFTER the mid-stream compaction, resume, probe matches") {
+    import graft.operators.{CdcBinlog, Layout, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val idx = work.resolve("index").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      changeStream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = CdcBinlog.cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty &&
+                TextAnalysis.appendCdcTextSegment(imgs, idx, f"b$batchId%06d",
+                  nBuckets = 16) &&
+                appended.incrementAndGet() == 3)
+              TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 16)
+          } finally imgs.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    // uninterrupted reference at the same cap and compaction point
+    val ref = java.nio.file.Files.createTempDirectory("graft-cdcm7-ref")
+    val qRef = start(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    def probe(w: java.nio.file.Path) = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, w.resolve("index").toString,
+        CdcBinlog.cdcm4Terms, 100, nBuckets = 16)
+      .orderBy("r_sparse").collect().map(_.toString).toSeq
+    val want = probe(ref)
+
+    // landing = the fold already happened (seg=base) AND the drain is
+    // incomplete; resume from the same checkpoint over the compacted base
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 6) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-cdcm7-restart")
+      val commits = new java.util.concurrent.CountDownLatch(4)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) commits.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = start(work, Trigger.ProcessingTime(0))
+        assert(commits.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = Option(work.resolve("index").resolve("doclog").toFile.listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("seg=")).toSet)
+        .getOrElse(Set.empty[String])
+      landed = segs.contains("seg=base") && segs.size < 7
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed after the compaction in 6 attempts")
+
+    // the documented maintenance-resume step (a no-op unless the kill
+    // interrupted a publish): recover, then resume from the checkpoint
+    val idxPath = new org.apache.hadoop.fs.Path(work.resolve("index").toString)
+    info("recoverPublish: " + Layout.recoverPublish(
+      idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration), idxPath))
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(probe(work) === want,
+      "resume over a compacted base diverged from the uninterrupted run — " +
+        "a replayed folded batch doubled rows, or the re-fold broke liveness")
+    rmTree(ref); rmTree(work)
+  }
+
   test("cdcm6 pipeline: kill mid-stream, resume, duplicate groups identical") {
     import graft.operators.{CdcBinlog, TextAnalysis}
     import org.apache.spark.sql.functions.md5
