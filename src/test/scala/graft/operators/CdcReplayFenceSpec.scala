@@ -165,6 +165,46 @@ class CdcReplayFenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe().size === 5)
   }
 
+  test("text: the fence is monotone across successive folds") {
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-fence-2fold")
+    val idx = work.resolve("index").toString
+    val root = new org.apache.hadoop.fs.Path(idx)
+    def probe() = collectStr(TextAnalysis
+      .bm25TopKViaCdcIndex(spark, idx, Seq("alpha"), 10, nBuckets = 4)
+      .orderBy("r_sparse"))
+
+    assert(TextAnalysis.appendCdcTextSegment(
+      textImages((1, "alpha a", 0, false)), idx, "b000000", nBuckets = 4))
+    TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    assert(Layout.foldedThrough(fs, root) === Some(0L))
+
+    assert(TextAnalysis.appendCdcTextSegment(
+      textImages((2, "alpha b", 2, false)), idx, "b000002", nBuckets = 4))
+    TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    // second fold: max(existing fence, newly folded) — never regresses
+    assert(Layout.foldedThrough(fs, root) === Some(2L))
+    val want = probe()
+    assert(want.size === 2)
+
+    // both folded batches replay fenced; a fresh one lands
+    assert(!TextAnalysis.appendCdcTextSegment(
+      textImages((1, "alpha a", 0, false)), idx, "b000000", nBuckets = 4))
+    assert(!TextAnalysis.appendCdcTextSegment(
+      textImages((2, "alpha b", 2, false)), idx, "b000002", nBuckets = 4))
+    assert(probe() === want)
+    assert(TextAnalysis.appendCdcTextSegment(
+      textImages((3, "alpha c", 3, false)), idx, "b000003", nBuckets = 4))
+    assert(probe().size === 3)
+
+    // a base-only re-fold (nothing new) keeps the fence
+    TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    assert(Layout.foldedThrough(fs, root) === Some(3L))
+    TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    assert(Layout.foldedThrough(fs, root) === Some(3L))
+    assert(probe().size === 3)
+  }
+
   // ---- fingerprint log ----------------------------------------------------
 
   test("fp log: a replayed folded batch is fenced; groups unchanged") {
