@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r10-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r15-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -298,6 +298,13 @@ object CdcBinlog {
       Files.createDirectories(driftDir)
       writeDriftFixture(driftDir,
         Files.newBufferedWriter(staging.resolve("expected_drift.csv")))
+      // multi-table twin: two tables interleaved INSIDE each transaction,
+      // sharing the id space (only the table name separates their rows) —
+      // cdcm10's input: one reader fanning out to N maintained structures
+      val multiDir = staging.resolve("multi")
+      Files.createDirectories(multiDir)
+      writeMultiFixture(multiDir, math.max(total / 4, 500),
+        Files.newBufferedWriter(staging.resolve("expected_multi.csv")))
     }
   }
 
@@ -331,6 +338,83 @@ object CdcBinlog {
     for (_ <- 0 until 20) txn(7, g3, Seq[Any](id, id * 10, s"w$id"),
       s"$id|${id * 10}|w$id")
     w.save(dir.resolve("binlog.000001").toString)
+    exp.close()
+  }
+
+  /** Multi-table fixture: every transaction writes BOTH `bench.d1` and
+    * `bench.d2`, over the SAME id range — only the table name in the
+    * TABLE_MAP separates their rows, so any routing slip (a missed
+    * filter, a swapped index path) lands foreign rows in an index and
+    * hash-fails its probe. Words differ per table (`word(i)` vs
+    * `word(i + 7)`) and the mutation mix is asymmetric (d1 updates
+    * where d2 deletes, and vice versa on the next cycle) so the two
+    * latest-image sets never coincide. Rotated across two files; the
+    * CSV records every change with its table for the DuckDB rebuild.
+    */
+  private def writeMultiFixture(dir: java.nio.file.Path, total: Int,
+                                exp: java.io.Writer): Unit = {
+    exp.write("log_file,log_pos,log_seq,xid,_delta_type,tbl,id,word\n")
+    def change(f: String, pos: Long, seq: Int, xid: Long, dt: String,
+               tbl: String, i: Int, w: String): Unit =
+      exp.write(s"$f,$pos,$seq,$xid,$dt,$tbl,$i,$w\n")
+    val nFiles = 2
+    val perFile = total / nFiles
+    var id = 0
+    for (f <- 1 to nFiles) {
+      val fname = f"binlog.$f%06d"
+      val w = new Writer(checksum = true)
+      w.writeFormatDescription(ts = 1700000000L)
+      var written = 0
+      var txn = 0
+      while (written < perFile) {
+        val n = math.min(50, perFile - written)
+        val ts = 1700000000L + id / 10
+        val xid = 500000L + id.toLong
+        w.writeQuery("bench", "BEGIN", ts = ts)
+        def insert(tid: Long, tbl: String, off: Int): Unit = {
+          w.writeTableMap(tid, "bench", tbl, cols, ts = ts)
+          val pos = w.position
+          w.writeInsert(tid, cols,
+            (0 until n).map(k => Seq[Any](id + k, dec(id + k), word(id + k + off))),
+            ts = ts)
+          (0 until n).foreach(k =>
+            change(fname, pos, k, xid, "insert", tbl, id + k, word(id + k + off)))
+        }
+        insert(61, "d1", 0)
+        insert(62, "d2", 7)
+        def update(tid: Long, tbl: String, off: Int): Unit = {
+          val m = math.min(10, n)
+          w.writeTableMap(tid, "bench", tbl, cols, ts = ts)
+          val pos = w.position
+          w.writeUpdate(tid, cols, (0 until m).map { k =>
+            (Seq[Any](id + k, dec(id + k), word(id + k + off)),
+             Seq[Any](id + k, dec(id + k + 1), word(id + k + off + 1)))
+          }, ts = ts)
+          (0 until m).foreach { k =>
+            change(fname, pos, 2 * k, xid, "update-before", tbl, id + k, word(id + k + off))
+            change(fname, pos, 2 * k + 1, xid, "update", tbl, id + k, word(id + k + off + 1))
+          }
+        }
+        def delete(tid: Long, tbl: String, off: Int, m0: Int): Unit = {
+          val m = math.min(m0, n)
+          w.writeTableMap(tid, "bench", tbl, cols, ts = ts)
+          val pos = w.position
+          w.writeDelete(tid, cols,
+            (0 until m).map(k => Seq[Any](id + k, dec(id + k), word(id + k + off))),
+            ts = ts)
+          (0 until m).foreach(k =>
+            change(fname, pos, k, xid, "delete", tbl, id + k, word(id + k + off)))
+        }
+        if (txn % 5 == 3) { update(61, "d1", 0); delete(62, "d2", 7, 5) }
+        if (txn % 5 == 4) { delete(61, "d1", 0, 3); update(62, "d2", 7) }
+        w.writeXid(xid, ts = ts)
+        id += n; written += n; txn += 1
+      }
+      if (f < nFiles) w.writeRotate(f"binlog.${f + 1}%06d", ts = 1700000000L)
+      w.save(dir.resolve(fname).toString)
+    }
+    Files.writeString(dir.resolve("binlog.index"),
+      (1 to nFiles).map(i => f"binlog.$i%06d").mkString("", "\n", "\n"))
     exp.close()
   }
 
@@ -618,6 +702,33 @@ object CdcBinlog {
   /** The DuckDB mirror of [[fileOrd]] for oracle ORDER BYs. */
   private def duckFileOrd(col: String): String =
     s"COALESCE(TRY_CAST(regexp_extract($col, '\\.([0-9]+)$$', 1) AS BIGINT), -1)"
+
+  /** One table's leg of cdcm10's oracle: latest images from the
+    * multi-table ground truth filtered to `tbl`, cdcm4's text synthesis
+    * and BM25 rebuild, top-50 ranked — parenthesized so two legs union.
+    */
+  private def multiRoutingLeg(sfDir: String, tbl: String): String =
+    s"""SELECT * FROM (
+       |WITH ranked AS (
+       |  SELECT id, word, _delta_type,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
+       |  FROM read_csv('${fixturePathFor(sfDir)}/expected_multi.csv', header=true,
+       |    columns={'log_file':'VARCHAR','log_pos':'BIGINT','log_seq':'INTEGER',
+       |             'xid':'BIGINT','_delta_type':'VARCHAR','tbl':'VARCHAR',
+       |             'id':'INTEGER','word':'VARCHAR'})
+       |  WHERE _delta_type <> 'update-before' AND tbl = '$tbl'),
+       |latest AS (SELECT id, word FROM ranked WHERE rn = 1 AND _delta_type <> 'delete'),
+       |docs AS (
+       |  SELECT id AS doc_id,
+       |    repeat(split_part(word, '_', 1) || ' ',
+       |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+       |  FROM latest),
+       |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+       |SELECT '$tbl' AS tbl, doc_id, bm25,
+       |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+       |FROM sagg
+       |QUALIFY r_sparse <= 50)""".stripMargin
 
   // cdcb4 — latest-image compaction over the change stream: final state of
   // each key after applying inserts/updates/deletes in (file, pos, seq)
@@ -1649,6 +1760,71 @@ object CdcBinlog {
       }.orderBy($"keeper_doc_id")
     }
 
+  // cdcm10 — multi-table fan-out: ONE bounded-admission reader over a
+  // log whose every transaction writes TWO tables (same id range — only
+  // the table name separates the rows), routing each table's latest
+  // images into its OWN maintained text index inside the same
+  // foreachBatch pass. This is the production CDC shape the single-table
+  // gates can't see: a server log is a multiplex, and the fan-out must
+  // decode it ONCE (the batch persists across the routes) while keeping
+  // the structures fully independent. Both probes hash-match per-table
+  // full rebuilds over the ground truth; the shared id space plus
+  // asymmetric mutations (d1 updates where d2 deletes, and vice versa)
+  // make any cross-table bleed — a missed filter, a swapped index path,
+  // a shared-state slip — a hash failure, not a plausible answer.
+  def cdcm10MultiIndexRouting(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm10") { work =>
+      import s.implicits._
+      val fix = Paths.get(fixtureDir(d), "multi").toString
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 4, 1L)
+      val tables = Seq("d1", "d2")
+      def idxOf(tbl: String) = work.resolve(s"idx_$tbl").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // decode once, route N ways: the persist pins the decoded
+          // batch so each table's image fold re-reads columnar cache,
+          // not the binlog span
+          val b = batch.persist()
+          try tables.foreach { tbl =>
+            val imgs = cdcm4BatchImages(
+              b.filter(b("table") === tbl), batchId).persist()
+            try {
+              if (!imgs.isEmpty)
+                graft.operators.TextAnalysis.appendCdcTextSegment(
+                  imgs, idxOf(tbl), f"b$batchId%06d", nBuckets = cdcm4Buckets)
+              ()
+            } finally imgs.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      tables.foreach { tbl =>
+        val segs = new java.io.File(s"${idxOf(tbl)}/doclog").listFiles()
+        require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+          s"bounded admission degenerated for $tbl (cap=$cap of " +
+            s"$totalBytes bytes) — the routing gate needs >= 3 real " +
+            "segments per index")
+      }
+      tables.map { tbl =>
+        Layout.retryOnceOnMissing {
+          graft.operators.TextAnalysis
+            .bm25TopKViaCdcIndex(s, idxOf(tbl), cdcm4Terms, 50,
+              nBuckets = cdcm4Buckets)
+            .select(lit(tbl).as("tbl"), $"doc_id", $"bm25", $"r_sparse")
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        }
+      }.reduce(_.unionAll(_)).orderBy($"tbl", $"r_sparse")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1700,6 +1876,7 @@ object CdcBinlog {
     "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
+    "cdcm10_multi_index_routing" -> cdcm10MultiIndexRouting _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
@@ -1895,6 +2072,13 @@ object CdcBinlog {
     // oracles VERBATIM: compaction must be invisible to the probe
     "cdcm8_compacted_ann_freshness" -> annFreshnessOracle(sfDir),
     "cdcm9_compacted_fp_freshness" -> fpGroupsOracle(sfDir),
+    // per-table full rebuilds over the multi-table ground truth: any
+    // cross-table bleed in the routed indexes hash-fails a leg
+    "cdcm10_multi_index_routing" ->
+      s"""${multiRoutingLeg(sfDir, "d1")}
+         |UNION ALL
+         |${multiRoutingLeg(sfDir, "d2")}
+         |ORDER BY tbl, r_sparse""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding
     "cdcm5_ann_freshness" -> annFreshnessOracle(sfDir),

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The one maintenance crash CdcIndexRestartSpec doesn't reach: the
+  * FOLD ITSELF dying inside publishDir's two-rename swap while the
+  * ingest pipeline holds a live checkpoint. PublishRecoverySpec pins
+  * recoverPublish on fabricated static directories; here each crash
+  * state is reconstructed with REAL content from a real cdcm4 run —
+  * the old multi-segment index (snapshotted before the fold) and the
+  * genuinely folded result — and recovery must hand the RESUMED stream
+  * a state it can keep appending to, with the final probe matching the
+  * cdcm4 gate's oracle-checked answer.
+  *
+  * Two crash states, two recovery routes:
+  *  - between the renames (old under `.trash-*`, fold under
+  *    `.compact-*`, live gone) → the OLD state restores, and the
+  *    `_folded_through` fence — which travelled with the dropped
+  *    staging dir — must NOT survive into live (a stale fence over an
+  *    UNFOLDED index would silently drop legitimate replays);
+  *  - after the old state was consumed (only `.compact-*` left) → the
+  *    FOLDED state publishes, fence intact, and the resumed stream's
+  *    replayed batch must respect it against seg=base.
+  */
+class CdcFoldCrashResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rmTree(work: java.nio.file.Path): Unit = {
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val tw = java.nio.file.Files.walk(from)
+    try tw.forEach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally tw.close()
+  }
+
+  private lazy val cap = {
+    val fix = graft.operators.CdcBinlog.fixtureDir(dir)
+    val totalBytes = new java.io.File(fix).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+      .map(_.length).sum
+    math.max(totalBytes / 8, 1L)
+  }
+
+  private def changeStream = {
+    import graft.operators.CdcBinlog
+    spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(CdcBinlog.fixtureDir(dir))
+  }
+
+  private def start(work: java.nio.file.Path, trigger: Trigger): StreamingQuery = {
+    import graft.operators.{CdcBinlog, TextAnalysis}
+    val idx = work.resolve("index").toString
+    changeStream.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val imgs = CdcBinlog.cdcm4BatchImages(batch, batchId).persist()
+        try {
+          if (!imgs.isEmpty)
+            TextAnalysis.appendCdcTextSegment(imgs, idx, f"b$batchId%06d",
+              nBuckets = 16)
+        } finally imgs.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  private def segDirs(path: java.nio.file.Path): Int =
+    Option(path.toFile.listFiles())
+      .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
+
+  private def probe(work: java.nio.file.Path): Seq[String] = {
+    import graft.operators.{CdcBinlog, TextAnalysis}
+    TextAnalysis.bm25TopKViaCdcIndex(spark, work.resolve("index").toString,
+        CdcBinlog.cdcm4Terms, 100, nBuckets = 16)
+      .orderBy("r_sparse").collect().map(_.toString).toSeq
+  }
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Run the pipeline, kill it mid-stream (1 ≤ segments < 8, retried),
+    * fold the index for real, snapshot-reconstruct the requested crash
+    * state, and return the work dir — live gone, residues in place.
+    */
+  private def crashedFold(keepTrash: Boolean): java.nio.file.Path = {
+    import graft.operators.TextAnalysis
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-foldcrash")
+      val firstCommit = new java.util.concurrent.CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) firstCommit.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = start(work, Trigger.ProcessingTime(0))
+        assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = segDirs(work.resolve("index").resolve("doclog"))
+      landed = segs >= 1 && segs < 8
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed mid-stream in 5 attempts")
+
+    val live = work.resolve("index")
+    val old = work.resolve("old-snapshot")
+    copyTree(live, old)
+    TextAnalysis.compactCdcTextIndex(spark, live.toString, nBuckets = 16)
+    // live now holds exactly what the fold staged; rewind the swap to
+    // the requested crash point with the real artifacts
+    java.nio.file.Files.move(live, work.resolve("index.compact-999"))
+    if (keepTrash) java.nio.file.Files.move(old, work.resolve("index.trash-999"))
+    else rmTree(old)
+    work
+  }
+
+  test("fold crash between renames: rollback drops the fence, resume + re-fold match the gate") {
+    import graft.operators.{CdcBinlog, Layout, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm4IndexFreshness(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val work = crashedFold(keepTrash = true)
+    val live = new org.apache.hadoop.fs.Path(work.resolve("index").toString)
+    val report = Layout.recoverPublish(fs, live)
+    info(s"recoverPublish: $report")
+    assert(report.startsWith("restored"), s"expected the OLD state back, got: $report")
+    assert(Layout.foldedThrough(fs, live).isEmpty,
+      "the staged fold's replay fence leaked into the restored UNFOLDED " +
+        "index — a resume would silently drop legitimate replays")
+    assert(segDirs(work.resolve("index").resolve("doclog")) >= 1)
+
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    TextAnalysis.compactCdcTextIndex(spark, work.resolve("index").toString,
+      nBuckets = 16)
+    assert(probe(work) === want,
+      "rollback + resume + re-fold diverged from the uninterrupted gate")
+    rmTree(work)
+  }
+
+  test("fold crash after the old state was consumed: the fold publishes, resume respects the fence") {
+    import graft.operators.{CdcBinlog, Layout}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm4IndexFreshness(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val work = crashedFold(keepTrash = false)
+    val live = new org.apache.hadoop.fs.Path(work.resolve("index").toString)
+    val report = Layout.recoverPublish(fs, live)
+    info(s"recoverPublish: $report")
+    assert(report.startsWith("published"), s"expected the FOLDED state in, got: $report")
+    assert(Layout.foldedThrough(fs, live).isDefined,
+      "the published fold lost its replay fence — a replayed batch " +
+        "would double rows against seg=base")
+
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(probe(work) === want,
+      "publish-forward + resume diverged from the uninterrupted gate — " +
+        "a replayed folded batch doubled rows against seg=base")
+    rmTree(work)
+  }
+}

@@ -298,6 +298,74 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(ref); rmTree(work)
   }
 
+  /** cdcm10's leg: ONE checkpoint feeding TWO maintained indexes. A
+    * replayed batch re-appends to BOTH structures (batch-addressed
+    * segment overwrites make each idempotent independently), and the
+    * resumed fan-out must keep them consistent with each other — the
+    * final union probe matches the gate's uninterrupted run.
+    */
+  test("cdcm10 pipeline: kill mid-stream, resume — both routed indexes identical") {
+    import graft.operators.{CdcBinlog, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm10MultiIndexRouting(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    // /8 ≈ 9 micro-batches: the shared landing condition (segs < 8)
+    // must exclude a full drain, or a too-fast kill window would pass
+    // the test vacuously with nothing left to resume
+    val multiCap = {
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      math.max(totalBytes / 8, 1L)
+    }
+    val tables = Seq("d1", "d2")
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      spark.readStream.format("mysql-binlog")
+        .option("payloadDdl", CdcBinlog.payloadDdl)
+        .option("maxBytesPerTrigger", multiCap.toString)
+        .load(fix)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try tables.foreach { tbl =>
+            val imgs = CdcBinlog.cdcm4BatchImages(
+              b.filter(b("table") === tbl), batchId).persist()
+            try {
+              if (!imgs.isEmpty)
+                TextAnalysis.appendCdcTextSegment(imgs,
+                  work.resolve(s"idx_$tbl").toString, f"b$batchId%06d",
+                  nBuckets = 16)
+              ()
+            } finally imgs.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+    val work = killThenResume("graft-cdcm10-restart", start,
+      w => segDirs(w.resolve("idx_d1").resolve("doclog")))
+
+    val got = tables.map { tbl =>
+      import org.apache.spark.sql.functions.lit
+      TextAnalysis.bm25TopKViaCdcIndex(spark,
+          work.resolve(s"idx_$tbl").toString, CdcBinlog.cdcm4Terms, 50,
+          nBuckets = 16)
+        .select(lit(tbl).as("tbl"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("bm25"),
+          org.apache.spark.sql.functions.col("r_sparse"))
+    }.reduce(_.unionAll(_)).orderBy("tbl", "r_sparse")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "resumed multi-table fan-out diverged from the uninterrupted gate — " +
+        "a batch seam treated the two routed indexes inconsistently")
+    rmTree(work)
+  }
+
   test("cdcm6 pipeline: kill mid-stream, resume, duplicate groups identical") {
     import graft.operators.{CdcBinlog, TextAnalysis}
     import org.apache.spark.sql.functions.md5
