@@ -55,7 +55,7 @@ object CdcBinlog {
     * which queries ran first (or at all) in this process.
     */
   private def fixturePathFor(sfDir: String): java.nio.file.Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r15-${rowsFor(sfDir)}")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-binlog-r15b-${rowsFor(sfDir)}")
 
   /** One generation pass: writes the rotated binlog files into `dir` (with
     * or without CRC32 checksums and v1 or v2 rows events — positions
@@ -301,9 +301,12 @@ object CdcBinlog {
       // multi-table twin: two tables interleaved INSIDE each transaction,
       // sharing the id space (only the table name separates their rows) —
       // cdcm10's input: one reader fanning out to N maintained structures
+      // total/8: the gate proves ROUTING, not volume — the per-batch
+      // append cost is already measured by cdcm4/CdcAppendCostSpec, and
+      // this gate pays it twice per batch
       val multiDir = staging.resolve("multi")
       Files.createDirectories(multiDir)
-      writeMultiFixture(multiDir, math.max(total / 4, 500),
+      writeMultiFixture(multiDir, math.max(total / 8, 500),
         Files.newBufferedWriter(staging.resolve("expected_multi.csv")))
     }
   }
@@ -1772,6 +1775,13 @@ object CdcBinlog {
   // asymmetric mutations (d1 updates where d2 deletes, and vice versa)
   // make any cross-table bleed — a missed filter, a swapped index path,
   // a shared-state slip — a hash failure, not a plausible answer.
+  /** cdcm10's bucket count: HALF cdcm4's — the fan-out gate writes one
+    * file set per bucket per index per batch, and it maintains TWO
+    * indexes; 8 keeps the physical file count per batch at cdcm4's
+    * level while probe pruning stays at 2-of-8 postings buckets.
+    */
+  private[operators] val cdcm10Buckets = 8
+
   def cdcm10MultiIndexRouting(s: SparkSession, d: String): DataFrame =
     withRotatingWorkdir("graft-cdcm10") { work =>
       import s.implicits._
@@ -1799,7 +1809,7 @@ object CdcBinlog {
             try {
               if (!imgs.isEmpty)
                 graft.operators.TextAnalysis.appendCdcTextSegment(
-                  imgs, idxOf(tbl), f"b$batchId%06d", nBuckets = cdcm4Buckets)
+                  imgs, idxOf(tbl), f"b$batchId%06d", nBuckets = cdcm10Buckets)
               ()
             } finally imgs.unpersist()
           } finally b.unpersist()
@@ -1818,7 +1828,7 @@ object CdcBinlog {
         Layout.retryOnceOnMissing {
           graft.operators.TextAnalysis
             .bm25TopKViaCdcIndex(s, idxOf(tbl), cdcm4Terms, 50,
-              nBuckets = cdcm4Buckets)
+              nBuckets = cdcm10Buckets)
             .select(lit(tbl).as("tbl"), $"doc_id", $"bm25", $"r_sparse")
             .localCheckpoint(true) // DETACH — the workdir rotates away
         }
