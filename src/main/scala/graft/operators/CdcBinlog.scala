@@ -706,13 +706,11 @@ object CdcBinlog {
   private def duckFileOrd(col: String): String =
     s"COALESCE(TRY_CAST(regexp_extract($col, '\\.([0-9]+)$$', 1) AS BIGINT), -1)"
 
-  /** One table's leg of cdcm10's oracle: latest images from the
-    * multi-table ground truth filtered to `tbl`, cdcm4's text synthesis
-    * and BM25 rebuild, top-50 ranked — parenthesized so two legs union.
+  /** Shared head of the multi-fixture oracles: latest images for one
+    * table from the multi-table ground truth CSV.
     */
-  private def multiRoutingLeg(sfDir: String, tbl: String): String =
-    s"""SELECT * FROM (
-       |WITH ranked AS (
+  private def multiLatestCtes(sfDir: String, tbl: String): String =
+    s"""ranked AS (
        |  SELECT id, word, _delta_type,
        |    row_number() OVER (PARTITION BY id
        |      ORDER BY ${duckFileOrd("log_file")} DESC, log_file DESC, log_pos DESC, log_seq DESC) AS rn
@@ -721,7 +719,15 @@ object CdcBinlog {
        |             'xid':'BIGINT','_delta_type':'VARCHAR','tbl':'VARCHAR',
        |             'id':'INTEGER','word':'VARCHAR'})
        |  WHERE _delta_type <> 'update-before' AND tbl = '$tbl'),
-       |latest AS (SELECT id, word FROM ranked WHERE rn = 1 AND _delta_type <> 'delete'),
+       |latest AS (SELECT id, word FROM ranked WHERE rn = 1 AND _delta_type <> 'delete')""".stripMargin
+
+  /** One table's leg of cdcm10's oracle: latest images from the
+    * multi-table ground truth filtered to `tbl`, cdcm4's text synthesis
+    * and BM25 rebuild, top-50 ranked — parenthesized so two legs union.
+    */
+  private def multiRoutingLeg(sfDir: String, tbl: String): String =
+    s"""SELECT * FROM (
+       |WITH ${multiLatestCtes(sfDir, tbl)},
        |docs AS (
        |  SELECT id AS doc_id,
        |    repeat(split_part(word, '_', 1) || ' ',
@@ -732,6 +738,49 @@ object CdcBinlog {
        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
        |FROM sagg
        |QUALIFY r_sparse <= 50)""".stripMargin
+
+  /** cdcm11's text leg: d1's BM25 rebuild in the heterogeneous union
+    * shape (leg, key_id, score, r).
+    */
+  private def heteroTextLeg(sfDir: String): String =
+    s"""SELECT * FROM (
+       |WITH ${multiLatestCtes(sfDir, "d1")},
+       |docs AS (
+       |  SELECT id AS doc_id,
+       |    repeat(split_part(word, '_', 1) || ' ',
+       |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+       |  FROM latest),
+       |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+       |SELECT 'text' AS leg, CAST(doc_id AS BIGINT) AS key_id, bm25 AS score,
+       |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+       |FROM sagg
+       |QUALIFY r <= 50)""".stripMargin
+
+  /** cdcm11's vector leg: d2's brute-force MIPS rebuild (cdcm5's stub
+    * embedding replayed over the multi ground truth; probe vector =
+    * smallest live id's embedding) in the union shape.
+    */
+  private def heteroAnnLeg(sfDir: String): String =
+    s"""SELECT * FROM (
+       |WITH ${multiLatestCtes(sfDir, "d2")},
+       |emb AS (
+       |  SELECT id AS vec_id,
+       |    list_transform(generate_series(1, 8), i ->
+       |      (('0x' || substr(md5(word || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+       |        % 2001) - 1000) AS e
+       |  FROM latest),
+       |q AS (SELECT e AS qe FROM emb ORDER BY vec_id LIMIT 1),
+       |sc AS (
+       |  SELECT vec_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(e, qe), p -> p[1] * p[2])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM emb, q)
+       |SELECT 'ann' AS leg, CAST(vec_id AS BIGINT) AS key_id,
+       |  CAST(dot AS DOUBLE) AS score,
+       |  CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS r
+       |FROM sc
+       |QUALIFY r <= 50)""".stripMargin
 
   // cdcb4 — latest-image compaction over the change stream: final state of
   // each key after applying inserts/updates/deletes in (file, pos, seq)
@@ -1835,6 +1884,93 @@ object CdcBinlog {
       }.reduce(_.unionAll(_)).orderBy($"tbl", $"r_sparse")
     }
 
+  // cdcm11 — HETEROGENEOUS fan-out: cdcm10's multiplex routed to
+  // DIFFERENT structure kinds in one pass — d1's changes maintain a
+  // text index (cdcm4's recipe), d2's maintain a vector index (cdcm5's
+  // recipe, embeddings derived from the row), both inside the same
+  // serialized foreachBatch over one decoded batch. This is the shape a
+  // real training-data platform runs off one CDC feed: the same log
+  // multiplex feeds retrieval, dedup state and vector search, and each
+  // structure keeps its own segment lifecycle. Probes return in a
+  // common (leg, key_id, score, r) shape; each leg hash-matches its own
+  // rebuild over the per-table ground truth, so a routing slip lands
+  // foreign rows in a structure whose oracle never saw them.
+  def cdcm11HeteroIndexRouting(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm11") { work =>
+      import s.implicits._
+      val fix = Paths.get(fixtureDir(d), "multi").toString
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      val cap = math.max(totalBytes / 4, 1L)
+      val txtIdx = work.resolve("idx_text").toString
+      val annIdx = work.resolve("idx_ann").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            val t = cdcm4BatchImages(
+              b.filter(b("table") === "d1"), batchId).persist()
+            try {
+              if (!t.isEmpty)
+                graft.operators.TextAnalysis.appendCdcTextSegment(
+                  t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets)
+              ()
+            } finally t.unpersist()
+            val v = cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
+            try {
+              if (!v.isEmpty)
+                graft.operators.Similarity.appendCdcAnnSegment(
+                  v, annIdx, f"b$batchId%06d")
+              ()
+            } finally v.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Seq(txtIdx, annIdx).foreach { idx =>
+        val segs = new java.io.File(s"$idx/doclog").listFiles()
+        require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+          s"bounded admission degenerated under $idx (cap=$cap of " +
+            s"$totalBytes bytes) — the heterogeneous gate needs >= 3 " +
+            "real segments per structure")
+      }
+      // probe vector: the smallest live id's embedding, read back from
+      // the vector index itself (one slim row to the driver)
+      val doclog = s.read.parquet(s"$annIdx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$annIdx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      val textLeg = Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+            nBuckets = cdcm10Buckets)
+          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
+            $"bm25".as("score"), $"r_sparse".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val annLeg = Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
+            $"dot".cast("double").as("score"), $"r_dense".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      textLeg.unionAll(annLeg).orderBy($"leg", $"r")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1887,6 +2023,7 @@ object CdcBinlog {
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
     "cdcm10_multi_index_routing" -> cdcm10MultiIndexRouting _,
+    "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
@@ -2089,6 +2226,13 @@ object CdcBinlog {
          |UNION ALL
          |${multiRoutingLeg(sfDir, "d2")}
          |ORDER BY tbl, r_sparse""".stripMargin,
+    // heterogeneous fan-out: each structure kind rebuilt independently
+    // from its own table's ground truth, united in the common shape
+    "cdcm11_hetero_index_routing" ->
+      s"""${heteroTextLeg(sfDir)}
+         |UNION ALL
+         |${heteroAnnLeg(sfDir)}
+         |ORDER BY leg, r""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding
     "cdcm5_ann_freshness" -> annFreshnessOracle(sfDir),
