@@ -127,6 +127,16 @@ object BinlogTailer {
       */
     private def drain(): Boolean = {
       val start = pos
+      // headerless-file race: a freshly created log can be OBSERVED
+      // between its creation and the server flushing the 4 magic bytes
+      // (rotation races file creation — the visible-but-empty variant of
+      // the rotate-not-visible case handled below). The magic check
+      // would name it corrupt and kill the tail; it is merely EARLY —
+      // wait for the next poll instead. A file that never grows past 4
+      // bytes stalls the tail visibly (isAlive stays true, no progress),
+      // which is the correct read of "the server created a log and wrote
+      // nothing": there is nothing to decode yet.
+      if (!Files.exists(file) || Files.size(file) < 4L) return false
       val buf = BinlogReader.mapFile(file.toString)
       var rotateTo: Option[String] = None
       var rotateAt = -1L

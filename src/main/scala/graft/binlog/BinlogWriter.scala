@@ -1002,17 +1002,32 @@ object BinlogWriter {
 
     def toBytes: Array[Byte] = out.toByteArray
 
-    def save(path: String): String = {
-      val f = new FileOutputStream(path)
-      try f.write(out.toByteArray) finally f.close()
-      path
-    }
+    def save(path: String): String = writeAtomic(path, out.toByteArray)
 
     /** Truncated copy for torn-tail tests (`mysql_binlog.clj:316-328`). */
     def saveTruncated(path: String, dropBytes: Int): String = {
       val a = out.toByteArray
-      val f = new FileOutputStream(path)
-      try f.write(a, 0, a.length - dropBytes) finally f.close()
+      writeAtomic(path, java.util.Arrays.copyOf(a, a.length - dropBytes))
+    }
+
+    /** Temp-sibling + atomic rename, never an in-place rewrite: tests
+      * re-save a growing log UNDER a live tailer, and truncate-then-
+      * write would hand a concurrent mmap a shrunk file — reading a
+      * mapped buffer over a truncated region faults the JVM. A rename
+      * swaps inodes, so an existing map stays valid on the old bytes (a
+      * real server only ever appends; purge deletes whole files, which
+      * is equally mmap-safe). The temp name must NOT share the target's
+      * `binlog.0*` prefix — directory listings (tailer discovery,
+      * fixture byte sums) would otherwise observe a half-written twin.
+      */
+    private def writeAtomic(path: String, bytes: Array[Byte]): String = {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath
+      val tmp = p.resolveSibling(
+        s".wtmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       path
     }
   }

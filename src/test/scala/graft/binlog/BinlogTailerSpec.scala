@@ -15,10 +15,16 @@ class BinlogTailerSpec extends AnyFunSuite {
 
   private val cols = Seq(ColSpec.int, ColSpec.varchar(20))
 
-  private def await[A](q: ConcurrentLinkedQueue[A], n: Int, ms: Long = 45000): Vector[A] = {
+  /** Wait for n callbacks; on timeout, name the tailer's death cause if
+    * it died (a bare "got 1" is unadjudicable from a CI log).
+    */
+  private def await[A](q: ConcurrentLinkedQueue[A], n: Int,
+                       t: BinlogTailer.Tailer = null, ms: Long = 45000): Vector[A] = {
     val deadline = System.nanoTime() + ms * 1000000L
-    while (q.size < n && System.nanoTime() < deadline) Thread.sleep(2)
-    assert(q.size >= n, s"expected $n callbacks, got ${q.size}")
+    while (q.size < n && System.nanoTime() < deadline &&
+      (t == null || t.failure.isEmpty)) Thread.sleep(2)
+    assert(q.size >= n, s"expected $n callbacks, got ${q.size}" +
+      Option(t).flatMap(_.failure).fold("")(e => s"; tailer died: $e"))
     q.toArray.toVector.map(_.asInstanceOf[A])
   }
 
@@ -35,7 +41,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
     val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
     try {
-      val seed = await(got, 1)
+      val seed = await(got, 1, t)
       assert(seed.head.row(1) === "seed")
       assert(seed.head.xid === Some(1L))
 
@@ -48,7 +54,7 @@ class BinlogTailerSpec extends AnyFunSuite {
       assert(got.size === 1, "uncommitted/torn rows leaked")
 
       w.save(f1) // XID completes -> the txn flushes
-      val all = await(got, 3)
+      val all = await(got, 3, t)
       assert(all.map(_.row(1)).drop(1) === Vector("one", "two"))
       assert(all.drop(1).forall(_.xid === Some(2L)))
       assert(all.map(c => (c.logPos, c.logSeq)) === all.map(c => (c.logPos, c.logSeq)).sorted)
@@ -75,7 +81,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
     val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
     try {
-      val first = await(got, 2)
+      val first = await(got, 2, t)
       assert(first.map(_.row(1)) === Vector("a", "b"))
       assert(first.map(_.logFile) === Vector("binlog.000001", "binlog.000002"))
       // live append to the rotated-to file
@@ -83,7 +89,7 @@ class BinlogTailerSpec extends AnyFunSuite {
         .writeInsert(23, cols, Seq(Seq(3, "c")), ts = 3)
         .writeXid(3, ts = 3)
         .save(dir.resolve("binlog.000002").toString)
-      assert(await(got, 3).last.row(1) === "c")
+      assert(await(got, 3, t).last.row(1) === "c")
     } finally t.close()
   }
 
@@ -106,7 +112,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
     val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50, maxTxnRows = 3)
     try {
-      val all = await(got, 7)
+      val all = await(got, 7, t)
       assert(all.map(_.row(1)) === Vector("small", "a0", "a1", "b0", "b1", "b2", "tail"))
       assert(all.map(_.xid) ===
         Vector(Some(1L), None, None, None, None, None, Some(3L)))
@@ -134,7 +140,7 @@ class BinlogTailerSpec extends AnyFunSuite {
         .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 2)
         .writeXid(2, ts = 2)
         .save(dir.resolve("binlog.000002").toString)
-      val all = await(got, 2)
+      val all = await(got, 2, t)
       assert(all.last.row(1) === "b")
       assert(all.last.logFile === "binlog.000002")
     } finally t.close()
@@ -190,7 +196,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val t2 = BinlogTailer.start(dir.toString, got2.add, pollMs = 50,
       onIncident = "ignore")
     try {
-      val all = await(got2, 2)
+      val all = await(got2, 2, t2)
       assert(t2.failure.isEmpty && all.map(_.row(0)) === Vector(1, 2))
     } finally t2.close()
   }
@@ -207,7 +213,7 @@ class BinlogTailerSpec extends AnyFunSuite {
     val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
     val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
     try {
-      val c = await(got, 1).head
+      val c = await(got, 1, t).head
       assert(c.row === Vector(7, "crc"))
       assert(c.xid === Some(9L))
     } finally t.close()
