@@ -69,13 +69,24 @@ object BinlogTailer {
     private def binlogFiles(): Vector[Path] = {
       val s = Files.list(dir)
       try s.toArray.toVector.map(_.asInstanceOf[Path])
+        // hidden files are never binlogs (mysqld names logs from the
+        // log_bin basename): a dot-prefixed temp being staged into the
+        // directory must not be discovered mid-write — its numeric
+        // suffix could sort it "newest" and crossCrashRotation would
+        // chase a file that vanishes on the very next rename
+        .filterNot(_.getFileName.toString.startsWith("."))
         .filter(p => Files.isRegularFile(p) && {
           // an encrypted binlog appearing in the tailed directory (server
           // turned binlog_encryption on and rotated) must kill the tailer
           // by name — filtering it as "not a binlog" would leave the
           // tailer waiting on the old file forever, silently missing
           // every change in the new one
-          val magic = BinlogReader.fileMagic(p.toString)
+          // a file can vanish between the listing and this probe (log
+          // purge under a live tail; a temp renamed away) — that is
+          // "not a binlog", not a tailer death
+          val magic = try BinlogReader.fileMagic(p.toString)
+            catch { case _: java.io.FileNotFoundException |
+                         _: java.nio.file.NoSuchFileException => None }
           if (magic.exists(java.util.Arrays.equals(_, BinlogReader.EncryptedMagic)))
             throw new IllegalStateException(
               s"binlog '$p' is encrypted (binlog_encryption=ON file magic) — " +

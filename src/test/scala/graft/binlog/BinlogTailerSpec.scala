@@ -61,6 +61,41 @@ class BinlogTailerSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("a hidden staging file with binlog magic is never discovered as a log") {
+    val dir = Files.createTempDirectory("tailer-hidden")
+    val f1 = dir.resolve("binlog.000001").toString
+    val w = new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+    w.save(f1)
+    // a valid full binlog under a dot-name: atomic-save staging, an
+    // operator's backup copy — magic matches, name says "not a log".
+    // Its numeric tail would sort it newest; discovering it would make
+    // crossCrashRotation abandon the real file (and chase a path that
+    // vanishes when the stager renames it away)
+    Files.write(dir.resolve(".wtmp-999-123456789"),
+      new Writer().writeFormatDescription(ts = 9)
+        .writeTableMap(23, "bench", "lat", cols, ts = 9)
+        .writeInsert(23, cols, Seq(Seq(99, "ghost")), ts = 9)
+        .writeXid(9, ts = 9).toBytes)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      await(got, 1, t)
+      w.writeTableMap(23, "bench", "lat", cols, ts = 2)
+        .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 2)
+        .writeXid(2, ts = 2)
+        .save(f1)
+      val all = await(got, 2, t)
+      assert(all.map(_.row(1)) === Vector("a", "b"),
+        "the hidden file's rows leaked or the real file was abandoned")
+      assert(all.forall(_.logFile === "binlog.000001"))
+      assert(t.failure.isEmpty, s"tailer died: ${t.failure}")
+    } finally t.close()
+  }
+
   test("rotation: tail follows to the next file") {
     val dir = Files.createTempDirectory("tailer-rot")
     val f1 = dir.resolve("binlog.000001").toString
