@@ -366,6 +366,91 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(work)
   }
 
+  /** cdcm11's leg: ONE checkpoint resuming HETEROGENEOUS structures —
+    * the replayed batch re-appends idempotently to the text index while
+    * the vector index's first-batch quantizer contract must hold (the
+    * resumed run must NOT re-derive d2's centroids); the union probe
+    * matches the gate's uninterrupted run.
+    */
+  test("cdcm11 pipeline: kill mid-stream, resume — text and vector legs identical") {
+    import graft.operators.{CdcBinlog, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm11HeteroIndexRouting(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    val heteroCap = {
+      val totalBytes = new java.io.File(fix).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
+        .map(_.length).sum
+      math.max(totalBytes / 8, 1L)
+    }
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val txtIdx = work.resolve("idx_text").toString
+      val annIdx = work.resolve("idx_ann").toString
+      spark.readStream.format("mysql-binlog")
+        .option("payloadDdl", CdcBinlog.payloadDdl)
+        .option("maxBytesPerTrigger", heteroCap.toString)
+        .load(fix)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            val t = CdcBinlog.cdcm4BatchImages(
+              b.filter(b("table") === "d1"), batchId).persist()
+            try {
+              if (!t.isEmpty)
+                TextAnalysis.appendCdcTextSegment(t, txtIdx,
+                  f"b$batchId%06d", nBuckets = 8)
+              ()
+            } finally t.unpersist()
+            val v = CdcBinlog.cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
+            try {
+              if (!v.isEmpty)
+                Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d")
+              ()
+            } finally v.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+    val work = killThenResume("graft-cdcm11-restart", start,
+      w => segDirs(w.resolve("idx_text").resolve("doclog")))
+
+    val annIdx = work.resolve("idx_ann").toString
+    val doclog = spark.read.parquet(s"$annIdx/doclog")
+    import spark.implicits._
+    val live = doclog.groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$annIdx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    val textLeg = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, work.resolve("idx_text").toString,
+        CdcBinlog.cdcm4Terms, 50, nBuckets = 8)
+      .select(lit("text").as("leg"), col("doc_id").cast("long").as("key_id"),
+        col("bm25").as("score"), col("r_sparse").as("r"))
+    val annLeg = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, annIdx, probeVec, 50)
+      .select(lit("ann").as("leg"), col("vec_id").cast("long").as("key_id"),
+        col("dot").cast("double").as("score"), col("r_dense").as("r"))
+    val got = textLeg.unionAll(annLeg).orderBy("leg", "r")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "resumed heterogeneous fan-out diverged from the uninterrupted gate — " +
+        "a replayed batch treated the two structure kinds inconsistently " +
+        "or the resumed vector leg re-derived its quantizer")
+    rmTree(work)
+  }
+
   test("cdcm6 pipeline: kill mid-stream, resume, duplicate groups identical") {
     import graft.operators.{CdcBinlog, TextAnalysis}
     import org.apache.spark.sql.functions.md5
