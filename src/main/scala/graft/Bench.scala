@@ -220,8 +220,12 @@ object Bench {
     // expensive gates are exactly the ones whose burst-vs-regression
     // question must be answerable from the artifact alone); these are
     // pinned and never shed by the ladder below
+    // pinned entries are ordered most-expensive-first so the terminal
+    // ladder rungs below can cap them (top-N by min time) without losing
+    // the gates whose cost most needs adjudicating — an uncapped pinned
+    // list would defeat the ladder's fit guarantee if many gates crossed 5 s
     val spreadPinned = shortNames.zip(results).collect {
-      case (n, (_, v, mx)) if v >= 5.0 => (n, mx / v)
+      case (n, (_, v, mx)) if v >= 5.0 => (n, v, mx / v)
     }.sortBy(-_._2)
     val pinnedNames = spreadPinned.map(_._1).toSet
     val spreadHi = shortNames.zip(results).collect {
@@ -233,17 +237,21 @@ object Bench {
     // sub-threshold queries entirely ("q_min" marks the cutoff; omitted
     // queries DID run and are in BENCH_LAST.json — absence under a q_min
     // is "fast", never "missing"; failures are always in "failed").
-    def assemble(spN: Int, dec: Int, minV: Double): String = {
+    def assemble(spN: Int, dec: Int, minV: Double,
+                 pinN: Int = Int.MaxValue): String = {
       val q = shortNames.zip(results).collect {
         case (n, (_, v, _)) if v < 0 || v >= minV =>
           "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, dec))
       }.mkString("{", ",", "}")
       val qMin = if (minV > 0) s""""q_min":${fmt(minV, 2)},""" else ""
-      val kept = spreadPinned ++ spreadHi.take(spN)
+      val pinKept = spreadPinned.take(pinN)
+      val pinShed = spreadPinned.size - pinKept.size
+      val pinMore = if (pinShed > 0) s""""sp_pin_more":$pinShed,""" else ""
+      val kept = pinKept.map { case (n, _, r) => (n, r) } ++ spreadHi.take(spN)
       val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"bench_runs_sub":$subRuns,"failed":$failedJson,""" +
-        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - spN.min(spreadHi.size)},""" +
+        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - spN.min(spreadHi.size)},$pinMore""" +
         s""""k":"sec; sp=all >=5s gates + max/min>1.5 largest-first, other absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
@@ -268,13 +276,16 @@ object Bench {
         Iterator(assemble(spKeep, 1, 0.0), assemble(spKeep, 1, 0.1),
           assemble(spKeep, 1, 0.25), assemble(spKeep, 1, 0.5)) ++
         // terminal rungs: keep raising the cutoff so the ladder always has
-        // a rung that shrinks with gate-count growth; the last keeps ONLY
-        // failed queries (every green time is below 1e9 s), so its length
-        // is bounded by the totals + failed list + top-3 spreads, not by
-        // how many gates exist
-        Iterator(1.0, 2.0, 5.0, 1e9).map(assemble(spKeep, 1, _))
+        // a rung that shrinks with gate-count growth; the last rungs also
+        // cap the PINNED spreads (top-N most-expensive, shed count in
+        // "sp_pin_more") so a future bench where dozens of gates cross 5 s
+        // cannot outgrow the window through the unconditional pin alone —
+        // the final rung keeps only failed queries + 4 pinned + 3 spreads,
+        // whose length is bounded regardless of gate count
+        Iterator(1.0, 2.0, 5.0, 1e9).map(assemble(spKeep, 1, _)) ++
+        Iterator(16, 8, 4).map(pn => assemble(spKeep, 1, 1e9, pn))
     val compact = attempts.find(_.length <= budget).getOrElse {
-      val last = assemble(spKeep, 1, 1e9)
+      val last = assemble(spKeep, 1, 1e9, 4)
       System.err.println(s"[bench] WARNING: compact line (${last.length} chars) " +
         s"exceeds SPARK_GRAFT_BENCH_BUDGET=$budget even with all passing " +
         "queries omitted — the capture window will truncate it mid-object")

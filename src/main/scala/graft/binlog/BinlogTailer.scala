@@ -147,7 +147,15 @@ object BinlogTailer {
       // bytes stalls the tail visibly (isAlive stays true, no progress),
       // which is the correct read of "the server created a log and wrote
       // nothing": there is nothing to decode yet.
-      if (!Files.exists(file) || Files.size(file) < 4L) return false
+      // exists→size is NOT atomic: a purge can delete the file between
+      // the two probes, and letting NoSuchFileException escape here would
+      // kill the tailer with an anonymous death — the very failure mode
+      // the guard exists to avoid. Treat a vanish as "nothing to decode";
+      // crossCrashRotation owns naming a permanent disappearance.
+      val size = try { if (!Files.exists(file)) -1L else Files.size(file) }
+        catch { case _: java.io.FileNotFoundException |
+                     _: java.nio.file.NoSuchFileException => -1L }
+      if (size < 4L) return false
       val buf = BinlogReader.mapFile(file.toString)
       var rotateTo: Option[String] = None
       var rotateAt = -1L
@@ -240,16 +248,51 @@ object BinlogTailer {
       * If the current file is no longer listed at all (purged under a
       * live tail), fail loudly through [[failure]] — mirroring the
       * micro-batch source's fileIndexOrFail — instead of re-polling
-      * forever on a file that can never advance.
+      * forever on a file that can never advance. Two refinements on that
+      * rule (both vanish-vs-fresh disambiguations):
+      *  - the current file can be PRESENT but headerless (a just-rotated-to
+      *    log whose magic hasn't flushed): discovery's magic filter drops
+      *    it from the listing, but that is "early", not "purged" — wait,
+      *    unless a strictly newer real log exists (the server moved on;
+      *    cross to it, dropping the crash-rolled-back buffer as usual);
+      *  - a file absent from BOTH the listing and a direct exists() probe
+      *    can still be a transient race (purge script mid-rename), so the
+      *    named failure fires only on the second consecutive absent poll.
       */
+    private var absentPolls = 0
     private def crossCrashRotation(): Boolean = {
       val fs = binlogFiles()
       val i = fs.indexWhere(_.getFileName == file.getFileName)
-      if (i < 0)
-        throw new IllegalStateException(
-          s"binlog file ${file.getFileName} disappeared from $dir (purged?); " +
-            s"remaining: ${fs.map(_.getFileName).mkString("[", ", ", "]")} — " +
-            "restart the tailer from a surviving file")
+      if (i < 0) {
+        val present = try Files.exists(file)
+          catch { case _: SecurityException => false }
+        if (present) {
+          absentPolls = 0
+          // headerless fresh log: cross only past it if the server already
+          // opened a strictly newer real log (numeric-extension order)
+          val ord = BinlogReader.fileOrdinal(file.toString)
+          val next = fs.find(p => BinlogReader.fileOrdinal(p.toString) > ord)
+          next match {
+            case Some(n) =>
+              txn = Vector.empty
+              txnOverflowed = false
+              file = n
+              pos = 4L
+              tms = Map.empty
+              seqCounter.reset()
+              return true
+            case None => return false
+          }
+        }
+        absentPolls += 1
+        if (absentPolls >= 2)
+          throw new IllegalStateException(
+            s"binlog file ${file.getFileName} disappeared from $dir (purged?); " +
+              s"remaining: ${fs.map(_.getFileName).mkString("[", ", ", "]")} — " +
+              "restart the tailer from a surviving file")
+        return false
+      }
+      absentPolls = 0
       if (i < fs.size - 1) {
         txn = Vector.empty
         txnOverflowed = false

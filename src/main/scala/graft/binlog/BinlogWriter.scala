@@ -1019,15 +1019,48 @@ object BinlogWriter {
       * is equally mmap-safe). The temp name must NOT share the target's
       * `binlog.0*` prefix — directory listings (tailer discovery,
       * fixture byte sums) would otherwise observe a half-written twin.
+      *
+      * Rename flags: ATOMIC_MOVE alone — it already replaces an existing
+      * target on POSIX, and combining it with REPLACE_EXISTING is
+      * implementation-specific per the Files.move javadoc (may throw on
+      * other providers). Where ATOMIC_MOVE itself is unsupported
+      * (exotic FS), fall back to a plain REPLACE_EXISTING move: non-atomic
+      * but still never an in-place truncate, which was the fault the
+      * method exists to prevent. Stale `.wtmp-*` siblings from a writer
+      * that crashed between write and move are swept on the next save —
+      * nothing else ever cleans them (discovery skips hidden files, so
+      * they are invisible but would accumulate forever).
       */
     private def writeAtomic(path: String, bytes: Array[Byte]): String = {
       val p = java.nio.file.Paths.get(path).toAbsolutePath
+      val dir = p.getParent
+      if (dir != null && java.nio.file.Files.isDirectory(dir)) {
+        val s = java.nio.file.Files.list(dir)
+        try s.forEach { q =>
+          // stale = a DEAD process's temp: a live sibling writer may be
+          // between its write and move right now — deleting its temp would
+          // fail that move, so liveness (not age) is the staleness test
+          val n = q.getFileName.toString
+          if (n.startsWith(".wtmp-")) {
+            val pid = n.stripPrefix(".wtmp-").takeWhile(_.isDigit)
+            val dead = pid.nonEmpty && pid.length <= 18 &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+            if (dead)
+              try java.nio.file.Files.deleteIfExists(q)
+              catch { case _: java.io.IOException => () } // another sweeper won
+          }
+        } finally s.close()
+      }
       val tmp = p.resolveSibling(
         s".wtmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      try java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       path
     }
   }

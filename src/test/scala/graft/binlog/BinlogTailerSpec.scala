@@ -181,6 +181,90 @@ class BinlogTailerSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("rotate into a visible-but-headerless file waits for its magic") {
+    val dir = Files.createTempDirectory("tailer-headerless")
+    val f2 = dir.resolve("binlog.000002")
+    Files.createFile(f2) // exists, zero bytes: created but magic not flushed
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeRotate("binlog.000002", ts = 1)
+      .save(dir.resolve("binlog.000001").toString)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      await(got, 1, t)
+      // several polls with the rotated-to file headerless: discovery's
+      // magic filter drops it from the listing, and crossCrashRotation
+      // must read that as "early", not "purged" — the old code threw
+      // a spurious 'disappeared' here and killed the tail
+      Thread.sleep(300)
+      assert(t.failure.isEmpty, s"tailer died on a headerless log: ${t.failure}")
+      new Writer()
+        .writeFormatDescription(ts = 2)
+        .writeTableMap(23, "bench", "lat", cols, ts = 2)
+        .writeInsert(23, cols, Seq(Seq(2, "b")), ts = 2)
+        .writeXid(2, ts = 2)
+        .save(f2.toString)
+      val all = await(got, 2, t)
+      assert(all.last.row(1) === "b")
+      assert(all.last.logFile === "binlog.000002")
+    } finally t.close()
+  }
+
+  test("headerless current file is crossed once a strictly newer log exists") {
+    val dir = Files.createTempDirectory("tailer-headerless-cross")
+    Files.createFile(dir.resolve("binlog.000002")) // never gets its magic
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .writeRotate("binlog.000002", ts = 1)
+      .save(dir.resolve("binlog.000001").toString)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      await(got, 1, t)
+      // the server crashed mid-rotation (000002 never became a log) and
+      // after restart opened 000003: the tail must move past the
+      // headerless file to the newer real one
+      new Writer()
+        .writeFormatDescription(ts = 3)
+        .writeTableMap(23, "bench", "lat", cols, ts = 3)
+        .writeInsert(23, cols, Seq(Seq(3, "c")), ts = 3)
+        .writeXid(3, ts = 3)
+        .save(dir.resolve("binlog.000003").toString)
+      val all = await(got, 2, t)
+      assert(all.last.row(1) === "c")
+      assert(all.last.logFile === "binlog.000003")
+      assert(t.failure.isEmpty, s"tailer died: ${t.failure}")
+    } finally t.close()
+  }
+
+  test("a purged current file still fails by name, not a silent stall") {
+    val dir = Files.createTempDirectory("tailer-purged")
+    val f1 = dir.resolve("binlog.000001")
+    new Writer()
+      .writeFormatDescription(ts = 1)
+      .writeTableMap(23, "bench", "lat", cols, ts = 1)
+      .writeInsert(23, cols, Seq(Seq(1, "a")), ts = 1)
+      .writeXid(1, ts = 1)
+      .save(f1.toString)
+    val got = new ConcurrentLinkedQueue[BinlogTailer.Change]()
+    val t = BinlogTailer.start(dir.toString, got.add, pollMs = 50)
+    try {
+      await(got, 1, t)
+      Files.delete(f1)
+      val deadline = System.nanoTime() + 45000000000L
+      while (t.failure.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(t.failure.exists(_.getMessage.contains("disappeared")), t.failure)
+      assert(!t.isAlive)
+    } finally t.close()
+  }
+
   test("decode failure surfaces via failure/isAlive instead of a silent stall") {
     val dir = Files.createTempDirectory("tailer-fail")
     val w = new Writer(checksum = true)
