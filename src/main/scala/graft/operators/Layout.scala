@@ -236,6 +236,124 @@ object Layout {
     }
   }
 
+  // ---- cross-process fold lease ----------------------------------------
+  //
+  // The never-concurrent-folds contract was only ENFORCED in-process
+  // (foreachBatch bodies serialize on the driver; CdcProbeCompactRaceSpec's
+  // maintenance thread folds sequentially) — across processes nothing
+  // stopped two maintenance jobs from staging competing folds of the
+  // same structure, whose interleaved two-rename swaps could publish one
+  // fold and leak the other's staging as a residue recoverPublish would
+  // later mistake for a crash. The lease closes that: every compactor
+  // create-exclusives `<live>.foldlock` (atomic on HDFS; best-effort on
+  // raw local FS, which is fine — local contention is same-host and the
+  // PID rule below adjudicates it) BEFORE staging and deletes it after
+  // publish. A lease left by a holder that died between acquire and
+  // release is taken over when the holder's PID is provably dead on this
+  // host, or — the cross-host rule, where PID liveness is unknowable —
+  // when the lease file is older than `staleMs`. [[recoverPublish]]
+  // clears dead holders' leases as part of crash recovery, so the
+  // documented remedy for a crashed fold also unblocks the next one.
+
+  private[graft] def foldLeasePath(live: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(live.getParent, s"${live.getName}.foldlock")
+
+  private def leaseHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown" }
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                        lease: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** True iff the lease's holder is provably unable to release it. */
+  private def leaseStale(fs: org.apache.hadoop.fs.FileSystem,
+                         lease: org.apache.hadoop.fs.Path,
+                         content: Option[String], staleMs: Long): Boolean = {
+    val fields = content.getOrElse("").split(';')
+      .flatMap(_.split('=') match { case Array(k, v) => Some(k -> v); case _ => None })
+      .toMap
+    val deadHere = fields.get("host").contains(leaseHostName) &&
+      fields.get("pid").exists(p => p.nonEmpty && p.forall(_.isDigit) &&
+        p.length <= 18 &&
+        !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false))
+    def olderThanWindow = (try {
+      val mod = fs.getFileStatus(lease).getModificationTime
+      mod > 0 && System.currentTimeMillis() - mod > staleMs
+    } catch { case _: java.io.IOException => false })
+    deadHere || olderThanWindow
+  }
+
+  /** Acquire the fold lease on `live` or fail BY NAME. Returns the lease
+    * token to pass to [[releaseFoldLease]].
+    */
+  private[graft] def acquireFoldLease(fs: org.apache.hadoop.fs.FileSystem,
+                                      live: org.apache.hadoop.fs.Path,
+                                      staleMs: Long = 30L * 60 * 1000): String = {
+    val lease = foldLeasePath(live)
+    val token = s"pid=${ProcessHandle.current().pid()};host=$leaseHostName;" +
+      s"ts=${System.currentTimeMillis()};nonce=${System.nanoTime()}"
+    def tryCreate(): Boolean =
+      if (fs.getScheme == "file") {
+        // RawLocalFileSystem's create(overwrite=false) is exists-then-
+        // create — two same-host contenders could both pass the check.
+        // NIO createFile is O_EXCL-atomic; same-host is exactly where
+        // the contention is real (cross-host goes through HDFS/S3A,
+        // whose create IS atomic).
+        val local = java.nio.file.Paths.get(lease.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(local)
+          java.nio.file.Files.write(local,
+            token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else try {
+        val out = fs.create(lease, false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        // the holder's file beat us — any create failure with the lease
+        // present is a lost race, not an error
+        case e: java.io.IOException => if (fs.exists(lease)) false else throw e
+      }
+    if (tryCreate()) return token
+    val holder = readLease(fs, lease)
+    if (leaseStale(fs, lease, holder, staleMs)) {
+      fs.delete(lease, false)
+      if (tryCreate()) return token
+    }
+    throw new IllegalStateException(
+      s"fold lease on $live is held (${holder.getOrElse("unreadable")}) — " +
+        "concurrent folds of the same structure are forbidden; if the " +
+        "holder crashed, Layout.recoverPublish clears dead holders' " +
+        s"leases, and a lease idle past ${staleMs} ms is taken over")
+  }
+
+  /** Release only OUR OWN lease: if the content is not `token`, a stale
+    * takeover stole it while we ran (we were judged dead — pathological
+    * but possible under a long GC pause past the stale window), and
+    * deleting the thief's lease would let a THIRD fold in; leave it.
+    */
+  private[graft] def releaseFoldLease(fs: org.apache.hadoop.fs.FileSystem,
+                                      live: org.apache.hadoop.fs.Path,
+                                      token: String): Unit = {
+    val lease = foldLeasePath(live)
+    if (readLease(fs, lease).contains(token)) fs.delete(lease, false)
+  }
+
+  /** The compactors' wrapper: lease held across staging AND publish. */
+  private[graft] def withFoldLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                                      live: org.apache.hadoop.fs.Path)
+                                     (body: => T): T = {
+    val token = acquireFoldLease(fs, live)
+    try body finally releaseFoldLease(fs, live, token)
+  }
+
   // ---- replay fence for CDC-maintained structures -----------------------
   //
   // foreachBatch is AT-LEAST-ONCE: a crash between a batch's side effects
@@ -260,15 +378,34 @@ object Layout {
   private[graft] def segmentOrdinal(segment: String): Long =
     segment.stripPrefix("b").toLong
 
-  /** The structure's replay fence, if any fold has run. */
+  /** The structure's replay fence, if any fold has run.
+    *
+    * Concurrency contract: appends and folds on the SAME structure must
+    * serialize (every maintained-structure driver here runs both inside
+    * one foreachBatch, and cross-process folds take the [[foldLease]]).
+    * The guard below is for the one hole that contract can't close: a
+    * fence PROBE landing inside [[publishDir]]'s two-rename window sees
+    * the root momentarily absent and would read "no fence ever" — so a
+    * miss with a missing root (or a marker that vanishes between exists
+    * and open) re-checks once after the swap settles, mirroring
+    * [[retryOnceOnMissing]].
+    */
   private[graft] def foldedThrough(fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path): Option[Long] = {
     val marker = new org.apache.hadoop.fs.Path(root, "_folded_through")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+    def readMarker(): Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    try {
+      val r = readMarker()
+      if (r.isEmpty && !fs.exists(root)) { Thread.sleep(50L); readMarker() }
+      else r
+    } catch {
+      case _: java.io.FileNotFoundException => Thread.sleep(50L); readMarker()
     }
   }
 
@@ -403,6 +540,18 @@ object Layout {
       residues.foreach(fs.delete(_, true))
       if (residues.nonEmpty) report += s"vacuumed ${residues.length} residues"
     }
+    // a fold that died between lease acquire and release left its
+    // `.foldlock` behind — clear it iff the holder is provably dead
+    // (same-host PID check / stale window), never a live holder's
+    val lease = foldLeasePath(live)
+    if (fs.exists(lease)) {
+      val holder = readLease(fs, lease)
+      if (leaseStale(fs, lease, holder, 30L * 60 * 1000)) {
+        fs.delete(lease, false)
+        report += s"cleared dead holder's fold lease (${holder.getOrElse("unreadable")})"
+      } else
+        report += s"fold lease held by a LIVE holder (${holder.getOrElse("unreadable")}) — left in place"
+    }
     if (report.isEmpty) "clean" else report.mkString("; ")
   }
 
@@ -410,6 +559,7 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    withFoldLease(fs, p) {
     val total = fs.listStatus(p).filter(f =>
       f.isFile && !f.getPath.getName.startsWith("_")).map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
@@ -423,6 +573,7 @@ object Layout {
       .write.mode("overwrite").parquet(staging.toString)
     publishDir(fs, staging, p)
     n
+    }
   }
 
   /** Per-file min/max envelope of `cols` for a written parquet dir — the

@@ -578,6 +578,9 @@ object Similarity {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // cross-process mutex (the text twin's contract): a concurrent fold
+    // of the same structure fails by name instead of racing the publish
+    Layout.withFoldLease(fs, p) {
     // committed segments only, in BOTH legs, + the replay fence — the
     // text twin's contract verbatim (Layout's replay-fence block)
     val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
@@ -614,6 +617,7 @@ object Similarity {
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
       Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     } finally live.unpersist()
+    }
   }
 
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the

@@ -671,6 +671,9 @@ object TextAnalysis {
   def compactTextIndex(s: SparkSession, indexDir: String,
                        nBuckets: Int = textIndexBuckets): Unit = {
     import s.implicits._
+    val tgt = new org.apache.hadoop.fs.Path(indexDir)
+    Layout.withFoldLease(
+      tgt.getFileSystem(s.sparkContext.hadoopConfiguration), tgt) {
     val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
     s.read.parquet(s"$indexDir/postings")
       .select($"term", $"doc_id", $"dl", $"tf", $"tb")
@@ -685,6 +688,7 @@ object TextAnalysis {
       .agg(sum($"n").as("n"), sum($"sumdl").as("sumdl"))
       .write.mode("overwrite").parquet(s"$staging/stats/seg=base")
     swapDirs(s, staging, indexDir)
+    }
   }
 
   /** Swap a staged index tree over the live one via the two-rename
@@ -845,6 +849,10 @@ object TextAnalysis {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // cross-process mutex: the in-process contract (serialized
+    // foreachBatch) can't see a second maintenance JOB; the lease makes
+    // a concurrent fold of the same structure fail by name
+    Layout.withFoldLease(fs, p) {
     // fold only COMMITTED segments, in BOTH legs (a batch writes
     // postings then doclog; either torn means the batch never committed
     // and will replay — its segment must be dropped, not folded), and
@@ -878,6 +886,7 @@ object TextAnalysis {
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
       Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     } finally live.unpersist()
+    }
   }
 
   /** Top-k BM25 over the CDC-maintained index, exactly as fresh as the

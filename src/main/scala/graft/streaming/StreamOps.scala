@@ -643,11 +643,14 @@ object StreamOps {
     */
   def compactWindowedAgg(s: SparkSession, tablePath: String,
                          keyCols: Seq[String]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$tablePath/base")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // cross-process mutex (the maintained-structure compactors' lease):
+    // a concurrent fold of the same table fails by name
+    graft.operators.Layout.withFoldLease(fs, base) {
     val folded = readWindowedAgg(s, tablePath, keyCols)
     val staging = s"$tablePath/base.compact-${ProcessHandle.current().pid()}"
     folded.write.mode("overwrite").parquet(staging)
-    val base = new org.apache.hadoop.fs.Path(s"$tablePath/base")
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     // publish the fold FIRST (two-rename swap — a crash never leaves
     // the path with no complete directory), THEN drop the folded-in
     // update partitions: a crash in between leaves new base + old
@@ -657,6 +660,7 @@ object StreamOps {
     graft.operators.Layout.publishDir(fs,
       new org.apache.hadoop.fs.Path(staging), base)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/updates"), true)
+    }
   }
 
   /** Streaming view of the events table staged as `nFiles` parquet files,

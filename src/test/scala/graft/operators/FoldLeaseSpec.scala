@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The cross-process fold lease ([[Layout.withFoldLease]]): the
+  * never-concurrent-folds contract was only enforced in-process (the
+  * serialized foreachBatch driver) — the lease extends it across
+  * processes. Pinned here: a contending fold FAILS BY NAME while the
+  * lease is held; a dead holder's lease is taken over on acquire and
+  * cleared by [[Layout.recoverPublish]]; a live holder's is neither;
+  * release only removes the owner's own lease; and a real compactor
+  * under contention loses loudly without corrupting the structure.
+  */
+class FoldLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def livePath(): org.apache.hadoop.fs.Path = {
+    val work = java.nio.file.Files.createTempDirectory("graft-lease")
+    new org.apache.hadoop.fs.Path(work.resolve("structure").toString)
+  }
+
+  test("second acquirer fails by name while the lease is held; acquire works after release") {
+    val live = livePath()
+    val token = Layout.acquireFoldLease(fs, live)
+    val e = intercept[IllegalStateException] {
+      Layout.acquireFoldLease(fs, live)
+    }
+    assert(e.getMessage.contains("fold lease") &&
+      e.getMessage.contains("concurrent folds"), e.getMessage)
+    // the loser's failure names the holder (pid is our own here)
+    assert(e.getMessage.contains(s"pid=${ProcessHandle.current().pid()}"))
+    Layout.releaseFoldLease(fs, live, token)
+    val token2 = Layout.acquireFoldLease(fs, live)
+    Layout.releaseFoldLease(fs, live, token2)
+    assert(!fs.exists(Layout.foldLeasePath(live)))
+  }
+
+  test("two threads race one structure: exactly one wins, the loser fails by name") {
+    val live = livePath()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    def contender() = new Thread(() => {
+      barrier.await()
+      try {
+        val t = Layout.acquireFoldLease(fs, live)
+        results.add(Right(t))
+        hold.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Layout.releaseFoldLease(fs, live, t)
+      } catch { case e: Throwable => results.add(Left(e)) }
+    })
+    val a = contender(); val b = contender()
+    a.start(); b.start()
+    // wait until both attempted
+    val deadline = System.nanoTime() + 30000000000L
+    while (results.size < 2 && System.nanoTime() < deadline) Thread.sleep(5)
+    hold.countDown()
+    a.join(30000); b.join(30000)
+    val (losers, winners) = results.toArray.toVector
+      .map(_.asInstanceOf[Either[Throwable, String]])
+      .partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner and one named loser, got $results")
+    val err = losers.head.left.toOption.get
+    assert(err.isInstanceOf[IllegalStateException] &&
+      err.getMessage.contains("fold lease"), err.toString)
+  }
+
+  test("a dead holder's lease is taken over on acquire") {
+    val live = livePath()
+    val lease = Layout.foldLeasePath(live)
+    // a PID that cannot exist (pid_max is far below this) = a dead holder
+    val out = fs.create(lease, false)
+    try out.write(
+      ("pid=999999999;host=" + java.net.InetAddress.getLocalHost.getHostName +
+        ";ts=0;nonce=0").getBytes("UTF-8"))
+    finally out.close()
+    val token = Layout.acquireFoldLease(fs, live)
+    assert(token.contains(s"pid=${ProcessHandle.current().pid()}"))
+    Layout.releaseFoldLease(fs, live, token)
+    assert(!fs.exists(lease))
+  }
+
+  test("recoverPublish clears a dead holder's lease but never a live one") {
+    val live = livePath()
+    fs.mkdirs(live) // recoverPublish wants a live structure to inspect
+    val lease = Layout.foldLeasePath(live)
+    val out = fs.create(lease, false)
+    try out.write(
+      ("pid=999999999;host=" + java.net.InetAddress.getLocalHost.getHostName +
+        ";ts=0;nonce=0").getBytes("UTF-8"))
+    finally out.close()
+    val report = Layout.recoverPublish(fs, live)
+    assert(report.contains("cleared dead holder's fold lease"), report)
+    assert(!fs.exists(lease))
+    // a LIVE holder (this process) must be left alone
+    val token = Layout.acquireFoldLease(fs, live)
+    val report2 = Layout.recoverPublish(fs, live)
+    assert(report2.contains("LIVE holder"), report2)
+    assert(fs.exists(lease))
+    Layout.releaseFoldLease(fs, live, token)
+  }
+
+  test("release removes only the owner's own lease") {
+    val live = livePath()
+    val token = Layout.acquireFoldLease(fs, live)
+    // a takeover stole the lease while we ran (simulated): content differs
+    fs.delete(Layout.foldLeasePath(live), false)
+    val thief = Layout.acquireFoldLease(fs, live)
+    Layout.releaseFoldLease(fs, live, token) // must NOT delete the thief's
+    assert(fs.exists(Layout.foldLeasePath(live)),
+      "releasing a stolen lease deleted the new holder's lock")
+    Layout.releaseFoldLease(fs, live, thief)
+    assert(!fs.exists(Layout.foldLeasePath(live)))
+  }
+
+  test("a real compactor loses by name under a held lease; the structure is intact") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-lease-cdc")
+    val idx = work.resolve("index").toString
+    (0 until 3).foreach { b =>
+      val imgs = Seq((1L + b, s"alpha doc$b", b.toLong, false))
+        .toDF("doc_id", "text", "ver", "deleted")
+      assert(TextAnalysis.appendCdcTextSegment(imgs, idx, f"b$b%06d", nBuckets = 4))
+    }
+    val live = new org.apache.hadoop.fs.Path(idx)
+    val before = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$idx/doclog"))
+    val token = Layout.acquireFoldLease(fs, live)
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("fold lease"), e.getMessage)
+    // the loser failed BEFORE staging: no residues, segments untouched
+    assert(Layout.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(s"$idx/doclog")) === before)
+    Layout.releaseFoldLease(fs, live, token)
+    // and with the lease gone the same fold succeeds
+    TextAnalysis.compactCdcTextIndex(spark, idx, nBuckets = 4)
+    assert(Layout.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(s"$idx/doclog")) === Seq("seg=base"))
+  }
+}
