@@ -782,6 +782,29 @@ object CdcBinlog {
        |FROM sc
        |QUALIFY r <= 50)""".stripMargin
 
+  /** cdcm12's dedup leg: current duplicate groups over d1's latest
+    * images, keyed on the word's vocabulary prefix (the multi fixture's
+    * full words are near-unique, so the prefix is what forms real
+    * groups), same normalize+md5 derivation as the Spark side, in the
+    * heterogeneous union shape. Group counts move with every insert,
+    * delete and prefix-crossing update, so a stale fp-log row is a hash
+    * failure here just as it is in cdcm6.
+    */
+  private def heteroFpLeg(sfDir: String): String =
+    s"""SELECT * FROM (
+       |WITH ${multiLatestCtes(sfDir, "d1")},
+       |g AS (
+       |  SELECT id,
+       |    md5(trim(regexp_replace(lower(split_part(word, '_', 1)),
+       |      '\\s+', ' ', 'g'))) AS fp
+       |  FROM latest),
+       |agg AS (
+       |  SELECT fp, MIN(id) AS keeper, CAST(COUNT(*) AS DOUBLE) AS score
+       |  FROM g GROUP BY fp HAVING COUNT(*) >= 2)
+       |SELECT 'fp' AS leg, CAST(keeper AS BIGINT) AS key_id, score,
+       |  CAST(row_number() OVER (ORDER BY keeper) AS BIGINT) AS r
+       |FROM agg)""".stripMargin
+
   // cdcb4 — latest-image compaction over the change stream: final state of
   // each key after applying inserts/updates/deletes in (file, pos, seq)
   // order — the materialized-table view of the CDC stream.
@@ -1352,9 +1375,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm4") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 4, 1L)
       val idx = work.resolve("index").toString
       val changes = s.readStream.format("mysql-binlog")
@@ -1377,8 +1398,8 @@ object CdcBinlog {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val segs = new java.io.File(s"$idx/doclog").listFiles()
-      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+      val segs = segNames(s, s"$idx/doclog")
+      require(segs.size >= 3,
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
           "the freshness gate needs >= 3 real ingest segments")
       // materialize via the publish-race guard: the by-name block
@@ -1411,9 +1432,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm7") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       // /6 (vs cdcm4's /4): the gate needs 3 pre-compaction segments
       // AND >= 2 post-compaction ones out of the same fixture
       val cap = math.max(totalBytes / 6, 1L)
@@ -1445,8 +1464,7 @@ object CdcBinlog {
           "segments and >= 2 post-compaction ones")
       // the physical state must show the fold actually happened under
       // the ingest: one base segment + ONLY the post-compaction appends
-      val docSegs = new java.io.File(s"$idx/doclog").listFiles()
-        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      val docSegs = segNames(s, s"$idx/doclog")
       require(docSegs.contains("seg=base") &&
         docSegs.size == appended.get() - 3 + 1,
         s"expected seg=base + ${appended.get() - 3} ingest segments, got $docSegs")
@@ -1500,9 +1518,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm5") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 4, 1L)
       val idx = work.resolve("annindex").toString
       val changes = s.readStream.format("mysql-binlog")
@@ -1522,8 +1538,8 @@ object CdcBinlog {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val segs = new java.io.File(s"$idx/doclog").listFiles()
-      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+      val segs = segNames(s, s"$idx/doclog")
+      require(segs.size >= 3,
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
           "the ANN freshness gate needs >= 3 real ingest segments")
       // probe vector: the smallest live id's embedding, read back from
@@ -1562,9 +1578,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm8") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       // /6 (vs cdcm5's /4): 3 pre-compaction segments AND >= 2
       // post-compaction ones out of the same fixture (the cdcm7 recipe)
       val cap = math.max(totalBytes / 6, 1L)
@@ -1596,8 +1610,7 @@ object CdcBinlog {
       // physical state: the fold happened under the ingest — one base
       // segment + ONLY the post-compaction appends, in BOTH layouts
       for (leg <- Seq("doclog", "cells")) {
-        val segs = new java.io.File(s"$idx/$leg").listFiles()
-          .map(_.getName).filter(_.startsWith("seg=")).toSet
+        val segs = segNames(s, s"$idx/$leg")
         require(segs.contains("seg=base") &&
           segs.size == appended.get() - 3 + 1,
           s"$leg: expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
@@ -1639,9 +1652,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm6") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 4, 1L)
       val log = work.resolve("fplog").toString
       val changes = s.readStream.format("mysql-binlog")
@@ -1670,8 +1681,8 @@ object CdcBinlog {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val segs = new java.io.File(log).listFiles()
-      require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+      val segs = segNames(s, log)
+      require(segs.size >= 3,
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes)")
       Layout.retryOnceOnMissing {
         cdcFpGroups(s, log)
@@ -1733,6 +1744,9 @@ object CdcBinlog {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(logDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // cross-process mutex (the text/ANN twins' contract): a concurrent
+    // fold of the same structure fails by name
+    Layout.withFoldLease(fs, p) {
     // committed segments only + the replay fence — the text/ANN twins'
     // contract (Layout's replay-fence block)
     val segs = Layout.committedSegs(fs, p)
@@ -1753,6 +1767,7 @@ object CdcBinlog {
     upTo.foreach(u =>
       Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
     Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
+    }
   }
 
   // cdcm9 — the dedup leg of the compact-under-ingest family (text
@@ -1769,9 +1784,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm9") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 6, 1L)
       val log = work.resolve("fplog").toString
       val appended = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1801,8 +1814,7 @@ object CdcBinlog {
         s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
           s"${appended.get()} appends) — the gate needs 3 pre-compaction " +
           "segments and >= 2 post-compaction ones")
-      val segs = new java.io.File(log).listFiles()
-        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      val segs = segNames(s, log)
       require(segs.contains("seg=base") &&
         segs.size == appended.get() - 3 + 1,
         s"expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
@@ -1835,9 +1847,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm10") { work =>
       import s.implicits._
       val fix = Paths.get(fixtureDir(d), "multi").toString
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 4, 1L)
       val tables = Seq("d1", "d2")
       def idxOf(tbl: String) = work.resolve(s"idx_$tbl").toString
@@ -1867,8 +1877,8 @@ object CdcBinlog {
         .start()
       try q.processAllAvailable() finally q.stop()
       tables.foreach { tbl =>
-        val segs = new java.io.File(s"${idxOf(tbl)}/doclog").listFiles()
-        require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+        val segs = segNames(s, s"${idxOf(tbl)}/doclog")
+        require(segs.size >= 3,
           s"bounded admission degenerated for $tbl (cap=$cap of " +
             s"$totalBytes bytes) — the routing gate needs >= 3 real " +
             "segments per index")
@@ -1899,9 +1909,7 @@ object CdcBinlog {
     withRotatingWorkdir("graft-cdcm11") { work =>
       import s.implicits._
       val fix = Paths.get(fixtureDir(d), "multi").toString
-      val totalBytes = new java.io.File(fix).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-        .map(_.length).sum
+      val totalBytes = fixtureBinlogBytes(s, fix)
       val cap = math.max(totalBytes / 4, 1L)
       val txtIdx = work.resolve("idx_text").toString
       val annIdx = work.resolve("idx_ann").toString
@@ -1936,8 +1944,8 @@ object CdcBinlog {
         .start()
       try q.processAllAvailable() finally q.stop()
       Seq(txtIdx, annIdx).foreach { idx =>
-        val segs = new java.io.File(s"$idx/doclog").listFiles()
-        require(segs != null && segs.count(_.getName.startsWith("seg=")) >= 3,
+        val segs = segNames(s, s"$idx/doclog")
+        require(segs.size >= 3,
           s"bounded admission degenerated under $idx (cap=$cap of " +
             s"$totalBytes bytes) — the heterogeneous gate needs >= 3 " +
             "real segments per structure")
@@ -1971,6 +1979,172 @@ object CdcBinlog {
       textLeg.unionAll(annLeg).orderBy($"leg", $"r")
     }
 
+  /** Fixture byte total through the Hadoop FS the source itself reads
+    * with — the admission-cap sizing must not be the one local-only
+    * idiom in an otherwise URI-clean family (a fixture on s3a/hdfs sizes
+    * identically).
+    */
+  private[graft] def fixtureBinlogBytes(s: SparkSession, fix: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(fix)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("binlog.0"))
+      .map(_.getLen).sum
+  }
+
+  /** `seg=*` directory names under a structure leg, via the same FS. */
+  private[graft] def segNames(s: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("seg=")).toSet
+  }
+
+  private def fenceOf(s: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    Layout.foldedThrough(p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  // cdcm12 — THREE-WAY heterogeneous fan-out with STAGGERED per-structure
+  // folds: the engine's own promise ("the same log multiplex feeds
+  // retrieval, dedup state and vector search" — the reference analogue is
+  // the single event-fn/queue multiplex, `mysql_binlog.clj:804-811`,
+  // `jdbc.clj:41-48`) made literal. ONE bounded-admission reader decodes
+  // each batch ONCE; d1's latest images are derived once and feed TWO
+  // structures (the cdcm4 text index and a cdcm6-style fingerprint log —
+  // dedup state keyed on the word's vocabulary prefix, so the multi
+  // fixture's near-unique words still form real groups), d2's feed the
+  // cdcm5 vector index. On top of cdcm11, maintenance runs UNDER the
+  // shared pass on a staggered schedule — the text index folds after its
+  // 3rd append, the ANN index after its 4th, the fp log never — so the
+  // gate pins that replay fences stay PER-STRUCTURE: the two folded
+  // structures must carry fences at different ordinals and the unfolded
+  // one must carry none (a shared-fence slip would silently drop one
+  // route's replays — exactly the failure a fence read from the wrong
+  // root produces). Each leg hash-matches its own full rebuild over the
+  // per-table ground truth in the common (leg, key_id, score, r) shape.
+  def cdcm12TriFanout(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm12") { work =>
+      import s.implicits._
+      val fix = Paths.get(fixtureDir(d), "multi").toString
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      // /6: both staggered folds need post-fold appends out of the same
+      // fixture (text >= 2 after its fold at 3, ANN >= 1 after its at 4)
+      val cap = math.max(totalBytes / 6, 1L)
+      val txtIdx = work.resolve("idx_text").toString
+      val annIdx = work.resolve("idx_ann").toString
+      val fpLog = work.resolve("fplog").toString
+      val txtAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val annAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fpAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            // d1's images are derived ONCE and routed to BOTH the text
+            // index and the fp log — the decoded batch and the image
+            // fold are shared work, only the structure appends differ
+            val t = cdcm4BatchImages(
+              b.filter(b("table") === "d1"), batchId).persist()
+            try {
+              if (!t.isEmpty) {
+                if (graft.operators.TextAnalysis.appendCdcTextSegment(
+                      t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets) &&
+                    txtAppends.incrementAndGet() == 3)
+                  graft.operators.TextAnalysis.compactCdcTextIndex(
+                    s, txtIdx, nBuckets = cdcm10Buckets)
+                val fp = t.withColumn("fp",
+                    md5(TextAnalysis.normalize(
+                      expr("substring_index(word, '_', 1)"))))
+                  .select($"doc_id", $"ver", $"deleted", $"fp")
+                  .coalesce(4)
+                if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d"))
+                  fpAppends.incrementAndGet()
+                ()
+              }
+            } finally t.unpersist()
+            val v = cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
+            try {
+              if (!v.isEmpty &&
+                  graft.operators.Similarity.appendCdcAnnSegment(
+                    v, annIdx, f"b$batchId%06d") &&
+                  annAppends.incrementAndGet() == 4)
+                graft.operators.Similarity.compactCdcAnnIndex(s, annIdx)
+              ()
+            } finally v.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(txtAppends.get() >= 5 && annAppends.get() >= 5 && fpAppends.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes; " +
+          s"text=${txtAppends.get()}, ann=${annAppends.get()}, " +
+          s"fp=${fpAppends.get()} appends) — the staggered folds need " +
+          "post-fold appends on every folded structure")
+      // physical state: each structure folded on ITS OWN schedule
+      val txtSegs = segNames(s, s"$txtIdx/doclog")
+      require(txtSegs.contains("seg=base") &&
+        txtSegs.size == txtAppends.get() - 3 + 1,
+        s"text: expected seg=base + ${txtAppends.get() - 3} segments, got $txtSegs")
+      val annSegs = segNames(s, s"$annIdx/doclog")
+      require(annSegs.contains("seg=base") &&
+        annSegs.size == annAppends.get() - 4 + 1,
+        s"ann: expected seg=base + ${annAppends.get() - 4} segments, got $annSegs")
+      val fpSegs = segNames(s, fpLog)
+      require(!fpSegs.contains("seg=base") && fpSegs.size == fpAppends.get(),
+        s"fp: expected ${fpAppends.get()} unfolded segments, got $fpSegs")
+      // the fences themselves: per-structure, never shared — the text
+      // fence sits at its 3rd appended ordinal, the ANN fence at its
+      // 4th, and the never-folded fp log must carry NO fence at all
+      val tf = fenceOf(s, txtIdx)
+      val af = fenceOf(s, annIdx)
+      require(tf.isDefined && af.isDefined && tf != af,
+        s"staggered folds must leave per-structure fences (text=$tf, ann=$af)")
+      require(fenceOf(s, fpLog).isEmpty,
+        "the never-folded fp log grew a replay fence — a shared-fence " +
+          "slip would silently drop its replays")
+      val doclog = s.read.parquet(s"$annIdx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$annIdx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      val textLeg = Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+            nBuckets = cdcm10Buckets)
+          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
+            $"bm25".as("score"), $"r_sparse".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val annLeg = Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
+            $"dot".cast("double").as("score"), $"r_dense".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val fpLeg = Layout.retryOnceOnMissing {
+        cdcFpGroups(s, fpLog)
+          .withColumn("r",
+            row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
+          .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_id"),
+            $"n_docs".cast("double").as("score"), $"r")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      textLeg.unionAll(annLeg).unionAll(fpLeg).orderBy($"leg", $"r")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -1987,9 +2161,7 @@ object CdcBinlog {
   def cdcb20BoundedAdmission(s: SparkSession, d: String): DataFrame = synchronized {
     import s.implicits._
     val fix = fixtureDir(d)
-    val totalBytes = new java.io.File(fix).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("binlog.0"))
-      .map(_.length).sum
+    val totalBytes = fixtureBinlogBytes(s, fix)
     val cap = math.max(totalBytes / 4, 1L)
     val q = s.readStream.format("mysql-binlog")
       .option("payloadDdl", payloadDdl)
@@ -2024,6 +2196,7 @@ object CdcBinlog {
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
     "cdcm10_multi_index_routing" -> cdcm10MultiIndexRouting _,
     "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
+    "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
@@ -2232,6 +2405,16 @@ object CdcBinlog {
       s"""${heteroTextLeg(sfDir)}
          |UNION ALL
          |${heteroAnnLeg(sfDir)}
+         |ORDER BY leg, r""".stripMargin,
+    // three-way fan-out with staggered folds: each structure kind rebuilt
+    // independently from its own table's ground truth — the folds (and
+    // their per-structure fences) must be invisible to every leg
+    "cdcm12_tri_fanout" ->
+      s"""${heteroAnnLeg(sfDir)}
+         |UNION ALL
+         |${heteroFpLeg(sfDir)}
+         |UNION ALL
+         |${heteroTextLeg(sfDir)}
          |ORDER BY leg, r""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding

@@ -451,6 +451,155 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(work)
   }
 
+  /** cdcm12's leg: ONE checkpoint resuming THREE structure kinds — the
+    * text index, the vector index and the fp log, with the gate's
+    * staggered folds running under the resumed pass too (the in-memory
+    * append counters restart, so the resume may fold again — which must
+    * stay probe-invariant). The kill is required to land AFTER the text
+    * fold (seg=base present), so every attempt exercises
+    * resume-over-a-compacted-base with two more structures in flight;
+    * quantizer identity is pinned across the restart (the resumed run
+    * must NOT re-derive d2's centroids).
+    */
+  test("cdcm12 pipeline: kill after a fold, resume — all three structures identical") {
+    import graft.operators.{CdcBinlog, Layout, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, lit, max, md5, row_number, struct, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm12TriFanout(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    val triCap = math.max(CdcBinlog.fixtureBinlogBytes(spark, fix) / 8, 1L)
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val txtIdx = work.resolve("idx_text").toString
+      val annIdx = work.resolve("idx_ann").toString
+      val fpLog = work.resolve("fplog").toString
+      val txtAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val annAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.readStream.format("mysql-binlog")
+        .option("payloadDdl", CdcBinlog.payloadDdl)
+        .option("maxBytesPerTrigger", triCap.toString)
+        .load(fix)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          val b = batch.persist()
+          try {
+            val t = CdcBinlog.cdcm4BatchImages(
+              b.filter(b("table") === "d1"), batchId).persist()
+            try {
+              if (!t.isEmpty) {
+                if (TextAnalysis.appendCdcTextSegment(t, txtIdx,
+                      f"b$batchId%06d", nBuckets = 8) &&
+                    txtAppends.incrementAndGet() == 3)
+                  TextAnalysis.compactCdcTextIndex(spark, txtIdx, nBuckets = 8)
+                val fp = t.withColumn("fp",
+                    md5(TextAnalysis.normalize(
+                      expr("substring_index(word, '_', 1)"))))
+                  .select($"doc_id", $"ver", $"deleted", $"fp")
+                  .coalesce(4)
+                CdcBinlog.appendCdcFpSegment(fp, fpLog, f"b$batchId%06d")
+                ()
+              }
+            } finally t.unpersist()
+            val v = CdcBinlog.cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
+            try {
+              if (!v.isEmpty &&
+                  Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d") &&
+                  annAppends.incrementAndGet() == 4)
+                Similarity.compactCdcAnnIndex(spark, annIdx)
+              ()
+            } finally v.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    def centroids(work: java.nio.file.Path): Seq[(Int, Seq[Double])] =
+      spark.read.parquet(work.resolve("idx_ann").resolve("centroids").toString)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+    // landing = the text fold already happened AND the drain is
+    // incomplete (full drain at /8 is ~9 text appends → base + ~6 segs)
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 6) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-cdcm12-restart")
+      val commits = new java.util.concurrent.CountDownLatch(4)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) commits.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = start(work, Trigger.ProcessingTime(0))
+        assert(commits.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = Option(work.resolve("idx_text").resolve("doclog").toFile.listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("seg=")).toSet)
+        .getOrElse(Set.empty[String])
+      landed = segs.contains("seg=base") && segs.size < 6
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed after the text fold in 6 attempts")
+    val centAtKill = centroids(work)
+
+    // the documented maintenance-resume step on both FOLDING structures
+    // (a no-op unless the kill interrupted a publish), then resume
+    for (idx <- Seq("idx_text", "idx_ann")) {
+      val p = new org.apache.hadoop.fs.Path(work.resolve(idx).toString)
+      info(s"recoverPublish($idx): " + Layout.recoverPublish(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p))
+    }
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    assert(centroids(work) === centAtKill,
+      "the resumed vector leg re-derived its quantizer across the restart")
+
+    import spark.implicits._
+    val annIdx = work.resolve("idx_ann").toString
+    val doclog = spark.read.parquet(s"$annIdx/doclog")
+    val live = doclog.groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$annIdx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    val textLeg = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, work.resolve("idx_text").toString,
+        CdcBinlog.cdcm4Terms, 50, nBuckets = 8)
+      .select(lit("text").as("leg"), col("doc_id").cast("long").as("key_id"),
+        col("bm25").as("score"), col("r_sparse").as("r"))
+    val annLeg = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, annIdx, probeVec, 50)
+      .select(lit("ann").as("leg"), col("vec_id").cast("long").as("key_id"),
+        col("dot").cast("double").as("score"), col("r_dense").as("r"))
+    val fpLeg = CdcBinlog.cdcFpGroups(spark, work.resolve("fplog").toString)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"keeper_doc_id")).cast("long"))
+      .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_id"),
+        $"n_docs".cast("double").as("score"), $"r")
+    val got = textLeg.unionAll(annLeg).unionAll(fpLeg).orderBy("leg", "r")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "resumed three-way fan-out diverged from the uninterrupted gate — " +
+        "a replayed batch treated the three structure kinds inconsistently, " +
+        "a re-fold broke liveness, or a fence crossed structures")
+    rmTree(work)
+  }
+
   test("cdcm6 pipeline: kill mid-stream, resume, duplicate groups identical") {
     import graft.operators.{CdcBinlog, TextAnalysis}
     import org.apache.spark.sql.functions.md5

@@ -106,4 +106,106 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cross-route state bled through the compactor")
     rmTree(work)
   }
+
+  /** The heterogeneous twin, with the fences themselves pinned: a text
+    * fold (after its 3rd append) and an ANN fold (after its 4th) fire on
+    * DIFFERENT batches of the same shared foreachBatch, and afterwards
+    * each structure's `_folded_through` must equal the ordinal of ITS OWN
+    * last pre-fold batch — not the other's (a fence written to or read
+    * from the wrong root silently drops one route's replays). The union
+    * probe must still match the never-compacted cdcm11 gate.
+    */
+  test("hetero staggered folds leave exact per-structure fences; probe matches cdcm11") {
+    import graft.operators.{CdcBinlog, Layout, Similarity, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm11HeteroIndexRouting(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    val cap = math.max(CdcBinlog.fixtureBinlogBytes(spark, fix) / 6, 1L)
+    val work = java.nio.file.Files.createTempDirectory("graft-mrc-hetero")
+    val txtIdx = work.resolve("idx_text").toString
+    val annIdx = work.resolve("idx_ann").toString
+    val txtBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val annBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(fix)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val t = CdcBinlog.cdcm4BatchImages(
+            b.filter(b("table") === "d1"), batchId).persist()
+          try {
+            if (!t.isEmpty &&
+                TextAnalysis.appendCdcTextSegment(t, txtIdx,
+                  f"b$batchId%06d", nBuckets = 8)) {
+              txtBatches.add(batchId)
+              if (txtBatches.size == 3)
+                TextAnalysis.compactCdcTextIndex(spark, txtIdx, nBuckets = 8)
+            }
+          } finally t.unpersist()
+          val v = CdcBinlog.cdcm5BatchImages(
+            b.filter(b("table") === "d2"), batchId).persist()
+          try {
+            if (!v.isEmpty &&
+                Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d")) {
+              annBatches.add(batchId)
+              if (annBatches.size == 4)
+                Similarity.compactCdcAnnIndex(spark, annIdx)
+            }
+          } finally v.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val txtIds = txtBatches.toArray.toVector.map(_.asInstanceOf[Long])
+    val annIds = annBatches.toArray.toVector.map(_.asInstanceOf[Long])
+    assert(txtIds.size >= 5 && annIds.size >= 5,
+      s"thin batching (text=${txtIds.size}, ann=${annIds.size} appends) — " +
+        "raise the cap divisor")
+    def fence(idx: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      Layout.foldedThrough(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    assert(fence(txtIdx) === Some(txtIds(2)),
+      s"text fence ${fence(txtIdx)} != its own 3rd appended batch ${txtIds(2)}")
+    assert(fence(annIdx) === Some(annIds(3)),
+      s"ann fence ${fence(annIdx)} != its own 4th appended batch ${annIds(3)}")
+    assert(fence(txtIdx) !== fence(annIdx),
+      "the two structures share a fence ordinal — per-structure staggering lost")
+
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    val doclog = spark.read.parquet(s"$annIdx/doclog")
+    val live = doclog.groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$annIdx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    val textLeg = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, txtIdx, CdcBinlog.cdcm4Terms, 50, nBuckets = 8)
+      .select(lit("text").as("leg"), col("doc_id").cast("long").as("key_id"),
+        col("bm25").as("score"), col("r_sparse").as("r"))
+    val annLeg = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, annIdx, probeVec, 50)
+      .select(lit("ann").as("leg"), col("vec_id").cast("long").as("key_id"),
+        col("dot").cast("double").as("score"), col("r_dense").as("r"))
+    val got = textLeg.unionAll(annLeg).orderBy("leg", "r")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "hetero staggered folds diverged from the never-compacted gate — " +
+        "a fold was visible to the other structure's probe")
+    rmTree(work)
+  }
 }
