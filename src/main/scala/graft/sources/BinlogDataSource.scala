@@ -426,6 +426,25 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
   private val dynamicPayload =
     payloadFields.length == 1 && payloadFields.head.name == "row" &&
       payloadFields.head.dataType.isInstanceOf[ArrayType]
+  /** `ddlEvolution=addColumns`: `payloadDdl` declares the table's NEWEST
+    * schema and row images written before trailing ADD COLUMN statements
+    * may be a strict PREFIX of it — decode the prefix, null-pad the rest
+    * (exactly MySQL's own read of pre-ALTER rows: the new column has no
+    * value). This is the documented resume path after a maintained
+    * pipeline fails loudly on mid-stream DDL drift: update payloadDdl to
+    * the post-ALTER schema, set this option, restart from the same
+    * checkpoint — the replayed batch may span the ALTER, so both
+    * generations must decode under ONE ddl. WIDER images still fail
+    * (a dropped/reordered column is not expressible as a prefix, and
+    * null-padding it would silently misalign every value).
+    */
+  private val ddlEvolution =
+    options.getOrElse("ddlevolution", "fail").toLowerCase match {
+      case "fail" => false
+      case "addcolumns" => true
+      case other => throw new IllegalArgumentException(
+        s"ddlEvolution must be 'fail' or 'addColumns', got '$other'")
+    }
 
   private val logFile = UTF8String.fromString(new java.io.File(part.file).getName)
   private val buf = BinlogReader.mapFile(part.file)
@@ -638,15 +657,24 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
       // changed before this log, or mid-log without a DDL statement the
       // guard could catch) must not silently truncate extra columns or
       // null-pad missing ones — the typed projection would be garbage.
-      if (img.length != payloadFields.length)
+      // The ONE sanctioned exception is opt-in [[ddlEvolution]]: a
+      // NARROWER image under addColumns mode is a pre-ALTER row whose
+      // trailing columns legitimately do not exist yet — null-pad them.
+      if (img.length != payloadFields.length &&
+          !(ddlEvolution && img.length < payloadFields.length))
         throw new IllegalStateException(
           s"$db.$table row image has ${img.length} column(s) but payloadDdl " +
             s"declares ${payloadFields.length} — the table's schema differs from " +
-            "payloadDdl (schema change?). Update payloadDdl, or read this log " +
-            "without payloadDdl (positional row mode) to see the raw images.")
+            "payloadDdl (schema change?). Update payloadDdl (for trailing ADD " +
+            "COLUMN drift, resume with ddlEvolution=addColumns so pre-ALTER " +
+            "prefix images null-pad), or read this log without payloadDdl " +
+            "(positional row mode) to see the raw images.")
       var i = 0
       while (i < payloadFields.length) {
-        a(envWidth + i) = toCatalyst(img(i), payloadFields(i).dataType, dicts(i), jsons(i))
+        a(envWidth + i) =
+          if (i < img.length)
+            toCatalyst(img(i), payloadFields(i).dataType, dicts(i), jsons(i))
+          else null
         i += 1
       }
     }
@@ -755,16 +783,30 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
 
   /** ALTER/DROP/RENAME against a table this scan decodes invalidates
     * `payloadDdl` mid-log — fail loudly rather than decode garbage.
+    * Under [[ddlEvolution]] (addColumns) a PURE trailing-ADD-COLUMN
+    * statement is the one sanctioned drift: payloadDdl declares the
+    * post-ALTER schema, pre-ALTER prefix images null-pad, so the rows
+    * that follow the statement match payloadDdl exactly — nothing to
+    * fail on. Any ALTER that also drops/changes/renames still fails
+    * (not expressible as a prefix).
     */
+  private val pureAddColumn =
+    java.util.regex.Pattern.compile("(?is).*\\bADD\\s+COLUMN\\b.*")
+  private val nonPrefixClause =
+    java.util.regex.Pattern.compile("(?is).*\\b(DROP|CHANGE|MODIFY|RENAME)\\b.*")
   private def checkDdl(q: QueryEvent): Unit =
     if (onSchemaChange != "ignore") q.sql match {
       case DdlPattern(a, b) =>
         val (db, table) = if (b != null) (a, b) else (q.defaultDb, a)
-        if (tableWanted(db, table))
+        if (tableWanted(db, table) &&
+            !(ddlEvolution && pureAddColumn.matcher(q.sql).matches() &&
+              !nonPrefixClause.matcher(q.sql).matches()))
           throw new IllegalStateException(
             s"schema change for decoded table $db.$table at ${part.file}:${q.header.offset} — " +
               s"payloadDdl no longer matches the rows that follow. Statement: ${q.sql.take(200)}. " +
-              "Set option onSchemaChange=ignore to decode anyway.")
+              "For trailing ADD COLUMN drift, update payloadDdl to the post-ALTER " +
+              "schema and resume with ddlEvolution=addColumns; set " +
+              "onSchemaChange=ignore to decode anyway.")
       case _ =>
     }
 

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.binlog.BinlogWriter._
+
+/** DDL drift × maintained index, END-TO-END: a text index maintained
+  * from a typed CDC stream hits a mid-log ALTER TABLE ADD COLUMN. The
+  * typed decode fails LOUDLY at the width drift (R5's contract — never
+  * silently truncate or pad), the operator updates `payloadDdl` to the
+  * post-ALTER schema and resumes FROM THE SAME CHECKPOINT with
+  * `ddlEvolution=addColumns` (the replayed batch spans the ALTER, so
+  * pre-ALTER prefix images must null-pad under the one new ddl), and
+  * the maintained index converges to the post-ALTER ground truth —
+  * proven by probing it against a fresh single-append rebuild over the
+  * full evolved log. cdcb19 proves dynamic-mode DRIFT DECODE for scans;
+  * this proves the RECOVERY PATH for the typed maintained pipelines.
+  */
+class CdcDdlDriftResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rmTree(work: java.nio.file.Path): Unit = {
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
+  private val cols1 = Seq(ColSpec.int, ColSpec.varchar(20))
+  private val cols2 = Seq(ColSpec.int, ColSpec.varchar(20), ColSpec.varchar(24))
+  private val ddl1 = "id INT, word STRING"
+  private val ddl2 = "id INT, word STRING, note STRING"
+
+  private def vocab(i: Int): String = {
+    val ws = Array("alpha", "beta", "gamma", "delta")
+    s"${ws(i % 4)}_$i"
+  }
+
+  /** Evolved log: 30 two-row txns at (id, word), then ALTER ADD COLUMN,
+    * then 30 more at (id, word, note) — updates rewording earlier ids on
+    * both sides so latest images straddle the ALTER.
+    */
+  private def writeEvolvedFixture(dir: java.nio.file.Path): Unit = {
+    val w = new Writer(checksum = true).writeFormatDescription(ts = 1)
+    var id = 0
+    for (t <- 0 until 30) {
+      val ts = 1000L + t
+      w.writeQuery("bench", "BEGIN", ts = ts)
+        .writeTableMap(7, "bench", "doc", cols1, ts = ts)
+        .writeInsert(7, cols1,
+          Seq(Seq[Any](id, vocab(id)), Seq[Any](id + 1, vocab(id + 1))), ts = ts)
+      if (t % 3 == 2)
+        w.writeTableMap(7, "bench", "doc", cols1, ts = ts)
+          .writeUpdate(7, cols1, Seq(
+            (Seq[Any](id - 2, vocab(id - 2)), Seq[Any](id - 2, vocab(id - 1)))), ts = ts)
+      w.writeXid(100L + t, ts = ts)
+      id += 2
+    }
+    w.writeQuery("bench", "ALTER TABLE bench.doc ADD COLUMN note VARCHAR(24)",
+      ts = 2000)
+    for (t <- 0 until 30) {
+      val ts = 3000L + t
+      w.writeQuery("bench", "BEGIN", ts = ts)
+        .writeTableMap(8, "bench", "doc", cols2, ts = ts)
+        .writeInsert(8, cols2,
+          Seq(Seq[Any](id, vocab(id), s"n$id"),
+              Seq[Any](id + 1, vocab(id + 1), s"n${id + 1}")), ts = ts)
+      if (t % 3 == 1)
+        w.writeTableMap(8, "bench", "doc", cols2, ts = ts)
+          .writeUpdate(8, cols2, Seq(
+            // reword a GEN-1 id under the new schema: its latest image
+            // crosses the ALTER, so a resume that dropped or doubled the
+            // replayed batch moves this doc's text and fails the probe
+            (Seq[Any](t, vocab(t), null), Seq[Any](t, vocab(t + 40), s"r$t"))),
+            ts = ts)
+      w.writeXid(200L + t, ts = ts)
+      id += 2
+    }
+    w.save(dir.resolve("binlog.000001").toString)
+  }
+
+  test("typed pipeline dies at the ALTER, resumes with evolved ddl, index converges") {
+    import graft.operators.{CdcBinlog, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-ddl-drift")
+    val fix = work.resolve("log")
+    java.nio.file.Files.createDirectories(fix)
+    writeEvolvedFixture(fix)
+    val cap = math.max(
+      CdcBinlog.fixtureBinlogBytes(spark, fix.toString) / 6, 1L)
+    val idx = work.resolve("index").toString
+
+    def start(ddl: String, evolution: Boolean, trigger: Trigger) = {
+      val r = spark.readStream.format("mysql-binlog")
+        .option("payloadDdl", ddl)
+        .option("maxBytesPerTrigger", cap.toString)
+      val r2 = if (evolution) r.option("ddlEvolution", "addColumns") else r
+      r2.load(fix.toString)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = CdcBinlog.cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty)
+              TextAnalysis.appendCdcTextSegment(imgs, idx, f"b$batchId%06d",
+                nBuckets = 4)
+          } finally imgs.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    // phase 1: the pre-ALTER ddl. The stream must die AT the drift, by
+    // name — with several batches already committed before it.
+    val q1 = start(ddl1, evolution = false, Trigger.ProcessingTime(0))
+    val death = intercept[Throwable] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    try q1.stop() catch { case _: Throwable => () }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(death).exists(m =>
+      m.contains("schema change") && m.contains("payloadDdl")),
+      s"expected the named schema-change failure, got: $death")
+    val segsAtDeath = Option(new java.io.File(s"$idx/doclog").listFiles())
+      .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
+    assert(segsAtDeath >= 2,
+      s"only $segsAtDeath segments committed before the drift — cap too coarse " +
+        "for the death to land mid-stream")
+
+    // phase 2: the operator's documented move — payloadDdl updated to the
+    // post-ALTER schema, ddlEvolution=addColumns (the replayed batch spans
+    // the ALTER), SAME checkpoint. The drain must complete.
+    val q2 = start(ddl2, evolution = true, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val segsAfter = Option(new java.io.File(s"$idx/doclog").listFiles())
+      .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
+    assert(segsAfter > segsAtDeath,
+      "the resumed stream appended nothing past the drift point")
+
+    // ground truth: a fresh one-append index over the full evolved log's
+    // latest images, batch-scanned under the evolved ddl
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = spark.read.format("mysql-binlog")
+      .option("payloadDdl", ddl2)
+      .option("ddlEvolution", "addColumns")
+      .load(fix.toString)
+    val wantImages = CdcBinlog.cdcm4BatchImages(all, 0L)
+    val refIdx = work.resolve("refindex").toString
+    assert(TextAnalysis.appendCdcTextSegment(wantImages, refIdx, "b000000",
+      nBuckets = 4))
+    def probe(path: String): Seq[String] =
+      TextAnalysis.bm25TopKViaCdcIndex(spark, path, Seq("alpha", "beta"), 100,
+          nBuckets = 4)
+        .orderBy($"r_sparse").collect().map(_.toString).toSeq
+    val got = probe(idx)
+    val want = probe(refIdx)
+    assert(want.nonEmpty)
+    assert(got === want,
+      "the resumed maintained index diverged from the post-ALTER ground " +
+        "truth — the replayed ALTER-spanning batch dropped, doubled or " +
+        "misdecoded rows")
+    rmTree(work)
+  }
+
+  test("wider images still fail loudly even under ddlEvolution=addColumns") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ddl-wider")
+    val fix = work.resolve("log")
+    java.nio.file.Files.createDirectories(fix)
+    // a 3-column image read under a 2-column ddl: NOT expressible as
+    // trailing ADD COLUMN evolution — must fail whatever the option says
+    new Writer(checksum = true).writeFormatDescription(ts = 1)
+      .writeQuery("bench", "BEGIN", ts = 2)
+      .writeTableMap(7, "bench", "doc", cols2, ts = 2)
+      .writeInsert(7, cols2, Seq(Seq[Any](1, "alpha_1", "n1")), ts = 2)
+      .writeXid(1, ts = 2)
+      .save(fix.resolve("binlog.000001").toString)
+    val e = intercept[Throwable] {
+      spark.read.format("mysql-binlog")
+        .option("payloadDdl", ddl1)
+        .option("ddlEvolution", "addColumns")
+        .load(fix.toString)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("payloadDdl")), e.toString)
+    rmTree(work)
+  }
+}
