@@ -382,7 +382,7 @@ object Layout {
     *
     * Concurrency contract: appends and folds on the SAME structure must
     * serialize (every maintained-structure driver here runs both inside
-    * one foreachBatch, and cross-process folds take the [[foldLease]]).
+    * one foreachBatch, and cross-process folds take [[withFoldLease]]).
     * The guard below is for the one hole that contract can't close: a
     * fence PROBE landing inside [[publishDir]]'s two-rename window sees
     * the root momentarily absent and would read "no fence ever" — so a

@@ -112,32 +112,39 @@ object CdcMaterializer {
     * job), not concurrently with the maintaining stream's own writes.
     */
   def compact(s: SparkSession, tablePath: String): Unit = {
-    val t = s.read.parquet(tablePath)
-    val tombBuckets = t.filter(col("_delta_type") === "delete")
-      .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
-    if (tombBuckets.nonEmpty) {
-      // only needed for the degenerate-case guard below — keep the
-      // common tombstone-free call to a single scan
-      val allBuckets = t.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
-      val live = t.where(col("_bucket").isin(tombBuckets: _*))
-        .filter(col("_delta_type") =!= "delete")
-        .localCheckpoint(true)
-      val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
-      // Degenerate case: EVERY key in the table is dead. Deleting all
-      // partition directories would leave a parquet root with no data
-      // files — unreadable by every subsequent read/merge. Tombstones are
-      // logically invisible anyway (readTable filters them), so skip:
-      // compaction is an optimization and must never break the table.
-      if (liveBuckets.isEmpty && tombBuckets.toSet == allBuckets) { live.unpersist(); return }
-      if (!live.isEmpty)
-        live.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_bucket").parquet(tablePath)
-      live.unpersist()
-      val hPath = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      tombBuckets.filterNot(liveBuckets).foreach { bId =>
-        fs.delete(new org.apache.hadoop.fs.Path(hPath, s"_bucket=$bId"), true)
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // cross-process fold lease (the structure compactors' contract): two
+    // concurrent tombstone compactions of the same table would race the
+    // dynamic bucket overwrites — the loser fails by name instead
+    graft.operators.Layout.withFoldLease(fs, hPath) {
+      val t = s.read.parquet(tablePath)
+      val tombBuckets = t.filter(col("_delta_type") === "delete")
+        .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (tombBuckets.nonEmpty) {
+        // only needed for the degenerate-case guard below — keep the
+        // common tombstone-free call to a single scan
+        val allBuckets = t.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+        val live = t.where(col("_bucket").isin(tombBuckets: _*))
+          .filter(col("_delta_type") =!= "delete")
+          .localCheckpoint(true)
+        val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+        // Degenerate case: EVERY key in the table is dead. Deleting all
+        // partition directories would leave a parquet root with no data
+        // files — unreadable by every subsequent read/merge. Tombstones are
+        // logically invisible anyway (readTable filters them), so skip:
+        // compaction is an optimization and must never break the table.
+        if (liveBuckets.isEmpty && tombBuckets.toSet == allBuckets) live.unpersist()
+        else {
+          if (!live.isEmpty)
+            live.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_bucket").parquet(tablePath)
+          live.unpersist()
+          tombBuckets.filterNot(liveBuckets).foreach { bId =>
+            fs.delete(new org.apache.hadoop.fs.Path(hPath, s"_bucket=$bId"), true)
+          }
+        }
       }
     }
   }
@@ -212,8 +219,19 @@ object CdcMaterializer {
       val hp = new org.apache.hadoop.fs.Path(p)
       if (hp.getFileSystem(conf).exists(hp)) Some(s.read.parquet(p)) else None
     }
+    // delta partitions at or below the base's fold fence are ALREADY IN
+    // base: they survive only when a crash hit [[compactAggregate]]
+    // between its publish and its delta cleanup, and summing them again
+    // would silently double-count (SUM deltas are signed increments, not
+    // idempotent full images — the one structure here where a stale
+    // leftover corrupts instead of merely repeating)
+    val basePath = new org.apache.hadoop.fs.Path(s"$tablePath/base")
+    val fence = graft.operators.Layout.foldedThrough(
+      basePath.getFileSystem(conf), basePath)
     val parts = Seq(existing(s"$tablePath/base"),
-      existing(s"$tablePath/deltas").map(_.drop("batch"))).flatten
+      existing(s"$tablePath/deltas").map { d =>
+        fence.fold(d)(f => d.filter(col("batch") > f)).drop("batch")
+      }).flatten
     require(parts.nonEmpty, s"no aggregate state under $tablePath")
     val all = parts.reduce(_.unionByName(_))
     val gcols = all.columns.filterNot(Set("n", "s")).toSeq
@@ -231,21 +249,40 @@ object CdcMaterializer {
     * mid-log retracting rows it never saw inserted) is KEPT so the
     * anomaly stays visible instead of silently vanishing. Run between
     * triggers, never concurrently with the maintaining stream ([[compact]]
-    * contract); staged + swapped so a crash leaves either the old state
-    * or the staged fold, never a half-written base.
+    * contract), under the cross-process fold lease.
+    *
+    * Crash-safe in BOTH windows (this used to be delete-then-rename,
+    * which had a window with NO base, and recovery via the staged fold
+    * would then double-count any deltas the cleanup hadn't deleted yet):
+    * the new base carries a `_folded_through` fence at the highest delta
+    * batch it consumed, published atomically with it by the two-rename
+    * [[graft.operators.Layout.publishDir]] swap, and the delta cleanup
+    * runs AFTER the publish — a crash in between leaves the new base
+    * plus stale fenced deltas, which [[aggState]] excludes and the next
+    * fold's cleanup removes. The stream's replayed batch, if any, has an
+    * id above the fence (batch ids are monotone), so its rewrite is
+    * never masked.
     */
   def compactAggregate(s: SparkSession, tablePath: String): Unit = {
-    val folded = aggState(s, tablePath)
-      .filter(col("n") =!= 0 || col("s") =!= 0)
-    val staging = s"$tablePath/base.compact-${ProcessHandle.current().pid()}"
-    folded.write.mode("overwrite").parquet(staging)
     val base = new org.apache.hadoop.fs.Path(s"$tablePath/base")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(base, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/deltas"), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), base))
-      throw new IllegalStateException(
-        s"aggregate compaction swap failed under $tablePath")
+    graft.operators.Layout.withFoldLease(fs, base) {
+      val deltasPath = new org.apache.hadoop.fs.Path(s"$tablePath/deltas")
+      val upTo = (graft.operators.Layout.foldedThrough(fs, base).toSeq ++
+        (if (!fs.exists(deltasPath)) Seq.empty[Long]
+         else fs.listStatus(deltasPath).map(_.getPath.getName)
+           .filter(_.startsWith("batch="))
+           .map(_.stripPrefix("batch=").toLong).toSeq)).maxOption
+      val folded = aggState(s, tablePath)
+        .filter(col("n") =!= 0 || col("s") =!= 0)
+      val staging = s"$tablePath/base.compact-${ProcessHandle.current().pid()}"
+      folded.write.mode("overwrite").parquet(staging)
+      upTo.foreach(u => graft.operators.Layout.writeFoldedThrough(fs,
+        new org.apache.hadoop.fs.Path(staging), u))
+      graft.operators.Layout.publishDir(fs,
+        new org.apache.hadoop.fs.Path(staging), base)
+      fs.delete(deltasPath, true)
+    }
   }
 
   /** Maintain MANY tables from ONE binlog scan: the stream is the source's

@@ -126,6 +126,40 @@ class FoldLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(Layout.foldLeasePath(live)))
   }
 
+  test("two JVMs: loser names the foreign holder; a KILLED holder is taken over") {
+    val live = livePath()
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val proc = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.operators.LeaseHolderMain", live.toString, "120000")
+      .redirectErrorStream(true).start()
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      // skip log noise until the child's HELD marker
+      val deadline = System.nanoTime() + 60000000000L
+      var line = reader.readLine()
+      while (line != null && line.trim != "HELD" &&
+        System.nanoTime() < deadline) line = reader.readLine()
+      assert(line != null && line.trim == "HELD",
+        "child JVM never acquired the lease")
+      // a REAL second process holds the lock: this JVM must lose by
+      // name, and the name must be the child's pid, not ours
+      val e = intercept[IllegalStateException] {
+        Layout.acquireFoldLease(fs, live)
+      }
+      assert(e.getMessage.contains(s"pid=${proc.pid()}"), e.getMessage)
+      // the holder dies without releasing (kill -9 shape): the next
+      // acquire must take the lease over via the dead-PID rule
+      proc.destroyForcibly()
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      val token = Layout.acquireFoldLease(fs, live)
+      assert(token.contains(s"pid=${ProcessHandle.current().pid()}"))
+      Layout.releaseFoldLease(fs, live, token)
+      assert(!fs.exists(Layout.foldLeasePath(live)))
+    } finally { proc.destroyForcibly(); () }
+  }
+
   test("a real compactor loses by name under a held lease; the structure is intact") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

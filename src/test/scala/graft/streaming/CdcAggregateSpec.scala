@@ -81,6 +81,58 @@ class CdcAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The compactAggregate crash seam: its cleanup runs AFTER the
+    * two-rename publish, so a crash in between leaves the new base plus
+    * delta partitions the fold already consumed. SUM deltas are signed
+    * increments — re-summing them double-counts silently — so the base
+    * carries a `_folded_through` fence and the read excludes deltas at
+    * or below it. (The old delete-then-rename order had a worse window:
+    * no base at all, and recovery would double-count.)
+    */
+  test("stale already-folded deltas surviving a crashed cleanup never double-count") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdcagg-fence")
+    val path = s"$tmp/agg"
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(from)
+      try w.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally w.close()
+    }
+    try {
+      CdcMaterializer.writeAggDeltas(batch(
+        ("insert", "a", 10L), ("insert", "b", 7L)), "word", "v", path, 0L)
+      CdcMaterializer.writeAggDeltas(batch(("insert", "a", 5L)),
+        "word", "v", path, 1L)
+      val want = Map("a" -> (2L, 15L), "b" -> (1L, 7L))
+      assert(view(path) == want)
+      // snapshot the deltas, compact, then restore them — exactly the
+      // state a crash between publish and cleanup leaves behind
+      val snapshot = java.nio.file.Files.createTempDirectory("cdcagg-snap")
+      copyTree(java.nio.file.Paths.get(s"$path/deltas"), snapshot)
+      CdcMaterializer.compactAggregate(spark, path)
+      assert(view(path) == want)
+      copyTree(snapshot, java.nio.file.Paths.get(s"$path/deltas"))
+      assert(view(path) == want,
+        "stale folded deltas were re-summed — the fence failed and the " +
+          "view double-counted")
+      // a FRESH batch (id above the fence) still lands normally
+      CdcMaterializer.writeAggDeltas(batch(("insert", "b", 3L)),
+        "word", "v", path, 2L)
+      val want2 = Map("a" -> (2L, 15L), "b" -> (2L, 10L))
+      assert(view(path) == want2)
+      // the next fold consumes only the unfenced delta and cleans up all
+      CdcMaterializer.compactAggregate(spark, path)
+      assert(view(path) == want2)
+      assert(!new java.io.File(s"$path/deltas").exists())
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("empty view after total retraction survives compaction and reads as zero rows") {
     val tmp = java.nio.file.Files.createTempDirectory("cdcagg0")
     val path = s"$tmp/agg"
