@@ -1173,6 +1173,28 @@ object CdcBinlog {
       .orderBy($"id")
   }
 
+  // cdcb22 — the TYPED twin of cdcb19: the same evolved log scanned with
+  // payloadDdl declaring the NEWEST (post-both-ALTERs) schema under
+  // `ddlEvolution=addColumns` — pre-ALTER prefix images null-pad their
+  // trailing columns (MySQL's own read of pre-ALTER rows), the pure
+  // ADD COLUMN statements pass the schema-change guard, and every
+  // generation's values land typed. The oracle parses the generator's
+  // own per-row record, so a decode that misaligns any generation's
+  // columns (the failure null-padding could silently cause if it padded
+  // anywhere but the tail) hash-fails. This is the scan-mode face of
+  // the drift-resume story CdcDdlDriftResumeSpec proves for maintained
+  // pipelines.
+  def cdcb22DdlEvolutionScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mysql-binlog")
+      .option("payloadDdl", "id INT, v INT, w STRING")
+      .option("ddlEvolution", "addColumns")
+      .load(Paths.get(fixtureDir(d), "drift").toString)
+      .filter($"_delta_type" === "insert")
+      .select($"id".cast("long").as("id"), $"v".cast("long").as("v"), $"w")
+      .orderBy($"id")
+  }
+
   // cdcm1 — the STREAMING materialization path under the oracle: run the
   // CdcMaterializer end-to-end (micro-batch source → AvailableNow stream →
   // bucketed parquet table with latest-wins merges and tombstones) over
@@ -2184,6 +2206,7 @@ object CdcBinlog {
     "cdcb20_bounded_admission" -> cdcb20BoundedAdmission _,
     "cdcb18_tagged_gtid" -> cdcb18TaggedGtid _,
     "cdcb19_schema_drift" -> cdcb19SchemaDrift _,
+    "cdcb22_ddl_evolution_scan" -> cdcb22DdlEvolutionScan _,
     "cdcb17_sbr_events" -> cdcb17SbrEvents _,
     "cdcb14_mariadb_gtid" -> cdcb14MariadbGtid _,
     "cdcb15_mariadb_resume" -> cdcb15MariadbResume _,
@@ -2282,6 +2305,16 @@ object CdcBinlog {
   def oracles(sfDir: String): Map[String, String] = Map(
     "cdcb19_schema_drift" ->
       s"""SELECT id, n_cols, row_txt
+         |FROM read_csv('${fixturePathFor(sfDir)}/expected_drift.csv', header=true,
+         |  columns={'id':'BIGINT','n_cols':'INTEGER','row_txt':'VARCHAR'})
+         |ORDER BY id""".stripMargin,
+    // typed evolved scan: the generator's row_txt is 'id' / 'id|v' /
+    // 'id|v|w' per generation — absent trailing fields read back NULL,
+    // exactly what addColumns null-padding must produce
+    "cdcb22_ddl_evolution_scan" ->
+      s"""SELECT id,
+         |  TRY_CAST(NULLIF(split_part(row_txt, '|', 2), '') AS BIGINT) AS v,
+         |  NULLIF(split_part(row_txt, '|', 3), '') AS w
          |FROM read_csv('${fixturePathFor(sfDir)}/expected_drift.csv', header=true,
          |  columns={'id':'BIGINT','n_cols':'INTEGER','row_txt':'VARCHAR'})
          |ORDER BY id""".stripMargin,
