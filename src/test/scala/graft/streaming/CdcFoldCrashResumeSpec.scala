@@ -192,4 +192,123 @@ class CdcFoldCrashResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a replayed folded batch doubled rows against seg=base")
     rmTree(work)
   }
+
+  // ---- the ANN twin: quantizer through crash recovery ------------------
+
+  private def startAnn(work: java.nio.file.Path, trigger: Trigger): StreamingQuery = {
+    import graft.operators.{CdcBinlog, Similarity}
+    val idx = work.resolve("annindex").toString
+    changeStream.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val imgs = CdcBinlog.cdcm5BatchImages(batch, batchId).persist()
+        try {
+          if (!imgs.isEmpty)
+            Similarity.appendCdcAnnSegment(imgs, idx, f"b$batchId%06d")
+        } finally imgs.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  private def centroids(work: java.nio.file.Path): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(work.resolve("annindex").resolve("centroids").toString)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  private def annProbe(work: java.nio.file.Path): Seq[String] = {
+    import org.apache.spark.sql.functions.{max, struct}
+    import spark.implicits._
+    val idx = work.resolve("annindex").toString
+    val live = spark.read.parquet(s"$idx/doclog").groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$idx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    graft.operators.Similarity.mipsTopKViaCdcAnnIndex(spark, idx, probeVec, 100)
+      .orderBy("r_dense").collect().map(_.toString).toSeq
+  }
+
+  /** The ANN compactor shares the text twin's publish protocol, but its
+    * fold carries one artifact the text index doesn't have: the coarse
+    * quantizer, staged as a COPY beside the folded cells. A crash
+    * between the renames must roll the OLD centroids back byte-exactly
+    * (publishing the staged copy instead would be invisible today —
+    * they're equal — but the invariant is what keeps a future fold that
+    * REBUILDS the quantizer from silently re-clustering a rolled-back
+    * index), and the resumed stream plus a re-fold must match an
+    * uninterrupted same-cap run on both the probe AND the quantizer.
+    */
+  test("ANN fold crash between renames: old quantizer restores byte-exactly; resume + re-fold match") {
+    import graft.operators.{Layout, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+
+    // uninterrupted same-cap reference (same admission → same batch 0 →
+    // value-identical quantizer, the cdcm5 restart leg's contract)
+    val ref = java.nio.file.Files.createTempDirectory("graft-annfold-ref")
+    val qRef = startAnn(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    assert(segDirs(ref.resolve("annindex").resolve("doclog")) >= 3)
+    Similarity.compactCdcAnnIndex(spark, ref.resolve("annindex").toString)
+    val wantCent = centroids(ref)
+    val wantProbe = annProbe(ref)
+
+    // run, kill mid-stream, fold for real, rewind the swap to
+    // between-the-renames with the real artifacts
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-annfold")
+      val firstCommit = new java.util.concurrent.CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) firstCommit.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = startAnn(work, Trigger.ProcessingTime(0))
+        assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = segDirs(work.resolve("annindex").resolve("doclog"))
+      landed = segs >= 1 && segs < 8
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed mid-stream in 5 attempts")
+    val live = work.resolve("annindex")
+    val preFoldCent = centroids(work)
+    assert(preFoldCent === wantCent,
+      "same-cap admission produced a different quantizer — the reference " +
+        "run is not comparable and the test premise broke")
+    val old = work.resolve("old-snapshot")
+    copyTree(live, old)
+    Similarity.compactCdcAnnIndex(spark, live.toString)
+    java.nio.file.Files.move(live, work.resolve("annindex.compact-999"))
+    java.nio.file.Files.move(old, work.resolve("annindex.trash-999"))
+
+    val liveP = new org.apache.hadoop.fs.Path(live.toString)
+    val report = Layout.recoverPublish(fs, liveP)
+    info(s"recoverPublish: $report")
+    assert(report.startsWith("restored"), s"expected the OLD state back, got: $report")
+    assert(Layout.foldedThrough(fs, liveP).isEmpty,
+      "the staged fold's replay fence leaked into the restored UNFOLDED index")
+    assert(centroids(work) === preFoldCent,
+      "rollback did not restore the pre-fold quantizer byte-exactly")
+
+    val q2 = startAnn(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    Similarity.compactCdcAnnIndex(spark, live.toString)
+    assert(centroids(work) === wantCent,
+      "the re-fold after recovery changed the quantizer")
+    assert(annProbe(work) === wantProbe,
+      "rollback + resume + re-fold diverged from the uninterrupted run")
+    rmTree(ref); rmTree(work)
+  }
 }
