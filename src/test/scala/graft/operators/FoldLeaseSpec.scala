@@ -93,6 +93,32 @@ class FoldLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lease))
   }
 
+  test("cross-host rule: a foreign host's lease is taken over only past the stale window") {
+    val live = livePath()
+    val lease = Layout.foldLeasePath(live)
+    // pid 1 IS alive on this host — but the recorded host differs, so
+    // PID liveness must not be consulted; only the age rule applies
+    def plant(): Unit = {
+      val out = fs.create(lease, false)
+      try out.write("pid=1;host=elsewhere;ts=0;nonce=0".getBytes("UTF-8"))
+      finally out.close()
+    }
+    plant()
+    // fresh file: within the stale window → the acquire must FAIL
+    val e = intercept[IllegalStateException] {
+      Layout.acquireFoldLease(fs, live)
+    }
+    assert(e.getMessage.contains("host=elsewhere"), e.getMessage)
+    // age the file past the window → takeover succeeds
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lease.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 31L * 60 * 1000))
+    val token = Layout.acquireFoldLease(fs, live)
+    assert(token.contains(s"pid=${ProcessHandle.current().pid()}"))
+    Layout.releaseFoldLease(fs, live, token)
+  }
+
   test("recoverPublish clears a dead holder's lease but never a live one") {
     val live = livePath()
     fs.mkdirs(live) // recoverPublish wants a live structure to inspect
