@@ -2158,6 +2158,10 @@ object CdcBinlog {
       }
       val fpLeg = Layout.retryOnceOnMissing {
         cdcFpGroups(s, fpLog)
+          // unpartitioned rank is SAFE here: the input is the per-prefix
+          // group report — bounded by the vocabulary (8 prefixes), not
+          // the corpus — so the single-partition window never sees more
+          // than a handful of rows at any scale
           .withColumn("r",
             row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
           .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_id"),

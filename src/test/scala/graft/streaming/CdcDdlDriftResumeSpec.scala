@@ -178,6 +178,31 @@ class CdcDdlDriftResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(work)
   }
 
+  test("an unknown ddlEvolution value is rejected by name") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ddl-opt")
+    val fix = work.resolve("log")
+    java.nio.file.Files.createDirectories(fix)
+    new Writer(checksum = true).writeFormatDescription(ts = 1)
+      .writeQuery("bench", "BEGIN", ts = 2)
+      .writeTableMap(7, "bench", "doc", cols1, ts = 2)
+      .writeInsert(7, cols1, Seq(Seq[Any](1, "alpha_1")), ts = 2)
+      .writeXid(1, ts = 2)
+      .save(fix.resolve("binlog.000001").toString)
+    val e = intercept[Throwable] {
+      spark.read.format("mysql-binlog")
+        .option("payloadDdl", ddl1)
+        .option("ddlEvolution", "dropColumns")
+        .load(fix.toString)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(m =>
+      m.contains("ddlEvolution") && m.contains("addColumns")), e.toString)
+    rmTree(work)
+  }
+
   test("wider images still fail loudly even under ddlEvolution=addColumns") {
     val work = java.nio.file.Files.createTempDirectory("graft-ddl-wider")
     val fix = work.resolve("log")
