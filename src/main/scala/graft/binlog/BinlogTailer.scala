@@ -156,7 +156,13 @@ object BinlogTailer {
         catch { case _: java.io.FileNotFoundException |
                      _: java.nio.file.NoSuchFileException => -1L }
       if (size < 4L) return false
-      val buf = BinlogReader.mapFile(file.toString)
+      // the same race one step later: the purge can also land between
+      // the size probe and the open. Once the map IS established, a
+      // concurrent unlink cannot fault it (POSIX keeps mapped pages
+      // valid) — the open is the last vulnerable instant
+      val buf = try BinlogReader.mapFile(file.toString)
+        catch { case _: java.io.FileNotFoundException |
+                     _: java.nio.file.NoSuchFileException => return false }
       var rotateTo: Option[String] = None
       var rotateAt = -1L
       BinlogReader.eventIterator(buf, pos, tms, charset).foreach { e =>
