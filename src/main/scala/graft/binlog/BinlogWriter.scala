@@ -1060,6 +1060,17 @@ object BinlogWriter {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
           java.nio.file.Files.move(tmp, p,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // ATOMIC_MOVE-onto-existing-target behavior is implementation-
+        // specific: POSIX replaces, but a provider may refuse with
+        // FileAlreadyExistsException (or a bare IOException) instead of
+        // signaling "atomic unsupported". Fall back only while our temp
+        // still exists — if it is gone the move happened (or a sweeper
+        // interfered) and retrying would throw NoSuchFileException.
+        case e: java.io.IOException
+            if java.nio.file.Files.exists(p) &&
+              java.nio.file.Files.exists(tmp) =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       path
     }

@@ -251,7 +251,11 @@ object Layout {
   // publish. A lease left by a holder that died between acquire and
   // release is taken over when the holder's PID is provably dead on this
   // host, or — the cross-host rule, where PID liveness is unknowable —
-  // when the lease file is older than `staleMs`. [[recoverPublish]]
+  // when the lease file is older than `staleMs`. The holder HEARTBEATS
+  // the lease mtime while folding ([[withFoldLease]]), so age-past-
+  // window means "stopped heartbeating" (dead), never "fold is slow";
+  // and takeover itself is a single-winner atomic rename claim
+  // ([[claimStaleLease]]), never delete-then-create. [[recoverPublish]]
   // clears dead holders' leases as part of crash recovery, so the
   // documented remedy for a crashed fold also unblocks the next one.
 
@@ -286,6 +290,80 @@ object Layout {
       mod > 0 && System.currentTimeMillis() - mod > staleMs
     } catch { case _: java.io.IOException => false })
     deadHere || olderThanWindow
+  }
+
+  /** Claim a lease judged stale — SINGLE-WINNER. The old delete-then-
+    * create takeover had a TOCTOU: two contenders that both judged the
+    * lease stale could interleave so the second's delete removed the
+    * first's freshly created lease, leaving BOTH folding. The claim is
+    * now an atomic RENAME of the stale file to a contender-nonce
+    * tombstone: rename of an existing source succeeds for exactly one
+    * contender (rename(2) on POSIX, atomic on HDFS), so exactly one
+    * claimant proceeds. After winning the rename we re-verify the
+    * displaced CONTENT equals what was judged stale — between the
+    * judgment and our rename the dead lease may have been claimed and
+    * REPLACED by a fresh holder's file, and keeping that steal would
+    * put two folds under one structure; on mismatch we restore it
+    * (rename back — the path is free because OUR rename emptied it)
+    * and report the claim lost. Residual: restoring can itself lose to
+    * a THIRD contender's create in the microsecond window, which
+    * orphans the displaced fresh holder's lease (its release no-ops on
+    * the content check); that needs three contenders racing inside one
+    * claim window at an already-dead lease — strictly narrower than
+    * the delete race this replaces, and the path itself stays held
+    * throughout.
+    *
+    * Returns true iff the stale file was displaced and verified — the
+    * lease path is now free for the caller's create-exclusive.
+    */
+  private[graft] def claimStaleLease(fs: org.apache.hadoop.fs.FileSystem,
+                                     lease: org.apache.hadoop.fs.Path,
+                                     judgedContent: Option[String]): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(lease.getParent,
+      s"${lease.getName}.claim-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val renamed =
+      if (fs.getScheme == "file") {
+        // NIO ATOMIC_MOVE for the same reason tryCreate uses NIO
+        // createFile: RawLocal/ChecksumFileSystem rename is not a
+        // single syscall (crc sibling bookkeeping), and same-host is
+        // where contention is real
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(lease.toUri.getPath),
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // ChecksumFileSystem keeps a `.<name>.crc` sidecar the NIO
+          // move does not carry — left behind, it records the OLD
+          // content's checksum and poisons every read of the NEXT
+          // holder's lease (readLease would see ChecksumException →
+          // None → release never matches → the lock wedges)
+          try java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(lease.toUri.getPath)
+              .resolveSibling(s".${lease.getName}.crc"))
+          catch { case _: java.io.IOException => () }
+          true
+        } catch { case _: java.io.IOException => false }
+      } else
+        (try fs.rename(lease, tomb)
+         catch { case _: java.io.IOException => false })
+    if (!renamed) return false // another claimant won the rename
+    val displaced = readLease(fs, tomb)
+    if (displaced == judgedContent) { fs.delete(tomb, false); true }
+    else {
+      // we displaced a FRESH lease (claimed+recreated between our
+      // judgment and our rename) — put it back; plain move fails if a
+      // third contender created at the path meanwhile (dest exists),
+      // in which case the path is still held by SOMEONE and our
+      // tombstone is garbage either way
+      try {
+        if (fs.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.Paths.get(lease.toUri.getPath))
+        else if (!fs.rename(tomb, lease)) fs.delete(tomb, false)
+      } catch { case _: java.io.IOException => fs.delete(tomb, false) }
+      false
+    }
   }
 
   /** Acquire the fold lease on `live` or fail BY NAME. Returns the lease
@@ -323,8 +401,12 @@ object Layout {
       }
     if (tryCreate()) return token
     val holder = readLease(fs, lease)
-    if (leaseStale(fs, lease, holder, staleMs)) {
-      fs.delete(lease, false)
+    if (leaseStale(fs, lease, holder, staleMs) &&
+        claimStaleLease(fs, lease, holder)) {
+      // the stale file is displaced and the path free — but a parallel
+      // claimant that lost the rename may race this create; losing it
+      // still leaves exactly one holder, so a miss falls through to
+      // the held error
       if (tryCreate()) return token
     }
     throw new IllegalStateException(
@@ -346,12 +428,43 @@ object Layout {
     if (readLease(fs, lease).contains(token)) fs.delete(lease, false)
   }
 
-  /** The compactors' wrapper: lease held across staging AND publish. */
+  /** The compactors' wrapper: lease held across staging AND publish,
+    * HEARTBEATED while held. Without the heartbeat the cross-host
+    * stale window conflated "holder is dead" with "fold is slow" — at
+    * 100 TB a base fold legitimately exceeds 30 minutes, and a
+    * maintenance job arriving mid-fold would steal the lease from a
+    * perfectly alive holder. A daemon thread refreshes the lease
+    * mtime every `staleMs`/6 (touch only while the content is still
+    * OUR token — touching a stolen lease would extend the thief's),
+    * so a lease older than the window now means the holder stopped
+    * heartbeating: dead, not slow. The touch is best-effort; a
+    * transient FS error skips one beat and the window is 6 beats deep.
+    */
   private[graft] def withFoldLease[T](fs: org.apache.hadoop.fs.FileSystem,
-                                      live: org.apache.hadoop.fs.Path)
+                                      live: org.apache.hadoop.fs.Path,
+                                      staleMs: Long = 30L * 60 * 1000)
                                      (body: => T): T = {
-    val token = acquireFoldLease(fs, live)
-    try body finally releaseFoldLease(fs, live, token)
+    val token = acquireFoldLease(fs, live, staleMs)
+    val lease = foldLeasePath(live)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beatMs = math.max(staleMs / 6, 50L)
+    val beat = new Thread(() => {
+      try {
+        while (!stop.await(beatMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          try {
+            if (readLease(fs, lease).contains(token))
+              fs.setTimes(lease, System.currentTimeMillis(), -1)
+          } catch { case _: Exception => () } // skip one beat; window is 6 deep
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-fold-lease-heartbeat-${live.getName}")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      stop.countDown()
+      try beat.join(2000L) catch { case _: InterruptedException => () }
+      releaseFoldLease(fs, live, token)
+    }
   }
 
   // ---- replay fence for CDC-maintained structures -----------------------
@@ -400,12 +513,20 @@ object Layout {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
         finally in.close()
       }
+    // the retry read sits in its own handler: a SECOND concurrent swap
+    // can vanish the marker again between the retry's exists and open,
+    // and that race must be absorbed (as "no fence yet"), not escape —
+    // the caller re-probes on its next batch anyway
+    def readMarkerAbsorbed(): Option[Long] =
+      try readMarker()
+      catch { case _: java.io.FileNotFoundException => None }
     try {
       val r = readMarker()
-      if (r.isEmpty && !fs.exists(root)) { Thread.sleep(50L); readMarker() }
+      if (r.isEmpty && !fs.exists(root)) { Thread.sleep(50L); readMarkerAbsorbed() }
       else r
     } catch {
-      case _: java.io.FileNotFoundException => Thread.sleep(50L); readMarker()
+      case _: java.io.FileNotFoundException =>
+        Thread.sleep(50L); readMarkerAbsorbed()
     }
   }
 
@@ -543,12 +664,32 @@ object Layout {
     // a fold that died between lease acquire and release left its
     // `.foldlock` behind — clear it iff the holder is provably dead
     // (same-host PID check / stale window), never a live holder's
+    // a claimant that crashed between its takeover rename and the
+    // tombstone delete leaks one `.foldlock.claim-<pid>-<nonce>` file;
+    // nothing else cleans those (the claim path deletes only its OWN
+    // nonce), so vacuum dead claimants' here — pid liveness, same rule
+    // as the writer's .wtmp sweep
+    siblings("foldlock.claim").foreach { t =>
+      val pid = t.getName.split("\\.claim-").last.takeWhile(_.isDigit)
+      val dead = pid.nonEmpty && pid.length <= 18 &&
+        !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+      if (dead) {
+        fs.delete(t, false)
+        report += s"vacuumed dead claimant's lease tombstone ${t.getName}"
+      }
+    }
     val lease = foldLeasePath(live)
     if (fs.exists(lease)) {
       val holder = readLease(fs, lease)
+      // same single-winner claim as acquireFoldLease's takeover — a
+      // plain read-then-delete here could delete a lease that was
+      // cleared and re-acquired by a live fold between our read and
+      // our delete
       if (leaseStale(fs, lease, holder, 30L * 60 * 1000)) {
-        fs.delete(lease, false)
-        report += s"cleared dead holder's fold lease (${holder.getOrElse("unreadable")})"
+        if (claimStaleLease(fs, lease, holder))
+          report += s"cleared dead holder's fold lease (${holder.getOrElse("unreadable")})"
+        else
+          report += "fold lease was re-claimed while clearing — left to its new holder"
       } else
         report += s"fold lease held by a LIVE holder (${holder.getOrElse("unreadable")}) — left in place"
     }

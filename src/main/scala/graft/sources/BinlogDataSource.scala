@@ -788,12 +788,20 @@ class BinlogPartitionReader(part: BinlogInputPartition, schema: StructType,
     * post-ALTER schema, pre-ALTER prefix images null-pad, so the rows
     * that follow the statement match payloadDdl exactly — nothing to
     * fail on. Any ALTER that also drops/changes/renames still fails
-    * (not expressible as a prefix).
+    * (not expressible as a prefix) — and so does a POSITIONED add
+    * (`ADD COLUMN ... FIRST` / `... AFTER c`): it reorders the row
+    * image, so the pre-ALTER prefix no longer lines up column-for-
+    * column and a null-pad decode would silently misalign every
+    * value. `CONVERT TO CHARACTER SET` rewrites text-column storage
+    * with the same silent-garbage consequence. The word-boundary
+    * match is deliberately conservative: a column literally named
+    * `first` fails loudly rather than risking a wrong pass.
     */
   private val pureAddColumn =
     java.util.regex.Pattern.compile("(?is).*\\bADD\\s+COLUMN\\b.*")
   private val nonPrefixClause =
-    java.util.regex.Pattern.compile("(?is).*\\b(DROP|CHANGE|MODIFY|RENAME)\\b.*")
+    java.util.regex.Pattern.compile(
+      "(?is).*\\b(DROP|CHANGE|MODIFY|RENAME|FIRST|AFTER|CONVERT)\\b.*")
   private def checkDdl(q: QueryEvent): Unit =
     if (onSchemaChange != "ignore") q.sql match {
       case DdlPattern(a, b) =>

@@ -152,6 +152,121 @@ class FoldLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(Layout.foldLeasePath(live)))
   }
 
+  test("takeover race: two contenders at the same stale lease — exactly one wins") {
+    // the round-16 delete-then-create takeover could let BOTH in when
+    // the second contender's delete landed after the first's fresh
+    // create; the rename-to-nonce claim is single-winner. Race it
+    // repeatedly to shake interleavings.
+    for (rep <- 0 until 20) {
+      val live = livePath()
+      val lease = Layout.foldLeasePath(live)
+      val out = fs.create(lease, false)
+      try out.write("pid=1;host=elsewhere;ts=0;nonce=0".getBytes("UTF-8"))
+      finally out.close()
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 31L * 60 * 1000))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def contender() = new Thread(() => {
+        barrier.await()
+        try results.add(Right(Layout.acquireFoldLease(fs, live)))
+        catch { case e: Throwable => results.add(Left(e)) }
+      })
+      val a = contender(); val b = contender()
+      a.start(); b.start(); a.join(30000); b.join(30000)
+      val (losers, winners) = results.toArray.toVector
+        .map(_.asInstanceOf[Either[Throwable, String]])
+        .partition(_.isLeft)
+      assert(winners.size == 1,
+        s"rep $rep: expected exactly one stale-takeover winner, got: $results")
+      assert(winners.size + losers.size == 2, s"rep $rep: lost a contender")
+      // whoever won is the recorded holder; losers failed by name
+      winners.headOption.foreach { w =>
+        val content = {
+          val in = fs.open(lease)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        assert(content == w.toOption.get,
+          s"rep $rep: lease content is not the winner's token")
+      }
+      losers.foreach(l => assert(
+        l.left.toOption.get.getMessage.contains("fold lease"), s"rep $rep: $l"))
+      // no claim tombstone leaked (winner deletes its own; loser never
+      // renamed)
+      val leaked = fs.listStatus(live.getParent).map(_.getPath.getName)
+        .filter(_.contains(".claim-"))
+      assert(leaked.isEmpty, s"rep $rep: leaked claim tombstones: ${leaked.toSeq}")
+    }
+  }
+
+  test("claim verify: an outdated staleness judgment restores a fresh lease, never steals it") {
+    // between contender B's staleness judgment and its rename, the dead
+    // lease can be claimed AND replaced by a fresh holder A — B's claim
+    // must detect the content mismatch, put A's lease back, and lose
+    val live = livePath()
+    val lease = Layout.foldLeasePath(live)
+    val fresh = Layout.acquireFoldLease(fs, live) // A's live lease
+    val claimed = Layout.claimStaleLease(fs, lease,
+      Some("pid=1;host=elsewhere;ts=0;nonce=0")) // B judged the OLD content stale
+    assert(!claimed, "claim won against a lease whose content changed after the judgment")
+    assert(fs.exists(lease), "the fresh holder's lease was not restored")
+    val content = {
+      val in = fs.open(lease)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(content == fresh, "restored lease is not the fresh holder's")
+    val leaked = fs.listStatus(live.getParent).map(_.getPath.getName)
+      .filter(_.contains(".claim-"))
+    assert(leaked.isEmpty, s"leaked claim tombstones: ${leaked.toSeq}")
+    Layout.releaseFoldLease(fs, live, fresh)
+  }
+
+  test("heartbeat: a slow-but-ALIVE holder past the stale window is not stolen; a non-beating stale one is") {
+    // pre-heartbeat, olderThanWindow alone judged a lease stale — so a
+    // fold legitimately slower than the window was stolen from a live
+    // holder. The heartbeat refreshes mtime every staleMs/6; age past
+    // the window now means the holder stopped beating.
+    val live = livePath()
+    val staleMs = 900L
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val bodyEntered = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Layout.withFoldLease(fs, live, staleMs) {
+        bodyEntered.countDown()
+        // hold WELL past the stale window while the heartbeat beats
+        Thread.sleep(3 * staleMs)
+      }
+      holderDone.countDown()
+    })
+    holder.start()
+    assert(bodyEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(2 * staleMs) // deep past the window; ~12 beats have fired
+    val e = intercept[IllegalStateException] {
+      Layout.acquireFoldLease(fs, live, staleMs)
+    }
+    assert(e.getMessage.contains("fold lease"),
+      s"a heartbeating live holder was stolen from: $e")
+    assert(holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(!fs.exists(Layout.foldLeasePath(live)), "holder did not release")
+    // contrast: the same age WITHOUT a heartbeat (a planted foreign
+    // lease) is taken over — slow≠dead, but silent-for-the-window=dead
+    val lease = Layout.foldLeasePath(live)
+    val out = fs.create(lease, false)
+    try out.write("pid=1;host=elsewhere;ts=0;nonce=0".getBytes("UTF-8"))
+    finally out.close()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lease.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * staleMs))
+    val token = Layout.acquireFoldLease(fs, live, staleMs)
+    assert(token.contains(s"pid=${ProcessHandle.current().pid()}"))
+    Layout.releaseFoldLease(fs, live, token)
+  }
+
   test("two JVMs: loser names the foreign holder; a KILLED holder is taken over") {
     val live = livePath()
     val javaBin = System.getProperty("java.home") + "/bin/java"

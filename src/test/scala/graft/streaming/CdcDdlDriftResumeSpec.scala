@@ -203,6 +203,46 @@ class CdcDdlDriftResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(work)
   }
 
+  test("a positioned ADD COLUMN (FIRST/AFTER) fails even under ddlEvolution=addColumns") {
+    // `ADD COLUMN ... AFTER id` REORDERS the row image: the pre-ALTER
+    // rows are no longer a column-for-column prefix of the post-ALTER
+    // schema, so a null-pad decode would silently misalign every value.
+    // The guard must fail BY NAME despite the option — for both
+    // positioned forms and for a multi-clause ALTER whose extra clause
+    // is row-format-changing.
+    for (alter <- Seq(
+        "ALTER TABLE bench.doc ADD COLUMN note VARCHAR(24) AFTER id",
+        "ALTER TABLE bench.doc ADD COLUMN note VARCHAR(24) FIRST",
+        "ALTER TABLE bench.doc ADD COLUMN note VARCHAR(24), DROP COLUMN word",
+        "ALTER TABLE bench.doc ADD COLUMN note VARCHAR(24), " +
+          "CONVERT TO CHARACTER SET utf8mb4")) {
+      val work = java.nio.file.Files.createTempDirectory("graft-ddl-pos")
+      val fix = work.resolve("log")
+      java.nio.file.Files.createDirectories(fix)
+      new Writer(checksum = true).writeFormatDescription(ts = 1)
+        .writeQuery("bench", "BEGIN", ts = 2)
+        .writeTableMap(7, "bench", "doc", cols1, ts = 2)
+        .writeInsert(7, cols1, Seq(Seq[Any](1, "alpha_1")), ts = 2)
+        .writeXid(1, ts = 2)
+        .writeQuery("bench", alter, ts = 3)
+        .save(fix.resolve("binlog.000001").toString)
+      val e = intercept[Throwable] {
+        spark.read.format("mysql-binlog")
+          .option("payloadDdl", ddl2)
+          .option("ddlEvolution", "addColumns")
+          .load(fix.toString)
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(messages(e).exists(m =>
+        m.contains("schema change") && m.contains("payloadDdl")),
+        s"$alter should have failed by name, got: $e")
+      rmTree(work)
+    }
+  }
+
   test("wider images still fail loudly even under ddlEvolution=addColumns") {
     val work = java.nio.file.Files.createTempDirectory("graft-ddl-wider")
     val fix = work.resolve("log")
