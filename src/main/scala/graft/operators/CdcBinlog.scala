@@ -1657,6 +1657,96 @@ object CdcBinlog {
         .orderBy($"r_dense")
     }
 
+  // cdcm13 — REQUANTIZE-under-the-oracle: the quantizer-drift lifecycle
+  // op cdcm8 deliberately does not run. cdcm5's pipeline builds the CDC
+  // ANN index (the FIRST batch defines the coarse quantizer — by the
+  // last batch the corpus has grown and churned well past it), then
+  // Similarity.requantizeCdcAnnIndex re-derives centroids from the
+  // CURRENT live corpus and re-assigns every live vector, published
+  // through the same lease + fence + two-rename protocol as the folds.
+  // The gate pins the physical contract (both layouts folded to a lone
+  // seg=base, the replay fence at the last ingest ordinal, and the
+  // centroid table actually CHANGED — a requantize that silently kept
+  // the stale quantizer would pass any probe-only check) and then
+  // hash-compares the exact-MIPS probe against the same brute-force
+  // DuckDB oracle as cdcm5: exact-probe results are invariant to the
+  // partition by construction, so a mismatch means the re-assignment
+  // lost, duplicated or mis-stored vectors. Pruned-probe recall under
+  // the new quantizer changes BY DESIGN and is spec territory
+  // (CdcAnnIndexSpec), not oracle territory.
+  def cdcm13RequantizedAnnFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm13") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 4, 1L)
+      val idx = work.resolve("annindex").toString
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm5BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty)
+              graft.operators.Similarity.appendCdcAnnSegment(
+                imgs, idx, f"b$batchId%06d")
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val ingestSegs = segNames(s, s"$idx/doclog")
+      require(ingestSegs.size >= 3,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
+          "the requantize gate needs >= 3 real ingest segments")
+      val lastOrdinal = ingestSegs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg="))).max
+      // the FIRST batch's quantizer, fingerprinted before the rebuild
+      // (k rows x dims scalars — bounded by the quantizer, never the corpus)
+      def centroidPrint(): Seq[(Int, Seq[Double])] =
+        s.read.parquet(s"$idx/centroids")
+          .orderBy($"cell").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      val before = centroidPrint()
+      graft.operators.Similarity.requantizeCdcAnnIndex(s, idx)
+      // physical contract: a full fold (lone base in BOTH layouts), the
+      // replay fence at the last consumed ingest batch, NEW centroids
+      for (leg <- Seq("doclog", "cells")) {
+        val segs = segNames(s, s"$idx/$leg")
+        require(segs == Set("seg=base"),
+          s"$leg: requantize must fold to a lone seg=base, got $segs")
+      }
+      val root = new org.apache.hadoop.fs.Path(idx)
+      val fence = Layout.foldedThrough(
+        root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+      require(fence.contains(lastOrdinal),
+        s"replay fence $fence != last ingest ordinal $lastOrdinal — a " +
+          "replayed pre-requantize batch would re-enter under the new quantizer")
+      require(centroidPrint() != before,
+        "requantize kept the first batch's centroids — the quantizer was not rebuilt")
+      // probe vector: the smallest live id's embedding, read back from
+      // the REQUANTIZED index (one slim row to the driver — cdcm5's shape)
+      val doclog = s.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$idx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
+          .orderBy($"r_dense")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+        .orderBy($"r_dense")
+    }
+
   // cdcm6 — CDC-maintained DEDUP state, the third freshness leg (text
   // cdcm4, vectors cdcm5, duplicates here): each micro-batch appends a
   // slim versioned fingerprint log (doc_id, ver, deleted, fp =
@@ -2226,6 +2316,7 @@ object CdcBinlog {
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
+    "cdcm13_requantized_ann_freshness" -> cdcm13RequantizedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
@@ -2428,6 +2519,9 @@ object CdcBinlog {
     // the compact-under-ingest twins share their steady-state siblings'
     // oracles VERBATIM: compaction must be invisible to the probe
     "cdcm8_compacted_ann_freshness" -> annFreshnessOracle(sfDir),
+    // exact probe is invariant to the quantizer partition — the
+    // requantized index must still brute-force-match the latest images
+    "cdcm13_requantized_ann_freshness" -> annFreshnessOracle(sfDir),
     "cdcm9_compacted_fp_freshness" -> fpGroupsOracle(sfDir),
     // per-table full rebuilds over the multi-table ground truth: any
     // cross-table bleed in the routed indexes hash-fails a leg

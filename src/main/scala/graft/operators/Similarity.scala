@@ -620,6 +620,101 @@ object Similarity {
     }
   }
 
+  /** REQUANTIZE the CDC ANN index: re-derive the coarse quantizer from
+    * the CURRENT live corpus and re-assign every live vector to it —
+    * the lifecycle op [[compactCdcAnnIndex]] deliberately is not. The
+    * fold keeps assignments because the IVF contract scopes the
+    * quantizer to a rebuild; this IS that rebuild, run in place: the
+    * first batch's centroids go stale as the corpus grows and churns
+    * (cells unbalance, pruned-probe recall decays), and the only cure
+    * is new centroids + new assignments. Exact-probe results are
+    * UNCHANGED by construction (any partition of the live rows unions
+    * back to the same corpus); pruned-probe recall changes BY DESIGN —
+    * so the proof obligation is the oracle gate (cdcm13: exact probe
+    * hash-matches brute force over latest images) plus the restart
+    * spec's centroid byte-compare, not probe-invariance.
+    *
+    * Quantizer: seed with the k smallest live vec_ids' vectors, then
+    * `iterations` Lloyd rounds of the index's own arithmetic
+    * (assign-to-centroids argmax, exact decimal-mean centroids) — all
+    * DataFrame-native; per round the corpus sees one narrow broadcast
+    * assignment pass and one slim (k·dims rows) centroid shuffle,
+    * nothing corpus-sized is collected or broadcast. Superseded and
+    * tombstoned versions are dropped and the doc log collapses (a
+    * requantize subsumes a compact). Publish: same lease + staging +
+    * `_folded_through` fence + two-rename protocol as the compactors —
+    * a crash anywhere leaves either the old index or the new one,
+    * adjudicated by [[Layout.recoverPublish]], and replayed ingest
+    * batches at or below the fence are skipped.
+    */
+  def requantizeCdcAnnIndex(s: SparkSession, indexDir: String, k: Int = 16,
+                            iterations: Int = 2): Unit = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.withFoldLease(fs, p) {
+    val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
+      .intersect(Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/cells")))
+    require(segs.nonEmpty, s"requantize: no committed segments under $indexDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
+    val live = s.read.option("basePath", s"$indexDir/doclog")
+      .parquet(segs.map(n => s"$indexDir/doclog/$n"): _*)
+      .groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+      .persist()
+    try {
+      val cells = s.read.option("basePath", s"$indexDir/cells")
+        .parquet(segs.map(n => s"$indexDir/cells/$n"): _*)
+        .drop("seg")
+      // live rows, OLD cell dropped; the Lloyd loop re-reads these, so
+      // pin them once (live-corpus-sized, same footprint as a compact)
+      val rows = cells
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .select(cells.columns.filterNot(_ == "cell").map(col): _*)
+        .persist()
+      try {
+        require(!rows.isEmpty, s"requantize: no live vectors under $indexDir")
+        // the appenders' float-view dance: quantize on floats, store
+        // the exact long arrays the integer-dot probe scores
+        val floatView = rows
+          .withColumn("emb_exact", $"embedding")
+          .withColumn("embedding", $"embedding".cast("array<float>"))
+        // seeds: k smallest LIVE vec_ids (not `vec_id < k` — those ids
+        // may be deleted by now); the window runs over k rows, not the
+        // corpus (limit first), so the single task is bounded by k·dims
+        val seeds = floatView.orderBy($"vec_id").limit(k)
+          .select($"vec_id", $"embedding".cast("array<double>").as("centroid"))
+          .withColumn("cell",
+            (org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy($"vec_id")) - 1))
+          .select($"cell", $"centroid")
+        var cent = seeds.localCheckpoint(true) // k rows, eager — truncates lineage per round
+        for (_ <- 1 to iterations)
+          cent = cellCentroids(assignToCentroids(floatView, cent))
+            .localCheckpoint(true)
+        val assigned = assignToCentroids(floatView, cent)
+          .withColumn("embedding", $"emb_exact").drop("emb_exact")
+        val staging = s"$indexDir.optimize-${ProcessHandle.current().pid()}"
+        assigned
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/cells/seg=base")
+        live.select($"vec_id", $"ver", $"deleted")
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+        cent.coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+        upTo.foreach(u =>
+          Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+        Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
+      } finally rows.unpersist()
+    } finally live.unpersist()
+    }
+  }
+
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the
     * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
     * integer dot per live row → rankedTopK. Integer embeddings keep the

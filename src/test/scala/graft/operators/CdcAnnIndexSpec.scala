@@ -110,4 +110,78 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally tw.close()
   }
+
+  test("requantize: new quantizer over the live corpus, exact probe invariant, fence fenced, ingest continues") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcann-rq")
+    val idx = work.resolve("ann").toString
+
+    val b0 = (1L to 40L).map(i => (i, vec(i), 0L, false))
+    val b1 = Seq((7L, vec(7007), 1L, false), (9L, Seq.empty[Long], 1L, true),
+      (41L, vec(41), 1L, false))
+    Similarity.appendCdcAnnSegment(images(b0), idx, "b000000", k = 4)
+    Similarity.appendCdcAnnSegment(images(b1), idx, "b000001", k = 4)
+    val centOld = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val qv = vec(7)
+    def probe(): Seq[(Long, Long, Long)] =
+      Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = probe()
+
+    Similarity.requantizeCdcAnnIndex(spark, idx, k = 4)
+
+    // physical contract: full fold, fence at the last consumed batch,
+    // a genuinely NEW quantizer (the old seeded from `vec_id < 4` — ids
+    // 1..3 of the FIRST batch; the new seeds from the k smallest LIVE
+    // ids and Lloyd-refines over the whole corpus)
+    for (leg <- Seq("doclog", "cells")) {
+      val segs = new java.io.File(s"$idx/$leg").listFiles()
+        .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+      assert(segs === Seq("seg=base"), s"$leg not folded: $segs")
+    }
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.foldedThrough(fs, root) === Some(1L),
+      "requantize must fence the consumed segments")
+    val centNew = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(centNew !== centOld, "requantize kept the stale quantizer")
+
+    // the EXACT probe is invariant to the partition; pruned scores may
+    // only narrow the candidate set, never change a score
+    assert(probe() === got, "requantize changed the exact probe")
+    val latest = (1L to 40L).filterNot(_ == 9L)
+      .map(i => (i, if (i == 7L) vec(7007) else vec(i))) :+ ((41L, vec(41)))
+    def dot(a: Seq[Long]) = a.zip(qv).map { case (x, y) => x * y }.sum
+    val exactByDoc = latest.map { case (id, e) => id -> dot(e) }.toMap
+    Similarity.mipsTopKViaCdcAnnIndexPruned(spark, idx, qv, 10, nprobe = 1)
+      .collect().foreach { r =>
+        assert(exactByDoc(r.getLong(0)) === r.getLong(1),
+          "post-requantize pruning changed a score")
+      }
+
+    // a replayed pre-requantize batch is fenced out (its rows live in
+    // the rebuilt base — re-adding them would double-score)
+    assert(!Similarity.appendCdcAnnSegment(images(b1), idx, "b000001", k = 4),
+      "a replay at the fence was not skipped")
+    assert(probe() === got, "a fenced replay changed the probe")
+
+    // ingest CONTINUES under the new quantizer: the next batch assigns
+    // against the published (rebuilt) centroids and is immediately live
+    val b2 = Seq((42L, vec(42), 2L, false), (7L, vec(7), 2L, false))
+    assert(Similarity.appendCdcAnnSegment(images(b2), idx, "b000002", k = 4))
+    val latest2 = latest.filterNot(_._1 == 7L) ++ Seq((42L, vec(42)), (7L, vec(7)))
+    val want2 = latest2.map { case (id, e) => (id, dot(e)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), r) => (id, s, (r + 1).toLong) }
+    assert(probe() === want2,
+      "post-requantize ingest diverged from brute force over latest images")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
 }

@@ -311,4 +311,112 @@ class CdcFoldCrashResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rollback + resume + re-fold diverged from the uninterrupted run")
     rmTree(ref); rmTree(work)
   }
+
+  /** The requantize twin: unlike a compact, the staged artifact carries
+    * a REBUILT quantizer, so the two crash states diverge in what they
+    * must preserve — a between-renames crash rolls the FIRST-BATCH
+    * centroids back byte-exactly (publishing the rebuilt ones with the
+    * OLD unfolded cells would mis-prune every probe: assignments and
+    * quantizer must always travel together), while an after-consume
+    * crash publishes the NEW quantizer with its matching re-assigned
+    * base. Either way the resumed stream's replayed batch sits at or
+    * below the published fence and must be skipped, and the exact probe
+    * — partition-invariant by construction — must match an
+    * uninterrupted same-cap run that never requantized at all.
+    */
+  test("requantize crash: between-renames restores the old quantizer; after-consume publishes the new one; resume respects the fence") {
+    import graft.operators.{Layout, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+
+    // uninterrupted same-cap reference, NO requantize: the exact probe
+    // is invariant to the cell partition, so this is also the
+    // post-requantize ground truth
+    val ref = java.nio.file.Files.createTempDirectory("graft-annrq-ref")
+    val qRef = startAnn(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    assert(segDirs(ref.resolve("annindex").resolve("doclog")) >= 3)
+    val wantProbe = annProbe(ref)
+
+    // run, kill mid-stream (>= 2 segments so the requantize has real
+    // multi-batch state to consume, < 8 so batches remain to resume)
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-annrq")
+      val secondCommit = new java.util.concurrent.CountDownLatch(2)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) secondCommit.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = startAnn(work, Trigger.ProcessingTime(0))
+        assert(secondCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = segDirs(work.resolve("annindex").resolve("doclog"))
+      landed = segs >= 2 && segs < 8
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed mid-stream in 5 attempts")
+
+    val live = work.resolve("annindex")
+    val liveP = new org.apache.hadoop.fs.Path(live.toString)
+    val preCent = centroids(work) // the first batch's quantizer
+    val old = work.resolve("old-snapshot")
+    copyTree(live, old)
+    Similarity.requantizeCdcAnnIndex(spark, live.toString)
+    val reqCent = centroids(work) // the rebuilt quantizer
+    assert(reqCent !== preCent, "the rebuild kept the first-batch quantizer")
+    val reqFence = Layout.foldedThrough(fs, liveP)
+    assert(reqFence.isDefined)
+
+    // crash state A: between the renames — old under `.trash-*`, the
+    // requantized tree under `.optimize-*`, live gone
+    java.nio.file.Files.move(live, work.resolve("annindex.optimize-999"))
+    java.nio.file.Files.move(old, work.resolve("annindex.trash-999"))
+    val reportA = Layout.recoverPublish(fs, liveP)
+    info(s"recoverPublish A: $reportA")
+    assert(reportA.startsWith("restored"), s"expected the OLD state back, got: $reportA")
+    assert(Layout.foldedThrough(fs, liveP).isEmpty,
+      "the staged requantize's fence leaked into the restored UNFOLDED index")
+    assert(centroids(work) === preCent,
+      "rollback did not restore the first-batch quantizer byte-exactly")
+
+    // the re-run rebuilds the SAME quantizer over the same consumed
+    // state (the re-cluster is deterministic: seeded by the k smallest
+    // live ids, exact decimal means, deterministic argmax tie-breaks)
+    Similarity.requantizeCdcAnnIndex(spark, live.toString)
+    assert(centroids(work) === reqCent,
+      "re-running the requantize over the same corpus rebuilt a different quantizer")
+    assert(Layout.foldedThrough(fs, liveP) === reqFence)
+
+    // crash state B: after the old state was consumed — only the staged
+    // requantize left; recovery must publish it, quantizer and fence intact
+    java.nio.file.Files.move(live, work.resolve("annindex.optimize-998"))
+    val reportB = Layout.recoverPublish(fs, liveP)
+    info(s"recoverPublish B: $reportB")
+    assert(reportB.startsWith("published"), s"expected the staged state in, got: $reportB")
+    assert(centroids(work) === reqCent,
+      "publish-forward lost the rebuilt quantizer")
+    assert(Layout.foldedThrough(fs, liveP) === reqFence,
+      "publish-forward lost the replay fence")
+
+    // resume from the SAME checkpoint: the replayed batch is at or
+    // below the fence (skipped — its rows live in the rebuilt base);
+    // the remaining batches append under the NEW quantizer
+    val q2 = startAnn(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(centroids(work) === reqCent,
+      "resumed ingest replaced the rebuilt quantizer — appends must never touch it")
+    assert(segDirs(work.resolve("annindex").resolve("doclog")) > 1,
+      "the resumed stream appended nothing — the fence swallowed live batches")
+    assert(annProbe(work) === wantProbe,
+      "requantize + crash recovery + resume diverged from the uninterrupted run")
+    rmTree(ref); rmTree(work)
+  }
 }
