@@ -631,9 +631,38 @@ object TextAnalysis {
     // a (re)build starts a NEW index: earlier segments described a corpus
     // that no longer exists — the buildAnnIndex wipe contract
     val root = new org.apache.hadoop.fs.Path(indexDir)
-    root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(root, true)
+    val fs = root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
     writeTextSegment(docs, indexDir, "base", nBuckets)
+    writeBucketMarker(fs, indexDir, nBuckets)
+  }
+
+  /** The index's RECORDED term-bucket count (`_nbuckets` at the root).
+    * The bucket count became a runtime property when [[rebucketTextIndex]]
+    * arrived: a probe pruning with the wrong count reads the wrong
+    * directories and silently misses postings, so the layout records its
+    * own count and the probes verify against it by name. Indexes built
+    * before the marker existed return None (verification skipped).
+    */
+  def textIndexBucketCount(s: SparkSession, indexDir: String): Option[Int] = {
+    val marker = new org.apache.hadoop.fs.Path(indexDir, "_nbuckets")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String, nBuckets: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, "_nbuckets"), true)
+    try out.write(nBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Append a document batch to an existing index: postings, df and
@@ -644,8 +673,16 @@ object TextAnalysis {
     * is re-read or re-tokenized — append cost is O(batch).
     */
   def appendToTextIndex(batch: DataFrame, indexDir: String, segment: String,
-                        nBuckets: Int = textIndexBuckets): Unit =
+                        nBuckets: Int = textIndexBuckets): Unit = {
+    // an append bucketed under a count that differs from the layout's
+    // would land rows in directories the probes never prune to —
+    // silently unsearchable; verify against the recorded count by name
+    textIndexBucketCount(batch.sparkSession, indexDir).foreach(recorded =>
+      require(recorded == nBuckets,
+        s"append bucketed by $nBuckets but the index at $indexDir records " +
+          s"$recorded term buckets (re-bucketed?) — pass the recorded count"))
     writeTextSegment(batch, indexDir, segment, nBuckets)
+  }
 
   /** Fold every segment of a text index into a single fresh base segment.
     *
@@ -687,6 +724,66 @@ object TextAnalysis {
     s.read.parquet(s"$indexDir/stats")
       .agg(sum($"n").as("n"), sum($"sumdl").as("sumdl"))
       .write.mode("overwrite").parquet(s"$staging/stats/seg=base")
+    // the bucket marker travels with the tree (the swap replaces the
+    // whole root, and a fold never changes the bucket count)
+    writeBucketMarker(
+      tgt.getFileSystem(s.sparkContext.hadoopConfiguration), staging, nBuckets)
+    swapDirs(s, staging, indexDir)
+    }
+  }
+
+  /** RE-BUCKET the index: rewrite postings and termstats under a NEW
+    * term-bucket count — the lifecycle op [[compactTextIndex]]
+    * deliberately is not (a fold never moves rows between buckets).
+    * `nBuckets` is fixed at build time, and the right count scales with
+    * the corpus: 64 directories prune beautifully at gigabytes, but a
+    * corpus grown 100× wants its per-bucket postings files back down to
+    * probe-sized reads, and the only alternative to this op is a full
+    * rebuild — a re-tokenization of the whole corpus plus a probe
+    * outage. The re-bucket reads the POSTINGS once (never the corpus:
+    * no re-tokenization, df re-sums from the slim termstats rows, stats
+    * collapse to one row), hashes each row to its new bucket, and pays
+    * exactly one postings-sized shuffle — the cost floor for a layout
+    * change that moves every row's directory. Scores are bit-identical
+    * by construction: bucketing is pure physical placement (the probe
+    * prunes directories, then scores rows it would have scored anyway),
+    * pinned in IndexCompactionSpec against both probe paths.
+    *
+    * Published like every fold: lease + staged tree + two-rename swap
+    * ([[Layout.publishDir]] / [[Layout.recoverPublish]]) — no
+    * rebuild-probe outage, a crash leaves old or new, never neither.
+    * The staged tree carries the new `_nbuckets` marker, and the probes
+    * verify their pruning count against it BY NAME — a probe still
+    * passing the old count after a re-bucket fails loudly instead of
+    * silently missing every moved posting.
+    */
+  def rebucketTextIndex(s: SparkSession, indexDir: String,
+                        newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    import s.implicits._
+    val tgt = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = tgt.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.withFoldLease(fs, tgt) {
+    val staging = s"$indexDir.optimize-${ProcessHandle.current().pid()}"
+    s.read.parquet(s"$indexDir/postings")
+      .select($"term", $"doc_id", $"dl", $"tf")
+      .withColumn("tb", pmod(hash($"term"), lit(newBuckets)))
+      // the one unavoidable shuffle: rows MOVE buckets, so cluster by
+      // the new tb before the partitionBy write (tasks × buckets tiny
+      // files otherwise)
+      .repartition($"tb")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$staging/postings/seg=base")
+    s.read.parquet(s"$indexDir/termstats")
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .withColumn("tb", pmod(hash($"term"), lit(newBuckets)))
+      .repartition($"tb")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$staging/termstats/seg=base")
+    s.read.parquet(s"$indexDir/stats")
+      .agg(sum($"n").as("n"), sum($"sumdl").as("sumdl"))
+      .write.mode("overwrite").parquet(s"$staging/stats/seg=base")
+    writeBucketMarker(fs, staging, newBuckets)
     swapDirs(s, staging, indexDir)
     }
   }
@@ -732,6 +829,13 @@ object TextAnalysis {
                        k: Int, nBuckets: Int = textIndexBuckets,
                        excludeDocId: Long = Long.MinValue): DataFrame = {
     import s.implicits._
+    // pruning with a bucket count that differs from the layout's reads
+    // the wrong directories and silently MISSES postings — fail by name
+    // against the recorded count instead (absent on pre-marker indexes)
+    textIndexBucketCount(s, indexDir).foreach(recorded =>
+      require(recorded == nBuckets,
+        s"probe asked for $nBuckets term buckets but the index at $indexDir " +
+          s"records $recorded (re-bucketed?) — pass the recorded count"))
     val tbs = termBuckets(s, terms, nBuckets)
     // segment merge is EXACT: n/sumdl/df are long sums, associative in any
     // order, so an appended index scores bit-identically to a full rebuild

@@ -66,6 +66,68 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text index: re-bucketing preserves probe results bit-exactly under the NEW pruning; drifted probes and appends fail by name") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val docs = graft.core.Tables.documents(spark, d)
+      val dir = s"$tmp/idx"
+      TextAnalysis.buildTextIndex(docs.filter($"doc_id" % 10 < 7), dir,
+        nBuckets = 8)
+      TextAnalysis.appendToTextIndex(
+        docs.filter($"doc_id" % 10 === 7 || $"doc_id" % 10 === 8), dir, "b1",
+        nBuckets = 8)
+      def probe(nb: Int) = TextAnalysis
+        .bm25TopKViaIndex(spark, dir, TextAnalysis.bm25Terms, 10000,
+          nBuckets = nb)
+        .collect().map(_.toString).sorted.toSeq
+      val before = probe(8)
+      assert(before.nonEmpty)
+      assert(TextAnalysis.textIndexBucketCount(spark, dir) === Some(8))
+
+      TextAnalysis.rebucketTextIndex(spark, dir, newBuckets = 32)
+
+      // the layout really moved: marker updated, folded to one base,
+      // and postings occupy buckets beyond the old range (32 dirs can't
+      // all be < 8 for a real vocabulary)
+      assert(TextAnalysis.textIndexBucketCount(spark, dir) === Some(32))
+      assert(segDirs(s"$dir/postings") == Seq("seg=base"))
+      val tbs = new java.io.File(s"$dir/postings/seg=base").listFiles()
+        .map(_.getName).filter(_.startsWith("tb="))
+        .map(_.stripPrefix("tb=").toInt).toSeq
+      assert(tbs.exists(_ >= 8),
+        s"re-bucketing left every posting in the old bucket range: $tbs")
+
+      // bit-identical scores under the new pruning — bucketing is pure
+      // physical placement
+      assert(probe(32) === before)
+      // probing (or appending) with the STALE count fails by name
+      // instead of silently missing moved postings
+      val e = intercept[IllegalArgumentException] { probe(8) }
+      assert(e.getMessage.contains("records 32"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TextAnalysis.appendToTextIndex(
+          docs.filter($"doc_id" % 10 === 9), dir, "b2", nBuckets = 8)
+      }
+      assert(e2.getMessage.contains("records 32"), e2.getMessage)
+
+      // the lifecycle continues at the new count: append, probe, fold
+      TextAnalysis.appendToTextIndex(
+        docs.filter($"doc_id" % 10 === 9), dir, "b2", nBuckets = 32)
+      val rebuilt = s"$tmp/rebuilt"
+      TextAnalysis.buildTextIndex(docs, rebuilt, nBuckets = 32)
+      val after = probe(32)
+      assert(after === TextAnalysis
+        .bm25TopKViaIndex(spark, rebuilt, TextAnalysis.bm25Terms, 10000,
+          nBuckets = 32)
+        .collect().map(_.toString).sorted.toSeq,
+        "post-rebucket append diverged from a full rebuild at the new count")
+      TextAnalysis.compactTextIndex(spark, dir, nBuckets = 32)
+      assert(TextAnalysis.textIndexBucketCount(spark, dir) === Some(32),
+        "the fold dropped the bucket marker")
+      assert(probe(32) === after, "the post-rebucket fold changed scores")
+    }
+  }
+
   test("txt18 lifecycle index: the gate probes a genuinely compacted layout") {
     // the cached gate index must end its build-append-append-compact
     // lifecycle as a single base segment — otherwise the gate would be
