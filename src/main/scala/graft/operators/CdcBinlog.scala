@@ -1657,30 +1657,44 @@ object CdcBinlog {
         .orderBy($"r_dense")
     }
 
-  // cdcm13 — REQUANTIZE-under-the-oracle: the quantizer-drift lifecycle
-  // op cdcm8 deliberately does not run. cdcm5's pipeline builds the CDC
-  // ANN index (the FIRST batch defines the coarse quantizer — by the
-  // last batch the corpus has grown and churned well past it), then
-  // Similarity.requantizeCdcAnnIndex re-derives centroids from the
-  // CURRENT live corpus and re-assigns every live vector, published
-  // through the same lease + fence + two-rename protocol as the folds.
-  // The gate pins the physical contract (both layouts folded to a lone
-  // seg=base, the replay fence at the last ingest ordinal, and the
-  // centroid table actually CHANGED — a requantize that silently kept
-  // the stale quantizer would pass any probe-only check) and then
-  // hash-compares the exact-MIPS probe against the same brute-force
-  // DuckDB oracle as cdcm5: exact-probe results are invariant to the
-  // partition by construction, so a mismatch means the re-assignment
-  // lost, duplicated or mis-stored vectors. Pruned-probe recall under
-  // the new quantizer changes BY DESIGN and is spec territory
+  // cdcm13 — REQUANTIZE-UNDER-INGEST, under the oracle: the
+  // quantizer-drift lifecycle op cdcm8 deliberately does not run.
+  // cdcm5's pipeline builds the CDC ANN index (the FIRST batch defines
+  // the coarse quantizer — by the third the corpus has grown and
+  // churned past it); after the third appended segment —
+  // foreachBatch bodies serialize on the driver, the real maintenance
+  // window — Similarity.requantizeCdcAnnIndex re-derives centroids from
+  // the CURRENT live corpus and re-assigns every live vector through
+  // the same lease + fence + two-rename protocol as the folds, and
+  // ingest then CONTINUES for >= 2 more segments whose appends assign
+  // against the rebuilt quantizer re-read THROUGH the published path.
+  // The gate pins the physical contract (seg=base + only the
+  // post-requantize appends in both layouts, the replay fence at the
+  // third batch's ordinal, and the centroid table actually CHANGED —
+  // a requantize that silently kept the stale quantizer would pass any
+  // probe-only check) and then hash-compares the exact-MIPS probe
+  // against the same brute-force DuckDB oracle as cdcm5: exact-probe
+  // results are invariant to the partition by construction, so a
+  // mismatch means the rebuild or the post-rebuild appends lost,
+  // duplicated or mis-assigned vectors. Pruned-probe recall under the
+  // new quantizer changes BY DESIGN and is spec territory
   // (CdcAnnIndexSpec), not oracle territory.
   def cdcm13RequantizedAnnFreshness(s: SparkSession, d: String): DataFrame =
     withRotatingWorkdir("graft-cdcm13") { work =>
       import s.implicits._
       val fix = fixtureDir(d)
       val totalBytes = fixtureBinlogBytes(s, fix)
-      val cap = math.max(totalBytes / 4, 1L)
+      // /6, the cdcm8 recipe: 3 pre-requantize segments AND >= 2
+      // post-requantize ones out of the same fixture
+      val cap = math.max(totalBytes / 6, 1L)
       val idx = work.resolve("annindex").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val centBefore =
+        new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+      val fenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+      def centroidPrint(): Seq[String] =
+        s.read.parquet(s"$idx/centroids")
+          .orderBy($"cell").collect().map(_.toString).toSeq
       val changes = s.readStream.format("mysql-binlog")
         .option("payloadDdl", payloadDdl)
         .option("maxBytesPerTrigger", cap.toString)
@@ -1690,42 +1704,42 @@ object CdcBinlog {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val imgs = cdcm5BatchImages(batch, batchId).persist()
           try {
-            if (!imgs.isEmpty)
-              graft.operators.Similarity.appendCdcAnnSegment(
-                imgs, idx, f"b$batchId%06d")
+            if (!imgs.isEmpty &&
+                graft.operators.Similarity.appendCdcAnnSegment(
+                  imgs, idx, f"b$batchId%06d") &&
+                appended.incrementAndGet() == 3) {
+              // the first batch's quantizer, fingerprinted right before
+              // the rebuild (k rows — bounded by the quantizer)
+              centBefore.set(centroidPrint())
+              fenceAt.set(batchId)
+              graft.operators.Similarity.requantizeCdcAnnIndex(s, idx)
+            }
           } finally imgs.unpersist()
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val ingestSegs = segNames(s, s"$idx/doclog")
-      require(ingestSegs.size >= 3,
-        s"bounded admission degenerated (cap=$cap of $totalBytes bytes) — " +
-          "the requantize gate needs >= 3 real ingest segments")
-      val lastOrdinal = ingestSegs.filter(_ != "seg=base")
-        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg="))).max
-      // the FIRST batch's quantizer, fingerprinted before the rebuild
-      // (k rows x dims scalars — bounded by the quantizer, never the corpus)
-      def centroidPrint(): Seq[(Int, Seq[Double])] =
-        s.read.parquet(s"$idx/centroids")
-          .orderBy($"cell").collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      val before = centroidPrint()
-      graft.operators.Similarity.requantizeCdcAnnIndex(s, idx)
-      // physical contract: a full fold (lone base in BOTH layouts), the
-      // replay fence at the last consumed ingest batch, NEW centroids
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-requantize " +
+          "segments and >= 2 post-requantize ones")
+      // physical contract: the rebuild folded everything it consumed
+      // (lone base + ONLY the post-requantize appends, in BOTH layouts),
+      // fence at the third batch, NEW centroids
       for (leg <- Seq("doclog", "cells")) {
         val segs = segNames(s, s"$idx/$leg")
-        require(segs == Set("seg=base"),
-          s"$leg: requantize must fold to a lone seg=base, got $segs")
+        require(segs.contains("seg=base") &&
+          segs.size == appended.get() - 3 + 1,
+          s"$leg: expected seg=base + ${appended.get() - 3} post-requantize " +
+            s"segments, got $segs")
       }
       val root = new org.apache.hadoop.fs.Path(idx)
       val fence = Layout.foldedThrough(
         root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
-      require(fence.contains(lastOrdinal),
-        s"replay fence $fence != last ingest ordinal $lastOrdinal — a " +
+      require(fence.contains(fenceAt.get()),
+        s"replay fence $fence != the requantize point ${fenceAt.get()} — a " +
           "replayed pre-requantize batch would re-enter under the new quantizer")
-      require(centroidPrint() != before,
+      require(centroidPrint() != centBefore.get(),
         "requantize kept the first batch's centroids — the quantizer was not rebuilt")
       // probe vector: the smallest live id's embedding, read back from
       // the REQUANTIZED index (one slim row to the driver — cdcm5's shape)
