@@ -909,6 +909,16 @@ object TextAnalysis {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (Layout.replayFenced(fs, root, segment)) return false
+    // the FIRST append defines the recorded bucket count (the text twin
+    // of the ANN index's first-batch quantizer contract); every later
+    // append must match it or its rows land in directories the probes
+    // never prune to — silently unsearchable
+    textIndexBucketCount(s, indexDir) match {
+      case Some(recorded) => require(recorded == nBuckets,
+        s"append bucketed by $nBuckets but the index at $indexDir records " +
+          s"$recorded term buckets (re-bucketed?) — pass the recorded count")
+      case None => writeBucketMarker(fs, indexDir, nBuckets)
+    }
     images.filter(!$"deleted")
       .select($"doc_id", $"ver",
         size(tokens($"text")).cast("long").as("dl"),
@@ -965,6 +975,10 @@ object TextAnalysis {
     val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
       .intersect(Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings")))
     require(segs.nonEmpty, s"compact: no committed segments under $indexDir")
+    textIndexBucketCount(s, indexDir).foreach(recorded =>
+      require(recorded == nBuckets,
+        s"compact asked for $nBuckets term buckets but the index at $indexDir " +
+          s"records $recorded (re-bucketed?) — pass the recorded count"))
     val upTo = (Layout.foldedThrough(fs, p).toSeq ++
       segs.filter(_ != "seg=base")
         .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
@@ -988,6 +1002,64 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
       upTo.foreach(u =>
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+      // the marker travels with the tree (the swap replaces the whole
+      // root, and a fold never changes the bucket count)
+      writeBucketMarker(fs, staging, nBuckets)
+      Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
+    } finally live.unpersist()
+    }
+  }
+
+  /** [[rebucketTextIndex]] for the CDC-maintained index: rewrite the
+    * postings under a NEW term-bucket count — one postings-sized
+    * shuffle, no corpus or change-stream re-read. A re-bucket subsumes
+    * a compact (reading every posting row anyway, it drops superseded
+    * and tombstoned versions and collapses the doc log for free), so it
+    * publishes with the fold's full protocol: committed-segments-only,
+    * replay fence at the highest consumed ordinal, lease, staged tree +
+    * two-rename swap. The staged tree carries the new `_nbuckets`
+    * marker; subsequent appends and probes verify against it by name —
+    * under live ingest this runs exactly where the compactors do (the
+    * serialized foreachBatch maintenance window or a maintenance job),
+    * and an append still carrying the old count after the swap fails
+    * loudly instead of writing unsearchable rows.
+    */
+  def rebucketCdcTextIndex(s: SparkSession, indexDir: String,
+                           newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.withFoldLease(fs, p) {
+    val segs = Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/doclog"))
+      .intersect(Layout.committedSegs(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings")))
+    require(segs.nonEmpty, s"rebucket: no committed segments under $indexDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
+    val live = s.read.option("basePath", s"$indexDir/doclog")
+      .parquet(segs.map(n => s"$indexDir/doclog/$n"): _*)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"),
+        $"m.deleted".as("deleted"), $"m.dl".as("dl"))
+      .filter(!$"deleted")
+      .persist()
+    try {
+      val staging = s"$indexDir.optimize-${ProcessHandle.current().pid()}"
+      s.read.option("basePath", s"$indexDir/postings")
+        .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
+        .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+        .select($"term", $"doc_id", $"ver", $"dl", $"tf")
+        .withColumn("tb", pmod(hash($"term"), lit(newBuckets)))
+        .repartition($"tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$staging/postings/seg=base")
+      live.select($"doc_id", $"ver", $"deleted", $"dl")
+        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+      upTo.foreach(u =>
+        Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+      writeBucketMarker(fs, staging, newBuckets)
       Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     } finally live.unpersist()
     }
@@ -1005,6 +1077,12 @@ object TextAnalysis {
                           terms: Seq[String], k: Int,
                           nBuckets: Int = textIndexBuckets): DataFrame = {
     import s.implicits._
+    // same drift guard as [[bm25TopKViaIndex]]: the wrong bucket count
+    // prunes to the wrong directories and silently misses postings
+    textIndexBucketCount(s, indexDir).foreach(recorded =>
+      require(recorded == nBuckets,
+        s"probe asked for $nBuckets term buckets but the index at $indexDir " +
+          s"records $recorded (re-bucketed?) — pass the recorded count"))
     val doclog = s.read.parquet(s"$indexDir/doclog")
     val live = doclog.groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))

@@ -179,6 +179,20 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe() === want2,
       "post-requantize ingest diverged from brute force over latest images")
 
+    // CELL-COUNT GROWTH — the ANN analog of text re-bucketing: a corpus
+    // grown past its quantizer wants MORE cells, and requantize's k is
+    // exactly that lever. The exact probe stays invariant whatever the
+    // partition; the quantizer must really change again.
+    val cent4 = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    Similarity.requantizeCdcAnnIndex(spark, idx, k = 8)
+    val cent8 = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(cent8 !== cent4, "growing k kept the old quantizer")
+    assert(cent8.size > cent4.size,
+      s"k=8 rebuild did not grow the cell count (${cent4.size} -> ${cent8.size})")
+    assert(probe() === want2, "growing k changed the exact probe")
+
     val tw = java.nio.file.Files.walk(work)
     try tw.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

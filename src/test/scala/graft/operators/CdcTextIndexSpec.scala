@@ -97,6 +97,85 @@ class CdcTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally tw.close()
   }
 
+  test("re-bucketing: bit-identical probe under the NEW count, replay fenced, drifted callers fail by name, ingest continues") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcidx-rb")
+    val idx = work.resolve("cdc").toString
+    val b0 = Seq(
+      (1L, "alpha shared alpha", 0L, false),
+      (2L, "beta shared", 0L, false),
+      (3L, "gamma shared gamma gamma", 0L, false))
+    val b1 = Seq(
+      (1L, "delta shared", 1L, false),
+      (2L, null: String, 1L, true),
+      (4L, "delta delta shared", 1L, false))
+    TextAnalysis.appendCdcTextSegment(images(b0), idx, "b000000", nBuckets = 4)
+    TextAnalysis.appendCdcTextSegment(images(b1), idx, "b000001", nBuckets = 4)
+    assert(TextAnalysis.textIndexBucketCount(spark, idx) === Some(4),
+      "the first append must record the bucket count")
+    def probe(nb: Int) = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10, nBuckets = nb)
+        .orderBy("r_sparse"))
+    val got = probe(4)
+    assert(got.nonEmpty)
+
+    TextAnalysis.rebucketCdcTextIndex(spark, idx, newBuckets = 16)
+
+    // physical contract: marker updated, folded to a live-only base
+    // (a re-bucket subsumes a compact), fence at the last consumed batch
+    assert(TextAnalysis.textIndexBucketCount(spark, idx) === Some(16))
+    for (leg <- Seq("doclog", "postings")) {
+      val segs = new java.io.File(s"$idx/$leg").listFiles()
+        .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+      assert(segs === Seq("seg=base"), s"$leg not folded: $segs")
+    }
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.foldedThrough(fs, root) === Some(1L))
+    val tbs = new java.io.File(s"$idx/postings/seg=base").listFiles()
+      .map(_.getName).filter(_.startsWith("tb="))
+      .map(_.stripPrefix("tb=").toInt).toSeq
+    assert(tbs.exists(_ >= 4),
+      s"re-bucketing left every posting in the old bucket range: $tbs")
+
+    // bit-identical under the new pruning; stale-count callers fail by name
+    assert(probe(16) === got, "re-bucketing changed the probe")
+    val e = intercept[IllegalArgumentException] { probe(4) }
+    assert(e.getMessage.contains("records 16"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.appendCdcTextSegment(images(Seq(
+        (5L, "omega shared", 2L, false))), idx, "b000002", nBuckets = 4)
+    }
+    assert(e2.getMessage.contains("records 16"), e2.getMessage)
+
+    // a replayed pre-rebucket batch is fenced out (its live rows are in
+    // the rebuilt base)
+    assert(!TextAnalysis.appendCdcTextSegment(images(b1), idx, "b000001",
+      nBuckets = 16), "a replay at the fence was not skipped")
+    assert(probe(16) === got, "a fenced replay changed the probe")
+
+    // ingest continues at the new count and still equals a full rebuild
+    // over the latest images
+    import spark.implicits._
+    TextAnalysis.appendCdcTextSegment(images(Seq(
+      (1L, "gamma shared", 2L, false),
+      (5L, "delta shared delta", 2L, false))), idx, "b000002", nBuckets = 16)
+    val latest = Seq((1L, "gamma shared"), (3L, "gamma shared gamma gamma"),
+      (4L, "delta delta shared"), (5L, "delta shared delta"))
+      .toDF("doc_id", "text")
+    val rebuilt = work.resolve("rebuilt").toString
+    TextAnalysis.buildTextIndex(latest, rebuilt, nBuckets = 16)
+    val want = probeRows(
+      TextAnalysis.bm25TopKViaIndex(spark, rebuilt, terms, 10, nBuckets = 16)
+        .orderBy("r_sparse"))
+    assert(probe(16) === want,
+      "post-rebucket ingest diverged from a full rebuild over latest images")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
   test("a delete arriving in the same batch as the insert wins (tombstone only)") {
     val work = java.nio.file.Files.createTempDirectory("graft-cdcidx2")
     val idx = work.resolve("cdc").toString
