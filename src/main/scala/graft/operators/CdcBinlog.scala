@@ -1498,6 +1498,82 @@ object CdcBinlog {
       }.orderBy($"r_sparse")
     }
 
+  // cdcm14 — RE-BUCKET-under-ingest: the bucket-count lifecycle op run
+  // where it runs in production, under the live stream. cdcm7's
+  // pipeline, but after the third appended segment the maintenance
+  // window re-buckets the index 4× (TextAnalysis.rebucketCdcTextIndex —
+  // subsumes the fold: live-only base, replay fence, lease, two-rename)
+  // and ingest continues for >= 2 more segments. The appender is
+  // MARKER-DRIVEN — each batch buckets by the index's RECORDED count
+  // (`_nbuckets`, written by the first append, updated by the
+  // re-bucket), which is the production pattern the marker enables: the
+  // ingest job picks up the grown layout without a redeploy, and a
+  // stale-count append would have failed by name instead of writing
+  // unsearchable rows. The gate pins the marker at the grown count, the
+  // post-rebucket-only segment layout, postings actually occupying the
+  // grown bucket range, and then the probe at the grown count
+  // hash-matches cdcm4's full-rebuild oracle verbatim — bucketing is
+  // pure physical placement, so any score drift means the re-bucket
+  // lost, duplicated or mis-bucketed postings.
+  def cdcm14RebucketedTextFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm14") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      // /6, cdcm7's recipe: 3 pre-rebucket segments AND >= 2 post ones
+      val cap = math.max(totalBytes / 6, 1L)
+      val idx = work.resolve("index").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val grown = 4 * cdcm4Buckets
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty) {
+              val nb = graft.operators.TextAnalysis
+                .textIndexBucketCount(s, idx).getOrElse(cdcm4Buckets)
+              if (graft.operators.TextAnalysis.appendCdcTextSegment(
+                    imgs, idx, f"b$batchId%06d", nBuckets = nb) &&
+                  appended.incrementAndGet() == 3)
+                graft.operators.TextAnalysis.rebucketCdcTextIndex(s, idx, grown)
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-rebucket " +
+          "segments and >= 2 post-rebucket ones")
+      require(graft.operators.TextAnalysis.textIndexBucketCount(s, idx)
+          .contains(grown),
+        "the re-bucket did not update the recorded bucket count")
+      val docSegs = segNames(s, s"$idx/doclog")
+      require(docSegs.contains("seg=base") &&
+        docSegs.size == appended.get() - 3 + 1,
+        s"expected seg=base + ${appended.get() - 3} post-rebucket segments, got $docSegs")
+      // the grown range is in PHYSICAL use (a re-bucket that kept the
+      // old hash would still pass the probe — directories don't lie)
+      val baseP = new org.apache.hadoop.fs.Path(s"$idx/postings/seg=base")
+      val tbs = baseP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(baseP).map(_.getPath.getName)
+        .filter(_.startsWith("tb=")).map(_.stripPrefix("tb=").toInt)
+      require(tbs.exists(_ >= cdcm4Buckets),
+        s"re-bucketing left every posting inside the old bucket range: ${tbs.toSeq.sorted}")
+      Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = grown)
+          .orderBy($"r_sparse")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"r_sparse")
+    }
+
   /** cdcm5's stub encoder, columnar: component i = first 4 bytes of
     * md5(word ‖ ':' ‖ i) mod 2001, shifted to [-1000, 1000] — the mm10
     * idiom (integer embeddings, DuckDB replays the exact values). An
@@ -2329,6 +2405,7 @@ object CdcBinlog {
     "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
+    "cdcm14_rebucketed_text_freshness" -> cdcm14RebucketedTextFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm13_requantized_ann_freshness" -> cdcm13RequantizedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
@@ -2515,6 +2592,22 @@ object CdcBinlog {
     // cdcm7: compaction under ingest must be INVISIBLE to the probe —
     // the oracle is cdcm4's full rebuild over latest images, verbatim
     "cdcm7_compacted_index_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+         |SELECT doc_id, bm25,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+         |FROM sagg
+         |QUALIFY r_sparse <= 100
+         |ORDER BY r_sparse""".stripMargin,
+    // cdcm14: re-bucketing under ingest must be INVISIBLE to the probe
+    // (bucketing is pure physical placement) — cdcm4's rebuild oracle,
+    // verbatim
+    "cdcm14_rebucketed_text_freshness" ->
       s"""WITH latest AS (${latestImageOracle(sfDir)}),
          |docs AS (
          |  SELECT id AS doc_id,
