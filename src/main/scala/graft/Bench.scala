@@ -250,6 +250,14 @@ object Bench {
           "\"" + n + "\":" + (if (v < 0) "-1" else fmt(v, dec))
       }.mkString("{", ",", "}")
       val qMin = if (minV > 0) s""""q_min":${fmt(minV, 2)},""" else ""
+      // the terminal rungs omit every passing query's time — keep the
+      // pinned gates' MINS anyway (bounded: <= pinN entries), so even
+      // the smallest artifact self-adjudicates the expensive gates
+      val qTop =
+        if (minV < 1e9) ""
+        else spreadPinned.take(pinN)
+          .map { case (n, v, _) => "\"" + n + "\":" + fmt(v, 1) }
+          .mkString("\"q_top\":{", ",", "},")
       val pinKept = spreadPinned.take(pinN)
       val pinShed = spreadPinned.size - pinKept.size
       val pinMore = if (pinShed > 0) s""""sp_pin_more":$pinShed,""" else ""
@@ -257,7 +265,7 @@ object Bench {
       val sp = kept.map { case (n, r) => "\"" + n + "\":" + fmt(r, 1) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","bench_runs":$runs,"bench_runs_sub":$subRuns,"failed":$failedJson,""" +
-        s""""queries":$q,$qMin"sp":$sp,"sp_more":${spreadHi.size - spN.min(spreadHi.size)},$pinMore""" +
+        s""""queries":$q,$qMin$qTop"sp":$sp,"sp_more":${spreadHi.size - spN.min(spreadHi.size)},$pinMore""" +
         s""""k":"sec; sp=top10-by-time+>=5s gates pinned + max/min>1.5 largest-first, other absent<=1.5; q_min=omitted-below cutoff; full: BENCH_LAST.json",""" +
         s""""decode_mb_s":${fmt(mbPerSec, 1)},"decode_lg_mb_s":${fmt(mbPerSecLarge, 1)},""" +
         s""""decode_st_mb_s":${fmt(stMbPerSec, 1)},"decode_st_lg_mb_s":${fmt(stMbPerSecLarge, 1)},""" +
