@@ -715,6 +715,34 @@ object Similarity {
     }
   }
 
+  /** Per-cell LIVE occupancy of the CDC ANN index — the measurement
+    * that decides WHEN to run [[requantizeCdcAnnIndex]]. The first
+    * batch's quantizer decays as the corpus churns, and the decay is
+    * visible here long before recall complaints: cells drift apart in
+    * size (a probe's cost is the cells it scans, so the worst cell IS
+    * the tail latency) and empty cells waste nprobe budget. Returns one
+    * row per centroid cell — (cell, n_live), empty cells included with
+    * 0 — so the caller's trigger is a one-line fold over k rows (e.g.
+    * requantize when max/mean exceeds ~4, or when live count has grown
+    * ~4× past k² for the √n-cells rule of thumb). Cost: the doc-log
+    * argmax + one slim count shuffle; the embeddings themselves are
+    * never read — cheap enough to run after every fold.
+    */
+  def cdcAnnIndexStats(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val live = s.read.parquet(s"$indexDir/doclog")
+      .groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val occupancy = s.read.parquet(s"$indexDir/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .groupBy($"cell").agg(count(lit(1)).as("n_live"))
+    s.read.parquet(s"$indexDir/centroids").select($"cell")
+      .join(occupancy, Seq("cell"), "left")
+      .select($"cell", coalesce($"n_live", lit(0L)).as("n_live"))
+  }
+
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the
     * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
     * integer dot per live row → rankedTopK. Integer embeddings keep the

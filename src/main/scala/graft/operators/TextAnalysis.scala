@@ -1065,6 +1065,35 @@ object TextAnalysis {
     }
   }
 
+  /** Per-bucket LIVE posting occupancy of the CDC text index — the
+    * measurement that decides WHEN to run [[rebucketCdcTextIndex]]. A
+    * probe reads its query terms' buckets whole, so the biggest bucket
+    * IS the probe's read cost; when the corpus outgrows the recorded
+    * count the right move is visible here as per-bucket posting counts
+    * past the probe-read budget (rule of thumb: re-bucket ~4× when the
+    * MEAN bucket's live postings exceed what one probe task should
+    * scan). Returns (tb, n_postings) over LIVE versions only, empty
+    * buckets included with 0 so skew reads directly off the k rows.
+    * Cost: the doc-log argmax + one slim bucketed count — the postings
+    * are read (they must be — liveness is per row) but never shuffled
+    * except as counts.
+    */
+  def cdcTextIndexStats(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val nb = textIndexBucketCount(s, indexDir).getOrElse(textIndexBuckets)
+    val live = s.read.parquet(s"$indexDir/doclog")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val occupancy = s.read.parquet(s"$indexDir/postings")
+      .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+      .groupBy($"tb").agg(count(lit(1)).as("n_postings"))
+    s.range(nb).select($"id".cast("int").as("tb"))
+      .join(occupancy, Seq("tb"), "left")
+      .select($"tb", coalesce($"n_postings", lit(0L)).as("n_postings"))
+  }
+
   /** Top-k BM25 over the CDC-maintained index, exactly as fresh as the
     * last appended batch. Plan shape at scale: the doc-log argmax is one
     * shuffle of slim 4-long rows (the only corpus-proportional step —

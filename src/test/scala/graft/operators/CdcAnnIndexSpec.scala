@@ -193,6 +193,17 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"k=8 rebuild did not grow the cell count (${cent4.size} -> ${cent8.size})")
     assert(probe() === want2, "growing k changed the exact probe")
 
+    // the requantize TRIGGER measurement: per-cell live occupancy, one
+    // row per centroid cell (empty cells at 0), totals matching the
+    // live corpus — the k-row fold an operator thresholds on
+    val stats = Similarity.cdcAnnIndexStats(spark, idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(stats.size === cent8.size,
+      "stats must report one row per centroid cell")
+    assert(stats.map(_._2).sum === latest2.size.toLong,
+      "per-cell occupancy does not sum to the live corpus")
+    assert(stats.forall(_._2 >= 0L))
+
     val tw = java.nio.file.Files.walk(work)
     try tw.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

@@ -170,6 +170,28 @@ class CdcTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(16) === want,
       "post-rebucket ingest diverged from a full rebuild over latest images")
 
+    // the re-bucket TRIGGER measurement: per-bucket live posting
+    // occupancy at the RECORDED count — one row per bucket (empties at
+    // 0), totals matching the live postings
+    val stats = TextAnalysis.cdcTextIndexStats(spark, idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(stats.size === 16, s"stats must cover all recorded buckets: $stats")
+    val livePostings = {
+      import org.apache.spark.sql.functions.{col, max => smax, struct => sstruct}
+      val doclog = spark.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy(col("doc_id"))
+        .agg(smax(sstruct(col("ver"), col("deleted"))).as("m"))
+        .select(col("doc_id"), col("m.ver").as("ver"), col("m.deleted").as("deleted"))
+        .filter(!col("deleted"))
+      spark.read.parquet(s"$idx/postings")
+        .join(live.select(col("doc_id"), col("ver")), Seq("doc_id", "ver"))
+        .count()
+    }
+    assert(stats.map(_._2).sum === livePostings,
+      "per-bucket occupancy does not sum to the live postings")
+    assert(stats.exists(_._2 == 0L),
+      "a 16-bucket layout over this tiny vocabulary must show empty buckets")
+
     val tw = java.nio.file.Files.walk(work)
     try tw.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
