@@ -1911,8 +1911,10 @@ object CdcBinlog {
       .orderBy($"keeper_doc_id")
   }
 
-  /** Append one CDC batch's fingerprint images (doc_id, ver, deleted,
-    * fp) to the log — one slim segment per batch, batch-id-addressed so
+  /** Append one CDC batch's versioned state rows to a slim log — the
+    * shared appender of the fp log (doc_id, ver, deleted, fp) and the
+    * band log (doc_id, ver, deleted, sh, bands); the protocol is
+    * column-agnostic. One segment per batch, batch-id-addressed so
     * replay is an idempotent overwrite, UNLESS [[compactCdcFpLog]]
     * already folded that segment into seg=base ([[Layout.replayFenced]]):
     * then the append is skipped. (The fp report's per-doc argmax happens
@@ -1971,6 +1973,174 @@ object CdcBinlog {
     Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     }
   }
+
+  // ---- CDC-maintained NEAR-dup state: the LSH band log (cdcm15) -------
+  //
+  // cdcm6's fp log answers "which docs are EXACT duplicates right now";
+  // the band log answers the near-dup question the batch gates (dd02)
+  // answer offline — continuously. Per batch, each touched doc's latest
+  // image contributes one versioned row carrying its shingle set and
+  // its dd02 LSH band keys (Dedup.bandStructs — the ONE banding
+  // derivation, shared with the batch gate and the dd06 index, so the
+  // three paths can never band differently). The report is
+  // merge-on-read: per-doc argmax → live rows → band-bucket self-join →
+  // exact shingle-Jaccard verification — dd02's shape over the CURRENT
+  // corpus, fresh as the last micro-batch.
+
+  /** One CDC batch's near-dup state rows: (doc_id, ver, deleted, sh,
+    * bands). Tombstones carry null arrays — the argmax orders on
+    * (ver, deleted) first and ver is unique per doc per batch, so the
+    * arrays never decide a comparison. O(batch): one md5 per shingle of
+    * the touched docs, nothing corpus-sized.
+    */
+  private[graft] def cdcm15BandImages(imgs: DataFrame): DataFrame = {
+    import imgs.sparkSession.implicits._
+    imgs.select($"doc_id", $"ver", $"deleted",
+      when($"deleted", lit(null))
+        .otherwise(Dedup.shingles($"text")).as("sh"),
+      when($"deleted", lit(null))
+        .otherwise(Dedup.bandStructs($"text")).as("bands"))
+  }
+
+  /** Current near-dup pairs from the band log (dd02's answer, fresh as
+    * the last batch): doc-log argmax → live rows → band self-join →
+    * exact shingle-Jaccard ≥ 0.2. Plan shape at scale: the argmax is
+    * the one log-proportional step (bounded by [[compactCdcBandLog]] in
+    * steady state); the self-join shuffles slim (doc_id, band-key)
+    * rows; the shingle arrays are re-joined only for candidate
+    * SURVIVORS. Massive identical-text groups belong to the fp log
+    * (cdcm6) — compose: collapse exact dups there first and band only
+    * keepers, which bounds band buckets by distinct-text counts (dd02's
+    * pre-collapse economics, achieved by composition instead of a
+    * second in-log grouping). `limit` caps the report (total order on
+    * (doc_a, doc_b), so the cut is deterministic).
+    */
+  private[graft] def cdcNearDupPairs(s: SparkSession, logDir: String,
+                                     limit: Int = 500): DataFrame = {
+    import s.implicits._
+    val log = s.read.parquet(logDir)
+    // the argmax shuffles SLIM (doc_id, ver, deleted) keys only — the
+    // shingle/band arrays never enter the agg exchange; the winning
+    // versions' arrays come back by a (doc_id, ver) join, the same
+    // split the text/ANN folds use. The live rows feed three consumers
+    // (band explode + both Jaccard sides), so pin them once and DETACH
+    // the bounded result before releasing (the gate cache contract).
+    val liveKeys = log.select($"doc_id", $"ver", $"deleted")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val live = log
+      .join(liveKeys.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+      .select($"doc_id", $"sh", $"bands")
+      .persist()
+    try {
+      val bands = live.select($"doc_id", explode($"bands").as("b"))
+        .select($"doc_id", $"b.band_id".as("band_id"), $"b.h".as("h"))
+      val cands = bands.as("a").join(bands.as("b"),
+          $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val sh = live.select($"doc_id", $"sh")
+      cands
+        .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+        .orderBy($"doc_a", $"doc_b")
+        .limit(limit)
+        .localCheckpoint(true) // detach before the cache releases
+    } finally live.unpersist()
+  }
+
+  /** Fold the band log to a live-only single base segment — identical
+    * protocol to [[compactCdcFpLog]] (lease, committed segments only,
+    * replay fence, two-rename publish); only the carried columns
+    * differ. [[cdcNearDupPairs]] is invariant across the fold by
+    * construction (the argmax already ignored everything it removes —
+    * spec-pinned in CdcBandLogSpec).
+    */
+  def compactCdcBandLog(s: SparkSession, logDir: String): Unit = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.withFoldLease(fs, p) {
+    val segs = Layout.committedSegs(fs, p)
+    require(segs.nonEmpty, s"compact: no committed segments under $logDir")
+    val upTo = (Layout.foldedThrough(fs, p).toSeq ++
+      segs.filter(_ != "seg=base")
+        .map(n => Layout.segmentOrdinal(n.stripPrefix("seg=")))).maxOption
+    val staging = s"$logDir.compact-${ProcessHandle.current().pid()}"
+    s.read.option("basePath", logDir)
+      .parquet(segs.map(n => s"$logDir/$n"): _*)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"sh", $"bands")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"),
+        $"m.sh".as("sh"), $"m.bands".as("bands"))
+      .filter(!$"deleted")
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$staging/seg=base")
+    upTo.foreach(u =>
+      Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
+    Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
+    }
+  }
+
+  // cdcm15 — NEAR-dup freshness, the fourth maintained-state kind (text
+  // cdcm4, vectors cdcm5, exact dups cdcm6, near dups here): the band
+  // log maintained under bounded admission with compactCdcBandLog
+  // folding it MID-STREAM after the third appended segment (cdcm9's
+  // recipe), ingest continuing for >= 2 more. The report — current
+  // near-dup pairs with exact Jaccard — hash-matches dd02's CTE chain
+  // replayed by DuckDB over the latest-image ground truth: the banding,
+  // the candidate join AND the Jaccard arithmetic all re-derive
+  // independently, so a drift anywhere in the maintained state breaks
+  // the hash.
+  def cdcm15NearDupFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm15") { work =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 6, 1L)
+      val log = work.resolve("bandlog").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm15BandImages(cdcm4BatchImages(batch, batchId))
+            .coalesce(4)
+            .persist()
+          try {
+            if (!imgs.isEmpty &&
+                appendCdcFpSegment(imgs, log, f"b$batchId%06d") &&
+                appended.incrementAndGet() == 3)
+              compactCdcBandLog(s, log)
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the gate needs 3 pre-compaction " +
+          "segments and >= 2 post-compaction ones")
+      val segs = segNames(s, log)
+      require(segs.contains("seg=base") &&
+        segs.size == appended.get() - 3 + 1,
+        s"expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
+      Layout.retryOnceOnMissing {
+        cdcNearDupPairs(s, log)
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"doc_a", $"doc_b")
+    }
 
   // cdcm9 — the dedup leg of the compact-under-ingest family (text
   // cdcm7, vectors cdcm8): cdcm6's fingerprint-log pipeline with
@@ -2401,6 +2571,7 @@ object CdcBinlog {
     "cdcm4_index_freshness" -> cdcm4IndexFreshness _,
     "cdcm5_ann_freshness" -> cdcm5AnnFreshness _,
     "cdcm6_dedup_freshness" -> cdcm6DedupFreshness _,
+    "cdcm15_neardup_freshness" -> cdcm15NearDupFreshness _,
     "cdcm10_multi_index_routing" -> cdcm10MultiIndexRouting _,
     "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
@@ -2620,6 +2791,35 @@ object CdcBinlog {
          |FROM sagg
          |QUALIFY r_sparse <= 100
          |ORDER BY r_sparse""".stripMargin,
+    // cdcm15: near-dup pairs among CURRENT latest images — dd02's CTE
+    // chain (shingles → minhash windows → bands → candidate self-join →
+    // exact Jaccard) replayed over the latest-image ground truth; the
+    // maintained band log must agree pair-for-pair, jaccard-for-jaccard
+    "cdcm15_neardup_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |sh_t AS (SELECT doc_id, ${Dedup.duckShingles} AS sh FROM docs),
+         |sig AS (SELECT doc_id, sh,
+         |  md5(${Dedup.duckMinhash(0)} || '|' || ${Dedup.duckMinhash(1)}) AS band0,
+         |  md5(${Dedup.duckMinhash(2)} || '|' || ${Dedup.duckMinhash(3)}) AS band1 FROM sh_t),
+         |bands AS (
+         |  SELECT doc_id, sh, 0 AS band_id, band0 AS h FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, sh, 1 AS band_id, band1 AS h FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b
+         |LIMIT 500""".stripMargin,
     // current duplicate groups recomputed from the latest-image ground
     // truth, same text synthesis + dd01 fingerprint derivation
     "cdcm6_dedup_freshness" -> fpGroupsOracle(sfDir),

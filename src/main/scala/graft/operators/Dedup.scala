@@ -70,7 +70,7 @@ object Dedup {
       |                 for i in range(1, len(string_split(text, ' ')) - 1)])
       |ELSE list_distinct([text]) END""".stripMargin
 
-  private def duckMinhash(j: Int): String =
+  private[operators] def duckMinhash(j: Int): String =
     s"list_aggregate(list_transform(sh, x -> substring(md5(x), ${j * 8 + 1}, 8)), 'min')"
 
   // dd01 — exact dedup on the normalized-content fingerprint: keep the
@@ -484,15 +484,24 @@ object Dedup {
   /** MinHash band buckets as slim (doc_id, band_id, h) rows — shingle
     * arrays stay out of the band shuffle (dd02's banding).
     */
+  /** dd02's LSH band keys as one ARRAY column — the derivation
+    * [[bandsOf]] explodes for the batch gates and the CDC band log
+    * stores per versioned row ([[CdcBinlog]]'s cdcm15 state). ONE
+    * definition, so the batch path, the incremental index and the
+    * CDC-maintained state can never band differently.
+    */
+  private[operators] def bandStructs(text: Column): Column = {
+    val mh = call_function("graft_minhash", split(text, " "))
+    array(
+      struct(lit(0).as("band_id"),
+        md5(concat_ws("|", element_at(mh, 1), element_at(mh, 2))).as("h")),
+      struct(lit(1).as("band_id"),
+        md5(concat_ws("|", element_at(mh, 3), element_at(mh, 4))).as("h")))
+  }
+
   private def bandsOf(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    df.select($"doc_id", call_function("graft_minhash", split($"text", " ")).as("mh"))
-      .select($"doc_id",
-        explode(array(
-          struct(lit(0).as("band_id"),
-            md5(concat_ws("|", element_at($"mh", 1), element_at($"mh", 2))).as("h")),
-          struct(lit(1).as("band_id"),
-            md5(concat_ws("|", element_at($"mh", 3), element_at($"mh", 4))).as("h")))).as("b"))
+    df.select($"doc_id", explode(bandStructs($"text")).as("b"))
       .select($"doc_id", $"b.band_id", $"b.h")
   }
 

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The CDC band log's merge-on-read contract in miniature (the full
+  * pipeline is gate cdcm15): updates move a doc between near-dup
+  * neighborhoods, deletes tombstone it out of every pair, the report
+  * equals dd02's batch answer over the latest images, replay is a
+  * no-op, and the fold is report-invariant with the replay fence at
+  * the highest consumed segment.
+  */
+class CdcBandLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  override def beforeAll(): Unit = graft.functions.GraftFunctions.register(spark)
+
+  private def images(rows: Seq[(Long, String, Long, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "ver", "deleted")
+  }
+
+  private def bandRows(rows: Seq[(Long, String, Long, Boolean)]): DataFrame =
+    CdcBinlog.cdcm15BandImages(images(rows))
+
+  private def pairs(log: String): Seq[(Long, Long, Double)] =
+    CdcBinlog.cdcNearDupPairs(spark, log)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("supersession, tombstones, dd02 equivalence, replay, fold invariance + fence") {
+    val work = java.nio.file.Files.createTempDirectory("graft-bandlog")
+    val log = work.resolve("bandlog").toString
+
+    // an 8-token doc with a 7-token shared prefix has 5 of its 6
+    // distinct trigram shingles shared — the shared shingles win every
+    // minhash window for THESE strings (checked against the exact md5
+    // arithmetic), so same-family docs deterministically band-collide
+    // (Jaccard 5/7 ≈ 0.714) and cross-family docs never do
+    val A = "red orange yellow green blue indigo violet"
+    val B = "north south east west upward downward inward"
+    val G = "mercury venus earth mars jupiter saturn neptune"
+    val b0 = Seq(
+      (1L, s"$A one", 0L, false),
+      (2L, s"$A two", 0L, false),
+      (3L, s"$B one", 0L, false),
+      (4L, s"$A five", 0L, false))
+    // batch 1: doc 4 MOVES to the B neighborhood (update), doc 2 is
+    // deleted, doc 5 joins A
+    val b1 = Seq(
+      (4L, s"$B five", 1L, false),
+      (2L, null: String, 1L, true),
+      (5L, s"$A six", 1L, false))
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b0), log, "b000000"))
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b1), log, "b000001"))
+
+    val got = pairs(log)
+    // ground truth: dd02's batch engine over the LATEST images
+    import spark.implicits._
+    val latest = Seq(
+      (1L, s"$A one"), (3L, s"$B one"),
+      (4L, s"$B five"), (5L, s"$A six"))
+    val want = Dedup.dd02PairsCollapsed(latest.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(want.nonEmpty, "the fixture must produce near-dup pairs")
+    assert(got === want, "band-log report != dd02 over latest images")
+    // the moved doc answers in its NEW neighborhood only; the deleted
+    // one answers nowhere
+    assert(got.exists(p => p._1 == 3L && p._2 == 4L),
+      "doc 4 did not move to the B neighborhood")
+    assert(got.exists(p => p._1 == 1L && p._2 == 5L),
+      "the A neighborhood lost its surviving pair")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "deleted doc 2 still pairs")
+    assert(!got.exists(p => (p._1 == 1L && p._2 == 4L) || (p._1 == 4L && p._2 == 5L)),
+      "doc 4's STALE A-family bands survived its update")
+
+    // replay of batch 1 changes nothing
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b1), log, "b000001"))
+    assert(pairs(log) === got, "segment replay changed the report")
+
+    // fold: report-invariant, lone live-only base, fence at the highest
+    // consumed segment; a replayed pre-fold batch is then skipped
+    CdcBinlog.compactCdcBandLog(spark, log)
+    assert(pairs(log) === got, "compaction changed the report")
+    val segs = new java.io.File(log).listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+    assert(segs === Seq("seg=base"), s"fold left segments: $segs")
+    assert(spark.read.parquet(log).count() === 4L) // live docs only
+    val root = new org.apache.hadoop.fs.Path(log)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.foldedThrough(fs, root) === Some(1L))
+    assert(!CdcBinlog.appendCdcFpSegment(bandRows(b1), log, "b000001"),
+      "a replay at the fence was not skipped")
+    assert(pairs(log) === got, "a fenced replay changed the report")
+
+    // ingest continues past the fold: doc 1 leaves A for the G family
+    // (alone there — no pair), doc 6 joins A beside doc 5
+    val b2 = Seq((1L, s"$G one", 2L, false),
+      (6L, s"$A ten", 2L, false))
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b2), log, "b000002"))
+    val latest2 = Seq(
+      (1L, s"$G one"), (3L, s"$B one"),
+      (4L, s"$B five"), (5L, s"$A six"),
+      (6L, s"$A ten"))
+    val want2 = Dedup.dd02PairsCollapsed(latest2.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs(log) === want2,
+      "post-fold ingest diverged from dd02 over latest images")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+}

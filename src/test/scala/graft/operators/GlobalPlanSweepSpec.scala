@@ -165,6 +165,7 @@ object GlobalPlanSweepSpec {
     "cdcm1_materialized_table", "cdcm2_incremental_agg",
     "cdcm3_incremental_join", "cdcm4_index_freshness",
     "cdcm5_ann_freshness", "cdcm6_dedup_freshness",
+    "cdcm15_neardup_freshness",
     "cdcm7_compacted_index_freshness", "cdcm8_compacted_ann_freshness",
     "cdcm9_compacted_fp_freshness", "cdcm13_requantized_ann_freshness",
     "cdcm14_rebucketed_text_freshness", "cdcm10_multi_index_routing",
