@@ -1065,12 +1065,19 @@ object BinlogWriter {
         // FileAlreadyExistsException (or a bare IOException) instead of
         // signaling "atomic unsupported". Fall back only while our temp
         // still exists — if it is gone the move happened (or a sweeper
-        // interfered) and retrying would throw NoSuchFileException.
+        // interfered) and retrying would throw NoSuchFileException. If
+        // the retry ALSO fails the failure was never the documented
+        // replace-refusal (permissions, quota): rethrow the ORIGINAL
+        // exception with the retry's suppressed, not the other way
+        // around.
         case e: java.io.IOException
             if java.nio.file.Files.exists(p) &&
               java.nio.file.Files.exists(tmp) =>
-          java.nio.file.Files.move(tmp, p,
+          try java.nio.file.Files.move(tmp, p,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case e2: java.io.IOException =>
+            e.addSuppressed(e2); throw e
+          }
       }
       path
     }

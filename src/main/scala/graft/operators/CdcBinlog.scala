@@ -1988,72 +1988,135 @@ object CdcBinlog {
   // corpus, fresh as the last micro-batch.
 
   /** One CDC batch's near-dup state rows: (doc_id, ver, deleted, sh,
-    * bands). Tombstones carry null arrays — the argmax orders on
-    * (ver, deleted) first and ver is unique per doc per batch, so the
-    * arrays never decide a comparison. O(batch): one md5 per shingle of
-    * the touched docs, nothing corpus-sized.
+    * bands). `sh` is the doc's shingle set as FIXED-WIDTH 16-byte md5
+    * digests (`unhex(md5(shingle))`), not the raw 3-word strings: the
+    * log is the heaviest maintained-state payload and raw shingles made
+    * it O(corpus text) per touched version, while Jaccard over digest
+    * sets is EXACTLY Jaccard over the shingle sets (md5 is injective at
+    * the gate's 128-bit tier — the same exactness argument dd02 makes
+    * for its band hashes). Tombstones carry null arrays — the argmax
+    * orders on (ver, deleted) first and ver is unique per doc per
+    * batch, so the arrays never decide a comparison. O(batch): two md5
+    * per shingle of the touched docs, nothing corpus-sized.
     */
   private[graft] def cdcm15BandImages(imgs: DataFrame): DataFrame = {
     import imgs.sparkSession.implicits._
     imgs.select($"doc_id", $"ver", $"deleted",
       when($"deleted", lit(null))
-        .otherwise(Dedup.shingles($"text")).as("sh"),
+        .otherwise(transform(Dedup.shingles($"text"), x => unhex(md5(x))))
+        .as("sh"),
       when($"deleted", lit(null))
         .otherwise(Dedup.bandStructs($"text")).as("bands"))
   }
 
   /** Current near-dup pairs from the band log (dd02's answer, fresh as
-    * the last batch): doc-log argmax → live rows → band self-join →
-    * exact shingle-Jaccard ≥ 0.2. Plan shape at scale: the argmax is
-    * the one log-proportional step (bounded by [[compactCdcBandLog]] in
-    * steady state); the self-join shuffles slim (doc_id, band-key)
-    * rows; the shingle arrays are re-joined only for candidate
-    * SURVIVORS. Massive identical-text groups belong to the fp log
-    * (cdcm6) — compose: collapse exact dups there first and band only
-    * keepers, which bounds band buckets by distinct-text counts (dd02's
-    * pre-collapse economics, achieved by composition instead of a
-    * second in-log grouping). `limit` caps the report (total order on
-    * (doc_a, doc_b), so the cut is deterministic).
+    * the last batch): doc-log argmax → live rows → identical-payload
+    * COLLAPSE → band self-join over representatives → exact
+    * digest-Jaccard ≥ 0.2 → member expansion. Plan shape at scale: the
+    * argmax is the one log-proportional step (bounded by
+    * [[compactCdcBandLog]] in steady state); the self-join shuffles
+    * slim (doc_id, band-key) rows; the digest arrays are re-joined only
+    * for candidate SURVIVORS. The collapse is dd02's W5 lesson applied
+    * INSIDE the maintained path (it used to be delegated to fp-log
+    * composition, which nothing enforced): docs with byte-identical
+    * (sh, bands) payloads — a flood of identical texts — reduce to one
+    * representative before banding, so a band bucket's pair work is
+    * quadratic in DISTINCT payloads, never doc count. Member pairs are
+    * reconstructed by local array expansion: cross pairs inherit the
+    * representative pair's Jaccard (payloads are identical), intra
+    * pairs are Jaccard 1.0 by construction (and always candidates —
+    * identical docs share every band). `limit` caps the report (total
+    * order on (doc_a, doc_b), so the cut is deterministic).
     */
   private[graft] def cdcNearDupPairs(s: SparkSession, logDir: String,
                                      limit: Int = 500): DataFrame = {
+    // The grouped reps feed four consumers (band explode, both Jaccard
+    // sides, member expansion), so pin them once and DETACH the
+    // bounded result before releasing (the gate cache contract).
+    val grouped = cdcNearDupGrouped(cdcNearDupLive(s, logDir)).persist()
+    try cdcNearDupReport(grouped, limit)
+      .localCheckpoint(true) // detach before the cache releases
+    finally grouped.unpersist()
+  }
+
+  /** Live latest images from the band log (lazy inner builder — the
+    * plan-shape spec pins it; the gate path wraps it in
+    * [[cdcNearDupPairs]]).
+    */
+  private[graft] def cdcNearDupLive(s: SparkSession, logDir: String): DataFrame = {
     import s.implicits._
     val log = s.read.parquet(logDir)
     // the argmax shuffles SLIM (doc_id, ver, deleted) keys only — the
     // shingle/band arrays never enter the agg exchange; the winning
     // versions' arrays come back by a (doc_id, ver) join, the same
-    // split the text/ANN folds use. The live rows feed three consumers
-    // (band explode + both Jaccard sides), so pin them once and DETACH
-    // the bounded result before releasing (the gate cache contract).
+    // split the text/ANN folds use.
     val liveKeys = log.select($"doc_id", $"ver", $"deleted")
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted")).as("m"))
       .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
       .filter(!$"deleted")
-    val live = log
-      .join(liveKeys.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+    log.join(liveKeys.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
       .select($"doc_id", $"sh", $"bands")
-      .persist()
-    try {
-      val bands = live.select($"doc_id", explode($"bands").as("b"))
+  }
+
+  /** W5 collapse: group BY the payload arrays themselves — partial
+    * aggregation folds duplicates map-side, so the exchange carries
+    * ~one row per distinct payload (the same bytes dd02's
+    * min(struct(doc_id, text)) agg shuffles), and 128-bit-exactness
+    * questions never arise.
+    */
+  private[graft] def cdcNearDupGrouped(live: DataFrame): DataFrame = {
+    import live.sparkSession.implicits._
+    live.groupBy($"sh", $"bands")
+      .agg(sort_array(collect_list($"doc_id")).as("members"))
+      .select(element_at($"members", 1).as("doc_id"), $"sh", $"bands",
+        $"members")
+  }
+
+  /** The report over collapsed representatives: band self-join →
+    * exact digest-Jaccard → member expansion (lazy inner builder).
+    */
+  private[graft] def cdcNearDupReport(grouped: DataFrame,
+                                      limit: Int): DataFrame = {
+    import grouped.sparkSession.implicits._
+      val bands = grouped.select($"doc_id", explode($"bands").as("b"))
         .select($"doc_id", $"b.band_id".as("band_id"), $"b.h".as("h"))
-      val cands = bands.as("a").join(bands.as("b"),
+      val candReps = bands.as("a").join(bands.as("b"),
           $"a.band_id" === $"b.band_id" && $"a.h" === $"b.h" &&
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
-      val sh = live.select($"doc_id", $"sh")
-      cands
+      val sh = grouped.select($"doc_id", $"sh")
+      val verified = candReps
         .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
         .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
         .select($"doc_a", $"doc_b",
           (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
             size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
         .filter($"jaccard" >= 0.2)
+      // cross-group expansion: every member pair inherits the rep
+      // pair's Jaccard (byte-identical payloads)
+      val cross = verified
+        .join(grouped.select($"doc_id".as("doc_a"), $"members".as("ms_a")), "doc_a")
+        .join(grouped.select($"doc_id".as("doc_b"), $"members".as("ms_b")), "doc_b")
+        .select($"jaccard", explode($"ms_a").as("x"), $"ms_b")
+        .select($"jaccard", $"x", explode($"ms_b").as("y"))
+        .select(least($"x", $"y").as("doc_a"),
+          greatest($"x", $"y").as("doc_b"), $"jaccard")
+      // intra-group pairs: identical payloads share all bands (always
+      // candidates) at Jaccard exactly 1.0; an EMPTY shingle set's
+      // Jaccard is 0/0 = null in the reference arithmetic, so those
+      // groups (unreachable for real text) stay out
+      val intra = grouped
+        .where(size($"members") >= 2 && size($"sh") > 0)
+        .select(explode(expr(
+          "flatten(transform(members, (x, i) -> " +
+            "transform(slice(members, i + 2, size(members)), " +
+            "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+        .select($"p.doc_a", $"p.doc_b", lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
         .orderBy($"doc_a", $"doc_b")
         .limit(limit)
-        .localCheckpoint(true) // detach before the cache releases
-    } finally live.unpersist()
   }
 
   /** Fold the band log to a live-only single base segment — identical

@@ -351,17 +351,26 @@ object Layout {
     if (displaced == judgedContent) { fs.delete(tomb, false); true }
     else {
       // we displaced a FRESH lease (claimed+recreated between our
-      // judgment and our rename) — put it back; plain move fails if a
-      // third contender created at the path meanwhile (dest exists),
-      // in which case the path is still held by SOMEONE and our
-      // tombstone is garbage either way
-      try {
-        if (fs.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tomb.toUri.getPath),
-            java.nio.file.Paths.get(lease.toUri.getPath))
-        else if (!fs.rename(tomb, lease)) fs.delete(tomb, false)
-      } catch { case _: java.io.IOException => fs.delete(tomb, false) }
+      // judgment and our rename) — put it back. A plain move fails if
+      // a third contender created at the path meanwhile (dest exists);
+      // that contender may itself vanish (its own mismatch-restore, a
+      // crash), so RETRY once before giving up. If both attempts fail
+      // the tombstone STAYS: deleting it would destroy the displaced
+      // holder's token and foreclose any reconciliation (its release
+      // no-ops on the content check either way, but the surviving
+      // tombstone records who was displaced). recoverPublish vacuums
+      // tombstones of DEAD claimants, so the leak is bounded by this
+      // process's lifetime.
+      def restore(): Boolean =
+        try {
+          if (fs.getScheme == "file") {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tomb.toUri.getPath),
+              java.nio.file.Paths.get(lease.toUri.getPath))
+            true
+          } else fs.rename(tomb, lease)
+        } catch { case _: java.io.IOException => false }
+      if (!restore()) restore()
       false
     }
   }
@@ -439,6 +448,9 @@ object Layout {
     * so a lease older than the window now means the holder stopped
     * heartbeating: dead, not slow. The touch is best-effort; a
     * transient FS error skips one beat and the window is 6 beats deep.
+    * setTimes efficacy is probed once at acquire (touch + re-stat);
+    * where mtime updates don't stick (object stores) the beat rewrites
+    * the lease with the identical token bytes instead.
     */
   private[graft] def withFoldLease[T](fs: org.apache.hadoop.fs.FileSystem,
                                       live: org.apache.hadoop.fs.Path,
@@ -448,12 +460,32 @@ object Layout {
     val lease = foldLeasePath(live)
     val stop = new java.util.concurrent.CountDownLatch(1)
     val beatMs = math.max(staleMs / 6, 50L)
+    // Probe setTimes efficacy ONCE at acquire: object-store FileSystems
+    // (s3a et al) no-op or reject setTimes, and with every beat
+    // silently swallowed "older than window" would again conflate slow
+    // with dead — the exact conflation the heartbeat exists to remove.
+    // Touch then re-stat; if the mtime didn't move, each beat instead
+    // REWRITES the lease with the identical token bytes (a PUT
+    // refreshes the object timestamp, and object-store PUTs are atomic
+    // — the non-atomic-overwrite risk lives on local/HDFS, exactly
+    // where setTimes DOES work and the rewrite path never runs).
+    val mtimeBeats = try {
+      val before = fs.getFileStatus(lease).getModificationTime
+      fs.setTimes(lease, math.max(System.currentTimeMillis(), before + 1), -1)
+      fs.getFileStatus(lease).getModificationTime > before
+    } catch { case _: Exception => false }
     val beat = new Thread(() => {
       try {
         while (!stop.await(beatMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
           try {
-            if (readLease(fs, lease).contains(token))
-              fs.setTimes(lease, System.currentTimeMillis(), -1)
+            if (readLease(fs, lease).contains(token)) {
+              if (mtimeBeats) fs.setTimes(lease, System.currentTimeMillis(), -1)
+              else {
+                val out = fs.create(lease, true)
+                try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+              }
+            }
           } catch { case _: Exception => () } // skip one beat; window is 6 deep
         }
       } catch { case _: InterruptedException => () }

@@ -651,8 +651,18 @@ object TextAnalysis {
       if (!fs.exists(marker)) None
       else {
         val in = fs.open(marker)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-        finally in.close()
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        // an empty or garbled marker is NOT "no marker": the layout
+        // claims a recorded count it cannot state — fail by name
+        // instead of letting ''.toInt's NumberFormatException escape
+        // through every probe/append/compact
+        try Some(raw.toInt)
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"corrupt _nbuckets marker at $marker ('$raw' is not an int) — " +
+              "the index layout is damaged; rebuild or restore the marker")
+        }
       }
     } catch { case _: java.io.IOException => None }
   }

@@ -267,6 +267,55 @@ class FoldLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     Layout.releaseFoldLease(fs, live, token)
   }
 
+  test("heartbeat fallback: where setTimes does not stick, the beat rewrites the token — slow-alive is still not stolen") {
+    // object-store FileSystems no-op or reject setTimes; there every
+    // mtime beat silently failed and "older than window" again
+    // conflated slow with dead (ADVICE r17). The acquire-time probe
+    // (touch + re-stat) must detect the no-op and fall back to
+    // rewriting the identical token bytes — a PUT refreshes the
+    // object timestamp where a touch cannot.
+    val noTouch = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "file" // raw local leaves it abstract
+      override def setTimes(p: org.apache.hadoop.fs.Path,
+                            mtime: Long, atime: Long): Unit = ()
+    }
+    noTouch.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val live = livePath()
+    val staleMs = 900L
+    val lease = Layout.foldLeasePath(live)
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val bodyEntered = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val holder = new Thread(() => {
+      try {
+        Layout.withFoldLease(noTouch, live, staleMs) {
+          bodyEntered.countDown()
+          Thread.sleep(3 * staleMs) // well past the window; beats must rewrite
+        }
+        holderDone.countDown()
+      } catch { case t: Throwable => holderErr.set(t) }
+    })
+    holder.start()
+    assert(bodyEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      s"holder failed to acquire: ${holderErr.get()}")
+    Thread.sleep(2 * staleMs)
+    // the on-disk mtime really moved (the rewrite carried it, since
+    // setTimes is a no-op on this FS) ...
+    val age = System.currentTimeMillis() -
+      noTouch.getFileStatus(lease).getModificationTime
+    assert(age < staleMs, s"beat never refreshed the lease (age ${age}ms)")
+    // ... so a contender — even one judging through the same no-op FS —
+    // sees a fresh lease and fails by name
+    val e = intercept[IllegalStateException] {
+      Layout.acquireFoldLease(noTouch, live, staleMs)
+    }
+    assert(e.getMessage.contains("fold lease"),
+      s"a rewrite-heartbeating live holder was stolen from: $e")
+    assert(holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(!noTouch.exists(lease), "holder did not release its own lease")
+  }
+
   test("two JVMs: loser names the foreign holder; a KILLED holder is taken over") {
     val live = livePath()
     val javaBin = System.getProperty("java.home") + "/bin/java"

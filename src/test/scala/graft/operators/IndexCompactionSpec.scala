@@ -173,4 +173,32 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(segDirs(s"$dir/codes") == Seq("seg=base"))
     }
   }
+
+  test("a corrupt _nbuckets marker fails BY NAME; a missing one is None") {
+    // an empty or garbled marker is a damaged layout claiming a
+    // recorded count it cannot state — NumberFormatException escaping
+    // through every probe/append/compact (ADVICE r17) told the caller
+    // nothing; None would silently skip the verification the marker
+    // exists for
+    withTmp { tmp =>
+      val dir = s"$tmp/idx"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      assert(TextAnalysis.textIndexBucketCount(spark, dir.toString).isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_nbuckets"), Array.emptyByteArray)
+      val e = intercept[IllegalStateException] {
+        TextAnalysis.textIndexBucketCount(spark, dir)
+      }
+      assert(e.getMessage.contains("corrupt _nbuckets marker"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_nbuckets"), "12x".getBytes("UTF-8"))
+      val e2 = intercept[IllegalStateException] {
+        TextAnalysis.textIndexBucketCount(spark, dir)
+      }
+      assert(e2.getMessage.contains("corrupt _nbuckets marker"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_nbuckets"), "12".getBytes("UTF-8"))
+      assert(TextAnalysis.textIndexBucketCount(spark, dir) === Some(12))
+    }
+  }
 }
