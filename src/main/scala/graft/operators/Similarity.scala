@@ -743,6 +743,41 @@ object Similarity {
       .select($"cell", coalesce($"n_live", lit(0L)).as("n_live"))
   }
 
+  /** The executable form of [[cdcAnnIndexStats]]'s trigger prose:
+    * `requantize` is true when the quantizer has decayed past the
+    * Scaladoc thresholds — cell skew (max/mean live occupancy >
+    * `skewRatio`, default ~4: the worst cell is a probe's tail
+    * latency) or corpus growth (live > `growthFactor`·k², default 4:
+    * the √n-cells rule says k should track √n, so 4k² live rows means
+    * cells should have doubled). `suggestedK` is the √n target
+    * (never below the current k). The stats frame is k rows by
+    * construction, so the fold is a bounded driver-side collect.
+    */
+  final case class AnnMaintenanceAdvice(requantize: Boolean,
+                                        suggestedK: Int, nCells: Int,
+                                        nLive: Long, maxCell: Long,
+                                        meanCell: Double, reason: String)
+
+  def annMaintenanceAdvice(stats: DataFrame, skewRatio: Double = 4.0,
+                           growthFactor: Double = 4.0): AnnMaintenanceAdvice = {
+    val rows = stats.select("cell", "n_live").collect()
+    val k = rows.length
+    val nLive = rows.map(_.getLong(1)).sum
+    val maxCell = if (k == 0) 0L else rows.map(_.getLong(1)).max
+    val mean = if (k == 0) 0.0 else nLive.toDouble / k
+    val skewed = mean > 0 && maxCell / mean > skewRatio
+    val outgrown = k > 0 && nLive > growthFactor * k.toLong * k
+    val suggested = math.max(k, math.ceil(math.sqrt(nLive.toDouble)).toInt)
+    val reason =
+      if (skewed && outgrown)
+        f"cell skew max/mean=${maxCell / mean}%.1f > $skewRatio%.1f AND live $nLive > $growthFactor%.0f*k^2"
+      else if (skewed) f"cell skew max/mean=${maxCell / mean}%.1f > $skewRatio%.1f"
+      else if (outgrown) f"live $nLive > $growthFactor%.0f*k^2 (k=$k)"
+      else "healthy"
+    AnnMaintenanceAdvice(skewed || outgrown, suggested, k, nLive, maxCell,
+      mean, reason)
+  }
+
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the
     * last batch: doc-log argmax → liveness join on (vec_id, ver) → one
     * integer dot per live row → rankedTopK. Integer embeddings keep the

@@ -1104,6 +1104,42 @@ object TextAnalysis {
       .select($"tb", coalesce($"n_postings", lit(0L)).as("n_postings"))
   }
 
+  /** The executable form of [[cdcTextIndexStats]]'s trigger prose:
+    * `rebucket` is true when the BIGGEST bucket's live postings exceed
+    * `probeReadBudget` — a probe reads its terms' buckets whole, so
+    * the biggest bucket IS the probe's read cost. `suggestedBuckets`
+    * grows the recorded count 4× at a time (the Scaladoc's rule of
+    * thumb) until the PROJECTED mean under uniform term hashing fits
+    * the budget; growth is capped at 2^20 buckets so a pathological
+    * budget can't demand a per-term directory. The stats frame is
+    * nBuckets rows by construction — a bounded driver-side collect.
+    */
+  final case class TextMaintenanceAdvice(rebucket: Boolean,
+                                         suggestedBuckets: Int,
+                                         nBuckets: Int, maxBucket: Long,
+                                         meanBucket: Double,
+                                         totalPostings: Long, reason: String)
+
+  def textMaintenanceAdvice(stats: DataFrame,
+                            probeReadBudget: Long = 1L << 20): TextMaintenanceAdvice = {
+    val rows = stats.select("tb", "n_postings").collect()
+    val nb = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    val maxBucket = if (nb == 0) 0L else rows.map(_.getLong(1)).max
+    val mean = if (nb == 0) 0.0 else total.toDouble / nb
+    val over = maxBucket > probeReadBudget
+    // always grow at least one 4× step: a hash-skewed bucket only
+    // splits under a DIFFERENT modulus, so re-bucketing at the same
+    // count is never the advice
+    var suggested = if (over) math.min(1 << 20, nb * 4) else nb
+    while (over && suggested < (1 << 20) &&
+        total.toDouble / suggested > probeReadBudget) suggested *= 4
+    val reason =
+      if (over) s"biggest bucket $maxBucket postings > probe read budget $probeReadBudget"
+      else "healthy"
+    TextMaintenanceAdvice(over, suggested, nb, maxBucket, mean, total, reason)
+  }
+
   /** Top-k BM25 over the CDC-maintained index, exactly as fresh as the
     * last appended batch. Plan shape at scale: the doc-log argmax is one
     * shuffle of slim 4-long rows (the only corpus-proportional step —

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The maintenance policy is EXECUTABLE, not prose (VERDICT r17 #5):
+  * [[Similarity.annMaintenanceAdvice]] and
+  * [[TextAnalysis.textMaintenanceAdvice]] encode the AA8 stats'
+  * Scaladoc thresholds. Pinned here: each threshold edge on synthetic
+  * stats, and the full loop on PLANTED skewed layouts — a flooded ANN
+  * cell fires the policy, requantizing at the suggested k clears it;
+  * an over-budget text bucket fires it, re-bucketing at the suggested
+  * count clears it.
+  */
+class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withTmp(test: java.nio.file.Path => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint")
+    try test(tmp)
+    finally java.nio.file.Files.walk(tmp)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("ann advice thresholds: balanced healthy, skew fires, growth fires, empty no-op") {
+    import spark.implicits._
+    val balanced = (0 until 8).map(c => (c, 10L)).toDF("cell", "n_live")
+    val a = Similarity.annMaintenanceAdvice(balanced)
+    assert(!a.requantize && a.reason === "healthy")
+    assert(a.nLive === 80L && a.nCells === 8)
+
+    // one cell holds 100 of 107 live rows: max/mean = 100/13.4 > 4
+    val skewed = ((0 until 7).map(c => (c, 1L)) :+ (7 -> 100L))
+      .toDF("cell", "n_live")
+    val s = Similarity.annMaintenanceAdvice(skewed)
+    assert(s.requantize && s.reason.contains("skew"))
+
+    // balanced but outgrown: 400 live in 4 cells > 4*16
+    val grown = (0 until 4).map(c => (c, 100L)).toDF("cell", "n_live")
+    val g = Similarity.annMaintenanceAdvice(grown)
+    assert(g.requantize && g.reason.contains("k^2"))
+    assert(g.suggestedK === 20) // ceil(sqrt(400))
+
+    val empty = Seq.empty[(Int, Long)].toDF("cell", "n_live")
+    assert(!Similarity.annMaintenanceAdvice(empty).requantize)
+  }
+
+  test("text advice thresholds: under budget healthy, over-budget bucket fires with >=1 growth step") {
+    import spark.implicits._
+    val under = Seq((0, 30L), (1, 10L)).toDF("tb", "n_postings")
+    val u = TextAnalysis.textMaintenanceAdvice(under, probeReadBudget = 40L)
+    assert(!u.rebucket && u.reason === "healthy" && u.suggestedBuckets === 2)
+
+    val over = Seq((0, 100L), (1, 10L)).toDF("tb", "n_postings")
+    val o = TextAnalysis.textMaintenanceAdvice(over, probeReadBudget = 40L)
+    assert(o.rebucket && o.maxBucket === 100L)
+    assert(o.suggestedBuckets === 8) // 110/8 = 13.75 fits the budget
+
+    // hash skew with small volume: the advice still grows (same-count
+    // re-bucketing can never split a bucket)
+    val skew = Seq((0, 100L), (1, 0L)).toDF("tb", "n_postings")
+    val k = TextAnalysis.textMaintenanceAdvice(skew, probeReadBudget = 90L)
+    assert(k.rebucket && k.suggestedBuckets === 8)
+  }
+
+  test("planted skewed ANN layout: policy fires, requantize at the suggested k clears it") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val idx = tmp.resolve("annidx").toString
+      // batch 0 defines the quantizer: 8 mutually-orthogonal one-hot
+      // directions (cell assignment is by COSINE, so spread must be
+      // directional, not magnitude; the first-batch seeds are the
+      // vec_id < k rows, so the corners take ids 0..7)
+      val corners = (0 until 8).map { j =>
+        (j.toLong, Seq.tabulate(8)(d => if (d == j) 1000L else 0L), 0L, false)
+      }.toDF("vec_id", "embedding", "ver", "deleted")
+      assert(Similarity.appendCdcAnnSegment(corners, idx, "b000000", k = 8))
+      // batch 1 floods ONE narrow cone around axis 0 — 250 directions
+      // (1000, s, 0...) with s <= 792, every one nearer corner 0 than
+      // any other centroid, so the whole flood lands in one cell (and
+      // 258 live > 4*8² trips the growth threshold too). vec_ids
+      // 100..349, so the requantizer's smallest-live-id seeds are the
+      // 8 corners + the flood's first ids — whose (i*37)%100 shuffle
+      // spreads them across the cone instead of clumping at its edge.
+      val flood = (0 until 250).map { i =>
+        val s = 8L * ((i * 37) % 100)
+        (100L + i, 1000L +: s +: Seq.fill(6)(0L), 1L, false)
+      }.toDF("vec_id", "embedding", "ver", "deleted")
+      assert(Similarity.appendCdcAnnSegment(flood, idx, "b000001", k = 8))
+
+      val before = Similarity.annMaintenanceAdvice(
+        Similarity.cdcAnnIndexStats(spark, idx))
+      assert(before.requantize, s"flooded cell did not fire the policy: $before")
+      assert(before.reason.contains("skew"))
+      assert(before.maxCell >= 250L, s"flood did not land in one cell: $before")
+
+      Similarity.requantizeCdcAnnIndex(spark, idx, k = before.suggestedK,
+        iterations = 3)
+      val after = Similarity.annMaintenanceAdvice(
+        Similarity.cdcAnnIndexStats(spark, idx))
+      assert(!after.requantize,
+        s"requantize at k=${before.suggestedK} did not clear the policy: $after")
+      // k is a target, not a guarantee: duplicate-DIRECTION seeds (the
+      // axis-0 corner and the flood's s=0 vector here) collapse into
+      // one cell and the empty one drops from the published quantizer
+      assert(after.nCells >= before.suggestedK - 2 &&
+        after.nCells <= before.suggestedK, s"cells: $after")
+      assert(after.nLive === before.nLive) // lifecycle op loses no rows
+    }
+  }
+
+  test("planted over-budget text layout: policy fires, re-bucket at the suggested count clears it") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val idx = tmp.resolve("textidx").toString
+      // 160 single-term docs into 2 buckets: the bigger bucket holds
+      // >= 80 postings against a 60-posting probe budget
+      val docs = (0 until 160).map(i => (i.toLong, s"w$i", 0L, false))
+        .toDF("doc_id", "text", "ver", "deleted")
+      assert(TextAnalysis.appendCdcTextSegment(docs, idx, "b000000",
+        nBuckets = 2))
+
+      val budget = 60L
+      val before = TextAnalysis.textMaintenanceAdvice(
+        TextAnalysis.cdcTextIndexStats(spark, idx), probeReadBudget = budget)
+      assert(before.rebucket, s"over-budget bucket did not fire: $before")
+      assert(before.suggestedBuckets === 8) // 160/8 = 20 fits
+
+      TextAnalysis.rebucketCdcTextIndex(spark, idx, before.suggestedBuckets)
+      val after = TextAnalysis.textMaintenanceAdvice(
+        TextAnalysis.cdcTextIndexStats(spark, idx), probeReadBudget = budget)
+      assert(!after.rebucket,
+        s"re-bucket to ${before.suggestedBuckets} did not clear the policy: $after")
+      assert(after.nBuckets === before.suggestedBuckets)
+      assert(after.totalPostings === before.totalPostings) // nothing lost
+    }
+  }
+}

@@ -419,4 +419,122 @@ class CdcFoldCrashResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "requantize + crash recovery + resume diverged from the uninterrupted run")
     rmTree(ref); rmTree(work)
   }
+
+  // ---- the band-log twin: near-dup state through crash recovery --------
+
+  private def startBand(work: java.nio.file.Path, trigger: Trigger): StreamingQuery = {
+    import graft.operators.CdcBinlog
+    val log = work.resolve("bandlog").toString
+    changeStream.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val imgs = CdcBinlog.cdcm15BandImages(
+          CdcBinlog.cdcm4BatchImages(batch, batchId)).persist()
+        try {
+          if (!imgs.isEmpty)
+            CdcBinlog.appendCdcFpSegment(imgs, log, f"b$batchId%06d")
+          ()
+        } finally imgs.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  private def bandReport(work: java.nio.file.Path): Seq[String] =
+    graft.operators.CdcBinlog
+      .cdcNearDupPairs(spark, work.resolve("bandlog").toString)
+      .collect().map(_.toString).toSeq
+
+  /** [[crashedFold]] for the band log: kill mid-stream, fold for real,
+    * rewind publishDir's swap to the requested crash point.
+    */
+  private def crashedBandFold(keepTrash: Boolean): java.nio.file.Path = {
+    import graft.operators.CdcBinlog
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-bandfoldcrash")
+      val firstCommit = new java.util.concurrent.CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) firstCommit.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = startBand(work, Trigger.ProcessingTime(0))
+        assert(firstCommit.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = segDirs(work.resolve("bandlog"))
+      landed = segs >= 1 && segs < 8
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed mid-stream in 5 attempts")
+
+    val live = work.resolve("bandlog")
+    val old = work.resolve("old-snapshot")
+    copyTree(live, old)
+    CdcBinlog.compactCdcBandLog(spark, live.toString)
+    java.nio.file.Files.move(live, work.resolve("bandlog.compact-999"))
+    if (keepTrash) java.nio.file.Files.move(old, work.resolve("bandlog.trash-999"))
+    else rmTree(old)
+    work
+  }
+
+  test("band-log fold crash between renames: rollback drops the fence, resume + re-fold match the gate") {
+    import graft.operators.{CdcBinlog, Layout}
+    graft.functions.GraftFunctions.register(spark)
+    // the gate's own answer is admission-invariant (the report depends
+    // only on final latest images), so it is the ground truth for a
+    // differently-capped crash run too
+    val want = CdcBinlog.cdcm15NearDupFreshness(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(want.nonEmpty)
+
+    val work = crashedBandFold(keepTrash = true)
+    val live = new org.apache.hadoop.fs.Path(work.resolve("bandlog").toString)
+    val report = Layout.recoverPublish(fs, live)
+    info(s"recoverPublish: $report")
+    assert(report.startsWith("restored"), s"expected the OLD state back, got: $report")
+    assert(Layout.foldedThrough(fs, live).isEmpty,
+      "the staged fold's replay fence leaked into the restored UNFOLDED " +
+        "band log — a resume would silently drop legitimate replays")
+    assert(segDirs(work.resolve("bandlog")) >= 1)
+
+    val q2 = startBand(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    CdcBinlog.compactCdcBandLog(spark, work.resolve("bandlog").toString)
+    assert(bandReport(work) === want,
+      "band-log rollback + resume + re-fold diverged from the gate")
+    rmTree(work)
+  }
+
+  test("band-log fold crash after the old state was consumed: the fold publishes, resume respects the fence") {
+    import graft.operators.{CdcBinlog, Layout}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm15NearDupFreshness(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(want.nonEmpty)
+
+    val work = crashedBandFold(keepTrash = false)
+    val live = new org.apache.hadoop.fs.Path(work.resolve("bandlog").toString)
+    val report = Layout.recoverPublish(fs, live)
+    info(s"recoverPublish: $report")
+    assert(report.startsWith("published"), s"expected the FOLDED state in, got: $report")
+    assert(Layout.foldedThrough(fs, live).isDefined,
+      "the published band-log fold lost its replay fence — a replayed " +
+        "batch would double band rows against seg=base")
+
+    val q2 = startBand(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(bandReport(work) === want,
+      "band-log publish-forward + resume diverged from the gate — a " +
+        "replayed folded batch doubled rows against seg=base")
+    rmTree(work)
+  }
 }

@@ -644,4 +644,86 @@ class CdcIndexRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a batch seam dropped or duplicated fingerprint log rows")
     rmTree(ref); rmTree(work)
   }
+
+  test("cdcm15 pipeline: kill AFTER the mid-stream band-log fold, resume, near-dup report matches") {
+    import graft.operators.{CdcBinlog, Layout}
+    graft.functions.GraftFunctions.register(spark)
+
+    // the gate's pipeline: band images appended per batch, the log
+    // folded after the third append (the newest maintained-state kind
+    // gets the family's strongest proof — kill past the fold, resume
+    // from the same checkpoint, report identical)
+    def start(work: java.nio.file.Path, trigger: Trigger) = {
+      val log = work.resolve("bandlog").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      changeStream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = CdcBinlog.cdcm15BandImages(
+            CdcBinlog.cdcm4BatchImages(batch, batchId)).persist()
+          try {
+            if (!imgs.isEmpty &&
+                CdcBinlog.appendCdcFpSegment(imgs, log, f"b$batchId%06d") &&
+                appended.incrementAndGet() == 3)
+              CdcBinlog.compactCdcBandLog(spark, log)
+          } finally imgs.unpersist()
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+
+    def report(w: java.nio.file.Path): Seq[String] =
+      CdcBinlog.cdcNearDupPairs(spark, w.resolve("bandlog").toString)
+        .collect().map(_.toString).toSeq
+
+    val ref = java.nio.file.Files.createTempDirectory("graft-cdcm15-ref")
+    val qRef = start(ref, Trigger.AvailableNow())
+    qRef.awaitTermination()
+    assert(segDirs(ref.resolve("bandlog")) >= 3)
+    val want = report(ref)
+    assert(want.nonEmpty, "reference run found no near-dup pairs — thin data")
+
+    // landing = the fold already happened (seg=base) AND the drain is
+    // incomplete; resume from the same checkpoint over the folded base
+    var work: java.nio.file.Path = null
+    var landed = false
+    var attempt = 0
+    while (!landed && attempt < 6) {
+      attempt += 1
+      work = java.nio.file.Files.createTempDirectory("graft-cdcm15-restart")
+      val commits = new java.util.concurrent.CountDownLatch(4)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) commits.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q1 = start(work, Trigger.ProcessingTime(0))
+        assert(commits.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        q1.stop(); q1.awaitTermination()
+      } finally spark.streams.removeListener(listener)
+      val segs = Option(work.resolve("bandlog").toFile.listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("seg=")).toSet)
+        .getOrElse(Set.empty[String])
+      landed = segs.contains("seg=base") && segs.size < 7
+      if (!landed) rmTree(work)
+    }
+    assert(landed, "kill never landed after the band-log fold in 6 attempts")
+
+    // the documented maintenance-resume step (a no-op unless the kill
+    // interrupted a publish): recover, then resume from the checkpoint
+    val logPath = new org.apache.hadoop.fs.Path(work.resolve("bandlog").toString)
+    info("recoverPublish: " + Layout.recoverPublish(
+      logPath.getFileSystem(spark.sparkContext.hadoopConfiguration), logPath))
+    val q2 = start(work, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(report(work) === want,
+      "resume over a folded band log diverged from the uninterrupted " +
+        "run — a replayed folded batch doubled band rows past the fence, " +
+        "or the fold broke merge-on-read liveness")
+    rmTree(ref); rmTree(work)
+  }
 }
