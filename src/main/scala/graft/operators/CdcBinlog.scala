@@ -1574,6 +1574,92 @@ object CdcBinlog {
       }.orderBy($"r_sparse")
     }
 
+  // cdcm16 — POLICY-triggered maintenance: cdcm14 folds on a hardcoded
+  // schedule ("after the 3rd append"); here the SCHEDULE itself is the
+  // executable policy (TextAnalysis.textMaintenanceAdvice over the AA8
+  // stats) — after every append the stats are measured and the fold
+  // runs iff the advice fires, at the advice's own suggested count. The
+  // index starts deliberately undersized (2 buckets) so the policy has
+  // real pressure to act on: the probe-read budget is a quarter of the
+  // live postings, which a 2-bucket layout always violates, so the
+  // advice fires on the first measured append and re-buckets to its
+  // suggested count; any later skew past the budget re-fires it. The
+  // gate pins that the policy fired, that the recorded marker equals
+  // the advice's LAST suggestion, that the post-stream advice under the
+  // same budget rule is healthy (every append is followed by a check,
+  // so an end state needing maintenance cannot survive), and the probe
+  // at the recorded count hash-matches cdcm4's full-rebuild oracle —
+  // the maintenance loop is closed end-to-end with no human in it.
+  def cdcm16PolicyRebucketFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm16") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 6, 1L)
+      val idx = work.resolve("index").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lastSuggested = new java.util.concurrent.atomic.AtomicInteger(2)
+      def advice() = {
+        val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, idx)
+        val total = stats.agg(sum($"n_postings")).head().getLong(0)
+        graft.operators.TextAnalysis.textMaintenanceAdvice(stats,
+          probeReadBudget = math.max(1L, total / 4))
+      }
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId).persist()
+          try {
+            val nb = graft.operators.TextAnalysis
+              .textIndexBucketCount(s, idx).getOrElse(2)
+            if (!imgs.isEmpty &&
+                graft.operators.TextAnalysis.appendCdcTextSegment(
+                  imgs, idx, f"b$batchId%06d", nBuckets = nb)) {
+              appended.incrementAndGet()
+              // fold until the policy is satisfied (a growth step cures
+              // projected MEAN, residual skew may demand one more); the
+              // suggested-count-must-grow guard terminates the loop even
+              // against a single unsplittable hot term at the 2^20 cap
+              var a = advice()
+              while (a.rebucket && a.suggestedBuckets > lastSuggested.get()) {
+                fired.incrementAndGet()
+                lastSuggested.set(a.suggestedBuckets)
+                graft.operators.TextAnalysis.rebucketCdcTextIndex(
+                  s, idx, a.suggestedBuckets)
+                a = advice()
+              }
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends)")
+      require(fired.get() >= 1,
+        "the maintenance policy never fired — the planted 2-bucket " +
+          "pressure should violate a quarter-of-postings budget")
+      require(graft.operators.TextAnalysis.textIndexBucketCount(s, idx)
+          .contains(lastSuggested.get()),
+        s"recorded marker != the policy's last suggestion ${lastSuggested.get()}")
+      val endState = advice()
+      require(!endState.rebucket,
+        s"the closed loop left maintenance owing at stream end: $endState")
+      Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100,
+            nBuckets = lastSuggested.get())
+          .orderBy($"r_sparse")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"r_sparse")
+    }
+
   /** cdcm5's stub encoder, columnar: component i = first 4 bytes of
     * md5(word ‖ ':' ‖ i) mod 2001, shifted to [-1000, 1000] — the mm10
     * idiom (integer embeddings, DuckDB replays the exact values). An
@@ -1819,6 +1905,95 @@ object CdcBinlog {
         "requantize kept the first batch's centroids — the quantizer was not rebuilt")
       // probe vector: the smallest live id's embedding, read back from
       // the REQUANTIZED index (one slim row to the driver — cdcm5's shape)
+      val doclog = s.read.parquet(s"$idx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$idx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
+          .orderBy($"r_dense")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+        .orderBy($"r_dense")
+    }
+
+  // cdcm17 — POLICY-triggered requantize: cdcm16's ANN twin. The index
+  // starts deliberately tiny (k=2 first-batch quantizer) so the GROWTH
+  // trigger (live > 4k², the √n-cells rule) has real pressure from the
+  // first batches; after every append the gate measures
+  // cdcAnnIndexStats and requantizes iff annMaintenanceAdvice fires, at
+  // the advice's own ⌈√n⌉ suggested k, looping while the advice can
+  // still suggest growth. The gate passes skewRatio=∞: Lloyd over the
+  // md5-pseudo-random stub embeddings has no deterministic skew bound
+  // across scale factors, while the growth arithmetic is exact at every
+  // SF — skew firing-and-clearing is MaintenancePolicySpec's planted-
+  // layout territory. Pins: the policy fired, the post-stream advice
+  // under the same rule owes nothing, the quantizer genuinely grew past
+  // its planted k, and the exact-MIPS probe hash-matches the same
+  // brute-force DuckDB oracle as cdcm5/cdcm13 (exact probes are
+  // invariant to the cell partition, so any lost/duplicated/mis-assigned
+  // vector across the policy's requantizes breaks the hash).
+  def cdcm17PolicyRequantizeFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm17") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 6, 1L)
+      val idx = work.resolve("annindex").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
+      def advice() = graft.operators.Similarity.annMaintenanceAdvice(
+        graft.operators.Similarity.cdcAnnIndexStats(s, idx),
+        skewRatio = Double.MaxValue)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm5BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty &&
+                graft.operators.Similarity.appendCdcAnnSegment(
+                  imgs, idx, f"b$batchId%06d", k = 2)) {
+              appended.incrementAndGet()
+              // fold until the policy is satisfied; the must-grow guard
+              // terminates even if empty-cell drops shrink the published
+              // quantizer below the requested k
+              var a = advice()
+              while (a.requantize && a.suggestedK > lastK.get()) {
+                fired.incrementAndGet()
+                lastK.set(a.suggestedK)
+                graft.operators.Similarity.requantizeCdcAnnIndex(
+                  s, idx, k = a.suggestedK)
+                a = advice()
+              }
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends)")
+      require(fired.get() >= 1,
+        "the maintenance policy never fired — the planted k=2 quantizer " +
+          "should violate live > 4k² within the first batches")
+      val endState = advice()
+      require(!endState.requantize,
+        s"the closed loop left maintenance owing at stream end: $endState")
+      val cellsNow = s.read.parquet(s"$idx/centroids").count()
+      require(cellsNow > 2,
+        s"the quantizer never grew past its planted k=2 ($cellsNow cells)")
       val doclog = s.read.parquet(s"$idx/doclog")
       val live = doclog.groupBy($"vec_id")
         .agg(max(struct($"ver", $"deleted")).as("m"))
@@ -2117,6 +2292,51 @@ object CdcBinlog {
       cross.unionByName(intra)
         .orderBy($"doc_a", $"doc_b")
         .limit(limit)
+  }
+
+  /** Near-dups of ONE doc from the band log — the ingest-time screening
+    * probe ([[cdcNearDupPairs]] recomputes the whole corpus report; the
+    * production question is usually "near-dups of THIS doc"). Band-
+    * pruned the way [[Similarity.mipsTopKViaCdcAnnIndexPruned]] prunes
+    * the ANN index: the target's band keys are a bounded driver-side
+    * cut (≤2 rows by construction), candidates are the live rows
+    * matching those keys — so the full band SELF-join and the full
+    * Jaccard pass never run; the probe's pair work is the target's two
+    * buckets only. The one log-proportional step is the liveness
+    * argmax every report pays (bounded by [[compactCdcBandLog]] in
+    * steady state). Probe results equal the report restricted to pairs
+    * containing the doc, Jaccard for Jaccard (spec-pinned): candidacy
+    * and the digest-Jaccard arithmetic are the same derivations.
+    */
+  private[graft] def cdcNearDupProbe(s: SparkSession, logDir: String,
+                                     docId: Long): DataFrame = {
+    import s.implicits._
+    val live = cdcNearDupLive(s, logDir)
+    val target = live.filter($"doc_id" === docId).persist()
+    try {
+      val tBands = target.select(explode($"bands").as("b"))
+        .select($"b.band_id".as("band_id"), $"b.h".as("h")).collect()
+      if (tBands.isEmpty) // deleted or unknown doc: no neighborhood
+        Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+      else {
+        val inBuckets = tBands.map(r =>
+            $"b.band_id" === r.getInt(0) && $"b.h" === r.getString(1))
+          .reduce(_ || _)
+        val cands = live.filter($"doc_id" =!= docId)
+          .select($"doc_id", $"sh", explode($"bands").as("b"))
+          .filter(inBuckets)
+          .dropDuplicates("doc_id") // a doc sharing both bands is one candidate
+        val tsh = target.select($"sh".as("sh_t"))
+        cands.crossJoin(broadcast(tsh)) // one-row broadcast, never a cartesian
+          .select(least(lit(docId), $"doc_id").as("doc_a"),
+            greatest(lit(docId), $"doc_id").as("doc_b"),
+            (size(array_intersect($"sh", $"sh_t")).cast("double") /
+              size(array_union($"sh", $"sh_t"))).as("jaccard"))
+          .filter($"jaccard" >= 0.2)
+          .orderBy($"doc_a", $"doc_b")
+          .localCheckpoint(true) // detach before the cache releases
+      }
+    } finally target.unpersist()
   }
 
   /** Fold the band log to a live-only single base segment — identical
@@ -2640,6 +2860,8 @@ object CdcBinlog {
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm14_rebucketed_text_freshness" -> cdcm14RebucketedTextFreshness _,
+    "cdcm16_policy_rebucket_freshness" -> cdcm16PolicyRebucketFreshness _,
+    "cdcm17_policy_requantize_freshness" -> cdcm17PolicyRequantizeFreshness _,
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm13_requantized_ann_freshness" -> cdcm13RequantizedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
@@ -2854,6 +3076,23 @@ object CdcBinlog {
          |FROM sagg
          |QUALIFY r_sparse <= 100
          |ORDER BY r_sparse""".stripMargin,
+    // cdcm16: the POLICY-triggered re-bucket must be exactly as
+    // invisible as cdcm14's scheduled one — cdcm4's rebuild oracle,
+    // verbatim (who decided the fold point changes nothing the probe
+    // can see)
+    "cdcm16_policy_rebucket_freshness" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |${TextAnalysis.bm25IndexOracleCtes(cdcm4Terms, "pt.doc_id IS NOT NULL", "docs")}
+         |SELECT doc_id, bm25,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_sparse
+         |FROM sagg
+         |QUALIFY r_sparse <= 100
+         |ORDER BY r_sparse""".stripMargin,
     // cdcm15: near-dup pairs among CURRENT latest images — dd02's CTE
     // chain (shingles → minhash windows → bands → candidate self-join →
     // exact Jaccard) replayed over the latest-image ground truth; the
@@ -2892,6 +3131,9 @@ object CdcBinlog {
     // exact probe is invariant to the quantizer partition — the
     // requantized index must still brute-force-match the latest images
     "cdcm13_requantized_ann_freshness" -> annFreshnessOracle(sfDir),
+    // cdcm17: WHO decided each requantize (the policy, not a schedule)
+    // changes nothing the exact probe can see — same brute-force oracle
+    "cdcm17_policy_requantize_freshness" -> annFreshnessOracle(sfDir),
     "cdcm9_compacted_fp_freshness" -> fpGroupsOracle(sfDir),
     // per-table full rebuilds over the multi-table ground truth: any
     // cross-table bleed in the routed indexes hash-fails a leg

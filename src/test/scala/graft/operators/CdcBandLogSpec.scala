@@ -120,4 +120,39 @@ class CdcBandLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally tw.close()
   }
+
+  test("single-doc probe == report restricted to the doc, Jaccard for Jaccard; tombstoned doc probes empty") {
+    val work = java.nio.file.Files.createTempDirectory("graft-bandprobe")
+    val log = work.resolve("bandlog").toString
+    val A = "red orange yellow green blue indigo violet"
+    val B = "north south east west upward downward inward"
+    val b0 = Seq(
+      (1L, s"$A one", 0L, false),
+      (2L, s"$A two", 0L, false),
+      (3L, s"$B one", 0L, false),
+      (4L, s"$A five", 0L, false),
+      (5L, s"$B two", 0L, false))
+    val b1 = Seq((2L, null: String, 1L, true)) // doc 2 tombstoned
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b0), log, "b000000"))
+    assert(CdcBinlog.appendCdcFpSegment(bandRows(b1), log, "b000001"))
+
+    val report = pairs(log)
+    assert(report.nonEmpty)
+    val docs = report.flatMap(p => Seq(p._1, p._2)).distinct
+    docs.foreach { d =>
+      val probed = CdcBinlog.cdcNearDupProbe(spark, log, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = report.filter(p => p._1 == d || p._2 == d)
+      assert(probed === want,
+        s"probe($d) diverged from the report's restriction: $probed vs $want")
+    }
+    // the tombstoned doc has no neighborhood; an unknown doc neither
+    assert(CdcBinlog.cdcNearDupProbe(spark, log, 2L).isEmpty)
+    assert(CdcBinlog.cdcNearDupProbe(spark, log, 99L).isEmpty)
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
 }

@@ -168,7 +168,9 @@ object GlobalPlanSweepSpec {
     "cdcm15_neardup_freshness",
     "cdcm7_compacted_index_freshness", "cdcm8_compacted_ann_freshness",
     "cdcm9_compacted_fp_freshness", "cdcm13_requantized_ann_freshness",
-    "cdcm14_rebucketed_text_freshness", "cdcm10_multi_index_routing",
+    "cdcm14_rebucketed_text_freshness", "cdcm16_policy_rebucket_freshness",
+    "cdcm17_policy_requantize_freshness",
+    "cdcm10_multi_index_routing",
     "cdcm11_hetero_index_routing",
     "cdcb20_bounded_admission",
     "q35_zorder_layout", // writes + reads back a clustered copy on call

@@ -208,4 +208,136 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a fold was visible to the other structure's probe")
     rmTree(work)
   }
+
+  /** The LIFECYCLE ops under the same multiplex (VERDICT r17 #4):
+    * cdcm13's requantize and cdcm14's re-bucket are proven under
+    * single-structure ingest; production CDC is a multiplex, and the
+    * marker/fence interplay ACROSS routes is the one composition they
+    * hadn't run. Here the text route RE-BUCKETS 8→32 after its 3rd
+    * append (appends thereafter are marker-driven, cdcm14's appender)
+    * and the ANN route REQUANTIZES after its 4th append (appends
+    * thereafter assign against the published rebuilt centroids,
+    * cdcm13's contract) — staggered, inside one shared foreachBatch.
+    * Pinned: per-structure fences at each route's own ordinal, the
+    * grown `_nbuckets` marker with physical occupation past the old
+    * range, centroids genuinely CHANGED, and the union probe still
+    * matching the never-maintained cdcm11 gate.
+    */
+  test("hetero staggered re-bucket + requantize under the shared pass; probe matches cdcm11") {
+    import graft.operators.{CdcBinlog, Layout, Similarity, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm11HeteroIndexRouting(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    val cap = math.max(CdcBinlog.fixtureBinlogBytes(spark, fix) / 6, 1L)
+    val work = java.nio.file.Files.createTempDirectory("graft-mrc-lifecycle")
+    val txtIdx = work.resolve("idx_text").toString
+    val annIdx = work.resolve("idx_ann").toString
+    val txtBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val annBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val preCentroids =
+      new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(fix)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val t = CdcBinlog.cdcm4BatchImages(
+            b.filter(b("table") === "d1"), batchId).persist()
+          try {
+            // cdcm14's MARKER-DRIVEN appender: each batch buckets by
+            // the recorded count, whatever the last re-bucket left
+            val nb = TextAnalysis.textIndexBucketCount(spark, txtIdx)
+              .getOrElse(8)
+            if (!t.isEmpty &&
+                TextAnalysis.appendCdcTextSegment(t, txtIdx,
+                  f"b$batchId%06d", nBuckets = nb)) {
+              txtBatches.add(batchId)
+              if (txtBatches.size == 3)
+                TextAnalysis.rebucketCdcTextIndex(spark, txtIdx, 32)
+            }
+          } finally t.unpersist()
+          val v = CdcBinlog.cdcm5BatchImages(
+            b.filter(b("table") === "d2"), batchId).persist()
+          try {
+            if (!v.isEmpty &&
+                Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d")) {
+              annBatches.add(batchId)
+              if (annBatches.size == 4) {
+                preCentroids.set(spark.read.parquet(s"$annIdx/centroids")
+                  .orderBy("cell").collect().map(_.toString).toSeq)
+                Similarity.requantizeCdcAnnIndex(spark, annIdx, k = 16)
+              }
+            }
+          } finally v.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val txtIds = txtBatches.toArray.toVector.map(_.asInstanceOf[Long])
+    val annIds = annBatches.toArray.toVector.map(_.asInstanceOf[Long])
+    assert(txtIds.size >= 5 && annIds.size >= 5,
+      s"thin batching (text=${txtIds.size}, ann=${annIds.size} appends) — " +
+        "raise the cap divisor")
+    def fence(idx: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      Layout.foldedThrough(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    // per-structure fences at each route's OWN lifecycle point
+    assert(fence(txtIdx) === Some(txtIds(2)),
+      s"text fence ${fence(txtIdx)} != its own 3rd appended batch ${txtIds(2)}")
+    assert(fence(annIdx) === Some(annIds(3)),
+      s"ann fence ${fence(annIdx)} != its own 4th appended batch ${annIds(3)}")
+    assert(fence(txtIdx) !== fence(annIdx),
+      "the two structures share a fence ordinal — per-structure staggering lost")
+    // the re-bucket really landed AND the marker drove later appends:
+    // recorded count grown, postings physically occupy buckets >= 8
+    assert(TextAnalysis.textIndexBucketCount(spark, txtIdx) === Some(32))
+    val grownDirs = new java.io.File(s"$txtIdx/postings").listFiles()
+      .filter(_.getName.startsWith("seg=")).flatMap(_.listFiles())
+      .map(_.getName).filter(_.startsWith("tb="))
+      .map(_.stripPrefix("tb=").toInt).toSet
+    assert(grownDirs.exists(_ >= 8),
+      s"no postings landed beyond the old 8-bucket range: $grownDirs")
+    // the requantize really replaced the quantizer
+    val postCentroids = spark.read.parquet(s"$annIdx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(preCentroids.get().nonEmpty && postCentroids != preCentroids.get(),
+      "requantize left the centroids unchanged — the rebuild never published")
+
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    val doclog = spark.read.parquet(s"$annIdx/doclog")
+    val live = doclog.groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$annIdx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    val textLeg = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, txtIdx, CdcBinlog.cdcm4Terms, 50, nBuckets = 32)
+      .select(lit("text").as("leg"), col("doc_id").cast("long").as("key_id"),
+        col("bm25").as("score"), col("r_sparse").as("r"))
+    val annLeg = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, annIdx, probeVec, 50)
+      .select(lit("ann").as("leg"), col("vec_id").cast("long").as("key_id"),
+        col("dot").cast("double").as("score"), col("r_dense").as("r"))
+    val got = textLeg.unionAll(annLeg).orderBy("leg", "r")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "staggered lifecycle ops diverged from the never-maintained gate — " +
+        "a re-bucket or requantize bled across routes")
+    rmTree(work)
+  }
 }
