@@ -2372,6 +2372,94 @@ object CdcBinlog {
     }
   }
 
+  // ---- Log maintenance policy: WHEN to compact, as code ---------------
+  //
+  // The text and ANN structures got their trigger measurements + advice
+  // in rounds 17/18 (cdcTextIndexStats/textMaintenanceAdvice,
+  // cdcAnnIndexStats/annMaintenanceAdvice); the two LOG structures (fp,
+  // band) and the doclogs the text/ANN indexes carry had folds but no
+  // measured trigger — their compaction schedules were hardcoded batch
+  // ordinals in the gates. These two close that: the compaction trigger
+  // for any versioned (key, ver, deleted) segment log is the measured
+  // read amplification (total version rows / live keys — what every
+  // report's argmax pays vs what it needs) and the committed segment
+  // count (per-report file-listing + parquet-footer overhead, and each
+  // segment is a separate read).
+
+  /** Churn stats of a versioned CDC state log — the measurement that
+    * decides WHEN to run [[compactCdcFpLog]] / [[compactCdcBandLog]]
+    * (or the text/ANN doclog folds — any log whose rows are
+    * (`keyCol`, ver, deleted, payload...) under the seg= layout reads
+    * the same way; pass `keyCol = "vec_id"` for the ANN doclog).
+    * Returns ONE row: (n_rows, n_keys, n_live, n_segments) where
+    * n_rows counts every version incl. tombstones (what the per-report
+    * argmax reads), n_live counts keys whose latest version is not
+    * deleted (what it needs), and n_segments counts committed non-base
+    * segments (per-report open overhead; the fold's own seg=base output
+    * is steady state, not debt). Cost: one slim 3-column aggregate —
+    * column pruning keeps the payload arrays unread — cheap enough to
+    * run after every append, which is exactly what gate cdcm18 does.
+    */
+  def cdcLogStats(s: SparkSession, logDir: String,
+                  keyCol: String = "doc_id"): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs = Layout.committedSegs(fs, p)
+    val nSegs = segs.count(_ != "seg=base")
+    if (segs.isEmpty)
+      return Seq((0L, 0L, 0L, nSegs)).toDF("n_rows", "n_keys", "n_live", "n_segments")
+    s.read.option("basePath", logDir)
+      .parquet(segs.map(n => s"$logDir/$n"): _*)
+      .select(col(keyCol).as("k"), $"ver", $"deleted")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_vers"), max(struct($"ver", $"deleted")).as("m"))
+      .agg(count(lit(1)).as("n_keys"),
+        // coalesce: a committed-but-empty log (a base folded from
+        // all-dead rows) aggregates zero groups and sum() yields null
+        coalesce(sum($"n_vers"), lit(0L)).as("n_rows"),
+        coalesce(sum(when(!$"m.deleted", 1L).otherwise(0L)), lit(0L)).as("n_live"))
+      .select($"n_rows", $"n_keys", $"n_live", lit(nSegs).as("n_segments"))
+  }
+
+  /** The executable form of [[cdcLogStats]]'s trigger prose — the log
+    * twin of [[Similarity.annMaintenanceAdvice]] /
+    * [[TextAnalysis.textMaintenanceAdvice]]. `compact` is true when
+    * the log's read amplification (n_rows / n_live — superseded
+    * versions and tombstones every argmax reads and discards) exceeds
+    * `ampFactor` (default 4: a report pays 4× the bytes it needs), when
+    * the log holds ONLY dead rows (amplification is ∞ — all bytes are
+    * waste), or when committed non-base segments exceed `maxSegments`
+    * (default 16: listing + footer + task overhead per report grows
+    * with the segment count even when amplification is low). The stats
+    * frame is one row by construction — a bounded driver-side collect.
+    */
+  final case class LogMaintenanceAdvice(compact: Boolean, nRows: Long,
+                                        nKeys: Long, nLive: Long,
+                                        nSegments: Int,
+                                        amplification: Double, reason: String)
+
+  def logMaintenanceAdvice(stats: DataFrame, ampFactor: Double = 4.0,
+                           maxSegments: Int = 16): LogMaintenanceAdvice = {
+    val r = stats.select("n_rows", "n_keys", "n_live", "n_segments").head()
+    val (nRows, nKeys, nLive) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nSegs = r.getInt(3)
+    val amp =
+      if (nLive > 0) nRows.toDouble / nLive
+      else if (nRows > 0) Double.PositiveInfinity
+      else 1.0
+    val amplified = amp > ampFactor
+    val overSegs = nSegs > maxSegments
+    val reason =
+      if (amplified && overSegs)
+        f"amplification $amp%.1f > $ampFactor%.1f AND $nSegs segments > $maxSegments"
+      else if (amplified) f"amplification $amp%.1f > $ampFactor%.1f ($nRows rows / $nLive live)"
+      else if (overSegs) s"$nSegs committed segments > $maxSegments"
+      else "healthy"
+    LogMaintenanceAdvice(amplified || overSegs, nRows, nKeys, nLive, nSegs,
+      amp, reason)
+  }
+
   // cdcm15 — NEAR-dup freshness, the fourth maintained-state kind (text
   // cdcm4, vectors cdcm5, exact dups cdcm6, near dups here): the band
   // log maintained under bounded admission with compactCdcBandLog
@@ -2473,6 +2561,86 @@ object CdcBinlog {
       require(segs.contains("seg=base") &&
         segs.size == appended.get() - 3 + 1,
         s"expected seg=base + ${appended.get() - 3} ingest segments, got $segs")
+      Layout.retryOnceOnMissing {
+        cdcFpGroups(s, log)
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }.orderBy($"keeper_doc_id")
+    }
+
+  // cdcm18 — POLICY-triggered log compaction, the log twin of cdcm16
+  // (text re-bucket) and cdcm17 (ANN requantize): cdcm9 folds the fp
+  // log on a hardcoded schedule ("after the 3rd append"); here the
+  // schedule IS logMaintenanceAdvice over cdcLogStats — after every
+  // append the log's read amplification and committed segment count are
+  // measured and compactCdcFpLog runs iff the advice fires. The planted
+  // pressure (cdcm16's 2-bucket idiom) is a per-report open-segment
+  // budget of 2: every third append exceeds it, so the policy must fire
+  // at least twice across the stream, proving fire → fold → healthy →
+  // re-accumulate → re-fire, not a one-shot. The gate pins that the
+  // policy fired >= 2×, that EVERY fire was cleared by its fold (a log
+  // fold retires the whole debt in one step — unlike re-bucketing,
+  // where residual skew can demand another growth step), that the end
+  // state owes nothing under the same budget, that the surviving
+  // non-base segment count respects the budget, and that the duplicate-
+  // group report hash-matches cdcm6's latest-image oracle — the
+  // maintenance loop closed end-to-end with no human in it, for the
+  // maintained-state kind whose debt is churn, not skew.
+  def cdcm18PolicyCompactFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm18") { work =>
+      import s.implicits._
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 8, 1L)
+      val log = work.resolve("fplog").toString
+      val segBudget = 2
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      def advice() =
+        logMaintenanceAdvice(cdcLogStats(s, log), maxSegments = segBudget)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = cdcm4BatchImages(batch, batchId)
+            .withColumn("fp", md5(TextAnalysis.normalize($"word")))
+            .select($"doc_id", $"ver", $"deleted", $"fp")
+            .coalesce(4)
+            .persist()
+          try {
+            if (!imgs.isEmpty &&
+                appendCdcFpSegment(imgs, log, f"b$batchId%06d")) {
+              appended.incrementAndGet()
+              val a = advice()
+              if (a.compact) {
+                fired.incrementAndGet()
+                compactCdcFpLog(s, log)
+                val after = advice()
+                require(!after.compact,
+                  s"one fold must retire a log's whole debt; still owing: $after")
+              }
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 6,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the policy needs two full " +
+          "accumulate-past-budget cycles")
+      require(fired.get() >= 2,
+        s"the maintenance policy fired ${fired.get()} time(s) — a " +
+          s"$segBudget-segment budget under ${appended.get()} appends " +
+          "must fire at least twice")
+      val endState = advice()
+      require(!endState.compact,
+        s"the closed loop left maintenance owing at stream end: $endState")
+      val nonBase = segNames(s, log).count(_ != "seg=base")
+      require(nonBase <= segBudget,
+        s"$nonBase non-base segments survived a $segBudget-segment budget")
       Layout.retryOnceOnMissing {
         cdcFpGroups(s, log)
           .localCheckpoint(true) // DETACH — the workdir rotates away
@@ -2865,6 +3033,7 @@ object CdcBinlog {
     "cdcm8_compacted_ann_freshness" -> cdcm8CompactedAnnFreshness _,
     "cdcm13_requantized_ann_freshness" -> cdcm13RequantizedAnnFreshness _,
     "cdcm9_compacted_fp_freshness" -> cdcm9CompactedFpFreshness _,
+    "cdcm18_policy_compact_freshness" -> cdcm18PolicyCompactFreshness _,
     "cdcb13_compressed_latest_image" -> cdcb13CompressedLatestImage _,
     "cdcb12_partial_json_latest" -> cdcb12PartialJsonLatest _,
     "cdcb11_compressed_txn_scan" -> cdcb11CompressedTxnScan _,
@@ -3135,6 +3304,7 @@ object CdcBinlog {
     // changes nothing the exact probe can see — same brute-force oracle
     "cdcm17_policy_requantize_freshness" -> annFreshnessOracle(sfDir),
     "cdcm9_compacted_fp_freshness" -> fpGroupsOracle(sfDir),
+    "cdcm18_policy_compact_freshness" -> fpGroupsOracle(sfDir),
     // per-table full rebuilds over the multi-table ground truth: any
     // cross-table bleed in the routed indexes hash-fails a leg
     "cdcm10_multi_index_routing" ->

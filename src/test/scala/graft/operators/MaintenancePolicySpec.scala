@@ -121,6 +121,126 @@ class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("log advice thresholds: healthy, amplification fires, segment budget fires, dead-only is infinite, empty no-op") {
+    import spark.implicits._
+    def stats(rows: Long, keys: Long, live: Long, segs: Int) =
+      Seq((rows, keys, live, segs)).toDF("n_rows", "n_keys", "n_live", "n_segments")
+
+    val h = CdcBinlog.logMaintenanceAdvice(stats(100L, 40L, 30L, 10))
+    assert(!h.compact && h.reason === "healthy")
+    assert(h.amplification === 100.0 / 30)
+
+    val amp = CdcBinlog.logMaintenanceAdvice(stats(200L, 50L, 40L, 3))
+    assert(amp.compact && amp.reason.contains("amplification"))
+
+    val segs = CdcBinlog.logMaintenanceAdvice(stats(20L, 20L, 20L, 17))
+    assert(segs.compact && segs.reason.contains("segments"))
+
+    // every live key tombstoned: all bytes are waste, amplification ∞
+    val dead = CdcBinlog.logMaintenanceAdvice(stats(50L, 50L, 0L, 2))
+    assert(dead.compact && dead.amplification.isPosInfinity)
+
+    val empty = CdcBinlog.logMaintenanceAdvice(stats(0L, 0L, 0L, 0))
+    assert(!empty.compact && empty.amplification === 1.0)
+  }
+
+  test("planted churned fp log: amplification fires, ONE fold clears it, groups unchanged") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val log = tmp.resolve("fplog").toString
+      // 4 versions of the same 50 docs; the last version tombstones 10.
+      // fp = md5 of the word, two words → two duplicate groups among
+      // the 40 survivors. n_rows=200, n_live=40 → amplification 5 > 4.
+      (0 until 4).foreach { v =>
+        val imgs = (0 until 50).map { i =>
+          (i.toLong, v.toLong, v == 3 && i < 10,
+            if (i % 2 == 0) "even" else "odd")
+        }.toDF("doc_id", "ver", "deleted", "word")
+          .select($"doc_id", $"ver", $"deleted",
+            org.apache.spark.sql.functions.md5(
+              TextAnalysis.normalize($"word")).as("fp"))
+        assert(CdcBinlog.appendCdcFpSegment(imgs, log, f"b$v%06d"))
+      }
+      val before = CdcBinlog.logMaintenanceAdvice(CdcBinlog.cdcLogStats(spark, log))
+      assert(before.compact, s"5× amplification did not fire: $before")
+      assert(before.reason.contains("amplification"))
+      assert(before.nRows === 200L && before.nLive === 40L)
+      val groupsBefore = CdcBinlog.cdcFpGroups(spark, log).collect()
+
+      CdcBinlog.compactCdcFpLog(spark, log)
+      val after = CdcBinlog.logMaintenanceAdvice(CdcBinlog.cdcLogStats(spark, log))
+      assert(!after.compact, s"one fold must retire the whole debt: $after")
+      assert(after.nRows === 40L && after.nLive === 40L) // live-only base
+      assert(after.amplification === 1.0 && after.nSegments === 0)
+      assert(CdcBinlog.cdcFpGroups(spark, log).collect()
+        .sameElements(groupsBefore), "the fold changed the report")
+    }
+  }
+
+  test("planted many-segment band log: segment budget fires, ONE fold clears it, near-dup report unchanged") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val log = tmp.resolve("bandlog").toString
+      // 4 single-batch segments, distinct docs each (amplification stays
+      // 1.0 — only the segment budget is in violation); docs 0 and 200
+      // carry byte-identical text, so the report holds their intra pair
+      // at Jaccard 1.0 by construction
+      (0 until 4).foreach { v =>
+        val imgs = (0 until 10).map { i =>
+          (v * 100L + i, "alpha beta gamma delta epsilon zeta eta " +
+            (if (v % 2 == 0 && i == 0) "theta" else s"w$v$i"))
+        }.toDF("doc_id", "text")
+          .select($"doc_id", org.apache.spark.sql.functions.lit(v.toLong).as("ver"),
+            org.apache.spark.sql.functions.lit(false).as("deleted"), $"text")
+        assert(CdcBinlog.appendCdcFpSegment(
+          CdcBinlog.cdcm15BandImages(imgs), log, f"b$v%06d"))
+      }
+      val budget = 3
+      val before = CdcBinlog.logMaintenanceAdvice(
+        CdcBinlog.cdcLogStats(spark, log), maxSegments = budget)
+      assert(before.compact, s"4 segments vs a budget of 3 did not fire: $before")
+      assert(before.reason.contains("segments") && before.nSegments === 4)
+      val reportBefore = CdcBinlog.cdcNearDupPairs(spark, log).collect()
+      assert(reportBefore.exists(r => r.getLong(0) === 0L && r.getLong(1) === 200L
+        && r.getDouble(2) === 1.0), "the planted identical pair is missing")
+
+      CdcBinlog.compactCdcBandLog(spark, log)
+      val after = CdcBinlog.logMaintenanceAdvice(
+        CdcBinlog.cdcLogStats(spark, log), maxSegments = budget)
+      assert(!after.compact, s"one fold must retire the whole debt: $after")
+      assert(after.nSegments === 0 && after.nLive === before.nLive)
+      assert(CdcBinlog.cdcNearDupPairs(spark, log).collect()
+        .sameElements(reportBefore), "the fold changed the report")
+    }
+  }
+
+  test("cdcLogStats generalizes to the ANN doclog via keyCol = vec_id") {
+    import spark.implicits._
+    withTmp { tmp =>
+      val idx = tmp.resolve("annidx").toString
+      val b0 = (0 until 8).map { j =>
+        (j.toLong, Seq.tabulate(8)(d => if (d == j) 1000L else 0L), 0L, false)
+      }.toDF("vec_id", "embedding", "ver", "deleted")
+      assert(Similarity.appendCdcAnnSegment(b0, idx, "b000000", k = 8))
+      // batch 1 supersedes every vector: 16 rows / 8 live = 2.0
+      val b1 = (0 until 8).map { j =>
+        (j.toLong, Seq.tabulate(8)(d => if (d == j) 900L else 10L), 1L, false)
+      }.toDF("vec_id", "embedding", "ver", "deleted")
+      assert(Similarity.appendCdcAnnSegment(b1, idx, "b000001", k = 8))
+
+      val stats = CdcBinlog.cdcLogStats(spark, s"$idx/doclog", keyCol = "vec_id")
+      val a = CdcBinlog.logMaintenanceAdvice(stats, ampFactor = 1.5)
+      assert(a.compact && a.nRows === 16L && a.nLive === 8L)
+      assert(a.amplification === 2.0)
+
+      Similarity.compactCdcAnnIndex(spark, idx)
+      val after = CdcBinlog.logMaintenanceAdvice(
+        CdcBinlog.cdcLogStats(spark, s"$idx/doclog", keyCol = "vec_id"),
+        ampFactor = 1.5)
+      assert(!after.compact && after.nRows === 8L && after.nLive === 8L)
+    }
+  }
+
   test("planted over-budget text layout: policy fires, re-bucket at the suggested count clears it") {
     import spark.implicits._
     withTmp { tmp =>

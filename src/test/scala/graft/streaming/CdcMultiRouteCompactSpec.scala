@@ -340,4 +340,186 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a re-bucket or requantize bled across routes")
     rmTree(work)
   }
+
+  /** The maintenance-DAEMON shape: three structures (text index, ANN
+    * index, fp log) maintained off one shared pass, each folding on ITS
+    * OWN measured policy — textMaintenanceAdvice (quarter-of-postings
+    * budget, 2-bucket start), annMaintenanceAdvice (growth trigger,
+    * k=2 start), logMaintenanceAdvice (2-segment budget) — with no
+    * hardcoded schedule anywhere. What this adds over cdcm16/17/18
+    * (one policy, one structure each) and the lifecycle leg above
+    * (hardcoded schedules, two structures): the policies fire on
+    * DIFFERENT batches chosen by their own measurements, so the
+    * fence/marker interplay across routes is exercised at
+    * policy-chosen points, not author-chosen ones. Truth: text+ANN
+    * union probe == the never-maintained cdcm11 gate; fp groups == an
+    * append-only unmaintained twin log built in the same pass.
+    */
+  test("tri-structure maintenance daemon: every route folds by its own policy under the shared pass") {
+    import graft.operators.{CdcBinlog, Layout, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, lit, max, md5, struct, sum}
+    graft.functions.GraftFunctions.register(spark)
+    val want = CdcBinlog.cdcm11HeteroIndexRouting(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val fix = java.nio.file.Paths.get(CdcBinlog.fixtureDir(dir), "multi").toString
+    val cap = math.max(CdcBinlog.fixtureBinlogBytes(spark, fix) / 6, 1L)
+    val work = java.nio.file.Files.createTempDirectory("graft-mrc-daemon")
+    val txtIdx = work.resolve("idx_text").toString
+    val annIdx = work.resolve("idx_ann").toString
+    val fpIdx = work.resolve("fplog").toString
+    val fpTwin = work.resolve("fplog_twin").toString
+
+    val txtFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val annFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fpFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastNb = new java.util.concurrent.atomic.AtomicInteger(2)
+    val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
+    // the batch each structure's LAST fold fired on — its fence must
+    // end up exactly there (policy-chosen, not author-chosen)
+    val txtFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val annFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val fpFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val appends = scala.collection.mutable.Map("txt" -> 0, "ann" -> 0, "fp" -> 0)
+
+    def txtAdvice() = {
+      val stats = TextAnalysis.cdcTextIndexStats(spark, txtIdx)
+      val total = stats.agg(sum(col("n_postings"))).head().getLong(0)
+      TextAnalysis.textMaintenanceAdvice(stats,
+        probeReadBudget = math.max(1L, total / 4))
+    }
+    def annAdvice() = Similarity.annMaintenanceAdvice(
+      Similarity.cdcAnnIndexStats(spark, annIdx), skewRatio = Double.MaxValue)
+    def fpAdvice() = CdcBinlog.logMaintenanceAdvice(
+      CdcBinlog.cdcLogStats(spark, fpIdx), maxSegments = 2)
+
+    val q = spark.readStream.format("mysql-binlog")
+      .option("payloadDdl", CdcBinlog.payloadDdl)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(fix)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val t = CdcBinlog.cdcm4BatchImages(
+            b.filter(b("table") === "d1"), batchId).persist()
+          try {
+            val nb = TextAnalysis.textIndexBucketCount(spark, txtIdx)
+              .getOrElse(2)
+            if (!t.isEmpty &&
+                TextAnalysis.appendCdcTextSegment(t, txtIdx,
+                  f"b$batchId%06d", nBuckets = nb)) {
+              appends("txt") += 1
+              var a = txtAdvice()
+              while (a.rebucket && a.suggestedBuckets > lastNb.get()) {
+                txtFired.incrementAndGet(); txtFenceAt.set(batchId)
+                lastNb.set(a.suggestedBuckets)
+                TextAnalysis.rebucketCdcTextIndex(spark, txtIdx,
+                  a.suggestedBuckets)
+                a = txtAdvice()
+              }
+            }
+            // the fp route rides the SAME d1 images (the daemon shape:
+            // one decode, N structures)
+            val fpImgs = t.withColumn("fp",
+                md5(TextAnalysis.normalize(col("word"))))
+              .select(col("doc_id"), col("ver"), col("deleted"), col("fp"))
+            if (!t.isEmpty &&
+                CdcBinlog.appendCdcFpSegment(fpImgs, fpIdx, f"b$batchId%06d")) {
+              appends("fp") += 1
+              assert(CdcBinlog.appendCdcFpSegment(fpImgs, fpTwin,
+                f"b$batchId%06d"), "the unmaintained twin refused an append")
+              val a = fpAdvice()
+              if (a.compact) {
+                fpFired.incrementAndGet(); fpFenceAt.set(batchId)
+                CdcBinlog.compactCdcFpLog(spark, fpIdx)
+              }
+            }
+          } finally t.unpersist()
+          val v = CdcBinlog.cdcm5BatchImages(
+            b.filter(b("table") === "d2"), batchId).persist()
+          try {
+            if (!v.isEmpty &&
+                Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d",
+                  k = 2)) {
+              appends("ann") += 1
+              var a = annAdvice()
+              while (a.requantize && a.suggestedK > lastK.get()) {
+                annFired.incrementAndGet(); annFenceAt.set(batchId)
+                lastK.set(a.suggestedK)
+                Similarity.requantizeCdcAnnIndex(spark, annIdx,
+                  k = a.suggestedK)
+                a = annAdvice()
+              }
+            }
+          } finally v.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(appends("txt") >= 5 && appends("ann") >= 5 && appends("fp") >= 5,
+      s"thin batching ($appends) — raise the cap divisor")
+    assert(txtFired.get() >= 1, "the text policy never fired under pressure")
+    assert(annFired.get() >= 1, "the ANN growth policy never fired")
+    assert(fpFired.get() >= 1, "the fp segment-budget policy never fired")
+    // every policy satisfied at stream end (each append was followed by
+    // a measure-and-fold, so owing maintenance cannot survive)
+    assert(!txtAdvice().rebucket, s"text owes maintenance: ${txtAdvice()}")
+    assert(!annAdvice().requantize, s"ann owes maintenance: ${annAdvice()}")
+    assert(!fpAdvice().compact, s"fp owes maintenance: ${fpAdvice()}")
+    // per-structure fences at each policy's OWN chosen batch
+    def fence(idx: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      Layout.foldedThrough(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    assert(fence(txtIdx) === Some(txtFenceAt.get()),
+      s"text fence ${fence(txtIdx)} != its policy's chosen batch ${txtFenceAt.get()}")
+    assert(fence(annIdx) === Some(annFenceAt.get()),
+      s"ann fence ${fence(annIdx)} != its policy's chosen batch ${annFenceAt.get()}")
+    assert(fence(fpIdx) === Some(fpFenceAt.get()),
+      s"fp fence ${fence(fpIdx)} != its policy's chosen batch ${fpFenceAt.get()}")
+    assert(fence(fpTwin).isEmpty, "the unmaintained twin grew a fence")
+    // marker/quantizer state matches the policies' last suggestions
+    assert(TextAnalysis.textIndexBucketCount(spark, txtIdx)
+      === Some(lastNb.get()))
+    assert(lastNb.get() > 2 && lastK.get() > 2,
+      s"policies fired but nothing grew (nb=${lastNb.get()}, k=${lastK.get()})")
+
+    // truth 1: text+ANN union probe == the never-maintained cdcm11 gate
+    import spark.implicits._
+    val doclog = spark.read.parquet(s"$annIdx/doclog")
+    val live = doclog.groupBy($"vec_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val probeVec = spark.read.parquet(s"$annIdx/cells")
+      .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+      .orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Long](0)
+    val textLeg = TextAnalysis
+      .bm25TopKViaCdcIndex(spark, txtIdx, CdcBinlog.cdcm4Terms, 50,
+        nBuckets = lastNb.get())
+      .select(lit("text").as("leg"), col("doc_id").cast("long").as("key_id"),
+        col("bm25").as("score"), col("r_sparse").as("r"))
+    val annLeg = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, annIdx, probeVec, 50)
+      .select(lit("ann").as("leg"), col("vec_id").cast("long").as("key_id"),
+        col("dot").cast("double").as("score"), col("r_dense").as("r"))
+    val got = textLeg.unionAll(annLeg).orderBy("leg", "r")
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "policy-driven maintenance diverged from the never-maintained gate")
+    // truth 2: fp groups == the append-only unmaintained twin
+    val gotFp = CdcBinlog.cdcFpGroups(spark, fpIdx)
+      .collect().map(_.toString).toSeq
+    val wantFp = CdcBinlog.cdcFpGroups(spark, fpTwin)
+      .collect().map(_.toString).toSeq
+    assert(gotFp === wantFp,
+      "the policy-compacted fp log diverged from its unmaintained twin")
+    rmTree(work)
+  }
 }
