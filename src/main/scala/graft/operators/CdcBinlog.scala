@@ -1928,8 +1928,9 @@ object CdcBinlog {
   // trigger (live > 4k², the √n-cells rule) has real pressure from the
   // first batches; after every append the gate measures
   // cdcAnnIndexStats and requantizes iff annMaintenanceAdvice fires, at
-  // the advice's own ⌈√n⌉ suggested k, looping while the advice can
-  // still suggest growth. The gate passes skewRatio=∞: Lloyd over the
+  // the advice's own min(⌈√n⌉, maxK) suggested k, looping while the
+  // advice can still suggest growth. The gate passes skewRatio=∞: Lloyd
+  // over the
   // md5-pseudo-random stub embeddings has no deterministic skew bound
   // across scale factors, while the growth arithmetic is exact at every
   // SF — skew firing-and-clearing is MaintenancePolicySpec's planted-
@@ -1949,9 +1950,16 @@ object CdcBinlog {
       val appended = new java.util.concurrent.atomic.AtomicInteger(0)
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
+      // maxK = 32: the deployment's quantizer budget (the production
+      // knob annMaintenanceAdvice documents). Without it the √n rule at
+      // sf0.1 demands k~400, and since EVERY per-batch cost scales with
+      // k (append assignment, stats, the Lloyd rebuild), the gate would
+      // measure an uncapped-budget deployment nobody would run — the
+      // policy semantics pinned here (fire → fold at the suggestion →
+      // converge to healthy) are identical at any cap
       def advice() = graft.operators.Similarity.annMaintenanceAdvice(
         graft.operators.Similarity.cdcAnnIndexStats(s, idx),
-        skewRatio = Double.MaxValue)
+        skewRatio = Double.MaxValue, maxK = 32)
       val changes = s.readStream.format("mysql-binlog")
         .option("payloadDdl", payloadDdl)
         .option("maxBytesPerTrigger", cap.toString)
@@ -2084,6 +2092,48 @@ object CdcBinlog {
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
       .orderBy($"keeper_doc_id")
+  }
+
+  /** Exact-duplicate partners of ONE doc from the fp log — the
+    * ingest-time screening probe, the exact-dup twin of
+    * [[cdcNearDupProbe]] ([[cdcFpGroups]] recomputes every group; the
+    * production question is usually "is THIS doc a duplicate of
+    * anything live"). Fingerprint-pruned in two phases so the corpus
+    * never shuffles: (1) the target's live fp is an argmax over ITS OWN
+    * versions (doc_id pushdown — nothing corpus-sized); (2) candidates
+    * are docs with ANY version carrying that fp (a pushed string
+    * equality — parquet dictionary/stats prune the scan), and the
+    * liveness argmax runs over the CANDIDATES' rows only, so a doc that
+    * merely USED to carry the fp (superseded away) is admitted to the
+    * argmax and then correctly rejected by its latest image. Returns
+    * the live partner doc_ids; empty for a deleted, unknown, or unique
+    * doc. Probe == the doc's [[cdcFpGroups]] group minus itself (and a
+    * singleton group the report drops probes empty) — spec-pinned.
+    */
+  private[graft] def cdcFpProbe(s: SparkSession, logDir: String,
+                                docId: Long): DataFrame = {
+    import s.implicits._
+    val log = s.read.parquet(logDir)
+    val t = log.filter($"doc_id" === docId)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+      .select($"m.deleted".as("deleted"), $"m.fp".as("fp"))
+      .collect() // <= 1 row by construction (one group key)
+    if (t.isEmpty || t.head.getBoolean(0))
+      Seq.empty[(Long, String)].toDF("dup_doc_id", "fp")
+    else {
+      val fp = t.head.getString(1)
+      val candIds = log.filter($"fp" === fp && $"doc_id" =!= docId)
+        .select($"doc_id").distinct()
+      log.join(candIds, "doc_id")
+        .groupBy($"doc_id")
+        .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+        .select($"doc_id".as("dup_doc_id"), $"m.deleted".as("deleted"),
+          $"m.fp".as("fp"))
+        .filter(!$"deleted" && $"fp" === fp)
+        .select($"dup_doc_id", $"fp")
+        .orderBy($"dup_doc_id")
+    }
   }
 
   /** Append one CDC batch's versioned state rows to a slim log — the
@@ -2396,9 +2446,14 @@ object CdcBinlog {
     * argmax reads), n_live counts keys whose latest version is not
     * deleted (what it needs), and n_segments counts committed non-base
     * segments (per-report open overhead; the fold's own seg=base output
-    * is steady state, not debt). Cost: one slim 3-column aggregate —
-    * column pruning keeps the payload arrays unread — cheap enough to
-    * run after every append, which is exactly what gate cdcm18 does.
+    * is steady state, not debt). Cost and cadence at scale: the row
+    * counts are one slim 3-column aggregate over the log — column
+    * pruning keeps the payload arrays unread, but the scan is still
+    * O(log), so at very large corpora the amplification trigger belongs
+    * at fold-consideration cadence (every N batches), while the SEGMENT
+    * trigger is one directory listing — free enough for every append.
+    * The cdcm18 gate measures both after every append (its log is
+    * test-scale); the semantics it pins are cadence-independent.
     */
   def cdcLogStats(s: SparkSession, logDir: String,
                   keyCol: String = "doc_id"): DataFrame = {

@@ -453,16 +453,23 @@ object Similarity {
     // ranking drops the row's own norm: it scales every seed's cosine by
     // the same positive constant, so the argmax is unchanged and the
     // per-seed HOF work halves (dot(a,a) would otherwise recompute k times).
+    // The SEED's norm is likewise constant per seed — precomputed once on
+    // the k centroid rows (not once per row per seed: HOFs run
+    // interpreted, and at requantize-scale k the per-row k·dims work is
+    // the whole pass), exact same double arithmetic so assignments are
+    // bit-identical.
     // nanvl: a zero-norm centroid yields 0/0 = NaN, and Spark orders NaN
     // GREATEST — such a seed would silently win every argmax and absorb
     // the whole batch; -Inf makes it lose to any real seed instead
-    def rank(a: Column, sv: Column): Column =
-      nanvl(dotd(a, sv) / sqrt(dotd(sv, sv)), lit(Double.NegativeInfinity))
-    val centArr = cent.agg(array_sort(
-      collect_list(struct($"cell".as("sid"), $"centroid".as("sv")))).as("seeds"))
+    def rank(a: Column, sv: Column, nrm: Column): Column =
+      nanvl(dotd(a, sv) / nrm, lit(Double.NegativeInfinity))
+    val centArr = cent
+      .select($"cell", $"centroid", sqrt(dotd($"centroid", $"centroid")).as("nrm"))
+      .agg(array_sort(collect_list(
+        struct($"cell".as("sid"), $"centroid".as("sv"), $"nrm"))).as("seeds"))
     batch.crossJoin(broadcast(centArr))
       .withColumn("best", array_max(transform($"seeds",
-        s => struct(rank($"embedding", s.getField("sv")).as("sim"),
+        s => struct(rank($"embedding", s.getField("sv"), s.getField("nrm")).as("sim"),
           (-s.getField("sid")).as("nsid")))))
       // passthrough, like assignCells: extra batch columns (CDC version,
       // tombstone flag) ride through the assignment untouched
@@ -694,7 +701,16 @@ object Similarity {
           .select($"cell", $"centroid")
         var cent = seeds.localCheckpoint(true) // k rows, eager — truncates lineage per round
         for (_ <- 1 to iterations)
-          cent = cellCentroids(assignToCentroids(floatView, cent))
+          // a cell that loses every member in a round (duplicate seed
+          // VECTORS tie-break to the smallest cell id) keeps its previous
+          // centroid instead of vanishing: the published quantizer always
+          // has exactly the requested k rows, so the maintenance policy's
+          // "k" is the k that was asked for — [[annMaintenanceAdvice]]'s
+          // at-cap arithmetic relies on that, and standard IVF keeps k
+          // fixed across Lloyd rounds anyway. A k-row left join per round.
+          cent = cent.select($"cell", $"centroid".as("prev"))
+            .join(cellCentroids(assignToCentroids(floatView, cent)), Seq("cell"), "left")
+            .select($"cell", coalesce($"centroid", $"prev").as("centroid"))
             .localCheckpoint(true)
         val assigned = assignToCentroids(floatView, cent)
           .withColumn("embedding", $"emb_exact").drop("emb_exact")
@@ -749,9 +765,20 @@ object Similarity {
     * `skewRatio`, default ~4: the worst cell is a probe's tail
     * latency) or corpus growth (live > `growthFactor`·k², default 4:
     * the √n-cells rule says k should track √n, so 4k² live rows means
-    * cells should have doubled). `suggestedK` is the √n target
-    * (never below the current k). The stats frame is k rows by
-    * construction, so the fold is a bounded driver-side collect.
+    * cells should have doubled). `suggestedK` is the √n target capped
+    * by `maxK` (never below the current k): the quantizer-size BUDGET
+    * is a real production knob — every per-batch cost (append
+    * assignment, stats, the Lloyd rebuild itself) scales with k, so √n
+    * is the target and maxK is what the deployment can afford; past the
+    * cap you shard the index, not grow the quantizer. A growth demand
+    * the cap cannot satisfy (suggested == current k) does NOT fire —
+    * the advice never demands a requantize that can't change anything
+    * (requantizing at the same k re-seeds but cannot grow), and the
+    * reason says "at maxK cap" so the ceiling is visible.
+    * [[requantizeCdcAnnIndex]] publishes exactly the requested k rows,
+    * so fired advice always converges to at-cap-healthy. The stats
+    * frame is k rows by construction, so the fold is a bounded
+    * driver-side collect.
     */
   final case class AnnMaintenanceAdvice(requantize: Boolean,
                                         suggestedK: Int, nCells: Int,
@@ -759,20 +786,25 @@ object Similarity {
                                         meanCell: Double, reason: String)
 
   def annMaintenanceAdvice(stats: DataFrame, skewRatio: Double = 4.0,
-                           growthFactor: Double = 4.0): AnnMaintenanceAdvice = {
+                           growthFactor: Double = 4.0,
+                           maxK: Int = 1 << 12): AnnMaintenanceAdvice = {
     val rows = stats.select("cell", "n_live").collect()
     val k = rows.length
     val nLive = rows.map(_.getLong(1)).sum
     val maxCell = if (k == 0) 0L else rows.map(_.getLong(1)).max
     val mean = if (k == 0) 0.0 else nLive.toDouble / k
     val skewed = mean > 0 && maxCell / mean > skewRatio
-    val outgrown = k > 0 && nLive > growthFactor * k.toLong * k
-    val suggested = math.max(k, math.ceil(math.sqrt(nLive.toDouble)).toInt)
+    val target = math.max(k, math.ceil(math.sqrt(nLive.toDouble)).toInt)
+    val suggested = math.max(k, math.min(maxK, target))
+    val rawOutgrown = k > 0 && nLive > growthFactor * k.toLong * k
+    val outgrown = rawOutgrown && suggested > k
     val reason =
       if (skewed && outgrown)
         f"cell skew max/mean=${maxCell / mean}%.1f > $skewRatio%.1f AND live $nLive > $growthFactor%.0f*k^2"
       else if (skewed) f"cell skew max/mean=${maxCell / mean}%.1f > $skewRatio%.1f"
       else if (outgrown) f"live $nLive > $growthFactor%.0f*k^2 (k=$k)"
+      else if (rawOutgrown)
+        s"healthy (live $nLive outgrew k=$k but the quantizer is at the maxK=$maxK cap)"
       else "healthy"
     AnnMaintenanceAdvice(skewed || outgrown, suggested, k, nLive, maxCell,
       mean, reason)

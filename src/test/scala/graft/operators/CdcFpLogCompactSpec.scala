@@ -78,4 +78,33 @@ class CdcFpLogCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups(compacted) === groups(straight))
     assert(groups(compacted).nonEmpty)
   }
+
+  /** cdcFpProbe — the single-doc exact-dup screen: probe == the doc's
+    * cdcFpGroups group minus itself, and the two-phase fp pruning must
+    * not be fooled by HISTORY (doc 2 carried fp "a" at ver 0 but lives
+    * at "z": it enters the candidate scan for "a" and must be rejected
+    * by its latest image, not admitted by its old row).
+    */
+  test("single-doc probe == report restricted; history, deleted, unknown and unique probe empty") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-fpp").toString
+    val log = s"$work/fplog"
+    seedLog(log)
+    def probe(id: Long): Seq[Long] =
+      CdcBinlog.cdcFpProbe(spark, log, id).select("dup_doc_id")
+        .as[Long].collect().toSeq
+    // live state: 1->"a", 2->"z", 3->"b", 5->"b" (4 deleted)
+    assert(probe(3L) === Seq(5L), "doc 3's partner in group b is doc 5")
+    assert(probe(5L) === Seq(3L))
+    // report restriction: group "b" = {3, 5} with keeper 3
+    assert(groups(log) === Seq(("b", 3L, 2L)))
+    // doc 1 is UNIQUE now — doc 2's ver-0 "a" row is history, and the
+    // candidate argmax must reject it by its live "z" image
+    assert(probe(1L) === Seq.empty, "a superseded-away fp re-admitted a doc")
+    assert(probe(4L) === Seq.empty, "a tombstoned doc has no neighborhood")
+    assert(probe(99L) === Seq.empty, "an unknown doc has no neighborhood")
+    // invariant across the fold, like the report
+    CdcBinlog.compactCdcFpLog(spark, log)
+    assert(probe(3L) === Seq(5L) && probe(1L) === Seq.empty)
+  }
 }

@@ -57,6 +57,30 @@ class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Similarity.annMaintenanceAdvice(empty).requantize)
   }
 
+  test("ann advice maxK budget: suggestion capped below cap, healthy-at-cap above it") {
+    import spark.implicits._
+    // outgrown (400 live, 4 cells) with a budget of 10: fires, but at
+    // the capped suggestion — never the uncapped ceil(sqrt(400)) = 20
+    val grown = (0 until 4).map(c => (c, 100L)).toDF("cell", "n_live")
+    val below = Similarity.annMaintenanceAdvice(grown, maxK = 10)
+    assert(below.requantize && below.suggestedK === 10)
+
+    // the quantizer already AT the cap: the same growth pressure no
+    // longer fires (requantizing at the same k cannot grow), and the
+    // reason names the ceiling instead of claiming health it doesn't have
+    val atCap = (0 until 10).map(c => (c, 50L)).toDF("cell", "n_live")
+    val at = Similarity.annMaintenanceAdvice(atCap, maxK = 10)
+    assert(!at.requantize, s"at-cap growth demand must not fire: $at")
+    assert(at.reason.contains("maxK"), s"the ceiling must be visible: $at")
+    assert(at.suggestedK === 10)
+
+    // skew still fires at the cap — re-seeding at the same k fixes skew
+    val skewAtCap = ((0 until 9).map(c => (c, 1L)) :+ (9 -> 200L))
+      .toDF("cell", "n_live")
+    val sk = Similarity.annMaintenanceAdvice(skewAtCap, maxK = 10)
+    assert(sk.requantize && sk.reason.contains("skew"))
+  }
+
   test("text advice thresholds: under budget healthy, over-budget bucket fires with >=1 growth step") {
     import spark.implicits._
     val under = Seq((0, 30L), (1, 10L)).toDF("tb", "n_postings")
