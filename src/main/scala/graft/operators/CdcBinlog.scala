@@ -2125,7 +2125,11 @@ object CdcBinlog {
       val fp = t.head.getString(1)
       val candIds = log.filter($"fp" === fp && $"doc_id" =!= docId)
         .select($"doc_id").distinct()
-      log.join(candIds, "doc_id")
+      // broadcast by HINT, not by AQE's runtime guess: candIds is one
+      // fingerprint's doc set (small by the dedup premise), and the
+      // probe's no-corpus-shuffle claim must not depend on adaptive
+      // statistics seeing that in time
+      log.join(broadcast(candIds), "doc_id")
         .groupBy($"doc_id")
         .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
         .select($"doc_id".as("dup_doc_id"), $"m.deleted".as("deleted"),

@@ -704,10 +704,12 @@ object Similarity {
           // a cell that loses every member in a round (duplicate seed
           // VECTORS tie-break to the smallest cell id) keeps its previous
           // centroid instead of vanishing: the published quantizer always
-          // has exactly the requested k rows, so the maintenance policy's
-          // "k" is the k that was asked for — [[annMaintenanceAdvice]]'s
-          // at-cap arithmetic relies on that, and standard IVF keeps k
-          // fixed across Lloyd rounds anyway. A k-row left join per round.
+          // has exactly the seeded cell count (= the requested k whenever
+          // the live corpus has at least k vectors — seeds are limit(k)),
+          // so the maintenance policy's "k" is the k that was asked for —
+          // [[annMaintenanceAdvice]]'s at-cap arithmetic relies on that,
+          // and standard IVF keeps k fixed across Lloyd rounds anyway.
+          // A k-row left join per round.
           cent = cent.select($"cell", $"centroid".as("prev"))
             .join(cellCentroids(assignToCentroids(floatView, cent)), Seq("cell"), "left")
             .select($"cell", coalesce($"centroid", $"prev").as("centroid"))
