@@ -341,21 +341,23 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(work)
   }
 
-  /** The maintenance-DAEMON shape: three structures (text index, ANN
-    * index, fp log) maintained off one shared pass, each folding on ITS
-    * OWN measured policy — textMaintenanceAdvice (quarter-of-postings
-    * budget, 2-bucket start), annMaintenanceAdvice (growth trigger,
-    * k=2 start), logMaintenanceAdvice (2-segment budget) — with no
-    * hardcoded schedule anywhere. What this adds over cdcm16/17/18
+  /** The maintenance-DAEMON shape: all FOUR maintained-structure kinds
+    * (text index, ANN index, fp log, band log) maintained off one
+    * shared pass, each folding on ITS OWN measured policy —
+    * textMaintenanceAdvice (quarter-of-postings budget, 2-bucket
+    * start), annMaintenanceAdvice (growth trigger, k=2 start),
+    * logMaintenanceAdvice (2-segment budget, driving BOTH logs) — with
+    * no hardcoded schedule anywhere. What this adds over cdcm16/17/18
     * (one policy, one structure each) and the lifecycle leg above
     * (hardcoded schedules, two structures): the policies fire on
     * DIFFERENT batches chosen by their own measurements, so the
     * fence/marker interplay across routes is exercised at
     * policy-chosen points, not author-chosen ones. Truth: text+ANN
-    * union probe == the never-maintained cdcm11 gate; fp groups == an
-    * append-only unmaintained twin log built in the same pass.
+    * union probe == the never-maintained cdcm11 gate; fp groups and
+    * the near-dup report == append-only unmaintained twin logs built
+    * in the same pass.
     */
-  test("tri-structure maintenance daemon: every route folds by its own policy under the shared pass") {
+  test("maintenance daemon: all four maintained kinds fold by their own policies under the shared pass") {
     import graft.operators.{CdcBinlog, Layout, Similarity, TextAnalysis}
     import org.apache.spark.sql.functions.{col, lit, max, md5, struct, sum}
     graft.functions.GraftFunctions.register(spark)
@@ -369,10 +371,13 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     val annIdx = work.resolve("idx_ann").toString
     val fpIdx = work.resolve("fplog").toString
     val fpTwin = work.resolve("fplog_twin").toString
+    val bandIdx = work.resolve("bandlog").toString
+    val bandTwin = work.resolve("bandlog_twin").toString
 
     val txtFired = new java.util.concurrent.atomic.AtomicInteger(0)
     val annFired = new java.util.concurrent.atomic.AtomicInteger(0)
     val fpFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bandFired = new java.util.concurrent.atomic.AtomicInteger(0)
     val lastNb = new java.util.concurrent.atomic.AtomicInteger(2)
     val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
     // the batch each structure's LAST fold fired on — its fence must
@@ -380,7 +385,9 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     val txtFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
     val annFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
     val fpFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val appends = scala.collection.mutable.Map("txt" -> 0, "ann" -> 0, "fp" -> 0)
+    val bandFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val appends = scala.collection.mutable.Map(
+      "txt" -> 0, "ann" -> 0, "fp" -> 0, "band" -> 0)
 
     def txtAdvice() = {
       val stats = TextAnalysis.cdcTextIndexStats(spark, txtIdx)
@@ -392,6 +399,8 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.cdcAnnIndexStats(spark, annIdx), skewRatio = Double.MaxValue)
     def fpAdvice() = CdcBinlog.logMaintenanceAdvice(
       CdcBinlog.cdcLogStats(spark, fpIdx), maxSegments = 2)
+    def bandAdvice() = CdcBinlog.logMaintenanceAdvice(
+      CdcBinlog.cdcLogStats(spark, bandIdx), maxSegments = 2)
 
     val q = spark.readStream.format("mysql-binlog")
       .option("payloadDdl", CdcBinlog.payloadDdl)
@@ -436,6 +445,21 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
                 CdcBinlog.compactCdcFpLog(spark, fpIdx)
               }
             }
+            // the band route: the FOURTH maintained kind, same d1
+            // images, its own policy over the same log-advice family
+            val bandImgs = CdcBinlog.cdcm15BandImages(t)
+            if (!t.isEmpty &&
+                CdcBinlog.appendCdcFpSegment(bandImgs, bandIdx,
+                  f"b$batchId%06d")) {
+              appends("band") += 1
+              assert(CdcBinlog.appendCdcFpSegment(bandImgs, bandTwin,
+                f"b$batchId%06d"), "the unmaintained band twin refused an append")
+              val a = bandAdvice()
+              if (a.compact) {
+                bandFired.incrementAndGet(); bandFenceAt.set(batchId)
+                CdcBinlog.compactCdcBandLog(spark, bandIdx)
+              }
+            }
           } finally t.unpersist()
           val v = CdcBinlog.cdcm5BatchImages(
             b.filter(b("table") === "d2"), batchId).persist()
@@ -460,16 +484,18 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    assert(appends("txt") >= 5 && appends("ann") >= 5 && appends("fp") >= 5,
-      s"thin batching ($appends) — raise the cap divisor")
+    assert(appends("txt") >= 5 && appends("ann") >= 5 && appends("fp") >= 5 &&
+      appends("band") >= 5, s"thin batching ($appends) — raise the cap divisor")
     assert(txtFired.get() >= 1, "the text policy never fired under pressure")
     assert(annFired.get() >= 1, "the ANN growth policy never fired")
     assert(fpFired.get() >= 1, "the fp segment-budget policy never fired")
+    assert(bandFired.get() >= 1, "the band segment-budget policy never fired")
     // every policy satisfied at stream end (each append was followed by
     // a measure-and-fold, so owing maintenance cannot survive)
     assert(!txtAdvice().rebucket, s"text owes maintenance: ${txtAdvice()}")
     assert(!annAdvice().requantize, s"ann owes maintenance: ${annAdvice()}")
     assert(!fpAdvice().compact, s"fp owes maintenance: ${fpAdvice()}")
+    assert(!bandAdvice().compact, s"band owes maintenance: ${bandAdvice()}")
     // per-structure fences at each policy's OWN chosen batch
     def fence(idx: String): Option[Long] = {
       val p = new org.apache.hadoop.fs.Path(idx)
@@ -482,7 +508,10 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ann fence ${fence(annIdx)} != its policy's chosen batch ${annFenceAt.get()}")
     assert(fence(fpIdx) === Some(fpFenceAt.get()),
       s"fp fence ${fence(fpIdx)} != its policy's chosen batch ${fpFenceAt.get()}")
-    assert(fence(fpTwin).isEmpty, "the unmaintained twin grew a fence")
+    assert(fence(bandIdx) === Some(bandFenceAt.get()),
+      s"band fence ${fence(bandIdx)} != its policy's chosen batch ${bandFenceAt.get()}")
+    assert(fence(fpTwin).isEmpty && fence(bandTwin).isEmpty,
+      "an unmaintained twin grew a fence")
     // marker/quantizer state matches the policies' last suggestions
     assert(TextAnalysis.textIndexBucketCount(spark, txtIdx)
       === Some(lastNb.get()))
@@ -520,6 +549,13 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(gotFp === wantFp,
       "the policy-compacted fp log diverged from its unmaintained twin")
+    // truth 3: the near-dup report == the append-only unmaintained twin
+    val gotBand = CdcBinlog.cdcNearDupPairs(spark, bandIdx)
+      .collect().map(_.toString).toSeq
+    val wantBand = CdcBinlog.cdcNearDupPairs(spark, bandTwin)
+      .collect().map(_.toString).toSeq
+    assert(gotBand === wantBand,
+      "the policy-compacted band log diverged from its unmaintained twin")
     rmTree(work)
   }
 }
