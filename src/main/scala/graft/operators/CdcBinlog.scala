@@ -805,6 +805,42 @@ object CdcBinlog {
        |  CAST(row_number() OVER (ORDER BY keeper) AS BIGINT) AS r
        |FROM agg)""".stripMargin
 
+  /** cdcm19's band leg: dd02's near-dup CTE chain (shingles → minhash
+    * windows → bands → candidate self-join → exact Jaccard — the
+    * cdcm15 oracle verbatim) replayed over d1's latest images with the
+    * cdcm4 text synthesis, in the daemon gate's pair-carrying
+    * (leg, key_a, key_b, score, r) shape.
+    */
+  private def heteroBandLeg(sfDir: String): String =
+    s"""SELECT * FROM (
+       |WITH ${multiLatestCtes(sfDir, "d1")},
+       |docs AS (
+       |  SELECT id AS doc_id,
+       |    repeat(split_part(word, '_', 1) || ' ',
+       |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+       |  FROM latest),
+       |sh_t AS (SELECT doc_id, ${Dedup.duckShingles} AS sh FROM docs),
+       |sig AS (SELECT doc_id, sh,
+       |  md5(${Dedup.duckMinhash(0)} || '|' || ${Dedup.duckMinhash(1)}) AS band0,
+       |  md5(${Dedup.duckMinhash(2)} || '|' || ${Dedup.duckMinhash(3)}) AS band1 FROM sh_t),
+       |bands AS (
+       |  SELECT doc_id, sh, 0 AS band_id, band0 AS h FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1 AS band_id, band1 AS h FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+       |cut AS (
+       |  SELECT doc_a, doc_b, jaccard FROM pairs
+       |  WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b LIMIT 500)
+       |SELECT 'band' AS leg, CAST(doc_a AS BIGINT) AS key_a,
+       |  CAST(doc_b AS BIGINT) AS key_b, jaccard AS score,
+       |  CAST(row_number() OVER (ORDER BY doc_a, doc_b) AS BIGINT) AS r
+       |FROM cut)""".stripMargin
+
   // cdcb4 — latest-image compaction over the change stream: final state of
   // each key after applying inserts/updates/deletes in (file, pos, seq)
   // order — the materialized-table view of the CDC stream.
@@ -2081,9 +2117,29 @@ object CdcBinlog {
     * corpus-proportional step is the argmax over the log — bounded by
     * [[compactCdcFpLog]] in steady state.
     */
+  /** Read a versioned `seg=` state log through the committed-segments
+    * contract ([[Layout.committedSegs]] — `_SUCCESS` present), the same
+    * view [[cdcLogStats]] and every fold input take: a torn or
+    * in-flight append is invisible to reports and probes, and an
+    * absent or not-yet-committed log reads as None instead of an
+    * AnalysisException (so "unknown doc probes empty" holds even
+    * before the first committed batch).
+    */
+  private[graft] def readCommittedLog(s: SparkSession,
+                                      logDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs = Layout.committedSegs(fs, p)
+    if (segs.isEmpty) None
+    else Some(s.read.option("basePath", logDir)
+      .parquet(segs.map(n => s"$logDir/$n"): _*))
+  }
+
   private[graft] def cdcFpGroups(s: SparkSession, logDir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(logDir)
+    readCommittedLog(s, logDir).getOrElse(
+        return Seq.empty[(String, Long, Long)]
+          .toDF("fp", "keeper_doc_id", "n_docs"))
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
       .select($"doc_id", $"m.deleted".as("deleted"), $"m.fp".as("fp"))
@@ -2107,29 +2163,47 @@ object CdcBinlog {
     * merely USED to carry the fp (superseded away) is admitted to the
     * argmax and then correctly rejected by its latest image. Returns
     * the live partner doc_ids; empty for a deleted, unknown, or unique
-    * doc. Probe == the doc's [[cdcFpGroups]] group minus itself (and a
+    * doc — or for a log with no committed segments yet (reads go
+    * through [[readCommittedLog]], so a torn in-flight append is as
+    * invisible to the probe as it is to [[cdcLogStats]] and the fold).
+    * Probe == the doc's [[cdcFpGroups]] group minus itself (and a
     * singleton group the report drops probes empty) — spec-pinned.
+    *
+    * The candidate set is broadcast by HINT, not by AQE's runtime
+    * guess (the no-corpus-shuffle claim must not depend on adaptive
+    * statistics arriving in time) — but only while it is PROVABLY
+    * small: `maxBroadcastCandidates` is the enforced form of the
+    * "small by the dedup premise" assumption (sim10's
+    * `maxBroadcastBatch` contract). The fp log exists precisely
+    * because duplicate groups can be huge — a degenerate content
+    * column (empty strings, boilerplate) makes one fingerprint
+    * corpus-sized and a hinted broadcast an executor OOM — so a
+    * bounded size probe (one slim scan that stops at cap+1 rows)
+    * gates the hint, and an over-cap group takes the same pipeline
+    * un-hinted: the join keys on doc_id, so Spark plans a shuffle
+    * join — AQE-splittable, skew-safe. Identical rows on either path
+    * (spec-pinned); only the join strategy moves.
     */
   private[graft] def cdcFpProbe(s: SparkSession, logDir: String,
-                                docId: Long): DataFrame = {
+                                docId: Long,
+                                maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
     import s.implicits._
-    val log = s.read.parquet(logDir)
+    val empty = Seq.empty[(Long, String)].toDF("dup_doc_id", "fp")
+    val log = readCommittedLog(s, logDir).getOrElse(return empty)
     val t = log.filter($"doc_id" === docId)
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
       .select($"m.deleted".as("deleted"), $"m.fp".as("fp"))
       .collect() // <= 1 row by construction (one group key)
-    if (t.isEmpty || t.head.getBoolean(0))
-      Seq.empty[(Long, String)].toDF("dup_doc_id", "fp")
+    if (t.isEmpty || t.head.getBoolean(0)) empty
     else {
       val fp = t.head.getString(1)
       val candIds = log.filter($"fp" === fp && $"doc_id" =!= docId)
         .select($"doc_id").distinct()
-      // broadcast by HINT, not by AQE's runtime guess: candIds is one
-      // fingerprint's doc set (small by the dedup premise), and the
-      // probe's no-corpus-shuffle claim must not depend on adaptive
-      // statistics seeing that in time
-      log.join(broadcast(candIds), "doc_id")
+      val small = candIds
+        .limit(math.min(maxBroadcastCandidates, Int.MaxValue - 1L).toInt + 1)
+        .count() <= maxBroadcastCandidates
+      log.join(if (small) broadcast(candIds) else candIds, "doc_id")
         .groupBy($"doc_id")
         .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
         .select($"doc_id".as("dup_doc_id"), $"m.deleted".as("deleted"),
@@ -2274,7 +2348,11 @@ object CdcBinlog {
     */
   private[graft] def cdcNearDupLive(s: SparkSession, logDir: String): DataFrame = {
     import s.implicits._
-    val log = s.read.parquet(logDir)
+    val log = readCommittedLog(s, logDir).getOrElse(
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, sh ARRAY<BINARY>, " +
+            "bands ARRAY<STRUCT<band_id: INT, h: STRING>>")))
     // the argmax shuffles SLIM (doc_id, ver, deleted) keys only — the
     // shingle/band arrays never enter the agg exchange; the winning
     // versions' arrays come back by a (doc_id, ver) join, the same
@@ -2350,47 +2428,73 @@ object CdcBinlog {
 
   /** Near-dups of ONE doc from the band log — the ingest-time screening
     * probe ([[cdcNearDupPairs]] recomputes the whole corpus report; the
-    * production question is usually "near-dups of THIS doc"). Band-
-    * pruned the way [[Similarity.mipsTopKViaCdcAnnIndexPruned]] prunes
-    * the ANN index: the target's band keys are a bounded driver-side
-    * cut (≤2 rows by construction), candidates are the live rows
-    * matching those keys — so the full band SELF-join and the full
-    * Jaccard pass never run; the probe's pair work is the target's two
-    * buckets only. The one log-proportional step is the liveness
-    * argmax every report pays (bounded by [[compactCdcBandLog]] in
-    * steady state). Probe results equal the report restricted to pairs
-    * containing the doc, Jaccard for Jaccard (spec-pinned): candidacy
-    * and the digest-Jaccard arithmetic are the same derivations.
+    * production question is usually "near-dups of THIS doc").
+    * Two-phase like its exact-dup twin [[cdcFpProbe]], so NOTHING here
+    * is log-proportional beyond pushed cuts: (1) the target's live
+    * image is a doc_id-pushdown argmax over ITS OWN versions — a
+    * bounded driver-side cut (≤1 row); (2) candidates are docs with
+    * ANY version in one of the target's ≤2 band buckets (a pushed
+    * band-key cut over the slim (doc_id, bands) explode — parquet
+    * stats prune the scan), and the liveness argmax runs over the
+    * CANDIDATES' rows only: a doc that merely USED to share a bucket
+    * is admitted to the argmax and then rejected by its live image's
+    * bands, exactly the report's live-bands candidacy. The full band
+    * SELF-join, the corpus-wide liveness argmax, and the full Jaccard
+    * pass never run. The candidate set is broadcast by hint only while
+    * provably small (`maxBroadcastCandidates`, [[cdcFpProbe]]'s
+    * contract — an identical-payload flood makes one bucket huge);
+    * over the cap the doc_id-keyed join plans as a shuffle with
+    * identical rows. Probe results equal the report restricted to
+    * pairs containing the doc, Jaccard for Jaccard (spec-pinned):
+    * candidacy and the digest-Jaccard arithmetic are the same
+    * derivations. Empty for a deleted, unknown doc or an uncommitted
+    * log ([[readCommittedLog]]).
     */
   private[graft] def cdcNearDupProbe(s: SparkSession, logDir: String,
-                                     docId: Long): DataFrame = {
+                                     docId: Long,
+                                     maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
     import s.implicits._
-    val live = cdcNearDupLive(s, logDir)
-    val target = live.filter($"doc_id" === docId).persist()
-    try {
-      val tBands = target.select(explode($"bands").as("b"))
-        .select($"b.band_id".as("band_id"), $"b.h".as("h")).collect()
-      if (tBands.isEmpty) // deleted or unknown doc: no neighborhood
-        Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
-      else {
-        val inBuckets = tBands.map(r =>
-            $"b.band_id" === r.getInt(0) && $"b.h" === r.getString(1))
-          .reduce(_ || _)
-        val cands = live.filter($"doc_id" =!= docId)
-          .select($"doc_id", $"sh", explode($"bands").as("b"))
-          .filter(inBuckets)
-          .dropDuplicates("doc_id") // a doc sharing both bands is one candidate
-        val tsh = target.select($"sh".as("sh_t"))
-        cands.crossJoin(broadcast(tsh)) // one-row broadcast, never a cartesian
-          .select(least(lit(docId), $"doc_id").as("doc_a"),
-            greatest(lit(docId), $"doc_id").as("doc_b"),
-            (size(array_intersect($"sh", $"sh_t")).cast("double") /
-              size(array_union($"sh", $"sh_t"))).as("jaccard"))
-          .filter($"jaccard" >= 0.2)
-          .orderBy($"doc_a", $"doc_b")
-          .localCheckpoint(true) // detach before the cache releases
-      }
-    } finally target.unpersist()
+    val empty = Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    val log = readCommittedLog(s, logDir).getOrElse(return empty)
+    val t = log.filter($"doc_id" === docId)
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"sh", $"bands")).as("m"))
+      .select($"m.deleted".as("deleted"), $"m.sh".as("sh"), $"m.bands".as("bands"))
+      .collect() // <= 1 row by construction (one group key)
+    if (t.isEmpty || t.head.getBoolean(0)) empty
+    else {
+      val tShingles = t.head.getSeq[Array[Byte]](1)
+      val tBands = t.head.getSeq[org.apache.spark.sql.Row](2)
+      val inBuckets = tBands.map(r =>
+          $"b.band_id" === r.getInt(0) && $"b.h" === r.getString(1))
+        .reduce(_ || _)
+      val candIds = log.filter($"doc_id" =!= docId)
+        .select($"doc_id", explode($"bands").as("b"))
+        .filter(inBuckets)
+        .select($"doc_id").distinct()
+      val small = candIds
+        .limit(math.min(maxBroadcastCandidates, Int.MaxValue - 1L).toInt + 1)
+        .count() <= maxBroadcastCandidates
+      val liveCand = log
+        .join(if (small) broadcast(candIds) else candIds, "doc_id")
+        .groupBy($"doc_id")
+        .agg(max(struct($"ver", $"deleted", $"sh", $"bands")).as("m"))
+        .select($"doc_id", $"m.deleted".as("deleted"),
+          $"m.sh".as("sh"), $"m.bands".as("bands"))
+        .filter(!$"deleted")
+        // live-bands re-check: candidacy is defined on CURRENT images
+        .select($"doc_id", $"sh", explode($"bands").as("b"))
+        .filter(inBuckets)
+        .dropDuplicates("doc_id") // a doc sharing both bands is one candidate
+      val tsh = Seq(Tuple1(tShingles)).toDF("sh_t")
+      liveCand.crossJoin(broadcast(tsh)) // one-row broadcast, never a cartesian
+        .select(least(lit(docId), $"doc_id").as("doc_a"),
+          greatest(lit(docId), $"doc_id").as("doc_b"),
+          (size(array_intersect($"sh", $"sh_t")).cast("double") /
+            size(array_union($"sh", $"sh_t"))).as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    }
   }
 
   /** Fold the band log to a live-only single base segment — identical
@@ -3031,6 +3135,230 @@ object CdcBinlog {
       textLeg.unionAll(annLeg).unionAll(fpLeg).orderBy($"leg", $"r")
     }
 
+  // cdcm19 — the MAINTENANCE DAEMON under the oracle, the engine's
+  // capstone claim ("no human in the maintenance loop") as a gate: ONE
+  // bounded-admission reader over the multi fixture decodes each batch
+  // once and fans d1's latest images to THREE structures (text index,
+  // fp log, band log) and d2's to a fourth (ANN index) — and every
+  // fold point is chosen by the structure's OWN measured policy, none
+  // by a schedule. cdcm16/17/18 each proved one policy on one
+  // structure; the daemon SPEC (CdcMultiRouteCompactSpec) proved the
+  // four policies choose different batches off one shared pass against
+  // twin logs; this puts that composition under the DuckDB oracle:
+  // each kind starts deliberately undersized (2-bucket text index, k=2
+  // quantizer, 2-segment log budgets) so all four policies have real
+  // pressure, and after every append the structure is measured and
+  // folded iff ITS advice fires (text re-buckets at the suggested
+  // count, marker-driven appends; ANN requantizes at the suggested k
+  // under cdcm17's maxK deployment budget; the logs compact) — so
+  // fences, markers and quantizer state interleave across routes at
+  // policy-chosen points. The gate pins that all four policies fired,
+  // that nothing owes maintenance at stream end, that text/quantizer
+  // state grew past its planted start, and that all FOUR probes
+  // hash-match their independent full rebuilds over the per-table
+  // ground truth in a common (leg, key_a, key_b, score, r) shape —
+  // text BM25, exact MIPS, duplicate groups, and the near-dup pair
+  // report with exact Jaccard.
+  def cdcm19PolicyDaemonFreshness(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm19") { work =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val fix = Paths.get(fixtureDir(d), "multi").toString
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      // /6, cdcm12's recipe: every policy needs room to fire AND to see
+      // post-fold appends out of the same fixture
+      val cap = math.max(totalBytes / 6, 1L)
+      val txtIdx = work.resolve("idx_text").toString
+      val annIdx = work.resolve("idx_ann").toString
+      val fpLog = work.resolve("fplog").toString
+      val bandLog = work.resolve("bandlog").toString
+      val segBudget = 2
+      val txtAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val annAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fpAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bandAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val txtFired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val annFired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fpFired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bandFired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lastNb = new java.util.concurrent.atomic.AtomicInteger(2)
+      val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
+      def txtAdvice() = {
+        val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, txtIdx)
+        val total = stats.agg(sum($"n_postings")).head().getLong(0)
+        graft.operators.TextAnalysis.textMaintenanceAdvice(stats,
+          probeReadBudget = math.max(1L, total / 4))
+      }
+      // skewRatio=∞ / maxK=32: cdcm17's contract — growth arithmetic is
+      // exact at every SF while Lloyd skew on md5-pseudo-random stubs
+      // has no deterministic cross-SF bound (skew fire-and-clear is
+      // CdcAnnSkewSpec/MaintenancePolicySpec territory), and the maxK
+      // budget keeps per-batch append cost a deployment knob
+      def annAdvice() = graft.operators.Similarity.annMaintenanceAdvice(
+        graft.operators.Similarity.cdcAnnIndexStats(s, annIdx),
+        skewRatio = Double.MaxValue, maxK = 32)
+      def fpAdvice() = logMaintenanceAdvice(cdcLogStats(s, fpLog),
+        maxSegments = segBudget)
+      def bandAdvice() = logMaintenanceAdvice(cdcLogStats(s, bandLog),
+        maxSegments = segBudget)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          try {
+            // d1's images are derived ONCE and routed to text index,
+            // fp log AND band log (the daemon shape: one decode, N
+            // structures)
+            val t = cdcm4BatchImages(
+              b.filter(b("table") === "d1"), batchId).persist()
+            try {
+              if (!t.isEmpty) {
+                val nb = graft.operators.TextAnalysis
+                  .textIndexBucketCount(s, txtIdx).getOrElse(2)
+                if (graft.operators.TextAnalysis.appendCdcTextSegment(
+                      t, txtIdx, f"b$batchId%06d", nBuckets = nb)) {
+                  txtAppends.incrementAndGet()
+                  // fold until the policy is satisfied (cdcm16's loop:
+                  // a growth step cures projected mean, residual skew
+                  // may demand one more; must-grow guard terminates)
+                  var a = txtAdvice()
+                  while (a.rebucket && a.suggestedBuckets > lastNb.get()) {
+                    txtFired.incrementAndGet()
+                    lastNb.set(a.suggestedBuckets)
+                    graft.operators.TextAnalysis.rebucketCdcTextIndex(
+                      s, txtIdx, a.suggestedBuckets)
+                    a = txtAdvice()
+                  }
+                }
+                val fp = t.withColumn("fp",
+                    md5(TextAnalysis.normalize(
+                      expr("substring_index(word, '_', 1)"))))
+                  .select($"doc_id", $"ver", $"deleted", $"fp")
+                  .coalesce(4)
+                if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d")) {
+                  fpAppends.incrementAndGet()
+                  val a = fpAdvice()
+                  if (a.compact) {
+                    fpFired.incrementAndGet()
+                    compactCdcFpLog(s, fpLog)
+                    val after = fpAdvice()
+                    require(!after.compact,
+                      s"one fold must retire the fp log's whole debt: $after")
+                  }
+                }
+                val band = cdcm15BandImages(t).coalesce(4)
+                if (appendCdcFpSegment(band, bandLog, f"b$batchId%06d")) {
+                  bandAppends.incrementAndGet()
+                  val a = bandAdvice()
+                  if (a.compact) {
+                    bandFired.incrementAndGet()
+                    compactCdcBandLog(s, bandLog)
+                    val after = bandAdvice()
+                    require(!after.compact,
+                      s"one fold must retire the band log's whole debt: $after")
+                  }
+                }
+              }
+            } finally t.unpersist()
+            val v = cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
+            try {
+              if (!v.isEmpty &&
+                  graft.operators.Similarity.appendCdcAnnSegment(
+                    v, annIdx, f"b$batchId%06d", k = 2)) {
+                annAppends.incrementAndGet()
+                var a = annAdvice()
+                while (a.requantize && a.suggestedK > lastK.get()) {
+                  annFired.incrementAndGet()
+                  lastK.set(a.suggestedK)
+                  graft.operators.Similarity.requantizeCdcAnnIndex(
+                    s, annIdx, k = a.suggestedK)
+                  a = annAdvice()
+                }
+              }
+            } finally v.unpersist()
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(txtAppends.get() >= 5 && annAppends.get() >= 5 &&
+        fpAppends.get() >= 5 && bandAppends.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes; " +
+          s"text=${txtAppends.get()}, ann=${annAppends.get()}, " +
+          s"fp=${fpAppends.get()}, band=${bandAppends.get()} appends) — " +
+          "every policy needs pressure cycles")
+      require(txtFired.get() >= 1 && annFired.get() >= 1 &&
+        fpFired.get() >= 1 && bandFired.get() >= 1,
+        s"every policy must fire under its planted pressure (text=" +
+          s"${txtFired.get()}, ann=${annFired.get()}, fp=${fpFired.get()}, " +
+          s"band=${bandFired.get()})")
+      // the daemon left nothing owing: every append was followed by a
+      // measure-and-fold, so end-state debt cannot survive
+      val (te, ae, fe, be) = (txtAdvice(), annAdvice(), fpAdvice(), bandAdvice())
+      require(!te.rebucket && !ae.requantize && !fe.compact && !be.compact,
+        s"the daemon left maintenance owing at stream end: " +
+          s"text=$te ann=$ae fp=$fe band=$be")
+      require(graft.operators.TextAnalysis.textIndexBucketCount(s, txtIdx)
+          .contains(lastNb.get()) && lastNb.get() > 2,
+        s"text marker ${graft.operators.TextAnalysis
+          .textIndexBucketCount(s, txtIdx)} != policy's last suggestion " +
+          s"${lastNb.get()} (or never grew)")
+      require(lastK.get() > 2,
+        s"the ANN policy fired but the quantizer never grew (k=${lastK.get()})")
+      val doclog = s.read.parquet(s"$annIdx/doclog")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      val probeVec = s.read.parquet(s"$annIdx/cells")
+        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0)
+      val negOne = lit(-1L).as("key_b")
+      val textLeg = Layout.retryOnceOnMissing {
+        graft.operators.TextAnalysis
+          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+            nBuckets = lastNb.get())
+          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_a"),
+            negOne, $"bm25".as("score"), $"r_sparse".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val annLeg = Layout.retryOnceOnMissing {
+        graft.operators.Similarity
+          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_a"),
+            negOne, $"dot".cast("double").as("score"), $"r_dense".as("r"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val fpLeg = Layout.retryOnceOnMissing {
+        cdcFpGroups(s, fpLog)
+          // unpartitioned rank: bounded by the 8-prefix vocabulary,
+          // never the corpus (cdcm12's fp-leg contract)
+          .withColumn("r",
+            row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
+          .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_a"),
+            negOne, $"n_docs".cast("double").as("score"), $"r")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val bandLeg = Layout.retryOnceOnMissing {
+        cdcNearDupPairs(s, bandLog)
+          // unpartitioned rank: the report is limit-bounded (<= 500
+          // rows) before the window ever runs
+          .withColumn("r",
+            row_number().over(Window.orderBy($"doc_a", $"doc_b")).cast("long"))
+          .select(lit("band").as("leg"), $"doc_a".as("key_a"),
+            $"doc_b".as("key_b"), $"jaccard".as("score"), $"r")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      textLeg.unionAll(annLeg).unionAll(fpLeg).unionAll(bandLeg)
+        .orderBy($"leg", $"r")
+    }
+
   // cdcb20 — BOUNDED-ADMISSION streaming scan under the oracle: cdcb1's
   // insert scan, but through the micro-batch stream with
   // `maxBytesPerTrigger` = fixture/4, forcing several REAL micro-batches
@@ -3085,6 +3413,7 @@ object CdcBinlog {
     "cdcm10_multi_index_routing" -> cdcm10MultiIndexRouting _,
     "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
+    "cdcm19_policy_daemon_freshness" -> cdcm19PolicyDaemonFreshness _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm14_rebucketed_text_freshness" -> cdcm14RebucketedTextFreshness _,
     "cdcm16_policy_rebucket_freshness" -> cdcm16PolicyRebucketFreshness _,
@@ -3387,6 +3716,23 @@ object CdcBinlog {
          |${heteroFpLeg(sfDir)}
          |UNION ALL
          |${heteroTextLeg(sfDir)}
+         |ORDER BY leg, r""".stripMargin,
+    // the maintenance daemon: four independent full rebuilds over the
+    // per-table ground truth — WHO chose each fold point (the four
+    // policies) must be invisible to every probe. The cdcm11/12 legs
+    // are reused verbatim, lifted into the pair-carrying shape; the
+    // band leg replays the cdcm15 near-dup chain over d1.
+    "cdcm19_policy_daemon_freshness" ->
+      s"""SELECT leg, key_id AS key_a, CAST(-1 AS BIGINT) AS key_b, score, r
+         |FROM (${heteroAnnLeg(sfDir)})
+         |UNION ALL
+         |${heteroBandLeg(sfDir)}
+         |UNION ALL
+         |SELECT leg, key_id AS key_a, CAST(-1 AS BIGINT) AS key_b, score, r
+         |FROM (${heteroFpLeg(sfDir)})
+         |UNION ALL
+         |SELECT leg, key_id AS key_a, CAST(-1 AS BIGINT) AS key_b, score, r
+         |FROM (${heteroTextLeg(sfDir)})
          |ORDER BY leg, r""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding

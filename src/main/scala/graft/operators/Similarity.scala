@@ -775,8 +775,11 @@ object Similarity {
     * cap you shard the index, not grow the quantizer. A growth demand
     * the cap cannot satisfy (suggested == current k) does NOT fire —
     * the advice never demands a requantize that can't change anything
-    * (requantizing at the same k re-seeds but cannot grow), and the
-    * reason says "at maxK cap" so the ceiling is visible.
+    * (requantizing at the same k re-seeds but cannot grow) — instead
+    * `atCap` is true, the TYPED form of that suppressed demand (a
+    * caller sharding past the budget branches on the field, not on a
+    * reason-string substring), and the reason says "at maxK cap" so
+    * the ceiling is visible to humans too.
     * [[requantizeCdcAnnIndex]] publishes exactly the requested k rows,
     * so fired advice always converges to at-cap-healthy. The stats
     * frame is k rows by construction, so the fold is a bounded
@@ -785,7 +788,8 @@ object Similarity {
   final case class AnnMaintenanceAdvice(requantize: Boolean,
                                         suggestedK: Int, nCells: Int,
                                         nLive: Long, maxCell: Long,
-                                        meanCell: Double, reason: String)
+                                        meanCell: Double, reason: String,
+                                        atCap: Boolean = false)
 
   def annMaintenanceAdvice(stats: DataFrame, skewRatio: Double = 4.0,
                            growthFactor: Double = 4.0,
@@ -809,7 +813,7 @@ object Similarity {
         s"healthy (live $nLive outgrew k=$k but the quantizer is at the maxK=$maxK cap)"
       else "healthy"
     AnnMaintenanceAdvice(skewed || outgrown, suggested, k, nLive, maxCell,
-      mean, reason)
+      mean, reason, atCap = rawOutgrown && !outgrown)
   }
 
   /** Exact inner-product top-k over the CDC ANN index, as fresh as the

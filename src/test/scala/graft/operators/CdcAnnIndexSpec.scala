@@ -209,4 +209,137 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally tw.close()
   }
+
+  /** The SKEW trigger under real ingest — the one policy path the
+    * oracle gates deliberately pin out (cdcm17/cdcm19 run
+    * skewRatio=∞ because Lloyd skew on md5-pseudo-random embeddings
+    * has no deterministic cross-SF bound; MaintenancePolicySpec fires
+    * it only on planted STATS). Here a deterministic hot-cell
+    * embedding stream exercises fire → (deferred by the must-grow
+    * guard) → fold → clear → healthy ingest THROUGH the real
+    * append/advice/requantize path, fence and replay skip included:
+    * 8 orthogonal cold clusters (ids 1..8 — the `vec_id < k` seeding
+    * contract) define the quantizer, then every subsequent batch
+    * floods ONE cell (first-coordinate-dominant vectors all
+    * cosine-assign to the u0 centroid), so maxCell/mean crosses the 4×
+    * ratio on the first hot batch — with growth DISABLED
+    * (growthFactor=∞) the reason can only be skew. Mid-stream churn
+    * DELETES six of the cold low-ids, so when the must-grow guard
+    * finally admits a fold (ceil(√live) > 8 at the fourth hot batch),
+    * the requantize re-seeds from the k smallest LIVE ids — now mostly
+    * hot docs spread across the flood's (p,q) grid — and Lloyd splits
+    * the flooded cell: fire → clear, with real tombstones in between.
+    * The exact probe must match brute force over the latest images
+    * afterwards (requantizes never change exact results), and a
+    * replayed pre-fold segment must be fence-skipped.
+    */
+  test("skew trigger fires under a deterministic hot-cell stream; requantize clears it; fence + probe hold") {
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcann-skew")
+    val idx = work.resolve("ann").toString
+
+    def coldVec(c: Int): Seq[Long] =
+      (0 until 8).map(i => if (i == c) 900L else 0L)
+    def hotVec(i: Long): Seq[Long] = {
+      // ids 100..108: a 3x3 grid over the (p,q) plane — the smallest
+      // hot ids, i.e. the requantize's seeds once the cold low-ids are
+      // tombstoned; later ids pseudo-uniform over the same grid
+      val (p, q) =
+        if (i <= 108) ((((i - 100) % 3) - 1) * 300L, (((i - 100) / 3) - 1) * 300L)
+        else (((i * 7) % 61 - 30) * 10, ((i * 11) % 61 - 30) * 10)
+      Seq(600L, p, q, 0L, 0L, 0L, 0L, 0L)
+    }
+    val cold = (1 to 8).map(c => (c.toLong, coldVec(c - 1), 0L, false))
+    def hotBatch(ids: Seq[Long], ver: Long): Seq[(Long, Seq[Long], Long, Boolean)] =
+      ids.map(i => (i, hotVec(i), ver, false))
+    val batches: Seq[Seq[(Long, Seq[Long], Long, Boolean)]] = Seq(
+      hotBatch(100L to 119L, 1L),
+      // churn: six cold singletons tombstone out — their cells empty,
+      // and the smallest LIVE ids shift into the hot grid
+      hotBatch(120L to 139L, 2L) ++
+        (1 to 6).map(c => (c.toLong, Seq.empty[Long], 2L, true)),
+      hotBatch(140L to 159L, 3L),
+      // keep CDC semantics live mid-skew: one delete, one re-embed
+      hotBatch(160L to 179L, 4L) ++ Seq(
+        (150L, Seq.empty[Long], 4L, true), (151L, hotVec(5151L), 4L, false)))
+
+    // growth OFF: the only reason this policy can fire is skew
+    def advice() = Similarity.annMaintenanceAdvice(
+      Similarity.cdcAnnIndexStats(spark, idx),
+      skewRatio = 4.0, growthFactor = Double.MaxValue, maxK = 32)
+
+    Similarity.appendCdcAnnSegment(images(cold), idx, "b000000", k = 8)
+    assert(!advice().requantize, "8 balanced cold singletons cannot be skewed")
+
+    var lastK = 8
+    var firstFire = -1
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    val foldBatches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    batches.zipWithIndex.foreach { case (rows, bi) =>
+      val batchId = bi + 1
+      assert(Similarity.appendCdcAnnSegment(
+        images(rows), idx, f"b$batchId%06d", k = 8))
+      var a = advice()
+      trace += s"b$batchId: $a"
+      if (a.requantize && firstFire < 0) {
+        firstFire = batchId
+        assert(a.reason.contains("skew"),
+          s"with growth disabled the reason must be skew: $a")
+      }
+      // the gates' loop verbatim: fold at the suggestion, only when the
+      // suggestion can actually grow (re-seeding at the same k cannot
+      // split a hot cell whose seeds sit elsewhere)
+      while (a.requantize && a.suggestedK > lastK) {
+        foldBatches += batchId
+        lastK = a.suggestedK
+        Similarity.requantizeCdcAnnIndex(spark, idx, k = a.suggestedK)
+        a = advice()
+      }
+    }
+    // fire ordinal: maxCell/mean = 21/3.5 = 6.0 crosses 4.0 on the
+    // FIRST hot batch — exact integer arithmetic, fixture-derived
+    assert(firstFire === 1,
+      s"skew fired at batch $firstFire, expected 1; trace=${trace.mkString(" | ")}")
+    // the must-grow guard defers the fold until ceil(sqrt(live)) > 8:
+    // live = 8 + 80 - 6 - 1 = 81 at the FOURTH batch — then Lloyd over
+    // the hot-grid seeds splits the flooded cell and the demand clears
+    assert(foldBatches.headOption === Some(4),
+      s"fold points $foldBatches, expected the first at batch 4; " +
+        s"trace=${trace.mkString(" | ")}")
+    val end = advice()
+    assert(!end.requantize,
+      s"the fold(s) did not clear the skew demand: $end")
+    assert(lastK > 8 &&
+      spark.read.parquet(s"$idx/centroids").count() === lastK.toLong,
+      s"the quantizer never grew (k=$lastK)")
+
+    // fence at the LAST fold's batch; a replayed pre-fold segment skips
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.foldedThrough(fs, p) === Some(foldBatches.last.toLong),
+      s"fence ${Layout.foldedThrough(fs, p)} != last fold batch ${foldBatches.last}")
+    assert(!Similarity.appendCdcAnnSegment(
+      images(batches(2)), idx, "b000003", k = 8),
+      "a replay at or below the fence was not skipped")
+
+    // exact probe == brute force over the latest images (integer dots):
+    // requantizes repartition the corpus, they never change exact results
+    val latest = ((100L to 179L).filterNot(_ == 150L)
+      .map(i => (i, if (i == 151L) hotVec(5151L) else hotVec(i))) ++
+      (7 to 8).map(c => (c.toLong, coldVec(c - 1))))
+    val qv = hotVec(5151L)
+    def dot(a: Seq[Long]) = a.zip(qv).map { case (x, y) => x * y }.sum
+    val want = latest.map { case (id, e) => (id, dot(e)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), r) => (id, s, (r + 1).toLong) }
+    val got = Similarity.mipsTopKViaCdcAnnIndex(spark, idx, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want,
+      "the skew-cleared index diverged from brute force over latest images")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
 }

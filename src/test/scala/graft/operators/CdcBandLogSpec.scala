@@ -132,7 +132,12 @@ class CdcBandLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, s"$B one", 0L, false),
       (4L, s"$A five", 0L, false),
       (5L, s"$B two", 0L, false))
-    val b1 = Seq((2L, null: String, 1L, true)) // doc 2 tombstoned
+    // doc 2 tombstoned; doc 4 MOVES A→B (its ver-0 A-family bands are
+    // HISTORY: the two-phase band cut admits it into doc 1's candidate
+    // scan and the live-image re-check must reject it — cdcFpProbe's
+    // superseded-away contract, ported)
+    val b1 = Seq((2L, null: String, 1L, true),
+      (4L, s"$B five", 1L, false))
     assert(CdcBinlog.appendCdcFpSegment(bandRows(b0), log, "b000000"))
     assert(CdcBinlog.appendCdcFpSegment(bandRows(b1), log, "b000001"))
 
@@ -146,9 +151,99 @@ class CdcBandLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(probed === want,
         s"probe($d) diverged from the report's restriction: $probed vs $want")
     }
+    // the history leg specifically: doc 1 is alone in A now (2 dead,
+    // 4 moved) — a stale-band admission would pair it with doc 4
+    assert(!report.exists(p => p._1 == 1L || p._2 == 1L),
+      "fixture drift: doc 1 should be alone in the A family")
+    assert(CdcBinlog.cdcNearDupProbe(spark, log, 1L).isEmpty,
+      "doc 4's superseded A-family bands re-admitted it to doc 1's probe")
     // the tombstoned doc has no neighborhood; an unknown doc neither
     assert(CdcBinlog.cdcNearDupProbe(spark, log, 2L).isEmpty)
     assert(CdcBinlog.cdcNearDupProbe(spark, log, 99L).isEmpty)
+    // an ABSENT log answers empty instead of throwing
+    assert(CdcBinlog.cdcNearDupProbe(spark,
+      work.resolve("nolog").toString, 1L).isEmpty)
+
+    // plan pin — the two-phase shape's point: every aggregate in the
+    // probe's plan is candidate-bounded (sits above a join), so the
+    // corpus-wide liveness argmax the one-phase probe paid never runs
+    val probePlan = CdcBinlog.cdcNearDupProbe(spark, log, 3L)
+      .queryExecution.optimizedPlan
+    val aggs = probePlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      // bounded = the aggregate's input is either the candidate
+      // restriction (a join below) or the pushed band-key cut itself
+      // (a filter on literal band keys); the one-phase probe's
+      // corpus-wide liveness argmax had neither
+      val bounded = a.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isDefined || a.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains(".band_id = ") => f
+      }.isDefined
+      assert(bounded,
+        s"an aggregate escaped the candidate cut (log-proportional argmax):\n$a")
+    }
+
+    // torn in-flight segment (committed-read contract): a would-be
+    // neighborhood change without _SUCCESS is invisible to the probe
+    val probe3 = CdcBinlog.cdcNearDupProbe(spark, log, 3L)
+      .collect().map(_.toString).toSeq
+    CdcBinlog.cdcm15BandImages(images(Seq((3L, null: String, 2L, true))))
+      .write.parquet(s"$log/seg=b000002")
+    assert(new java.io.File(s"$log/seg=b000002/_SUCCESS").delete())
+    assert(CdcBinlog.cdcNearDupProbe(spark, log, 3L)
+      .collect().map(_.toString).toSeq === probe3,
+      "a torn in-flight segment leaked into the probe")
+    assert(pairs(log).map(p => s"$p") === report.map(p => s"$p"),
+      "a torn in-flight segment leaked into the report")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
+  /** The enforced candidate-broadcast bound, band twin of the fp leg:
+    * an identical-payload flood shares every band, so one bucket's
+    * candidate set is flood-sized — over the cap the doc_id-keyed
+    * restriction join must plan a shuffle, with identical probe rows.
+    */
+  test("near-dup probe's candidate join: over-cap buckets take a shuffle join with identical rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-bandbc")
+    val log = work.resolve("bandlog").toString
+    val A = "red orange yellow green blue indigo violet"
+    assert(CdcBinlog.appendCdcFpSegment(
+      bandRows((1L to 150L).map(i => (i, s"$A boiler", 0L, false))),
+      log, "b000000"))
+    def initial(df: org.apache.spark.sql.DataFrame) =
+      (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case x => x
+      }).toString
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = CdcBinlog.cdcNearDupProbe(spark, log, 1L)
+      val fallback = CdcBinlog.cdcNearDupProbe(spark, log, 1L,
+        maxBroadcastCandidates = 0L)
+      assert(initial(hinted).contains("BroadcastHashJoin"),
+        "the under-cap path lost its broadcast hint: " +
+          initial(hinted).take(1200))
+      // the candidate-RESTRICTION join must shuffle over the cap; the
+      // one-row target crossJoin stays a broadcast by construction, so
+      // pin the shuffle join's presence rather than broadcast's absence
+      val fb = initial(fallback)
+      assert(fb.contains("SortMergeJoin") || fb.contains("ShuffledHashJoin"),
+        "the over-cap path still plans broadcast-only joins: " + fb.take(1200))
+      val a = hinted.collect().map(_.toString).toSeq
+      val b = fallback.collect().map(_.toString).toSeq
+      assert(a === b && a.size === 149,
+        s"path choice changed the probe's rows (${a.size} vs ${b.size})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
     val tw = java.nio.file.Files.walk(work)
     try tw.sorted(java.util.Comparator.reverseOrder())

@@ -107,4 +107,74 @@ class CdcFpLogCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     CdcBinlog.compactCdcFpLog(spark, log)
     assert(probe(3L) === Seq(5L) && probe(1L) === Seq.empty)
   }
+
+  /** The committed-segments read contract (cdcLogStats' view, now the
+    * probe's and the report's too): an ABSENT log answers empty instead
+    * of throwing, and a torn in-flight append (`seg=` dir without
+    * `_SUCCESS`) is invisible — a reader racing a writer never sees a
+    * half-written segment change an answer.
+    */
+  test("probe and report read committed segments only; an absent log answers empty") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fpt").toString
+    val log = s"$work/fplog"
+    // absent: no directory at all
+    assert(CdcBinlog.cdcFpProbe(spark, log, 1L).isEmpty,
+      "an absent log must probe empty, not throw")
+    assert(groups(log) === Seq.empty)
+    seedLog(log)
+    val before = groups(log)
+    val probeBefore = CdcBinlog.cdcFpProbe(spark, log, 3L)
+      .collect().map(_.toString).toSeq
+    // torn append: docs 3 and 5 both "move away" from group b — but the
+    // segment never committed (its _SUCCESS is deleted)
+    writeSeg(log, "b000003", Seq((3L, 3L, false, "q"), (5L, 3L, false, "r")))
+    assert(new java.io.File(s"$log/seg=b000003/_SUCCESS").delete())
+    assert(groups(log) === before,
+      "a torn in-flight segment leaked into the group report")
+    assert(CdcBinlog.cdcFpProbe(spark, log, 3L)
+      .collect().map(_.toString).toSeq === probeBefore,
+      "a torn in-flight segment leaked into the probe")
+  }
+
+  /** The enforced broadcast bound (sim10's maxBroadcastBatch contract
+    * ported): a degenerate fingerprint shared by the whole corpus makes
+    * the candidate set corpus-sized — the hinted broadcast must be
+    * size-gated, the over-cap path must plan a SHUFFLE join for the
+    * candidate restriction, and the rows must be identical on either
+    * path.
+    */
+  test("fp probe's candidate join: over-cap groups take a shuffle join with identical rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fpb").toString
+    val log = s"$work/fplog"
+    // a 200-doc flood on one fingerprint (empty-string boilerplate)
+    writeSeg(log, "b000000",
+      (1L to 200L).map(i => (i, 0L, false, "boilerplate")))
+    def initial(df: org.apache.spark.sql.DataFrame) =
+      (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case x => x
+      }).toString
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // stats-based auto-broadcast off: the corpus-scale condition (a
+      // real flood's stats blow the threshold) — the path choice must
+      // come from the size probe, not from AQE seeing tiny test data
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = CdcBinlog.cdcFpProbe(spark, log, 1L)
+      val fallback = CdcBinlog.cdcFpProbe(spark, log, 1L,
+        maxBroadcastCandidates = 0L)
+      assert(initial(hinted).contains("BroadcastHashJoin"),
+        "the under-cap path lost its broadcast hint: " +
+          initial(hinted).take(1200))
+      val fb = initial(fallback)
+      assert(!fb.contains("BroadcastHashJoin") &&
+        (fb.contains("SortMergeJoin") || fb.contains("ShuffledHashJoin")),
+        "the over-cap path still plans a broadcast: " + fb.take(1200))
+      val a = hinted.collect().map(_.toString).toSeq
+      val b = fallback.collect().map(_.toString).toSeq
+      assert(a === b && a.size === 199,
+        s"path choice changed the probe's rows (${a.size} vs ${b.size})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -64,13 +64,17 @@ class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     val grown = (0 until 4).map(c => (c, 100L)).toDF("cell", "n_live")
     val below = Similarity.annMaintenanceAdvice(grown, maxK = 10)
     assert(below.requantize && below.suggestedK === 10)
+    assert(!below.atCap, s"a satisfiable (capped) suggestion is not atCap: $below")
 
     // the quantizer already AT the cap: the same growth pressure no
-    // longer fires (requantizing at the same k cannot grow), and the
-    // reason names the ceiling instead of claiming health it doesn't have
+    // longer fires (requantizing at the same k cannot grow); the
+    // suppressed demand surfaces as the TYPED atCap field (the shard
+    // signal) and the reason names the ceiling instead of claiming
+    // health it doesn't have
     val atCap = (0 until 10).map(c => (c, 50L)).toDF("cell", "n_live")
     val at = Similarity.annMaintenanceAdvice(atCap, maxK = 10)
     assert(!at.requantize, s"at-cap growth demand must not fire: $at")
+    assert(at.atCap, s"the suppressed growth demand must be typed: $at")
     assert(at.reason.contains("maxK"), s"the ceiling must be visible: $at")
     assert(at.suggestedK === 10)
 
@@ -79,6 +83,10 @@ class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("cell", "n_live")
     val sk = Similarity.annMaintenanceAdvice(skewAtCap, maxK = 10)
     assert(sk.requantize && sk.reason.contains("skew"))
+
+    // an UNCAPPED healthy layout never reads atCap (default budget)
+    val balanced = (0 until 4).map(c => (c, 2L)).toDF("cell", "n_live")
+    assert(!Similarity.annMaintenanceAdvice(balanced).atCap)
   }
 
   test("text advice thresholds: under budget healthy, over-budget bucket fires with >=1 growth step") {

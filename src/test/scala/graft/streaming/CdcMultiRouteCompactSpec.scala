@@ -51,8 +51,13 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val tables = Seq("d1", "d2")
     val foldAfter = Map("d1" -> 2, "d2" -> 3)
-    val appends = scala.collection.mutable.Map("d1" -> 0, "d2" -> 0)
-    val folded = scala.collection.mutable.Map("d1" -> 0, "d2" -> 0)
+    // Atomic like every other cross-thread counter in this suite: the
+    // tallies mutate on the streaming microbatch thread and read on the
+    // test thread after processAllAvailable
+    val appends = Map("d1" -> new java.util.concurrent.atomic.AtomicInteger(0),
+      "d2" -> new java.util.concurrent.atomic.AtomicInteger(0))
+    val folded = Map("d1" -> new java.util.concurrent.atomic.AtomicInteger(0),
+      "d2" -> new java.util.concurrent.atomic.AtomicInteger(0))
     val work = java.nio.file.Files.createTempDirectory("graft-mrc")
     def idxOf(tbl: String) = work.resolve(s"idx_$tbl").toString
 
@@ -71,10 +76,9 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
             if (!imgs.isEmpty &&
                 TextAnalysis.appendCdcTextSegment(imgs, idxOf(tbl),
                   f"b$batchId%06d", nBuckets = 8)) {
-              appends(tbl) += 1
-              if (appends(tbl) == foldAfter(tbl)) {
+              if (appends(tbl).incrementAndGet() == foldAfter(tbl)) {
                 TextAnalysis.compactCdcTextIndex(spark, idxOf(tbl), nBuckets = 8)
-                folded(tbl) += 1
+                folded(tbl).incrementAndGet()
               }
             }
           } finally imgs.unpersist()
@@ -85,13 +89,13 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q.processAllAvailable() finally q.stop()
 
     tables.foreach { tbl =>
-      assert(folded(tbl) === 1, s"$tbl never reached its fold point " +
-        s"(${appends(tbl)} appends) — thin batching, raise the cap divisor")
+      assert(folded(tbl).get() === 1, s"$tbl never reached its fold point " +
+        s"(${appends(tbl).get()} appends) — thin batching, raise the cap divisor")
       val segs = new java.io.File(s"${idxOf(tbl)}/doclog").listFiles()
         .map(_.getName).filter(_.startsWith("seg=")).toSet
       assert(segs.contains("seg=base") &&
-        segs.size == appends(tbl) - foldAfter(tbl) + 1,
-        s"$tbl: expected seg=base + ${appends(tbl) - foldAfter(tbl)} " +
+        segs.size == appends(tbl).get() - foldAfter(tbl) + 1,
+        s"$tbl: expected seg=base + ${appends(tbl).get() - foldAfter(tbl)} " +
           s"post-fold segments, got $segs")
     }
     val got = tables.map { tbl =>
@@ -386,8 +390,13 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     val annFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
     val fpFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
     val bandFenceAt = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val appends = scala.collection.mutable.Map(
-      "txt" -> 0, "ann" -> 0, "fp" -> 0, "band" -> 0)
+    // Atomic like the fired/fence counters beside them — the tallies
+    // mutate on the microbatch thread and read on the test thread
+    val appends = Map(
+      "txt" -> new java.util.concurrent.atomic.AtomicInteger(0),
+      "ann" -> new java.util.concurrent.atomic.AtomicInteger(0),
+      "fp" -> new java.util.concurrent.atomic.AtomicInteger(0),
+      "band" -> new java.util.concurrent.atomic.AtomicInteger(0))
 
     def txtAdvice() = {
       val stats = TextAnalysis.cdcTextIndexStats(spark, txtIdx)
@@ -419,7 +428,7 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
             if (!t.isEmpty &&
                 TextAnalysis.appendCdcTextSegment(t, txtIdx,
                   f"b$batchId%06d", nBuckets = nb)) {
-              appends("txt") += 1
+              appends("txt").incrementAndGet()
               var a = txtAdvice()
               while (a.rebucket && a.suggestedBuckets > lastNb.get()) {
                 txtFired.incrementAndGet(); txtFenceAt.set(batchId)
@@ -436,7 +445,7 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
               .select(col("doc_id"), col("ver"), col("deleted"), col("fp"))
             if (!t.isEmpty &&
                 CdcBinlog.appendCdcFpSegment(fpImgs, fpIdx, f"b$batchId%06d")) {
-              appends("fp") += 1
+              appends("fp").incrementAndGet()
               assert(CdcBinlog.appendCdcFpSegment(fpImgs, fpTwin,
                 f"b$batchId%06d"), "the unmaintained twin refused an append")
               val a = fpAdvice()
@@ -451,7 +460,7 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
             if (!t.isEmpty &&
                 CdcBinlog.appendCdcFpSegment(bandImgs, bandIdx,
                   f"b$batchId%06d")) {
-              appends("band") += 1
+              appends("band").incrementAndGet()
               assert(CdcBinlog.appendCdcFpSegment(bandImgs, bandTwin,
                 f"b$batchId%06d"), "the unmaintained band twin refused an append")
               val a = bandAdvice()
@@ -467,7 +476,7 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
             if (!v.isEmpty &&
                 Similarity.appendCdcAnnSegment(v, annIdx, f"b$batchId%06d",
                   k = 2)) {
-              appends("ann") += 1
+              appends("ann").incrementAndGet()
               var a = annAdvice()
               while (a.requantize && a.suggestedK > lastK.get()) {
                 annFired.incrementAndGet(); annFenceAt.set(batchId)
@@ -484,8 +493,9 @@ class CdcMultiRouteCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    assert(appends("txt") >= 5 && appends("ann") >= 5 && appends("fp") >= 5 &&
-      appends("band") >= 5, s"thin batching ($appends) — raise the cap divisor")
+    assert(appends("txt").get() >= 5 && appends("ann").get() >= 5 &&
+      appends("fp").get() >= 5 && appends("band").get() >= 5,
+      s"thin batching ($appends) — raise the cap divisor")
     assert(txtFired.get() >= 1, "the text policy never fired under pressure")
     assert(annFired.get() >= 1, "the ANN growth policy never fired")
     assert(fpFired.get() >= 1, "the fp segment-budget policy never fired")
