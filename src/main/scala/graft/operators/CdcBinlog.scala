@@ -2623,6 +2623,123 @@ object CdcBinlog {
       amp, reason)
   }
 
+  /** The READ side of the stats→advice→fold loop: one row per
+    * maintained structure, in the shape an ops dashboard (or a fleet
+    * maintenance daemon choosing what to fold next) queries —
+    * `cdcLogStats` completed the measurement side in round 18, this
+    * completes the observability side. `structures` is
+    * (name, kind, path) where kind is `text` (a cdcm4 text index),
+    * `ann` (a cdcm5 ANN index), or `log[:keyCol]` (any versioned
+    * (keyCol, ver, deleted, payload…) segment log — fp, band, or the
+    * text/ANN doclogs via `log:vec_id`). Each structure is measured by
+    * ITS OWN stats call and judged by ITS OWN advice policy — the same
+    * calls the cdcm16/17/18/19 gates fold on, so a row here is exactly
+    * the decision the daemon would take. Unified columns:
+    * `fold` (the decision), `suggestion` (grown bucket/quantizer count;
+    * -1 for logs — a log fold has no size knob), `n_live` (live
+    * postings / vectors / keys — the structure's real size), `pressure`
+    * (the policy's own ratio: max-bucket/budget for text, max/mean
+    * cell skew for ANN, read amplification for logs), `at_cap` (an ANN
+    * growth demand the maxK budget suppressed — the shard signal) and
+    * the human `reason`. Cost: one stats pass per structure (slim
+    * aggregates, payload columns pruned) — the fold-consideration
+    * cadence documented on [[cdcLogStats]] applies to the whole report.
+    */
+  final case class StructureAdvice(structure: String, kind: String,
+                                   fold: Boolean, suggestion: Long,
+                                   n_live: Long, pressure: Double,
+                                   at_cap: Boolean, reason: String)
+
+  def maintenanceAdviceReport(s: SparkSession,
+                              structures: Seq[(String, String, String)],
+                              textBudgetFraction: Double = 0.25,
+                              annSkewRatio: Double = 4.0,
+                              annGrowthFactor: Double = 4.0,
+                              annMaxK: Int = 1 << 12,
+                              logAmpFactor: Double = 4.0,
+                              logMaxSegments: Int = 16): DataFrame = {
+    import s.implicits._
+    val rows = structures.map { case (name, kind, path) =>
+      kind.split(":", 2).toList match {
+        case "text" :: _ =>
+          val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, path)
+          val total = stats.agg(sum($"n_postings")).head().getLong(0)
+          val budget = math.max(1L, (total * textBudgetFraction).toLong)
+          val a = graft.operators.TextAnalysis.textMaintenanceAdvice(
+            stats, probeReadBudget = budget)
+          StructureAdvice(name, "text", a.rebucket, a.suggestedBuckets.toLong,
+            a.totalPostings, a.maxBucket.toDouble / budget, at_cap = false,
+            a.reason)
+        case "ann" :: _ =>
+          val a = graft.operators.Similarity.annMaintenanceAdvice(
+            graft.operators.Similarity.cdcAnnIndexStats(s, path),
+            skewRatio = annSkewRatio, growthFactor = annGrowthFactor,
+            maxK = annMaxK)
+          StructureAdvice(name, "ann", a.requantize, a.suggestedK.toLong,
+            a.nLive,
+            if (a.meanCell > 0) a.maxCell / a.meanCell else 0.0,
+            a.atCap, a.reason)
+        case "log" :: rest =>
+          val keyCol = rest.headOption.getOrElse("doc_id")
+          val a = logMaintenanceAdvice(cdcLogStats(s, path, keyCol),
+            ampFactor = logAmpFactor, maxSegments = logMaxSegments)
+          StructureAdvice(name, "log", a.compact, -1L, a.nLive,
+            a.amplification, at_cap = false, a.reason)
+        case other =>
+          throw new IllegalArgumentException(
+            s"maintenanceAdviceReport: unknown structure kind '$kind' " +
+              s"for '$name' (expected text | ann | log[:keyCol])")
+      }
+    }
+    rows.toDF().orderBy($"structure")
+  }
+
+  // cdcm20 — the advice report under the oracle: two versioned state
+  // logs are PLANTED deterministically from the documents table (fp
+  // pattern: 1 + doc_id % 3 versions across 3 segments, latest
+  // tombstoned for doc_id % 5 == 0; band pattern: one version across
+  // 20 segments — past the default 16-segment budget — tombstoned for
+  // doc_id % 11 == 0), and maintenanceAdviceReport must read back
+  // exactly the stats and decisions DuckDB recomputes from the same
+  // table arithmetic: one structure healthy, the other owing a fold on
+  // the segment budget, n_live/amplification numeric to the bit (the
+  // reason strings are fixed by the same arithmetic, so they oracle as
+  // literals). The text/ANN rows of the report run the non-SQL-
+  // replayable stats (hash bucketing, quantizer cells) — their
+  // report==advice equality is MaintenancePolicySpec territory; the
+  // log rows carry the full build→stats→advice→report loop here.
+  def cdcm20AdviceReport(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm20") { work =>
+      import s.implicits._
+      val docs = graft.core.Tables.documents(s, d).select($"doc_id").persist()
+      try {
+        val fpLog = work.resolve("fplog").toString
+        (0 to 2).foreach { v =>
+          docs.filter($"doc_id" % 3 >= v)
+            .select($"doc_id", lit(v.toLong).as("ver"),
+              ($"doc_id" % 3 === v && $"doc_id" % 5 === 0).as("deleted"),
+              md5($"doc_id".cast("string")).as("fp"))
+            .coalesce(2)
+            .write.mode("overwrite").parquet(f"$fpLog/seg=b$v%06d")
+        }
+        val bandLog = work.resolve("bandlog").toString
+        (0 to 19).foreach { g =>
+          docs.filter($"doc_id" % 20 === g)
+            .select($"doc_id", lit(0L).as("ver"),
+              ($"doc_id" % 11 === 0).as("deleted"),
+              md5($"doc_id".cast("string")).as("payload"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(f"$bandLog/seg=b$g%06d")
+        }
+        maintenanceAdviceReport(s,
+          Seq(("band_log", "log", bandLog), ("fp_log", "log", fpLog)))
+          .select($"structure", $"kind", $"fold", $"suggestion", $"n_live",
+            $"pressure", $"reason")
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+          .orderBy($"structure")
+      } finally docs.unpersist()
+    }
+
   // cdcm15 — NEAR-dup freshness, the fourth maintained-state kind (text
   // cdcm4, vectors cdcm5, exact dups cdcm6, near dups here): the band
   // log maintained under bounded admission with compactCdcBandLog
@@ -3348,7 +3465,12 @@ object CdcBinlog {
       val bandLeg = Layout.retryOnceOnMissing {
         cdcNearDupPairs(s, bandLog)
           // unpartitioned rank: the report is limit-bounded (<= 500
-          // rows) before the window ever runs
+          // rows) before the window ever runs; the report detaches via
+          // localCheckpoint, so RESTATE the bound below the window —
+          // semantically a no-op, but it keeps the single-task window
+          // visibly fed by a GlobalLimit in the executed plan (the
+          // plan sweep's bounded-input contract)
+          .limit(500)
           .withColumn("r",
             row_number().over(Window.orderBy($"doc_a", $"doc_b")).cast("long"))
           .select(lit("band").as("leg"), $"doc_a".as("key_a"),
@@ -3414,6 +3536,7 @@ object CdcBinlog {
     "cdcm11_hetero_index_routing" -> cdcm11HeteroIndexRouting _,
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm19_policy_daemon_freshness" -> cdcm19PolicyDaemonFreshness _,
+    "cdcm20_advice_report" -> cdcm20AdviceReport _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm14_rebucketed_text_freshness" -> cdcm14RebucketedTextFreshness _,
     "cdcm16_policy_rebucket_freshness" -> cdcm16PolicyRebucketFreshness _,
@@ -3734,6 +3857,30 @@ object CdcBinlog {
          |SELECT leg, key_id AS key_a, CAST(-1 AS BIGINT) AS key_b, score, r
          |FROM (${heteroTextLeg(sfDir)})
          |ORDER BY leg, r""".stripMargin,
+    // the advice report's log rows recomputed from the same documents
+    // arithmetic the gate plants: version count 1 + doc_id % 3 (fp) /
+    // 1 (band), tombstone moduli 5 / 11, segment counts 3 / 20 — the
+    // decisions and reasons follow from those numbers alone
+    "cdcm20_advice_report" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |fp AS (
+         |  SELECT CAST(SUM(1 + doc_id % 3) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+         |  FROM d),
+         |band AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+         |  FROM d)
+         |SELECT 'band_log' AS structure, 'log' AS kind, TRUE AS fold,
+         |  CAST(-1 AS BIGINT) AS suggestion, n_live,
+         |  CAST(n_rows AS DOUBLE) / n_live AS pressure,
+         |  '20 committed segments > 16' AS reason
+         |FROM band
+         |UNION ALL
+         |SELECT 'fp_log', 'log', FALSE, CAST(-1 AS BIGINT), n_live,
+         |  CAST(n_rows AS DOUBLE) / n_live, 'healthy'
+         |FROM fp
+         |ORDER BY structure""".stripMargin,
     // brute-force MIPS over the latest images with the mm10-style
     // integer stub embeddings; probe vector = smallest id's embedding
     "cdcm5_ann_freshness" -> annFreshnessOracle(sfDir),

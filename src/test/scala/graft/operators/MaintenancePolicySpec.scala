@@ -299,4 +299,77 @@ class MaintenancePolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(after.totalPostings === before.totalPostings) // nothing lost
     }
   }
+
+  /** The READ side (`maintenanceAdviceReport`): one row per structure,
+    * each row EXACTLY the decision its own advice call takes on the
+    * same planted layout — the ops-dashboard frame may never drift
+    * from the policies the daemon folds on. Covers the two kinds the
+    * cdcm20 oracle gate can't reach in SQL (text hash-bucketing, ANN
+    * quantizer cells), the `log:keyCol` routing for the ANN doclog,
+    * and the unknown-kind named error.
+    */
+  test("advice report rows == the individual policies on planted layouts, all four kinds") {
+    import spark.implicits._
+    withTmp { tmp =>
+      // text: 160 single-term docs in 2 buckets (fires vs a quarter
+      // budget); ANN: 8 one-hot corners, balanced (healthy)
+      val txtIdx = tmp.resolve("textidx").toString
+      assert(TextAnalysis.appendCdcTextSegment(
+        (0 until 160).map(i => (i.toLong, s"w$i", 0L, false))
+          .toDF("doc_id", "text", "ver", "deleted"), txtIdx, "b000000",
+        nBuckets = 2))
+      val annIdx = tmp.resolve("annidx").toString
+      assert(Similarity.appendCdcAnnSegment(
+        (0 until 8).map { j =>
+          (j.toLong, Seq.tabulate(8)(d => if (d == j) 1000L else 0L), 0L, false)
+        }.toDF("vec_id", "embedding", "ver", "deleted"), annIdx, "b000000",
+        k = 8))
+      // fp log: 17 single-version segments (fires the 16-segment budget)
+      val fpLog = tmp.resolve("fplog").toString
+      (0 until 17).foreach { g =>
+        assert(CdcBinlog.appendCdcFpSegment(
+          Seq((g.toLong, 0L, false, s"fp$g")).toDF("doc_id", "ver", "deleted", "fp"),
+          fpLog, f"b$g%06d"))
+      }
+
+      val got = CdcBinlog.maintenanceAdviceReport(spark, Seq(
+          ("t_text", "text", txtIdx),
+          ("v_ann", "ann", annIdx),
+          ("f_log", "log", fpLog),
+          ("v_doclog", "log:vec_id", s"$annIdx/doclog")))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6),
+          r.getString(7))).toList
+
+      // field-for-field against the individual policy calls
+      val tStats = TextAnalysis.cdcTextIndexStats(spark, txtIdx)
+      val tTotal = tStats.agg(org.apache.spark.sql.functions.sum($"n_postings"))
+        .head().getLong(0)
+      val tBudget = math.max(1L, tTotal / 4)
+      val t = TextAnalysis.textMaintenanceAdvice(tStats, probeReadBudget = tBudget)
+      val v = Similarity.annMaintenanceAdvice(
+        Similarity.cdcAnnIndexStats(spark, annIdx))
+      val f = CdcBinlog.logMaintenanceAdvice(CdcBinlog.cdcLogStats(spark, fpLog))
+      val dl = CdcBinlog.logMaintenanceAdvice(
+        CdcBinlog.cdcLogStats(spark, s"$annIdx/doclog", keyCol = "vec_id"))
+      assert(t.rebucket && !v.requantize && f.compact && !dl.compact,
+        s"planted pressure drifted: $t | $v | $f | $dl") // fixture sanity
+      val want = List(
+        ("f_log", "log", f.compact, -1L, f.nLive, f.amplification, false, f.reason),
+        ("t_text", "text", t.rebucket, t.suggestedBuckets.toLong,
+          t.totalPostings, t.maxBucket.toDouble / tBudget, false, t.reason),
+        ("v_ann", "ann", v.requantize, v.suggestedK.toLong, v.nLive,
+          v.maxCell / v.meanCell, v.atCap, v.reason),
+        ("v_doclog", "log", dl.compact, -1L, dl.nLive, dl.amplification,
+          false, dl.reason))
+      assert(got === want,
+        s"the report drifted from its own policies:\n$got\nvs\n$want")
+
+      val e = intercept[IllegalArgumentException] {
+        CdcBinlog.maintenanceAdviceReport(spark,
+          Seq(("x", "bogus", fpLog))).collect()
+      }
+      assert(e.getMessage.contains("bogus") && e.getMessage.contains("x"))
+    }
+  }
 }
