@@ -588,6 +588,39 @@ object Layout {
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(_.getName).toSeq.sorted
 
+  /** The committed two-leg view of a CDC-maintained index for PROBES
+    * and STATS: segments committed in BOTH the doc log and the data
+    * leg (`postings` for the text index, `cells` for the ANN index),
+    * intersected — the same view [[committedSegs]] gives the folds. An
+    * append writes the two legs as two non-atomic jobs, so a reader
+    * racing a writer (or surviving its crash) could otherwise see a
+    * batch's postings without its doclog rows, or either leg's torn
+    * `_temporary` remains; the intersect pins every probe to a
+    * doclog/data pair from the same committed batch set. A leg that
+    * lists EMPTY throws FileNotFoundException — the two-rename publish
+    * window leaves the index root briefly absent, and
+    * [[retryOnceOnMissing]] retries exactly that signal (an absent
+    * maintained INDEX is a caller error or a transient swap, never a
+    * valid empty answer — unlike the single-leg state logs, whose
+    * probes answer empty by the ingest-screening contract).
+    */
+  private[graft] def committedIndexLegs(s: SparkSession, indexDir: String,
+                                        dataLeg: String): (DataFrame, DataFrame) = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docDir = s"$indexDir/doclog"
+    val dataDir = s"$indexDir/$dataLeg"
+    val segs = committedSegs(fs, new org.apache.hadoop.fs.Path(docDir))
+      .intersect(committedSegs(fs, new org.apache.hadoop.fs.Path(dataDir)))
+    if (segs.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no committed doclog+$dataLeg segment pairs under $indexDir " +
+          "(absent index, or a publish swap in flight — probes retry via " +
+          "Layout.retryOnceOnMissing)")
+    (s.read.option("basePath", docDir).parquet(segs.map(n => s"$docDir/$n"): _*),
+      s.read.option("basePath", dataDir).parquet(segs.map(n => s"$dataDir/$n"): _*))
+  }
+
   /** Bin-pack a parquet directory toward `targetBytes` per output file —
     * small-file compaction, the OPTIMIZE half that [[zorderCluster]]'s
     * re-sort doesn't cover. Streaming ingest (foreachBatch deltas, index

@@ -748,12 +748,15 @@ object Similarity {
     */
   def cdcAnnIndexStats(s: SparkSession, indexDir: String): DataFrame = {
     import s.implicits._
-    val live = s.read.parquet(s"$indexDir/doclog")
+    // committed two-leg view, like the probe: the policy must never
+    // threshold on a torn in-flight append's half-written batch
+    val (doclog, cells) = Layout.committedIndexLegs(s, indexDir, "cells")
+    val live = doclog
       .groupBy($"vec_id")
       .agg(max(struct($"ver", $"deleted")).as("m"))
       .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
       .filter(!$"deleted")
-    val occupancy = s.read.parquet(s"$indexDir/cells")
+    val occupancy = cells
       .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
       .groupBy($"cell").agg(count(lit(1)).as("n_live"))
     s.read.parquet(s"$indexDir/centroids").select($"cell")
@@ -843,13 +846,16 @@ object Similarity {
                                    qVec: Seq[Long], kTop: Int,
                                    nprobe: Int): DataFrame = {
     import s.implicits._
-    val live = s.read.parquet(s"$indexDir/doclog")
+    // committed two-leg view (Layout.committedIndexLegs): a torn
+    // in-flight append is invisible, a mid-swap absence throws the
+    // FNF retryOnceOnMissing retries
+    val (doclog, cellsBase) = Layout.committedIndexLegs(s, indexDir, "cells")
+    val live = doclog
       .groupBy($"vec_id")
       .agg(max(struct($"ver", $"deleted")).as("m"))
       .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
       .filter(!$"deleted")
     val q = lit(qVec.toArray)
-    val cellsBase = s.read.parquet(s"$indexDir/cells")
     val pruned =
       if (nprobe == Int.MaxValue) cellsBase
       else {

@@ -1091,12 +1091,15 @@ object TextAnalysis {
   def cdcTextIndexStats(s: SparkSession, indexDir: String): DataFrame = {
     import s.implicits._
     val nb = textIndexBucketCount(s, indexDir).getOrElse(textIndexBuckets)
-    val live = s.read.parquet(s"$indexDir/doclog")
+    // committed two-leg view, like the probe: the policy must never
+    // threshold on a torn in-flight append's half-written batch
+    val (doclog, postings) = Layout.committedIndexLegs(s, indexDir, "postings")
+    val live = doclog
       .groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted")).as("m"))
       .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
       .filter(!$"deleted")
-    val occupancy = s.read.parquet(s"$indexDir/postings")
+    val occupancy = postings
       .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
       .groupBy($"tb").agg(count(lit(1)).as("n_postings"))
     s.range(nb).select($"id".cast("int").as("tb"))
@@ -1158,7 +1161,10 @@ object TextAnalysis {
       require(recorded == nBuckets,
         s"probe asked for $nBuckets term buckets but the index at $indexDir " +
           s"records $recorded (re-bucketed?) — pass the recorded count"))
-    val doclog = s.read.parquet(s"$indexDir/doclog")
+    // committed two-leg view (Layout.committedIndexLegs): a torn
+    // in-flight append is invisible, a mid-swap absence throws the
+    // FNF retryOnceOnMissing retries
+    val (doclog, postings) = Layout.committedIndexLegs(s, indexDir, "postings")
     val live = doclog.groupBy($"doc_id")
       .agg(max(struct($"ver", $"deleted", $"dl")).as("m"))
       .select($"doc_id", $"m.ver".as("ver"),
@@ -1166,7 +1172,7 @@ object TextAnalysis {
       .filter(!$"deleted")
     val stats = live.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val tbs = termBuckets(s, terms, nBuckets)
-    val posts = s.read.parquet(s"$indexDir/postings")
+    val posts = postings
       .filter($"tb".isin(tbs: _*) && $"term".isin(terms: _*))
       .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
       .select($"term", $"doc_id", $"dl", $"tf")

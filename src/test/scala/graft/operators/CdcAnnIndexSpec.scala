@@ -111,6 +111,49 @@ class CdcAnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally tw.close()
   }
 
+  /** The committed two-leg read contract, ANN twin of the text leg
+    * (Layout.committedIndexLegs): a half-committed append — doclog
+    * job done, cells job torn — is invisible to the probe and to the
+    * policy's stats; an absent index throws the FileNotFoundException
+    * retryOnceOnMissing retries, never an empty answer.
+    */
+  test("ANN probe and stats read committed doclog+cells pairs only; absent index throws FNF") {
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcann-torn")
+    val idx = work.resolve("ann").toString
+    intercept[java.io.FileNotFoundException] {
+      Similarity.mipsTopKViaCdcAnnIndex(spark, idx, vec(1), 5)
+    }
+    Similarity.appendCdcAnnSegment(
+      images((1L to 10L).map(i => (i, vec(i), 0L, false))), idx, "b000000", k = 4)
+    val qv = vec(3)
+    def probe(): Seq[String] = Similarity
+      .mipsTopKViaCdcAnnIndex(spark, idx, qv, 5).collect().map(_.toString).toSeq
+    def stats(): Seq[String] = Similarity.cdcAnnIndexStats(spark, idx)
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val (before, statsBefore) = (probe(), stats())
+    // half-committed batch: doclog committed, cells torn (crash
+    // between the append's two jobs) — vec 3's re-embed must stay
+    // invisible; without the pair intersect the committed doclog row
+    // would TOMBSTONE-SHADOW the old version while the new cells row
+    // is unreadable, vanishing the doc entirely
+    Similarity.appendCdcAnnSegment(
+      images(Seq((3L, vec(9003), 1L, false))), idx, "b000001", k = 4)
+    assert(new java.io.File(s"$idx/cells/seg=b000001/_SUCCESS").delete())
+    assert(probe() === before, "a half-committed append leaked into the probe")
+    assert(stats() === statsBefore,
+      "a half-committed append leaked into the policy's stats")
+    // the streaming retry completes the pair atomically
+    Similarity.appendCdcAnnSegment(
+      images(Seq((3L, vec(9003), 1L, false))), idx, "b000001", k = 4)
+    assert(probe() !== before, "the completed replay did not supersede vec 3")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
   test("requantize: new quantizer over the live corpus, exact probe invariant, fence fenced, ingest continues") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._

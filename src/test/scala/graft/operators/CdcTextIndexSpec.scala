@@ -198,6 +198,57 @@ class CdcTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally tw.close()
   }
 
+  /** The committed two-leg read contract (Layout.committedIndexLegs):
+    * an append writes doclog and postings as two non-atomic jobs, so a
+    * probe or the policy's stats racing a writer (or surviving its
+    * crash between the jobs) must not see a batch's doclog without its
+    * postings — the segment intersect drops a HALF-COMMITTED batch
+    * from both legs. An absent index throws the FileNotFoundException
+    * retryOnceOnMissing retries (the publish-swap window), never an
+    * empty answer.
+    */
+  test("probe and stats read committed doclog+postings pairs only; absent index throws FNF") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcidx-torn")
+    val idx = work.resolve("cdc").toString
+    intercept[java.io.FileNotFoundException] {
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10)
+    }
+    TextAnalysis.appendCdcTextSegment(images(Seq(
+      (1L, "alpha shared alpha", 0L, false),
+      (3L, "gamma shared gamma gamma", 0L, false))), idx, "b000000")
+    val before = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10).orderBy("r_sparse"))
+    val statsBefore = TextAnalysis.cdcTextIndexStats(spark, idx)
+      .collect().map(_.toString).toSeq
+    // half-committed batch: doclog leg committed, postings leg torn
+    // (a crash between the two append jobs — doc 1's update to delta
+    // must stay invisible to probe AND stats)
+    TextAnalysis.appendCdcTextSegment(images(Seq(
+      (1L, "delta shared", 1L, false))), idx, "b000001")
+    assert(new java.io.File(s"$idx/postings/seg=b000001/_SUCCESS").delete())
+    assert(probeRows(TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10)
+        .orderBy("r_sparse")) === before,
+      "a half-committed append leaked into the probe")
+    assert(TextAnalysis.cdcTextIndexStats(spark, idx)
+        .collect().map(_.toString).toSeq === statsBefore,
+      "a half-committed append leaked into the policy's stats")
+    // the replayed batch (streaming retry after the crash) completes
+    // the pair and becomes visible atomically
+    TextAnalysis.appendCdcTextSegment(images(Seq(
+      (1L, "delta shared", 1L, false))), idx, "b000001")
+    val after = probeRows(
+      TextAnalysis.bm25TopKViaCdcIndex(spark, idx, terms, 10).orderBy("r_sparse"))
+    assert(after !== before, "the completed replay changed nothing")
+    assert(!probeRows(TextAnalysis
+        .bm25TopKViaCdcIndex(spark, idx, Seq("alpha"), 10)).exists(_._1 == 1L),
+      "the completed replay did not supersede doc 1")
+
+    val tw = java.nio.file.Files.walk(work)
+    try tw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally tw.close()
+  }
+
   test("a delete arriving in the same batch as the insert wins (tombstone only)") {
     val work = java.nio.file.Files.createTempDirectory("graft-cdcidx2")
     val idx = work.resolve("cdc").toString
