@@ -3427,6 +3427,16 @@ object CdcBinlog {
           s"${lastNb.get()} (or never grew)")
       require(lastK.get() > 2,
         s"the ANN policy fired but the quantizer never grew (k=${lastK.get()})")
+      // every policy-folded structure carries its own replay fence —
+      // the physical trace of a policy-chosen fold point (exact
+      // per-ordinal pins are CdcMultiRouteCompactSpec's daemon leg;
+      // the gate pins presence on all four so a fold that silently
+      // skipped its fence write cannot pass)
+      Seq("text" -> txtIdx, "ann" -> annIdx, "fp" -> fpLog,
+          "band" -> bandLog).foreach { case (kind, p) =>
+        require(fenceOf(s, p).isDefined,
+          s"the $kind structure's policy fired but left no replay fence")
+      }
       val doclog = s.read.parquet(s"$annIdx/doclog")
       val live = doclog.groupBy($"vec_id")
         .agg(max(struct($"ver", $"deleted")).as("m"))
