@@ -1709,6 +1709,28 @@ object CdcBinlog {
         .cast("long") % 2001 - 1000
     }: _*)
 
+  /** The ANN gates' shared probe-vector derivation: the smallest live
+    * id's embedding, read back from the index ITSELF (one slim row to
+    * the driver) through the committed two-leg doclog+cells view —
+    * the SAME [[Layout.committedIndexLegs]] read every probe and stats
+    * call takes, retried across a publish swap. Raw single-leg reads
+    * of a maintained index belong to the folds' own internals only
+    * (they run under the fold lease, where the leg set cannot move).
+    */
+  private def annProbeVector(s: SparkSession, indexDir: String): Seq[Long] = {
+    import s.implicits._
+    Layout.retryOnceOnMissing {
+      val (doclog, cells) = Layout.committedIndexLegs(s, indexDir, "cells")
+      val live = doclog.groupBy($"vec_id")
+        .agg(max(struct($"ver", $"deleted")).as("m"))
+        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+        .filter(!$"deleted")
+      cells.join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+        .orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Long](0) // <= 1 slim row — materializes INSIDE the retry
+    }
+  }
+
   private[graft] def cdcm5BatchImages(batch: DataFrame, batchId: Long): DataFrame = {
     import batch.sparkSession.implicits._
     batch.filter($"_delta_type" =!= "update-before")
@@ -1764,15 +1786,7 @@ object CdcBinlog {
           "the ANN freshness gate needs >= 3 real ingest segments")
       // probe vector: the smallest live id's embedding, read back from
       // the index itself (one slim row to the driver)
-      val doclog = s.read.parquet(s"$idx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$idx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, idx)
       Layout.retryOnceOnMissing {
         graft.operators.Similarity
           .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
@@ -1837,15 +1851,7 @@ object CdcBinlog {
       }
       // probe vector: the smallest live id's embedding, read back from
       // the index itself (one slim row to the driver — cdcm5's shape)
-      val doclog = s.read.parquet(s"$idx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$idx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, idx)
       Layout.retryOnceOnMissing {
         graft.operators.Similarity
           .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
@@ -1941,15 +1947,7 @@ object CdcBinlog {
         "requantize kept the first batch's centroids — the quantizer was not rebuilt")
       // probe vector: the smallest live id's embedding, read back from
       // the REQUANTIZED index (one slim row to the driver — cdcm5's shape)
-      val doclog = s.read.parquet(s"$idx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$idx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, idx)
       Layout.retryOnceOnMissing {
         graft.operators.Similarity
           .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
@@ -2038,15 +2036,7 @@ object CdcBinlog {
       val cellsNow = s.read.parquet(s"$idx/centroids").count()
       require(cellsNow > 2,
         s"the quantizer never grew past its planted k=2 ($cellsNow cells)")
-      val doclog = s.read.parquet(s"$idx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$idx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, idx)
       Layout.retryOnceOnMissing {
         graft.operators.Similarity
           .mipsTopKViaCdcAnnIndex(s, idx, probeVec, 100)
@@ -2178,12 +2168,30 @@ object CdcBinlog {
     * because duplicate groups can be huge — a degenerate content
     * column (empty strings, boilerplate) makes one fingerprint
     * corpus-sized and a hinted broadcast an executor OOM — so a
-    * bounded size probe (one slim scan that stops at cap+1 rows)
-    * gates the hint, and an over-cap group takes the same pipeline
+    * bounded size probe (its limit bounds the count job's RESULT to
+    * cap+1 rows; the distinct beneath it still scans the fp-filtered
+    * candidate rows — see [[underCap]]) gates the hint, and an
+    * over-cap group takes the same pipeline
     * un-hinted: the join keys on doc_id, so Spark plans a shuffle
     * join — AQE-splittable, skew-safe. Identical rows on either path
     * (spec-pinned); only the join strategy moves.
     */
+  /** The bounded broadcast-size gate shared by every screening probe:
+    * true iff `ids` holds at most `cap` rows. The `limit(cap + 1)`
+    * bounds the COUNT job's result (the count can never materialize
+    * more than cap+1 rows); the aggregation feeding `ids` (a distinct,
+    * an argmax) still scans its own filtered input — the limit is a
+    * result bound, not a scan bound. cap = 0 is a valid "never hint"
+    * setting (the shuffle-fallback specs use it); negative caps are a
+    * caller error named here rather than an opaque limit(-n) failure.
+    */
+  private def underCap(ids: DataFrame, cap: Long): Boolean = {
+    require(cap >= 0,
+      s"maxBroadcastCandidates must be >= 0 (got $cap); use 0 to force " +
+        "the shuffle path, never a negative")
+    ids.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1).count() <= cap
+  }
+
   private[graft] def cdcFpProbe(s: SparkSession, logDir: String,
                                 docId: Long,
                                 maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
@@ -2200,9 +2208,7 @@ object CdcBinlog {
       val fp = t.head.getString(1)
       val candIds = log.filter($"fp" === fp && $"doc_id" =!= docId)
         .select($"doc_id").distinct()
-      val small = candIds
-        .limit(math.min(maxBroadcastCandidates, Int.MaxValue - 1L).toInt + 1)
-        .count() <= maxBroadcastCandidates
+      val small = underCap(candIds, maxBroadcastCandidates)
       log.join(if (small) broadcast(candIds) else candIds, "doc_id")
         .groupBy($"doc_id")
         .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
@@ -2465,6 +2471,12 @@ object CdcBinlog {
     else {
       val tShingles = t.head.getSeq[Array[Byte]](1)
       val tBands = t.head.getSeq[org.apache.spark.sql.Row](2)
+      // a live image with NO bands has no buckets and hence no
+      // neighborhood — answer empty like the deleted/unknown cases
+      // (unreachable via cdcm15BandImages, which always emits 2 bands,
+      // but the append protocol is column-agnostic: a degenerate
+      // planted log must probe empty, not crash the reduce below)
+      if (tBands == null || tBands.isEmpty) return empty
       val inBuckets = tBands.map(r =>
           $"b.band_id" === r.getInt(0) && $"b.h" === r.getString(1))
         .reduce(_ || _)
@@ -2472,9 +2484,7 @@ object CdcBinlog {
         .select($"doc_id", explode($"bands").as("b"))
         .filter(inBuckets)
         .select($"doc_id").distinct()
-      val small = candIds
-        .limit(math.min(maxBroadcastCandidates, Int.MaxValue - 1L).toInt + 1)
-        .count() <= maxBroadcastCandidates
+      val small = underCap(candIds, maxBroadcastCandidates)
       val liveCand = log
         .join(if (small) broadcast(candIds) else candIds, "doc_id")
         .groupBy($"doc_id")
@@ -2528,6 +2538,170 @@ object CdcBinlog {
       Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
     Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
     }
+  }
+
+  // ---- Batched ingest screening: one joined pass per micro-batch ------
+  //
+  // cdcFpProbe/cdcNearDupProbe answer "is THIS doc a duplicate / a
+  // near-dup of anything live" — but each call pays a fixed ~3-job
+  // overhead (target argmax collect, candidate size probe, candidate
+  // join), so screening a micro-batch of N docs as N probe calls is N×
+  // that overhead plus N separate scans of the same log. The production
+  // screening shape is "screen THIS BATCH's docs against the live
+  // state" inside foreachBatch — one joined pass for the whole batch,
+  // the same progression the ANN surface took from sim04's single-probe
+  // kNN to sim10's batch kNN join ([[Similarity.ivfPqKnnJoin]] is the
+  // template: per-batch structures broadcast only while provably small,
+  // identical rows on the shuffle fallback). Reference analogue: the
+  // queue multiplex consumes event BATCHES, not events (jdbc.clj:41-48,
+  // 175).
+
+  /** Exact-duplicate partners of EVERY doc in `docIds` from the fp log
+    * — [[cdcFpProbe]] batched into one joined pass. Returns
+    * (probe_doc_id, dup_doc_id, fp): for each live probed doc, its live
+    * exact-dup partners — row-for-row the union of the per-doc probes
+    * with the probe id attached (spec-pinned, including over-cap and
+    * degenerate targets). Deleted, unknown and unique probed docs
+    * contribute no rows; an uncommitted or absent log answers empty
+    * ([[readCommittedLog]]).
+    *
+    * Shape, phase by phase (nothing corpus-proportional beyond pushed
+    * cuts, like the single-doc probe):
+    *  1. targets' live images: the log restricted by ONE doc_id-keyed
+    *     semi-join against the batch (broadcast while the batch is
+    *     under the cap — sim10's `maxBroadcastBatch` contract), argmax
+    *     over the restriction only;
+    *  2. candidates: docs with ANY version carrying any target's live
+    *     fp — one fp-keyed join against the targets' distinct fps (the
+    *     batch twin of the single-doc probe's pushed fp literal; the
+    *     join is the pushdown once there are N literals), size-gated
+    *     by [[underCap]] before any broadcast hint;
+    *  3. liveness argmax over the CANDIDATES' rows only — a doc that
+    *     merely USED to carry a probed fp is admitted and then
+    *     rejected by its latest image, exactly the per-doc semantics;
+    *  4. partners: live candidates fp-joined back to the live targets,
+    *     self-pairs dropped LAST (a batch doc can be another batch
+    *     doc's partner, so candidates are never pre-filtered by id).
+    *
+    * The result is lazy (callers compose it into their own batch
+    * pipeline; a foreachBatch consumer persists its own batch images) —
+    * only the two bounded size probes run eagerly, the same two jobs
+    * the single-doc probe pays ONCE PER DOC.
+    */
+  private[graft] def cdcFpProbeBatch(s: SparkSession, logDir: String,
+                                     docIds: DataFrame,
+                                     maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, String)]
+      .toDF("probe_doc_id", "dup_doc_id", "fp")
+    val log = readCommittedLog(s, logDir).getOrElse(return empty)
+    val targets = docIds.select($"doc_id").distinct()
+    val tSmall = underCap(targets, maxBroadcastCandidates)
+    def sideT(df: DataFrame): DataFrame = if (tSmall) broadcast(df) else df
+    val tLive = log.join(sideT(targets), "doc_id")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+      .select($"doc_id".as("probe_doc_id"), $"m.deleted".as("deleted"),
+        $"m.fp".as("fp"))
+      .filter(!$"deleted")
+    val candIds = log.select($"doc_id", $"fp")
+      .join(sideT(tLive.select($"fp").distinct()), "fp")
+      .select($"doc_id").distinct()
+    val cSmall = underCap(candIds, maxBroadcastCandidates)
+    log.join(if (cSmall) broadcast(candIds) else candIds, "doc_id")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"fp")).as("m"))
+      .select($"doc_id".as("dup_doc_id"), $"m.deleted".as("deleted"),
+        $"m.fp".as("fp"))
+      .filter(!$"deleted")
+      .join(sideT(tLive.select($"probe_doc_id", $"fp")), "fp")
+      .filter($"dup_doc_id" =!= $"probe_doc_id")
+      .select($"probe_doc_id", $"dup_doc_id", $"fp")
+      .orderBy($"probe_doc_id", $"dup_doc_id")
+  }
+
+  /** Near-dups of EVERY doc in `docIds` from the band log —
+    * [[cdcNearDupProbe]] batched into one joined pass, returning
+    * (probe_doc_id, doc_a, doc_b, jaccard): for each live probed doc,
+    * the report pairs containing it (doc_a/doc_b in least/greatest
+    * order, exact digest-Jaccard ≥ 0.2) — row-for-row the union of the
+    * per-doc probes with the probe id attached (spec-pinned, including
+    * over-cap, band-less, tombstoned and unknown members).
+    *
+    * Same four phases as [[cdcFpProbeBatch]] with band keys in place
+    * of fingerprints: (1) targets' live images via one doc_id-keyed
+    * semi-join + argmax (a band-less live target explodes to no keys
+    * and probes empty — no driver-side reduce to crash); (2) candidates
+    * via ONE (band_id, h)-keyed join between the log's exploded bands
+    * and the targets' distinct live band keys; (3) liveness over
+    * candidates only, as a SLIM key argmax — the winning versions'
+    * arrays come back by a (doc_id, ver) join, so the agg exchange
+    * never carries shingle arrays ([[cdcNearDupLive]]'s split); (4) the
+    * live-bands re-check re-derives (probe, candidate) pairs from the
+    * candidates' LIVE bands joined to the targets' band keys (the
+    * report's live-candidacy rule), then exactly one Jaccard per
+    * surviving pair, shingle arrays joined back for survivors only.
+    */
+  private[graft] def cdcNearDupProbeBatch(s: SparkSession, logDir: String,
+                                          docIds: DataFrame,
+                                          maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("probe_doc_id", "doc_a", "doc_b", "jaccard")
+    val log = readCommittedLog(s, logDir).getOrElse(return empty)
+    val targets = docIds.select($"doc_id").distinct()
+    val tSmall = underCap(targets, maxBroadcastCandidates)
+    def sideT(df: DataFrame): DataFrame = if (tSmall) broadcast(df) else df
+    val tLive = log.join(sideT(targets), "doc_id")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted", $"sh", $"bands")).as("m"))
+      .select($"doc_id".as("probe_doc_id"), $"m.deleted".as("deleted"),
+        $"m.sh".as("sh_t"), $"m.bands".as("bands_t"))
+      .filter(!$"deleted")
+    // (probe, band-key) rows: a null/empty bands array explodes to
+    // nothing — that target has no buckets and screens empty
+    val tBands = tLive.select($"probe_doc_id", explode($"bands_t").as("b"))
+      .select($"probe_doc_id", $"b.band_id".as("band_id"), $"b.h".as("h"))
+    val candIds = log.select($"doc_id", explode($"bands").as("b"))
+      .select($"doc_id", $"b.band_id".as("band_id"), $"b.h".as("h"))
+      .join(sideT(tBands.select($"band_id", $"h").distinct()),
+        Seq("band_id", "h"))
+      .select($"doc_id").distinct()
+    val cSmall = underCap(candIds, maxBroadcastCandidates)
+    def sideC(df: DataFrame): DataFrame = if (cSmall) broadcast(df) else df
+    // slim liveness argmax over candidates; arrays fetched by join
+    val liveKeys = log.select($"doc_id", $"ver", $"deleted")
+      .join(sideC(candIds), "doc_id")
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+      .select($"doc_id", $"ver")
+    val liveCand = log.join(sideC(liveKeys), Seq("doc_id", "ver"))
+      .select($"doc_id".as("cand_id"), $"sh", $"bands")
+    // live-bands re-check: pairs from the candidates' CURRENT images
+    val pairsSlim = liveCand
+      .select($"cand_id", explode($"bands").as("b"))
+      .select($"cand_id", $"b.band_id".as("band_id"), $"b.h".as("h"))
+      .join(sideT(tBands), Seq("band_id", "h"))
+      .filter($"cand_id" =!= $"probe_doc_id")
+      .select($"probe_doc_id", $"cand_id").distinct()
+    // the survivors' Jaccard: broadcast the SLIM pair frame (bounded by
+    // candidates × targets — hinted only while both sides proved small;
+    // the array-carrying frames never broadcast, rows bound bytes only
+    // for slim frames)
+    def sideP(df: DataFrame): DataFrame =
+      if (cSmall && tSmall) broadcast(df) else df
+    sideP(pairsSlim)
+      .join(liveCand.select($"cand_id", $"sh".as("sh_c")), "cand_id")
+      .join(sideT(tLive.select($"probe_doc_id", $"sh_t")), "probe_doc_id")
+      .select($"probe_doc_id",
+        least($"probe_doc_id", $"cand_id").as("doc_a"),
+        greatest($"probe_doc_id", $"cand_id").as("doc_b"),
+        (size(array_intersect($"sh_c", $"sh_t")).cast("double") /
+          size(array_union($"sh_c", $"sh_t"))).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+      .orderBy($"probe_doc_id", $"doc_a", $"doc_b")
   }
 
   // ---- Log maintenance policy: WHEN to compact, as code ---------------
@@ -2661,7 +2835,13 @@ object CdcBinlog {
     import s.implicits._
     val rows = structures.map { case (name, kind, path) =>
       kind.split(":", 2).toList match {
-        case "text" :: _ =>
+        // the text/ANN stats read the committed two-leg view, which
+        // throws FileNotFoundException during a rebucket/requantize
+        // publish swap (the one reader MOST likely to race a daemon
+        // fold is this ops report) — retry per STRUCTURE, so one
+        // mid-swap index recomputes alone instead of failing the whole
+        // report or re-measuring its healthy neighbors
+        case "text" :: _ => Layout.retryOnceOnMissing {
           val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, path)
           val total = stats.agg(sum($"n_postings")).head().getLong(0)
           val budget = math.max(1L, (total * textBudgetFraction).toLong)
@@ -2670,7 +2850,8 @@ object CdcBinlog {
           StructureAdvice(name, "text", a.rebucket, a.suggestedBuckets.toLong,
             a.totalPostings, a.maxBucket.toDouble / budget, at_cap = false,
             a.reason)
-        case "ann" :: _ =>
+        }
+        case "ann" :: _ => Layout.retryOnceOnMissing {
           val a = graft.operators.Similarity.annMaintenanceAdvice(
             graft.operators.Similarity.cdcAnnIndexStats(s, path),
             skewRatio = annSkewRatio, growthFactor = annGrowthFactor,
@@ -2679,6 +2860,7 @@ object CdcBinlog {
             a.nLive,
             if (a.meanCell > 0) a.maxCell / a.meanCell else 0.0,
             a.atCap, a.reason)
+        }
         case "log" :: rest =>
           val keyCol = rest.headOption.getOrElse("doc_id")
           val a = logMaintenanceAdvice(cdcLogStats(s, path, keyCol),
@@ -2738,6 +2920,106 @@ object CdcBinlog {
           .localCheckpoint(true) // DETACH — the workdir rotates away
           .orderBy($"structure")
       } finally docs.unpersist()
+    }
+
+  // cdcm21 — BATCHED INGEST SCREENING under the oracle: the per-doc
+  // screening probes' batch twins ([[cdcFpProbeBatch]] /
+  // [[cdcNearDupProbeBatch]]) run against CDC-MAINTAINED state. One
+  // bounded-admission stream feeds BOTH screening structures from a
+  // single decode (cdcm6's fp log + cdcm15's band log — the daemon's
+  // one-decode-N-structures shape), each folded MID-STREAM after the
+  // third appended segment with ingest continuing after the fold
+  // (cdcm9/cdcm15's recipe — the screens must be fold-invariant).
+  // Post-stream, a deterministic probe batch per structure — every
+  // doc_id ≡ 0 (mod 7: fp / mod 991: band) the log ever saw: live,
+  // superseded and tombstoned alike (the moduli keep each screen
+  // non-vacuous at every SF while staying batch-sized, see below) —
+  // is screened against each structure in ONE joined pass, and DuckDB
+  // recomputes both screens from the latest-image ground truth: the fp
+  // leg re-derives dd01's fingerprint self-join restricted to the
+  // probe set, the band leg replays dd02's CTE chain (cdcm15's oracle,
+  // unlimited) restricted to pairs containing a probe. A stale partner
+  // anywhere — a dropped supersession, a leaked tombstone, a fold that
+  // ate a live row, a batch seam that split a screen — hash-fails a
+  // leg. This is the reference's batch-consuming queue multiplex
+  // (jdbc.clj:41-48, 175) applied to the screening surface: N docs per
+  // trigger, one joined pass, never N probe jobs.
+  def cdcm21BatchScreen(s: SparkSession, d: String): DataFrame =
+    withRotatingWorkdir("graft-cdcm21") { work =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val fix = fixtureDir(d)
+      val totalBytes = fixtureBinlogBytes(s, fix)
+      val cap = math.max(totalBytes / 6, 1L)
+      val fpLog = work.resolve("fplog").toString
+      val bandLog = work.resolve("bandlog").toString
+      val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val changes = s.readStream.format("mysql-binlog")
+        .option("payloadDdl", payloadDdl)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(fix)
+      val q = changes.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // one decode, two screening structures (cdcm19's fan-out shape)
+          val imgs = cdcm4BatchImages(batch, batchId).persist()
+          try {
+            if (!imgs.isEmpty) {
+              val fp = imgs
+                .withColumn("fp", md5(TextAnalysis.normalize($"word")))
+                .select($"doc_id", $"ver", $"deleted", $"fp")
+                .coalesce(4)
+              val band = cdcm15BandImages(imgs).coalesce(4)
+              if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d") &&
+                  appendCdcFpSegment(band, bandLog, f"b$batchId%06d") &&
+                  appended.incrementAndGet() == 3) {
+                compactCdcFpLog(s, fpLog)
+                compactCdcBandLog(s, bandLog)
+              }
+            }
+          } finally imgs.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get() >= 5,
+        s"bounded admission degenerated (cap=$cap of $totalBytes bytes, " +
+          s"${appended.get()} appends) — the screens need folded AND " +
+          "post-fold state under them")
+      Seq(fpLog, bandLog).foreach { p =>
+        require(segNames(s, p).contains("seg=base") && fenceOf(s, p).isDefined,
+          s"the mid-stream fold left no base segment or fence under $p")
+      }
+      // the probe batches are derived from the LOG (what an ingest
+      // consumer has), the answers from the live images: tombstoned
+      // probes answer nothing, which is itself part of the contract.
+      // Each leg's modulus keeps its probe set batch-sized AND its
+      // screen non-vacuous at every SF: exact-dup groups are RARE
+      // (mod 7 still catches them at sf0.001), near-dup neighborhoods
+      // are flood-sized (mod 991 still returns pairs at sf0.001, and
+      // anything denser makes the band answer corpus-shaped — 17M rows
+      // at sf0.1 under mod 7 — which is a report's job, not a screen's)
+      def probes(mod: Int) = readCommittedLog(s, fpLog).get
+        .filter($"doc_id" % mod === 0).select($"doc_id").distinct()
+        .localCheckpoint(true) // slim id set; DETACH — workdir rotates
+      val fpLeg = Layout.retryOnceOnMissing {
+        cdcFpProbeBatch(s, fpLog, probes(7))
+          .select(lit("fp").as("leg"), $"probe_doc_id".as("probe_id"),
+            $"dup_doc_id".as("key_a"), lit(-1L).as("key_b"),
+            lit(1.0).as("score"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      val bandLeg = Layout.retryOnceOnMissing {
+        cdcNearDupProbeBatch(s, bandLog, probes(991))
+          .select(lit("band").as("leg"), $"probe_doc_id".as("probe_id"),
+            $"doc_a".as("key_a"), $"doc_b".as("key_b"),
+            $"jaccard".as("score"))
+          .localCheckpoint(true) // DETACH — the workdir rotates away
+      }
+      require(fpLeg.limit(1).count() == 1 && bandLeg.limit(1).count() == 1,
+        "a vacuous screen (an empty leg) cannot prove the batch shape")
+      fpLeg.unionAll(bandLeg)
+        .orderBy($"leg", $"probe_id", $"key_a", $"key_b")
     }
 
   // cdcm15 — NEAR-dup freshness, the fourth maintained-state kind (text
@@ -3055,15 +3337,7 @@ object CdcBinlog {
       }
       // probe vector: the smallest live id's embedding, read back from
       // the vector index itself (one slim row to the driver)
-      val doclog = s.read.parquet(s"$annIdx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$annIdx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, annIdx)
       val textLeg = Layout.retryOnceOnMissing {
         graft.operators.TextAnalysis
           .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
@@ -3213,15 +3487,7 @@ object CdcBinlog {
       require(fenceOf(s, fpLog).isEmpty,
         "the never-folded fp log grew a replay fence — a shared-fence " +
           "slip would silently drop its replays")
-      val doclog = s.read.parquet(s"$annIdx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$annIdx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, annIdx)
       val textLeg = Layout.retryOnceOnMissing {
         graft.operators.TextAnalysis
           .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
@@ -3437,15 +3703,7 @@ object CdcBinlog {
         require(fenceOf(s, p).isDefined,
           s"the $kind structure's policy fired but left no replay fence")
       }
-      val doclog = s.read.parquet(s"$annIdx/doclog")
-      val live = doclog.groupBy($"vec_id")
-        .agg(max(struct($"ver", $"deleted")).as("m"))
-        .select($"vec_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-        .filter(!$"deleted")
-      val probeVec = s.read.parquet(s"$annIdx/cells")
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .orderBy($"vec_id").select($"embedding")
-        .head().getSeq[Long](0)
+      val probeVec = annProbeVector(s, annIdx)
       val negOne = lit(-1L).as("key_b")
       val textLeg = Layout.retryOnceOnMissing {
         graft.operators.TextAnalysis
@@ -3547,6 +3805,7 @@ object CdcBinlog {
     "cdcm12_tri_fanout" -> cdcm12TriFanout _,
     "cdcm19_policy_daemon_freshness" -> cdcm19PolicyDaemonFreshness _,
     "cdcm20_advice_report" -> cdcm20AdviceReport _,
+    "cdcm21_batch_screen" -> cdcm21BatchScreen _,
     "cdcm7_compacted_index_freshness" -> cdcm7CompactedIndexFreshness _,
     "cdcm14_rebucketed_text_freshness" -> cdcm14RebucketedTextFreshness _,
     "cdcm16_policy_rebucket_freshness" -> cdcm16PolicyRebucketFreshness _,
@@ -3867,6 +4126,59 @@ object CdcBinlog {
          |SELECT leg, key_id AS key_a, CAST(-1 AS BIGINT) AS key_b, score, r
          |FROM (${heteroTextLeg(sfDir)})
          |ORDER BY leg, r""".stripMargin,
+    // both batch screens recomputed from the latest-image ground truth:
+    // the fp leg is dd01's fingerprint self-join restricted to the
+    // probe set (id % 7 = 0; only LIVE probes can answer, so deriving
+    // probes from `latest` equals the gate's derive-from-log set), the
+    // band leg is cdcm15's dd02 CTE chain — unlimited, since the
+    // per-probe screens carry no report cap — restricted to pairs
+    // containing a probe (a pair with BOTH members probed answers once
+    // per probing member, exactly the per-doc loop's union)
+    "cdcm21_batch_screen" ->
+      s"""WITH latest AS (${latestImageOracle(sfDir)}),
+         |g AS (
+         |  SELECT id,
+         |    md5(trim(regexp_replace(lower(word), '\\s+', ' ', 'g'))) AS fp
+         |  FROM latest),
+         |fpleg AS (
+         |  SELECT 'fp' AS leg, CAST(a.id AS BIGINT) AS probe_id,
+         |    CAST(b.id AS BIGINT) AS key_a, CAST(-1 AS BIGINT) AS key_b,
+         |    CAST(1.0 AS DOUBLE) AS score
+         |  FROM g a JOIN g b ON a.fp = b.fp AND a.id <> b.id
+         |  WHERE a.id % 7 = 0),
+         |docs AS (
+         |  SELECT id AS doc_id,
+         |    repeat(split_part(word, '_', 1) || ' ',
+         |           CAST(1 + id % 3 AS INTEGER)) || word AS text
+         |  FROM latest),
+         |sh_t AS (SELECT doc_id, ${Dedup.duckShingles} AS sh FROM docs),
+         |sig AS (SELECT doc_id, sh,
+         |  md5(${Dedup.duckMinhash(0)} || '|' || ${Dedup.duckMinhash(1)}) AS band0,
+         |  md5(${Dedup.duckMinhash(2)} || '|' || ${Dedup.duckMinhash(3)}) AS band1 FROM sh_t),
+         |bands AS (
+         |  SELECT doc_id, sh, 0 AS band_id, band0 AS h FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, sh, 1 AS band_id, band1 AS h FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+         |bandleg AS (
+         |  SELECT 'band' AS leg, CAST(p.probe AS BIGINT) AS probe_id,
+         |    CAST(p.doc_a AS BIGINT) AS key_a, CAST(p.doc_b AS BIGINT) AS key_b,
+         |    p.jaccard AS score
+         |  FROM (
+         |    SELECT doc_a, doc_b, jaccard, doc_a AS probe FROM pairs
+         |    WHERE jaccard >= 0.2 AND doc_a % 991 = 0
+         |    UNION ALL
+         |    SELECT doc_a, doc_b, jaccard, doc_b AS probe FROM pairs
+         |    WHERE jaccard >= 0.2 AND doc_b % 991 = 0) p)
+         |SELECT leg, probe_id, key_a, key_b, score FROM fpleg
+         |UNION ALL
+         |SELECT leg, probe_id, key_a, key_b, score FROM bandleg
+         |ORDER BY leg, probe_id, key_a, key_b""".stripMargin,
     // the advice report's log rows recomputed from the same documents
     // arithmetic the gate plants: version count 1 + doc_id % 3 (fp) /
     // 1 (band), tombstone moduli 5 / 11, segment counts 3 / 20 — the

@@ -171,6 +171,7 @@ object GlobalPlanSweepSpec {
     "cdcm14_rebucketed_text_freshness", "cdcm16_policy_rebucket_freshness",
     "cdcm17_policy_requantize_freshness", "cdcm18_policy_compact_freshness",
     "cdcm19_policy_daemon_freshness", "cdcm20_advice_report",
+    "cdcm21_batch_screen",
     "cdcm10_multi_index_routing",
     "cdcm11_hetero_index_routing",
     "cdcb20_bounded_admission",
