@@ -2776,6 +2776,29 @@ object CdcBinlog {
                                         nSegments: Int,
                                         amplification: Double, reason: String)
 
+  /** [[cdcLogStats]]'s documented cadence contract as code: the
+    * amplification measurement is an O(log) scan, so at 100 TB it runs
+    * at FOLD-CONSIDERATION cadence (every `everyN`th append), while
+    * the segment-count trigger — one directory listing — stays cheap
+    * enough for every append. This counter is that deployment guidance
+    * as a reusable value instead of prose: a daemon holds one per
+    * structure and calls `due()` once per append — true on every
+    * `everyN`th call (always at 1), so the measure-and-fold leg runs
+    * at the structure's own pace with no shared schedule. A daemon
+    * shutting down runs ONE final measure regardless of phase (the
+    * spec's shutdown-hook shape), so owing debt cannot outlive the
+    * stream just because it ended mid-cadence. Thread-safe: appends
+    * run on the stream's microbatch thread, tallies read elsewhere.
+    */
+  final class MaintenanceCadence(val everyN: Int) {
+    require(everyN >= 1, s"cadence must be >= 1 (got $everyN)")
+    private val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Count one append; true when this append is a measure point. */
+    def due(): Boolean = calls.incrementAndGet() % everyN == 0L
+    /** Appends seen so far (for tallies/asserts, not control flow). */
+    def callCount: Long = calls.get()
+  }
+
   def logMaintenanceAdvice(stats: DataFrame, ampFactor: Double = 4.0,
                            maxSegments: Int = 16): LogMaintenanceAdvice = {
     val r = stats.select("n_rows", "n_keys", "n_live", "n_segments").head()
