@@ -1636,12 +1636,10 @@ object CdcBinlog {
       val appended = new java.util.concurrent.atomic.AtomicInteger(0)
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val lastSuggested = new java.util.concurrent.atomic.AtomicInteger(2)
-      def advice() = {
-        val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, idx)
-        val total = stats.agg(sum($"n_postings")).head().getLong(0)
-        graft.operators.TextAnalysis.textMaintenanceAdvice(stats,
-          probeReadBudget = math.max(1L, total / 4))
-      }
+      // one stats pass per decision (guide §1.2): the previous two-step
+      // form (agg for the budget + advice's own collect) ran the full
+      // index measurement twice per call
+      def advice() = graft.operators.TextAnalysis.cdcTextIndexAdvice(s, idx)
       val changes = s.readStream.format("mysql-binlog")
         .option("payloadDdl", payloadDdl)
         .option("maxBytesPerTrigger", cap.toString)
@@ -2177,13 +2175,17 @@ object CdcBinlog {
     * (spec-pinned); only the join strategy moves.
     */
   /** The bounded broadcast-size gate shared by every screening probe:
-    * true iff `ids` holds at most `cap` rows. The `limit(cap + 1)`
-    * bounds the COUNT job's result (the count can never materialize
-    * more than cap+1 rows); the aggregation feeding `ids` (a distinct,
-    * an argmax) still scans its own filtered input — the limit is a
-    * result bound, not a scan bound. cap = 0 is a valid "never hint"
-    * setting (the shuffle-fallback specs use it); negative caps are a
-    * caller error named here rather than an opaque limit(-n) failure.
+    * true iff `ids` holds at most `cap` rows — for caps below
+    * Int.MaxValue - 1; the limit arithmetic clamps there, so a cap at
+    * or past 2^31 can report under-cap for a larger set (any such cap
+    * is an absurd broadcast intent anyway — rows alone would exceed the
+    * 512M-row broadcast hard cap). The `limit(cap + 1)` bounds the
+    * COUNT job's result (the count can never materialize more than
+    * cap+1 rows); the aggregation feeding `ids` (a distinct, an argmax)
+    * still scans its own filtered input — the limit is a result bound,
+    * not a scan bound. cap = 0 is a valid "never hint" setting (the
+    * shuffle-fallback specs use it); negative caps are a caller error
+    * named here rather than an opaque limit(-n) failure.
     */
   private def underCap(ids: DataFrame, cap: Long): Boolean = {
     require(cap >= 0,
@@ -2686,13 +2688,15 @@ object CdcBinlog {
       .join(sideT(tBands), Seq("band_id", "h"))
       .filter($"cand_id" =!= $"probe_doc_id")
       .select($"probe_doc_id", $"cand_id").distinct()
-    // the survivors' Jaccard: broadcast the SLIM pair frame (bounded by
-    // candidates × targets — hinted only while both sides proved small;
-    // the array-carrying frames never broadcast, rows bound bytes only
-    // for slim frames)
-    def sideP(df: DataFrame): DataFrame =
-      if (cSmall && tSmall) broadcast(df) else df
-    sideP(pairsSlim)
+    // the survivors' Jaccard: the SLIM pair frame is bounded by
+    // |candidates| × |targets| — a PRODUCT, so "both sides under the
+    // cap" does not bound it (two 1M-row sides legally pair to 10^12
+    // rows under clustered buckets), and a hint here could demand a
+    // multi-GB broadcast the per-doc probe's one-row frame never could.
+    // No hint: AQE broadcasts from the pair frame's own runtime size
+    // when it is genuinely small, and plans a shuffle join otherwise —
+    // the array-carrying frames never broadcast either way.
+    pairsSlim
       .join(liveCand.select($"cand_id", $"sh".as("sh_c")), "cand_id")
       .join(sideT(tLive.select($"probe_doc_id", $"sh_t")), "probe_doc_id")
       .select($"probe_doc_id",
@@ -2784,11 +2788,12 @@ object CdcBinlog {
     * as a reusable value instead of prose: a daemon holds one per
     * structure and calls `due()` once per append — true on every
     * `everyN`th call (always at 1), so the measure-and-fold leg runs
-    * at the structure's own pace with no shared schedule. A daemon
-    * shutting down runs ONE final measure regardless of phase (the
-    * spec's shutdown-hook shape), so owing debt cannot outlive the
-    * stream just because it ended mid-cadence. Thread-safe: appends
-    * run on the stream's microbatch thread, tallies read elsewhere.
+    * at the structure's own pace with no shared schedule. The class
+    * implements no shutdown hook: a daemon shutting down MUST itself
+    * run one final measure regardless of phase (the spec's caller does
+    * exactly that), or owing debt outlives the stream just because it
+    * ended mid-cadence. Thread-safe: appends run on the stream's
+    * microbatch thread, tallies read elsewhere.
     */
   final class MaintenanceCadence(val everyN: Int) {
     require(everyN >= 1, s"cadence must be >= 1 (got $everyN)")
@@ -2865,11 +2870,11 @@ object CdcBinlog {
         // mid-swap index recomputes alone instead of failing the whole
         // report or re-measuring its healthy neighbors
         case "text" :: _ => Layout.retryOnceOnMissing {
-          val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, path)
-          val total = stats.agg(sum($"n_postings")).head().getLong(0)
-          val budget = math.max(1L, (total * textBudgetFraction).toLong)
-          val a = graft.operators.TextAnalysis.textMaintenanceAdvice(
-            stats, probeReadBudget = budget)
+          // one stats pass per structure (guide §1.2); the budget the
+          // advice used is re-derived from its own totalPostings
+          val a = graft.operators.TextAnalysis.cdcTextIndexAdvice(
+            s, path, budgetFraction = textBudgetFraction)
+          val budget = math.max(1L, (a.totalPostings * textBudgetFraction).toLong)
           StructureAdvice(name, "text", a.rebucket, a.suggestedBuckets.toLong,
             a.totalPostings, a.maxBucket.toDouble / budget, at_cap = false,
             a.reason)
@@ -3022,18 +3027,22 @@ object CdcBinlog {
       // are flood-sized (mod 991 still returns pairs at sf0.001, and
       // anything denser makes the band answer corpus-shaped — 17M rows
       // at sf0.1 under mod 7 — which is a report's job, not a screen's)
-      def probes(mod: Int) = readCommittedLog(s, fpLog).get
+      // each leg's probes come from the structure IT screens: both logs
+      // are fed from the same images today, but a band route that ever
+      // filtered rows (e.g. skipped band-less docs) must not let the fp
+      // log silently define the band screen's probe set
+      def probes(logDir: String, mod: Int) = readCommittedLog(s, logDir).get
         .filter($"doc_id" % mod === 0).select($"doc_id").distinct()
         .localCheckpoint(true) // slim id set; DETACH — workdir rotates
       val fpLeg = Layout.retryOnceOnMissing {
-        cdcFpProbeBatch(s, fpLog, probes(7))
+        cdcFpProbeBatch(s, fpLog, probes(fpLog, 7))
           .select(lit("fp").as("leg"), $"probe_doc_id".as("probe_id"),
             $"dup_doc_id".as("key_a"), lit(-1L).as("key_b"),
             lit(1.0).as("score"))
           .localCheckpoint(true) // DETACH — the workdir rotates away
       }
       val bandLeg = Layout.retryOnceOnMissing {
-        cdcNearDupProbeBatch(s, bandLog, probes(991))
+        cdcNearDupProbeBatch(s, bandLog, probes(bandLog, 991))
           .select(lit("band").as("leg"), $"probe_doc_id".as("probe_id"),
             $"doc_a".as("key_a"), $"doc_b".as("key_b"),
             $"jaccard".as("score"))
@@ -3589,12 +3598,9 @@ object CdcBinlog {
       val bandFired = new java.util.concurrent.atomic.AtomicInteger(0)
       val lastNb = new java.util.concurrent.atomic.AtomicInteger(2)
       val lastK = new java.util.concurrent.atomic.AtomicInteger(2)
-      def txtAdvice() = {
-        val stats = graft.operators.TextAnalysis.cdcTextIndexStats(s, txtIdx)
-        val total = stats.agg(sum($"n_postings")).head().getLong(0)
-        graft.operators.TextAnalysis.textMaintenanceAdvice(stats,
-          probeReadBudget = math.max(1L, total / 4))
-      }
+      // one stats pass per decision (guide §1.2), same budget rule:
+      // budget = max(1, live postings / 4)
+      def txtAdvice() = graft.operators.TextAnalysis.cdcTextIndexAdvice(s, txtIdx)
       // skewRatio=∞ / maxK=32: cdcm17's contract — growth arithmetic is
       // exact at every SF while Lloyd skew on md5-pseudo-random stubs
       // has no deterministic cross-SF bound (skew fire-and-clear is

@@ -1124,11 +1124,50 @@ object TextAnalysis {
                                          totalPostings: Long, reason: String)
 
   def textMaintenanceAdvice(stats: DataFrame,
-                            probeReadBudget: Long = 1L << 20): TextMaintenanceAdvice = {
-    val rows = stats.select("tb", "n_postings").collect()
+                            probeReadBudget: Long = 1L << 20): TextMaintenanceAdvice =
+    textMaintenanceAdviceOf(
+      stats.select("tb", "n_postings").collect().map(_.getLong(1)),
+      probeReadBudget)
+
+  /** One-pass stats→advice for the fractional-budget policy the gates
+    * run (budget = max(1, totalPostings · fraction)): the occupancy DAG
+    * executes ONCE and both the budget and the advice derive from the
+    * same collected rows. The two-step form (`stats.agg(sum).head()`
+    * for the budget, then [[textMaintenanceAdvice]]'s collect for the
+    * advice) runs the full index measurement twice per decision — pure
+    * overhead at fold-consideration cadence (guide §1.2: don't compute
+    * things you throw away). Advice values are identical: for
+    * non-negative totals `(total * 0.25).toLong == total / 4`.
+    */
+  def cdcTextIndexAdvice(s: SparkSession, indexDir: String,
+                         budgetFraction: Double = 0.25): TextMaintenanceAdvice = {
+    import s.implicits._
+    // [[cdcTextIndexStats]]'s occupancy, with the empty-bucket zero-fill
+    // done on the k collected rows instead of a range join (one fewer
+    // join per measurement; the advice only folds sum/max/length, so
+    // row order is immaterial)
+    val nb = textIndexBucketCount(s, indexDir).getOrElse(textIndexBuckets)
+    val (doclog, postings) = Layout.committedIndexLegs(s, indexDir, "postings")
+    val live = doclog
+      .groupBy($"doc_id")
+      .agg(max(struct($"ver", $"deleted")).as("m"))
+      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
+      .filter(!$"deleted")
+    val occupied = postings
+      .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+      .groupBy($"tb").agg(count(lit(1)).as("n_postings"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = Array.tabulate(nb)(tb => occupied.getOrElse(tb, 0L))
+    val budget = math.max(1L, (counts.sum * budgetFraction).toLong)
+    textMaintenanceAdviceOf(counts, budget)
+  }
+
+  private def textMaintenanceAdviceOf(counts: Array[Long],
+                                      probeReadBudget: Long): TextMaintenanceAdvice = {
+    val rows = counts
     val nb = rows.length
-    val total = rows.map(_.getLong(1)).sum
-    val maxBucket = if (nb == 0) 0L else rows.map(_.getLong(1)).max
+    val total = rows.sum
+    val maxBucket = if (nb == 0) 0L else rows.max
     val mean = if (nb == 0) 0.0 else total.toDouble / nb
     val over = maxBucket > probeReadBudget
     // always grow at least one 4× step: a hash-skewed bucket only
