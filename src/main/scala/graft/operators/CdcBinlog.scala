@@ -2998,12 +2998,20 @@ object CdcBinlog {
                 .select($"doc_id", $"ver", $"deleted", $"fp")
                 .coalesce(4)
               val band = cdcm15BandImages(imgs).coalesce(4)
-              if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d") &&
-                  appendCdcFpSegment(band, bandLog, f"b$batchId%06d") &&
-                  appended.incrementAndGet() == 3) {
-                compactCdcFpLog(s, fpLog)
-                compactCdcBandLog(s, bandLog)
-              }
+              // the two structure appends are independent (disjoint
+              // logs off one cached image fold) — run them
+              // concurrently (guide §2.6); both legs' fences sit at
+              // the same ordinal, so evaluating both uncurries the
+              // old short-circuit without changing what gets written
+              val Seq(fpOk, bandOk) = inParallelLegs(Seq(
+                () => appendCdcFpSegment(fp, fpLog, f"b$batchId%06d"),
+                () => appendCdcFpSegment(band, bandLog, f"b$batchId%06d")))
+              if (fpOk && bandOk && appended.incrementAndGet() == 3)
+                // two independent folds of disjoint structures
+                inParallelLegs(Seq(
+                  () => compactCdcFpLog(s, fpLog),
+                  () => compactCdcBandLog(s, bandLog)))
+              ()
             }
           } finally imgs.unpersist()
           ()
@@ -3034,20 +3042,22 @@ object CdcBinlog {
       def probes(logDir: String, mod: Int) = readCommittedLog(s, logDir).get
         .filter($"doc_id" % mod === 0).select($"doc_id").distinct()
         .localCheckpoint(true) // slim id set; DETACH — workdir rotates
-      val fpLeg = Layout.retryOnceOnMissing {
-        cdcFpProbeBatch(s, fpLog, probes(fpLog, 7))
-          .select(lit("fp").as("leg"), $"probe_doc_id".as("probe_id"),
-            $"dup_doc_id".as("key_a"), lit(-1L).as("key_b"),
-            lit(1.0).as("score"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val bandLeg = Layout.retryOnceOnMissing {
-        cdcNearDupProbeBatch(s, bandLog, probes(bandLog, 991))
-          .select(lit("band").as("leg"), $"probe_doc_id".as("probe_id"),
-            $"doc_a".as("key_a"), $"doc_b".as("key_b"),
-            $"jaccard".as("score"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
+      // two disjoint-structure screens, run concurrently (guide §2.6)
+      val Seq(fpLeg, bandLeg) = inParallelLegs(Seq(
+        () => Layout.retryOnceOnMissing {
+          cdcFpProbeBatch(s, fpLog, probes(fpLog, 7))
+            .select(lit("fp").as("leg"), $"probe_doc_id".as("probe_id"),
+              $"dup_doc_id".as("key_a"), lit(-1L).as("key_b"),
+              lit(1.0).as("score"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          cdcNearDupProbeBatch(s, bandLog, probes(bandLog, 991))
+            .select(lit("band").as("leg"), $"probe_doc_id".as("probe_id"),
+              $"doc_a".as("key_a"), $"doc_b".as("key_b"),
+              $"jaccard".as("score"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        }))
       require(fpLeg.limit(1).count() == 1 && bandLeg.limit(1).count() == 1,
         "a vacuous screen (an empty leg) cannot prove the batch shape")
       fpLeg.unionAll(bandLeg)
@@ -3279,7 +3289,10 @@ object CdcBinlog {
           // batch so each table's image fold re-reads columnar cache,
           // not the binlog span
           val b = batch.persist()
-          try tables.foreach { tbl =>
+          // decode once, route N ways — and run the N independent
+          // per-table routes concurrently (guide §2.6): each leg owns
+          // its table's image fold and its index directory outright
+          try inParallelLegs(tables.map(tbl => () => {
             val imgs = cdcm4BatchImages(
               b.filter(b("table") === tbl), batchId).persist()
             try {
@@ -3288,7 +3301,7 @@ object CdcBinlog {
                   imgs, idxOf(tbl), f"b$batchId%06d", nBuckets = cdcm10Buckets)
               ()
             } finally imgs.unpersist()
-          } finally b.unpersist()
+          })) finally b.unpersist()
           ()
         }
         .start()
@@ -3300,7 +3313,8 @@ object CdcBinlog {
             s"$totalBytes bytes) — the routing gate needs >= 3 real " +
             "segments per index")
       }
-      tables.map { tbl =>
+      // independent per-index probes, run concurrently (guide §2.6)
+      inParallelLegs(tables.map(tbl => () =>
         Layout.retryOnceOnMissing {
           graft.operators.TextAnalysis
             .bm25TopKViaCdcIndex(s, idxOf(tbl), cdcm4Terms, 50,
@@ -3308,7 +3322,7 @@ object CdcBinlog {
             .select(lit(tbl).as("tbl"), $"doc_id", $"bm25", $"r_sparse")
             .localCheckpoint(true) // DETACH — the workdir rotates away
         }
-      }.reduce(_.unionAll(_)).orderBy($"tbl", $"r_sparse")
+      )).reduce(_.unionAll(_)).orderBy($"tbl", $"r_sparse")
     }
 
   // cdcm11 — HETEROGENEOUS fan-out: cdcm10's multiplex routed to
@@ -3338,24 +3352,30 @@ object CdcBinlog {
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val b = batch.persist()
-          try {
-            val t = cdcm4BatchImages(
-              b.filter(b("table") === "d1"), batchId).persist()
-            try {
-              if (!t.isEmpty)
-                graft.operators.TextAnalysis.appendCdcTextSegment(
-                  t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets)
-              ()
-            } finally t.unpersist()
-            val v = cdcm5BatchImages(
-              b.filter(b("table") === "d2"), batchId).persist()
-            try {
-              if (!v.isEmpty)
-                graft.operators.Similarity.appendCdcAnnSegment(
-                  v, annIdx, f"b$batchId%06d")
-              ()
-            } finally v.unpersist()
-          } finally b.unpersist()
+          // the two heterogeneous routes are independent — run them
+          // concurrently (guide §2.6); each leg owns its own image
+          // fold, cache and index directory
+          try inParallelLegs(Seq(
+            () => {
+              val t = cdcm4BatchImages(
+                b.filter(b("table") === "d1"), batchId).persist()
+              try {
+                if (!t.isEmpty)
+                  graft.operators.TextAnalysis.appendCdcTextSegment(
+                    t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets)
+                ()
+              } finally t.unpersist()
+            },
+            () => {
+              val v = cdcm5BatchImages(
+                b.filter(b("table") === "d2"), batchId).persist()
+              try {
+                if (!v.isEmpty)
+                  graft.operators.Similarity.appendCdcAnnSegment(
+                    v, annIdx, f"b$batchId%06d")
+                ()
+              } finally v.unpersist()
+            })) finally b.unpersist()
           ()
         }
         .start()
@@ -3370,21 +3390,23 @@ object CdcBinlog {
       // probe vector: the smallest live id's embedding, read back from
       // the vector index itself (one slim row to the driver)
       val probeVec = annProbeVector(s, annIdx)
-      val textLeg = Layout.retryOnceOnMissing {
-        graft.operators.TextAnalysis
-          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
-            nBuckets = cdcm10Buckets)
-          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
-            $"bm25".as("score"), $"r_sparse".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val annLeg = Layout.retryOnceOnMissing {
-        graft.operators.Similarity
-          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
-          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
-            $"dot".cast("double").as("score"), $"r_dense".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
+      // two disjoint-structure probes, run concurrently (guide §2.6)
+      val Seq(textLeg, annLeg) = inParallelLegs(Seq(
+        () => Layout.retryOnceOnMissing {
+          graft.operators.TextAnalysis
+            .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+              nBuckets = cdcm10Buckets)
+            .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
+              $"bm25".as("score"), $"r_sparse".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          graft.operators.Similarity
+            .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+            .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
+              $"dot".cast("double").as("score"), $"r_dense".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        }))
       textLeg.unionAll(annLeg).orderBy($"leg", $"r")
     }
 
@@ -3460,33 +3482,40 @@ object CdcBinlog {
             // fold are shared work, only the structure appends differ
             val t = cdcm4BatchImages(
               b.filter(b("table") === "d1"), batchId).persist()
-            try {
-              if (!t.isEmpty) {
-                if (graft.operators.TextAnalysis.appendCdcTextSegment(
-                      t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets) &&
-                    txtAppends.incrementAndGet() == 3)
-                  graft.operators.TextAnalysis.compactCdcTextIndex(
-                    s, txtIdx, nBuckets = cdcm10Buckets)
-                val fp = t.withColumn("fp",
-                    md5(TextAnalysis.normalize(
-                      expr("substring_index(word, '_', 1)"))))
-                  .select($"doc_id", $"ver", $"deleted", $"fp")
-                  .coalesce(4)
-                if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d"))
-                  fpAppends.incrementAndGet()
-                ()
-              }
-            } finally t.unpersist()
             val v = cdcm5BatchImages(
               b.filter(b("table") === "d2"), batchId).persist()
             try {
-              if (!v.isEmpty &&
-                  graft.operators.Similarity.appendCdcAnnSegment(
-                    v, annIdx, f"b$batchId%06d") &&
-                  annAppends.incrementAndGet() == 4)
-                graft.operators.Similarity.compactCdcAnnIndex(s, annIdx)
+              val tNonEmpty = !t.isEmpty
+              val vNonEmpty = !v.isEmpty
+              // three independent structure legs off one decode — run
+              // concurrently (guide §2.6); each leg's staggered fold
+              // stays serialized against ITS OWN ingest on its thread
+              inParallelLegs(Seq(
+                () => if (tNonEmpty) {
+                  if (graft.operators.TextAnalysis.appendCdcTextSegment(
+                        t, txtIdx, f"b$batchId%06d", nBuckets = cdcm10Buckets) &&
+                      txtAppends.incrementAndGet() == 3)
+                    graft.operators.TextAnalysis.compactCdcTextIndex(
+                      s, txtIdx, nBuckets = cdcm10Buckets)
+                },
+                () => if (tNonEmpty) {
+                  val fp = t.withColumn("fp",
+                      md5(TextAnalysis.normalize(
+                        expr("substring_index(word, '_', 1)"))))
+                    .select($"doc_id", $"ver", $"deleted", $"fp")
+                    .coalesce(4)
+                  if (appendCdcFpSegment(fp, fpLog, f"b$batchId%06d"))
+                    fpAppends.incrementAndGet()
+                  ()
+                },
+                () => if (vNonEmpty) {
+                  if (graft.operators.Similarity.appendCdcAnnSegment(
+                        v, annIdx, f"b$batchId%06d") &&
+                      annAppends.incrementAndGet() == 4)
+                    graft.operators.Similarity.compactCdcAnnIndex(s, annIdx)
+                }))
               ()
-            } finally v.unpersist()
+            } finally { v.unpersist(); t.unpersist() }
           } finally b.unpersist()
           ()
         }
@@ -3520,33 +3549,35 @@ object CdcBinlog {
         "the never-folded fp log grew a replay fence — a shared-fence " +
           "slip would silently drop its replays")
       val probeVec = annProbeVector(s, annIdx)
-      val textLeg = Layout.retryOnceOnMissing {
-        graft.operators.TextAnalysis
-          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
-            nBuckets = cdcm10Buckets)
-          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
-            $"bm25".as("score"), $"r_sparse".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val annLeg = Layout.retryOnceOnMissing {
-        graft.operators.Similarity
-          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
-          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
-            $"dot".cast("double").as("score"), $"r_dense".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val fpLeg = Layout.retryOnceOnMissing {
-        cdcFpGroups(s, fpLog)
-          // unpartitioned rank is SAFE here: the input is the per-prefix
-          // group report — bounded by the vocabulary (8 prefixes), not
-          // the corpus — so the single-partition window never sees more
-          // than a handful of rows at any scale
-          .withColumn("r",
-            row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
-          .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_id"),
-            $"n_docs".cast("double").as("score"), $"r")
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
+      // three disjoint-structure probes, run concurrently (guide §2.6)
+      val Seq(textLeg, annLeg, fpLeg) = inParallelLegs(Seq(
+        () => Layout.retryOnceOnMissing {
+          graft.operators.TextAnalysis
+            .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+              nBuckets = cdcm10Buckets)
+            .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_id"),
+              $"bm25".as("score"), $"r_sparse".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          graft.operators.Similarity
+            .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+            .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_id"),
+              $"dot".cast("double").as("score"), $"r_dense".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          cdcFpGroups(s, fpLog)
+            // unpartitioned rank is SAFE here: the input is the per-prefix
+            // group report — bounded by the vocabulary (8 prefixes), not
+            // the corpus — so the single-partition window never sees more
+            // than a handful of rows at any scale
+            .withColumn("r",
+              row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
+            .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_id"),
+              $"n_docs".cast("double").as("score"), $"r")
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        }))
       textLeg.unionAll(annLeg).unionAll(fpLeg).orderBy($"leg", $"r")
     }
 
@@ -3574,6 +3605,9 @@ object CdcBinlog {
   // ground truth in a common (leg, key_a, key_b, score, r) shape —
   // text BM25, exact MIPS, duplicate groups, and the near-dup pair
   // report with exact Jaccard.
+  private def inParallelLegs[T](legs: Seq[() => T]): Seq[T] =
+    Layout.inParallelLegs(legs)
+
   def cdcm19PolicyDaemonFreshness(s: SparkSession, d: String): DataFrame =
     withRotatingWorkdir("graft-cdcm19") { work =>
       import s.implicits._
@@ -3624,11 +3658,20 @@ object CdcBinlog {
           try {
             // d1's images are derived ONCE and routed to text index,
             // fp log AND band log (the daemon shape: one decode, N
-            // structures)
+            // structures); d2's to the ANN index
             val t = cdcm4BatchImages(
               b.filter(b("table") === "d1"), batchId).persist()
+            val v = cdcm5BatchImages(
+              b.filter(b("table") === "d2"), batchId).persist()
             try {
-              if (!t.isEmpty) {
+              val tNonEmpty = !t.isEmpty
+              val vNonEmpty = !v.isEmpty
+              // the four structures' append→measure→fold legs are
+              // independent (disjoint directories, per-leg state) — run
+              // them concurrently (guide §2.6); each leg alone still
+              // serializes ITS structure's maintenance against its
+              // ingest, which is all the fold contract demands
+              val textLeg0 = () => if (tNonEmpty) {
                 val nb = graft.operators.TextAnalysis
                   .textIndexBucketCount(s, txtIdx).getOrElse(2)
                 if (graft.operators.TextAnalysis.appendCdcTextSegment(
@@ -3646,6 +3689,8 @@ object CdcBinlog {
                     a = txtAdvice()
                   }
                 }
+              }
+              val fpLeg0 = () => if (tNonEmpty) {
                 val fp = t.withColumn("fp",
                     md5(TextAnalysis.normalize(
                       expr("substring_index(word, '_', 1)"))))
@@ -3662,6 +3707,8 @@ object CdcBinlog {
                       s"one fold must retire the fp log's whole debt: $after")
                   }
                 }
+              }
+              val bandLeg0 = () => if (tNonEmpty) {
                 val band = cdcm15BandImages(t).coalesce(4)
                 if (appendCdcFpSegment(band, bandLog, f"b$batchId%06d")) {
                   bandAppends.incrementAndGet()
@@ -3675,24 +3722,23 @@ object CdcBinlog {
                   }
                 }
               }
-            } finally t.unpersist()
-            val v = cdcm5BatchImages(
-              b.filter(b("table") === "d2"), batchId).persist()
-            try {
-              if (!v.isEmpty &&
-                  graft.operators.Similarity.appendCdcAnnSegment(
-                    v, annIdx, f"b$batchId%06d", k = 2)) {
-                annAppends.incrementAndGet()
-                var a = annAdvice()
-                while (a.requantize && a.suggestedK > lastK.get()) {
-                  annFired.incrementAndGet()
-                  lastK.set(a.suggestedK)
-                  graft.operators.Similarity.requantizeCdcAnnIndex(
-                    s, annIdx, k = a.suggestedK)
-                  a = annAdvice()
+              val annLeg0 = () => if (vNonEmpty) {
+                if (graft.operators.Similarity.appendCdcAnnSegment(
+                      v, annIdx, f"b$batchId%06d", k = 2)) {
+                  annAppends.incrementAndGet()
+                  var a = annAdvice()
+                  while (a.requantize && a.suggestedK > lastK.get()) {
+                    annFired.incrementAndGet()
+                    lastK.set(a.suggestedK)
+                    graft.operators.Similarity.requantizeCdcAnnIndex(
+                      s, annIdx, k = a.suggestedK)
+                    a = annAdvice()
+                  }
                 }
               }
-            } finally v.unpersist()
+              inParallelLegs(Seq(textLeg0, fpLeg0, bandLeg0, annLeg0))
+              ()
+            } finally { v.unpersist(); t.unpersist() }
           } finally b.unpersist()
           ()
         }
@@ -3734,46 +3780,50 @@ object CdcBinlog {
       }
       val probeVec = annProbeVector(s, annIdx)
       val negOne = lit(-1L).as("key_b")
-      val textLeg = Layout.retryOnceOnMissing {
-        graft.operators.TextAnalysis
-          .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
-            nBuckets = lastNb.get())
-          .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_a"),
-            negOne, $"bm25".as("score"), $"r_sparse".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val annLeg = Layout.retryOnceOnMissing {
-        graft.operators.Similarity
-          .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
-          .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_a"),
-            negOne, $"dot".cast("double").as("score"), $"r_dense".as("r"))
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val fpLeg = Layout.retryOnceOnMissing {
-        cdcFpGroups(s, fpLog)
-          // unpartitioned rank: bounded by the 8-prefix vocabulary,
-          // never the corpus (cdcm12's fp-leg contract)
-          .withColumn("r",
-            row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
-          .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_a"),
-            negOne, $"n_docs".cast("double").as("score"), $"r")
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
-      val bandLeg = Layout.retryOnceOnMissing {
-        cdcNearDupPairs(s, bandLog)
-          // unpartitioned rank: the report is limit-bounded (<= 500
-          // rows) before the window ever runs; the report detaches via
-          // localCheckpoint, so RESTATE the bound below the window —
-          // semantically a no-op, but it keeps the single-task window
-          // visibly fed by a GlobalLimit in the executed plan (the
-          // plan sweep's bounded-input contract)
-          .limit(500)
-          .withColumn("r",
-            row_number().over(Window.orderBy($"doc_a", $"doc_b")).cast("long"))
-          .select(lit("band").as("leg"), $"doc_a".as("key_a"),
-            $"doc_b".as("key_b"), $"jaccard".as("score"), $"r")
-          .localCheckpoint(true) // DETACH — the workdir rotates away
-      }
+      // the four probes read four disjoint, now-quiescent structures and
+      // each detaches eagerly — independent jobs, run concurrently
+      // (guide §2.6)
+      val Seq(textLeg, annLeg, fpLeg, bandLeg) = inParallelLegs(Seq(
+        () => Layout.retryOnceOnMissing {
+          graft.operators.TextAnalysis
+            .bm25TopKViaCdcIndex(s, txtIdx, cdcm4Terms, 50,
+              nBuckets = lastNb.get())
+            .select(lit("text").as("leg"), $"doc_id".cast("long").as("key_a"),
+              negOne, $"bm25".as("score"), $"r_sparse".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          graft.operators.Similarity
+            .mipsTopKViaCdcAnnIndex(s, annIdx, probeVec, 50)
+            .select(lit("ann").as("leg"), $"vec_id".cast("long").as("key_a"),
+              negOne, $"dot".cast("double").as("score"), $"r_dense".as("r"))
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          cdcFpGroups(s, fpLog)
+            // unpartitioned rank: bounded by the 8-prefix vocabulary,
+            // never the corpus (cdcm12's fp-leg contract)
+            .withColumn("r",
+              row_number().over(Window.orderBy($"keeper_doc_id")).cast("long"))
+            .select(lit("fp").as("leg"), $"keeper_doc_id".cast("long").as("key_a"),
+              negOne, $"n_docs".cast("double").as("score"), $"r")
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        },
+        () => Layout.retryOnceOnMissing {
+          cdcNearDupPairs(s, bandLog)
+            // unpartitioned rank: the report is limit-bounded (<= 500
+            // rows) before the window ever runs; the report detaches via
+            // localCheckpoint, so RESTATE the bound below the window —
+            // semantically a no-op, but it keeps the single-task window
+            // visibly fed by a GlobalLimit in the executed plan (the
+            // plan sweep's bounded-input contract)
+            .limit(500)
+            .withColumn("r",
+              row_number().over(Window.orderBy($"doc_a", $"doc_b")).cast("long"))
+            .select(lit("band").as("leg"), $"doc_a".as("key_a"),
+              $"doc_b".as("key_b"), $"jaccard".as("score"), $"r")
+            .localCheckpoint(true) // DETACH — the workdir rotates away
+        }))
       textLeg.unionAll(annLeg).unionAll(fpLeg).unionAll(bandLeg)
         .orderBy($"leg", $"r")
     }

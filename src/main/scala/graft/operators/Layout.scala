@@ -201,6 +201,39 @@ object Layout {
     * still missing on attempt two the state needs [[recoverPublish]],
     * and the rethrown error says so.
     */
+  /** Run independent legs CONCURRENTLY (guide §2.6: actions are only
+    * sequential because the driver calls them sequentially — overlapping
+    * independent jobs back-fills executor capacity freed by each job's
+    * tail). Used two ways: across STRUCTURES (a fan-out gate's per-index
+    * append→measure→fold routes — each leg keeps its own structure's
+    * maintenance serialized on its thread, so the
+    * never-concurrent-with-ingest contract still holds per structure)
+    * and across LEGS OF ONE WRITE (an append/fold's postings and doclog
+    * jobs, whose commit contract is already intersection-of-_SUCCESS —
+    * order-free by construction). All legs run to completion even if one
+    * fails — an interrupted sibling mid-write would be replay-safe
+    * anyway (a torn uncommitted segment is invisible to readers), but
+    * letting it finish keeps the failure the only abnormality — then the
+    * first failure rethrows on the calling thread. Spark's scheduler
+    * properties (job group, description) are InheritableThreadLocals, so
+    * jobs submitted from these short-lived threads stay attributed to
+    * the caller's job group.
+    */
+  private[graft] def inParallelLegs[T](legs: Seq[() => T]): Seq[T] = {
+    if (legs.sizeIs <= 1) return legs.map(_())
+    import java.util.concurrent.{Callable, Executors, ExecutionException}
+    val pool = Executors.newFixedThreadPool(legs.size)
+    try {
+      val futs = legs.map(l => pool.submit(new Callable[T] { def call(): T = l() }))
+      val settled = futs.map { f =>
+        try Right(f.get())
+        catch { case e: ExecutionException => Left(e.getCause) }
+      }
+      settled.collectFirst { case Left(e) => e }.foreach(e => throw e)
+      settled.collect { case Right(v) => v }
+    } finally pool.shutdown()
+  }
+
   private[graft] def retryOnceOnMissing[T](body: => T): T = {
     // cause-chain walk is BOUNDED (depth cap + identity cycle guard —
     // a cyclic cause chain must not hang the probe) and the catch

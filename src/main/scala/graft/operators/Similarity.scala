@@ -559,16 +559,20 @@ object Similarity {
         cellCentroids(a).write.mode("overwrite").parquet(centPath.toString)
         a
       } else assignToCentroids(live, s.read.parquet(centPath.toString))
-    assigned
-      .withColumn("embedding", $"emb_exact").drop("emb_exact")
-      // cluster by cell before the partitionBy write (tasks x cells
-      // small files per segment otherwise — see appendCdcTextSegment)
-      .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/cells/seg=$segment")
-    images.select($"vec_id", $"ver", $"deleted")
-      .coalesce(4)
-      .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+    // the two legs are independent jobs and their commit contract is
+    // intersection-of-_SUCCESS (order-free) — run them concurrently
+    // (guide §2.6; the text twin does the same)
+    Layout.inParallelLegs(Seq(
+      () => assigned
+        .withColumn("embedding", $"emb_exact").drop("emb_exact")
+        // cluster by cell before the partitionBy write (tasks x cells
+        // small files per segment otherwise — see appendCdcTextSegment)
+        .repartition($"cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/cells/seg=$segment"),
+      () => images.select($"vec_id", $"ver", $"deleted")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")))
     true
   }
 
@@ -608,18 +612,21 @@ object Similarity {
       val cells = s.read.option("basePath", s"$indexDir/cells")
         .parquet(segs.map(n => s"$indexDir/cells/$n"): _*)
         .drop("seg")
-      cells
-        .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-        .select(cells.columns.map(col): _*)
-        .repartition($"cell")
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$staging/cells/seg=base")
-      live.select($"vec_id", $"ver", $"deleted")
-        .coalesce(4)
-        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
-      // centroids carry over unchanged (the quantizer is rebuild-only)
-      s.read.parquet(s"$indexDir/centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      // three independent staging legs off the pinned `live` frame,
+      // published atomically by the swap below (guide §2.6)
+      Layout.inParallelLegs(Seq(
+        () => cells
+          .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
+          .select(cells.columns.map(col): _*)
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/cells/seg=base"),
+        () => live.select($"vec_id", $"ver", $"deleted")
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$staging/doclog/seg=base"),
+        // centroids carry over unchanged (the quantizer is rebuild-only)
+        () => s.read.parquet(s"$indexDir/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")))
       upTo.foreach(u =>
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
       Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)
@@ -717,14 +724,19 @@ object Similarity {
         val assigned = assignToCentroids(floatView, cent)
           .withColumn("embedding", $"emb_exact").drop("emb_exact")
         val staging = s"$indexDir.optimize-${ProcessHandle.current().pid()}"
-        assigned
-          .repartition($"cell")
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$staging/cells/seg=base")
-        live.select($"vec_id", $"ver", $"deleted")
-          .coalesce(4)
-          .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
-        cent.coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+        // three independent staging legs (assigned reads the pinned
+        // rows, cent is a k-row checkpoint) — run concurrently
+        // (guide §2.6); the swap below publishes them atomically
+        Layout.inParallelLegs(Seq(
+          () => assigned
+            .repartition($"cell")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$staging/cells/seg=base"),
+          () => live.select($"vec_id", $"ver", $"deleted")
+            .coalesce(4)
+            .write.mode("overwrite").parquet(s"$staging/doclog/seg=base"),
+          () => cent.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/centroids")))
         upTo.foreach(u =>
           Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
         Layout.publishDir(fs, new org.apache.hadoop.fs.Path(staging), p)

@@ -929,27 +929,31 @@ object TextAnalysis {
           s"$recorded term buckets (re-bucketed?) — pass the recorded count")
       case None => writeBucketMarker(fs, indexDir, nBuckets)
     }
-    images.filter(!$"deleted")
-      .select($"doc_id", $"ver",
-        size(tokens($"text")).cast("long").as("dl"),
-        explode(tokens($"text")).as("term"))
-      .groupBy($"term", $"doc_id", $"ver", $"dl")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
-      // cluster by bucket before the partitionBy write: without this
-      // every task writes into every bucket dir (tasks x buckets small
-      // files PER SEGMENT — a steady stream melts the probe's listing
-      // cost); with it each bucket's rows land in O(1) files
-      .repartition($"tb")
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$indexDir/postings/seg=$segment")
-    // the doc log records DELETES too (a tombstone is a version); slim
-    // rows — a handful of files per segment, not one per task
-    images.select($"doc_id", $"ver", $"deleted",
-        when($"deleted", lit(0L))
-          .otherwise(size(tokens($"text")).cast("long")).as("dl"))
-      .coalesce(4)
-      .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")
+    // the two legs are independent jobs over the same (cached) images
+    // and their commit contract is already intersection-of-_SUCCESS
+    // (order-free) — run them concurrently (guide §2.6)
+    Layout.inParallelLegs(Seq(
+      () => images.filter(!$"deleted")
+        .select($"doc_id", $"ver",
+          size(tokens($"text")).cast("long").as("dl"),
+          explode(tokens($"text")).as("term"))
+        .groupBy($"term", $"doc_id", $"ver", $"dl")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(hash($"term"), lit(nBuckets)))
+        // cluster by bucket before the partitionBy write: without this
+        // every task writes into every bucket dir (tasks x buckets small
+        // files PER SEGMENT — a steady stream melts the probe's listing
+        // cost); with it each bucket's rows land in O(1) files
+        .repartition($"tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$indexDir/postings/seg=$segment"),
+      // the doc log records DELETES too (a tombstone is a version); slim
+      // rows — a handful of files per segment, not one per task
+      () => images.select($"doc_id", $"ver", $"deleted",
+          when($"deleted", lit(0L))
+            .otherwise(size(tokens($"text")).cast("long")).as("dl"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$indexDir/doclog/seg=$segment")))
     true
   }
 
@@ -1002,14 +1006,18 @@ object TextAnalysis {
       .persist() // feeds the posting filter AND the folded doc log
     try {
       val staging = s"$indexDir.compact-${ProcessHandle.current().pid()}"
-      s.read.option("basePath", s"$indexDir/postings")
-        .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
-        .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
-        .select($"term", $"doc_id", $"ver", $"dl", $"tf", $"tb")
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$staging/postings/seg=base")
-      live.select($"doc_id", $"ver", $"deleted", $"dl")
-        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+      // both staging legs consume the pinned `live` frame and publish
+      // atomically via the directory swap below — independent jobs,
+      // run concurrently (guide §2.6)
+      Layout.inParallelLegs(Seq(
+        () => s.read.option("basePath", s"$indexDir/postings")
+          .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
+          .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+          .select($"term", $"doc_id", $"ver", $"dl", $"tf", $"tb")
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$staging/postings/seg=base"),
+        () => live.select($"doc_id", $"ver", $"deleted", $"dl")
+          .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")))
       upTo.foreach(u =>
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
       // the marker travels with the tree (the swap replaces the whole
@@ -1057,16 +1065,18 @@ object TextAnalysis {
       .persist()
     try {
       val staging = s"$indexDir.optimize-${ProcessHandle.current().pid()}"
-      s.read.option("basePath", s"$indexDir/postings")
-        .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
-        .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
-        .select($"term", $"doc_id", $"ver", $"dl", $"tf")
-        .withColumn("tb", pmod(hash($"term"), lit(newBuckets)))
-        .repartition($"tb")
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$staging/postings/seg=base")
-      live.select($"doc_id", $"ver", $"deleted", $"dl")
-        .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")
+      // independent staging legs off the pinned `live` frame (guide §2.6)
+      Layout.inParallelLegs(Seq(
+        () => s.read.option("basePath", s"$indexDir/postings")
+          .parquet(segs.map(n => s"$indexDir/postings/$n"): _*)
+          .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
+          .select($"term", $"doc_id", $"ver", $"dl", $"tf")
+          .withColumn("tb", pmod(hash($"term"), lit(newBuckets)))
+          .repartition($"tb")
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$staging/postings/seg=base"),
+        () => live.select($"doc_id", $"ver", $"deleted", $"dl")
+          .write.mode("overwrite").parquet(s"$staging/doclog/seg=base")))
       upTo.foreach(u =>
         Layout.writeFoldedThrough(fs, new org.apache.hadoop.fs.Path(staging), u))
       writeBucketMarker(fs, staging, newBuckets)

@@ -82,10 +82,20 @@ object ProfileOne {
       (1 to reps).foreach { rep =>
         jobs.synchronized { jobs.clear(); stageToJob.clear(); bySite.clear() }
         recording = true
+        val cg0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        val cgMs0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val wallSec = (System.nanoTime() - t0) / 1e9
         recording = false
+        val cg1 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        val cgMs1 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+        println(f"[profile] codegen compiles this rep: ${cg1 - cg0}, " +
+          f"~${(cgMs1 - cgMs0) / 1e6}%.0f ms compile time")
         Thread.sleep(300) // drain listener bus
         val recs = jobs.synchronized { jobs.values.toVector }.sortBy(_.submitted)
         val totalJobMs = recs.collect { case r if r.completed > 0 => r.completed - r.submitted }.sum
