@@ -1462,7 +1462,7 @@ object CdcBinlog {
           "the freshness gate needs >= 3 real ingest segments")
       // materialize via the publish-race guard: the by-name block
       // rebuilds AND executes the probe, so a concurrent compactor's
-      // two-rename swap costs at most one retry (Layout.retryOnceOnMissing)
+      // two-rename swap costs at most a bounded retry (Layout.retryOnceOnMissing)
       Layout.retryOnceOnMissing {
         graft.operators.TextAnalysis
           .bm25TopKViaCdcIndex(s, idx, cdcm4Terms, 100, nBuckets = cdcm4Buckets)
@@ -3482,8 +3482,11 @@ object CdcBinlog {
             // fold are shared work, only the structure appends differ
             val t = cdcm4BatchImages(
               b.filter(b("table") === "d1"), batchId).persist()
-            val v = cdcm5BatchImages(
-              b.filter(b("table") === "d2"), batchId).persist()
+            // if building v throws, t's cache entry must not leak for
+            // the stream's lifetime — unpersist before rethrowing
+            val v = try cdcm5BatchImages(
+                b.filter(b("table") === "d2"), batchId).persist()
+              catch { case e: Throwable => t.unpersist(); throw e }
             try {
               val tNonEmpty = !t.isEmpty
               val vNonEmpty = !v.isEmpty
@@ -3661,8 +3664,11 @@ object CdcBinlog {
             // structures); d2's to the ANN index
             val t = cdcm4BatchImages(
               b.filter(b("table") === "d1"), batchId).persist()
-            val v = cdcm5BatchImages(
-              b.filter(b("table") === "d2"), batchId).persist()
+            // if building v throws, t's cache entry must not leak for
+            // the stream's lifetime — unpersist before rethrowing
+            val v = try cdcm5BatchImages(
+                b.filter(b("table") === "d2"), batchId).persist()
+              catch { case e: Throwable => t.unpersist(); throw e }
             try {
               val tNonEmpty = !t.isEmpty
               val vNonEmpty = !v.isEmpty

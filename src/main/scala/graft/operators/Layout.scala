@@ -183,23 +183,27 @@ object Layout {
     fs.delete(trash, true)
   }
 
-  /** Run a probe body that may race a [[publishDir]] two-rename swap,
-    * retrying ONCE if it fails on a missing path. The swap's invariant
-    * makes this sufficient: every rename moves a COMPLETE directory, so
-    * a racing reader either (a) lists one consistent version — old or
-    * new — and succeeds, (b) hits the one-rename window where the live
-    * path is absent (`PATH_NOT_FOUND` at plan time), or (c) lists the
-    * old version and then scans after the trash delete has removed
-    * those files (`FileNotFoundException` mid-scan). There is NO
-    * outcome that silently mixes versions: stale listings point at
-    * renamed-away paths, which fail loudly rather than resolve to new
-    * content. The retry re-runs `body` from scratch — it must REBUILD
-    * its DataFrames (a by-name block calling `spark.read` again, so
-    * the second attempt re-lists) and MATERIALIZE them (a lazy frame
-    * returned unexecuted would defeat the guard). One retry suffices
-    * because the publisher performs exactly one swap; if the path is
-    * still missing on attempt two the state needs [[recoverPublish]],
-    * and the rethrown error says so.
+  /** Run a probe body that may race [[publishDir]] two-rename swaps,
+    * retrying (bounded, with backoff) while it fails on a missing path.
+    * The swap's invariant makes a retry always safe: every rename moves
+    * a COMPLETE directory, so a racing reader either (a) lists one
+    * consistent version — old or new — and succeeds, (b) hits the
+    * one-rename window where the live path is absent (`PATH_NOT_FOUND`
+    * at plan time), or (c) lists the old version and then scans after
+    * the trash delete has removed those files (`FileNotFoundException`
+    * mid-scan). There is NO outcome that silently mixes versions: stale
+    * listings point at renamed-away paths, which fail loudly rather
+    * than resolve to new content. Each retry re-runs `body` from
+    * scratch — it must REBUILD its DataFrames (a by-name block calling
+    * `spark.read` again, so every attempt re-lists) and MATERIALIZE
+    * them (a lazy frame returned unexecuted would defeat the guard).
+    * One retry is NOT always enough: under dense fold churn (overlapped
+    * maintenance legs shorten each fold cycle) a slow probe's attempt
+    * can straddle swap N and its retry straddle swap N+1, so the guard
+    * retries up to [[retryAttempts]] times with a short growing backoff
+    * — a missing path that persists past every attempt is not a
+    * transient window, the state needs [[recoverPublish]], and the
+    * rethrown error says so.
     */
   /** Run independent legs CONCURRENTLY (guide §2.6: actions are only
     * sequential because the driver calls them sequentially — overlapping
@@ -221,17 +225,42 @@ object Layout {
     */
   private[graft] def inParallelLegs[T](legs: Seq[() => T]): Seq[T] = {
     if (legs.sizeIs <= 1) return legs.map(_())
-    import java.util.concurrent.{Callable, Executors, ExecutionException}
+    import java.util.concurrent.{Callable, Executors, ExecutionException, TimeUnit}
     val pool = Executors.newFixedThreadPool(legs.size)
     try {
       val futs = legs.map(l => pool.submit(new Callable[T] { def call(): T = l() }))
-      val settled = futs.map { f =>
-        try Right(f.get())
-        catch { case e: ExecutionException => Left(e.getCause) }
-      }
+      val settled =
+        try futs.map { f =>
+          try Right(f.get())
+          catch { case e: ExecutionException =>
+            // an ExecutionException with no cause still carries the failure
+            Left(Option(e.getCause).getOrElse(e): Throwable)
+          }
+        } catch {
+          case ie: InterruptedException =>
+            // caller (stream/query shutdown) interrupted the wait: cancel
+            // the remaining legs, restore the flag, and get out — the
+            // "all legs settle" contract yields to shutdown
+            pool.shutdownNow()
+            Thread.currentThread().interrupt()
+            throw ie
+        }
       settled.collectFirst { case Left(e) => e }.foreach(e => throw e)
       settled.collect { case Right(v) => v }
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // normal path: every future already settled, so this returns at
+      // once and merely reaps the idle threads; interrupt path already
+      // ran shutdownNow. The bound only guards a leg that ignores
+      // cancellation — it must not outlive the call unobserved.
+      try {
+        if (!pool.awaitTermination(10, TimeUnit.SECONDS)) pool.shutdownNow()
+      } catch {
+        case _: InterruptedException =>
+          pool.shutdownNow()
+          Thread.currentThread().interrupt()
+      }
+    }
   }
 
   private[graft] def retryOnceOnMissing[T](body: => T): T = {
@@ -255,19 +284,29 @@ object Layout {
       false
     }
     import scala.util.control.NonFatal
-    try body
-    catch {
-      case NonFatal(e) if missing(e) =>
-        try body
-        catch {
-          case NonFatal(e2) if missing(e2) =>
+    var attempt = 1
+    var first: Throwable = null
+    while (true) {
+      try return body
+      catch {
+        case NonFatal(e) if missing(e) =>
+          if (first == null) first = e
+          if (attempt >= retryAttempts)
             throw new IllegalStateException(
-              "probe failed on a missing path twice — not a transient " +
-                "publish window; run Layout.recoverPublish on the index " +
-                s"path (first failure: ${e.getMessage})", e2)
-        }
+              s"probe failed on a missing path $retryAttempts times — not " +
+                "a transient publish window; run Layout.recoverPublish on " +
+                s"the index path (first failure: ${first.getMessage})", e)
+          // backoff rides out back-to-back swaps (50/100/200 ms); sleep is
+          // interruptible, so shutdown still breaks the loop promptly
+          Thread.sleep(50L << (attempt - 1))
+          attempt += 1
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Missing-path probe attempts before giving up ([[retryOnceOnMissing]]). */
+  private[graft] val retryAttempts = 4
 
   // ---- cross-process fold lease ----------------------------------------
   //

@@ -1100,9 +1100,23 @@ object TextAnalysis {
     */
   def cdcTextIndexStats(s: SparkSession, indexDir: String): DataFrame = {
     import s.implicits._
+    val (nb, occupancy) = liveBucketOccupancy(s, indexDir)
+    s.range(nb).select($"id".cast("int").as("tb"))
+      .join(occupancy, Seq("tb"), "left")
+      .select($"tb", coalesce($"n_postings", lit(0L)).as("n_postings"))
+  }
+
+  /** (recorded bucket count, per-bucket LIVE posting counts — occupied
+    * buckets only) over the committed two-leg view: the policy must
+    * never threshold on a torn in-flight append's half-written batch.
+    * The ONE place the doclog-argmax/liveness-join/occupancy semantics
+    * live — [[cdcTextIndexStats]] (zero-filled frame) and
+    * [[cdcTextIndexAdvice]] (collected counts) both derive from it.
+    */
+  private def liveBucketOccupancy(s: SparkSession,
+                                  indexDir: String): (Int, DataFrame) = {
+    import s.implicits._
     val nb = textIndexBucketCount(s, indexDir).getOrElse(textIndexBuckets)
-    // committed two-leg view, like the probe: the policy must never
-    // threshold on a torn in-flight append's half-written batch
     val (doclog, postings) = Layout.committedIndexLegs(s, indexDir, "postings")
     val live = doclog
       .groupBy($"doc_id")
@@ -1112,9 +1126,7 @@ object TextAnalysis {
     val occupancy = postings
       .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
       .groupBy($"tb").agg(count(lit(1)).as("n_postings"))
-    s.range(nb).select($"id".cast("int").as("tb"))
-      .join(occupancy, Seq("tb"), "left")
-      .select($"tb", coalesce($"n_postings", lit(0L)).as("n_postings"))
+    (nb, occupancy)
   }
 
   /** The executable form of [[cdcTextIndexStats]]'s trigger prose:
@@ -1151,22 +1163,15 @@ object TextAnalysis {
     */
   def cdcTextIndexAdvice(s: SparkSession, indexDir: String,
                          budgetFraction: Double = 0.25): TextMaintenanceAdvice = {
-    import s.implicits._
-    // [[cdcTextIndexStats]]'s occupancy, with the empty-bucket zero-fill
+    // [[liveBucketOccupancy]]'s frame, with the empty-bucket zero-fill
     // done on the k collected rows instead of a range join (one fewer
     // join per measurement; the advice only folds sum/max/length, so
-    // row order is immaterial)
-    val nb = textIndexBucketCount(s, indexDir).getOrElse(textIndexBuckets)
-    val (doclog, postings) = Layout.committedIndexLegs(s, indexDir, "postings")
-    val live = doclog
-      .groupBy($"doc_id")
-      .agg(max(struct($"ver", $"deleted")).as("m"))
-      .select($"doc_id", $"m.ver".as("ver"), $"m.deleted".as("deleted"))
-      .filter(!$"deleted")
-    val occupied = postings
-      .join(live.select($"doc_id", $"ver"), Seq("doc_id", "ver"))
-      .groupBy($"tb").agg(count(lit(1)).as("n_postings"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // row order is immaterial). tb is read type-agnostically — the
+    // partition column is usually inferred IntegerType, but a session
+    // with partitionColumnTypeInference off reads it as string.
+    val (nb, occupancy) = liveBucketOccupancy(s, indexDir)
+    val occupied = occupancy
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
     val counts = Array.tabulate(nb)(tb => occupied.getOrElse(tb, 0L))
     val budget = math.max(1L, (counts.sum * budgetFraction).toLong)
     textMaintenanceAdviceOf(counts, budget)

@@ -6,10 +6,11 @@ import org.scalatest.BeforeAndAfterAll
 
 /** [[Layout.retryOnceOnMissing]] guards the four cdcm probes against
   * the publishDir two-rename window. Its three outcome classes — retry
-  * then succeed, double-missing rethrow naming recoverPublish, and
-  * non-missing passthrough — each get a test, plus the bounded
-  * cause-chain walk (cyclic chains must not hang) and the NonFatal
-  * restriction (an Error wrapping a FNF must propagate, not retry).
+  * then succeed (including across back-to-back swaps), retries-exhausted
+  * rethrow naming recoverPublish, and non-missing passthrough — each get
+  * a test, plus the bounded cause-chain walk (cyclic chains must not
+  * hang) and the NonFatal restriction (an Error wrapping a FNF must
+  * propagate, not retry).
   */
 class RetryOnceOnMissingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -48,16 +49,33 @@ class RetryOnceOnMissingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(attempt === 2)
   }
 
-  test("missing on both attempts: rethrow names recoverPublish, body ran twice") {
+  test("missing on every attempt: rethrow names recoverPublish after the bounded loop") {
     var attempt = 0
     val e = intercept[IllegalStateException](Layout.retryOnceOnMissing {
       attempt += 1
       throw new java.io.FileNotFoundException(s"gone (attempt $attempt)")
     })
-    assert(attempt === 2)
+    assert(attempt === Layout.retryAttempts)  // bounded — gives up, never spins
     assert(e.getMessage.contains("recoverPublish"))
     assert(e.getMessage.contains("attempt 1"))  // first failure quoted
-    assert(e.getCause.getMessage.contains("attempt 2"))
+    assert(e.getCause.getMessage.contains(s"attempt ${Layout.retryAttempts}"))
+  }
+
+  /** The round-21 break, reconstructed: dense fold churn makes a probe
+    * straddle TWO consecutive publish swaps — attempts 1 and 2 both hit
+    * missing paths, attempt 3 succeeds. A single retry would give up
+    * here; the bounded loop must ride it out.
+    */
+  test("probe straddling two back-to-back swaps: third attempt succeeds") {
+    var attempt = 0
+    val got = Layout.retryOnceOnMissing {
+      attempt += 1
+      if (attempt <= 2)
+        throw new java.io.FileNotFoundException(s"swap window $attempt")
+      7
+    }
+    assert(got === 7)
+    assert(attempt === 3)
   }
 
   test("non-missing failure passes through unretried") {
