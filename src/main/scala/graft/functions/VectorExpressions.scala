@@ -12,24 +12,40 @@ import org.apache.spark.sql.types._
   * The composable form (`zip_with` + `aggregate` higher-order functions)
   * allocates a lambda frame per element and does not participate in
   * whole-stage codegen. This expression generates a tight primitive loop
-  * instead — same numeric semantics as the HOF pipeline in
-  * [[graft.operators.VectorOps]]: widen each float to double *before*
-  * multiplying, accumulate strictly left-to-right from 0.0 — so results
-  * (and the DuckDB oracle hashes) are bit-identical.
+  * instead — same numeric semantics as the HOF pipelines it replaces:
+  * for float/double elements, widen each element to double *before*
+  * multiplying and accumulate strictly left-to-right from 0.0 (the
+  * [[graft.operators.VectorOps]] contract); for long×long, multiply and
+  * accumulate in long from 0L with Java wrap-around — so results (and
+  * the DuckDB oracle hashes) are bit-identical in every case.
+  *
+  * Accepted element-type pairs: any mix of float/double → double;
+  * long×long → long.
   *
   * Registered as SQL function `graft_dot` via [[GraftFunctions.register]].
   */
 case class FloatDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType | LongType), _) => Some(t)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+    (elemType(left), elemType(right)) match {
+      case (Some(LongType), Some(LongType)) => TypeCheckResult.TypeCheckSuccess
+      case (Some(l), Some(r)) if l != LongType && r != LongType =>
         TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects (array<float>, array<float>), got ($l, $r)")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_dot expects two arrays of float/double elements (any mix) " +
+          s"or two arrays of long, got (${left.dataType}, ${right.dataType})")
     }
-  override def dataType: DataType = DoubleType
+
+  private lazy val integral: Boolean =
+    elemType(left).contains(LongType) && elemType(right).contains(LongType)
+
+  override def dataType: DataType = if (integral) LongType else DoubleType
   override def prettyName: String = "graft_dot"
   override def nullable: Boolean = true
 
@@ -46,14 +62,31 @@ case class FloatDotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (integral) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
+    } else {
+      def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+        case FloatType => arr.getFloat(i).toDouble
+        case _ => arr.getDouble(i)
+      }
+      val lt = elemType(left).get
+      val rt = elemType(right).get
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+        acc += get(x, lt, i) * get(y, rt, i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -68,15 +101,26 @@ case class FloatDotProduct(left: Expression, right: Expression)
         if (elementsNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      def load(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case LongType => s"$arr.getLong($i)"
+      }
+      val (accDecl, term) =
+        if (integral)
+          (s"long $acc = 0L;", s"$a.getLong($i) * $b.getLong($i)")
+        else
+          (s"double $acc = 0.0;",
+            s"${load(a, elemType(left).get)} * ${load(b, elemType(right).get)}")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
-         |  double $acc = 0.0;
+         |  $accDecl
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $term;
          |  }
          |  ${ev.value} = $acc;
          |}

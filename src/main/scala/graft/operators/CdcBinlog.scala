@@ -3650,6 +3650,13 @@ object CdcBinlog {
         maxSegments = segBudget)
       def bandAdvice() = logMaintenanceAdvice(cdcLogStats(s, bandLog),
         maxSegments = segBudget)
+      // the band leg runs at FOLD-CONSIDERATION cadence (every 2nd
+      // append), the MaintenanceCadence deployment contract: the
+      // amplification measure is an O(log) scan, so at 100 TB it cannot
+      // run per append — and the probes are fold-invariant, so WHEN the
+      // fold lands cannot change the gate's rows. The other three legs
+      // keep per-append measurement (both cadences stay gate-tested).
+      val bandCadence = new MaintenanceCadence(2)
       val changes = s.readStream.format("mysql-binlog")
         .option("payloadDdl", payloadDdl)
         .option("maxBytesPerTrigger", cap.toString)
@@ -3718,13 +3725,15 @@ object CdcBinlog {
                 val band = cdcm15BandImages(t).coalesce(4)
                 if (appendCdcFpSegment(band, bandLog, f"b$batchId%06d")) {
                   bandAppends.incrementAndGet()
-                  val a = bandAdvice()
-                  if (a.compact) {
-                    bandFired.incrementAndGet()
-                    compactCdcBandLog(s, bandLog)
-                    val after = bandAdvice()
-                    require(!after.compact,
-                      s"one fold must retire the band log's whole debt: $after")
+                  if (bandCadence.due()) {
+                    val a = bandAdvice()
+                    if (a.compact) {
+                      bandFired.incrementAndGet()
+                      compactCdcBandLog(s, bandLog)
+                      val after = bandAdvice()
+                      require(!after.compact,
+                        s"one fold must retire the band log's whole debt: $after")
+                    }
                   }
                 }
               }
@@ -3761,8 +3770,21 @@ object CdcBinlog {
         s"every policy must fire under its planted pressure (text=" +
           s"${txtFired.get()}, ann=${annFired.get()}, fp=${fpFired.get()}, " +
           s"band=${bandFired.get()})")
-      // the daemon left nothing owing: every append was followed by a
-      // measure-and-fold, so end-state debt cannot survive
+      // the cadence-carrying leg's documented shutdown obligation: a
+      // daemon shutting down runs ONE final measure-and-fold regardless
+      // of phase, or mid-cadence debt outlives the stream just because
+      // it ended (the MaintenanceCadence contract — no shutdown hook,
+      // the caller owes the final measure)
+      locally {
+        val a = bandAdvice()
+        if (a.compact) {
+          bandFired.incrementAndGet()
+          compactCdcBandLog(s, bandLog)
+        }
+      }
+      // the daemon left nothing owing: the per-append legs measured after
+      // every append, the cadence leg just ran its shutdown measure —
+      // end-state debt cannot survive either cadence
       val (te, ae, fe, be) = (txtAdvice(), annAdvice(), fpAdvice(), bandAdvice())
       require(!te.rebucket && !ae.requantize && !fe.compact && !be.compact,
         s"the daemon left maintenance owing at stream end: " +

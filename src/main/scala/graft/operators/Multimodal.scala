@@ -557,6 +557,7 @@ object Multimodal {
 
   def mm10MediaEmbedSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val dim = 8
     // probe and corpus are SEPARATE pipelines, each filtered before the
     // opaque encoder: the doc_id predicates push into the parquet scans,
@@ -565,9 +566,9 @@ object Multimodal {
       .toDF().select($"emb".as("qe"))
     encodeMedia(mediaTable(s, d).filter($"doc_id" =!= 0), dim).toDF()
       .crossJoin(broadcast(q))
+      // codegen'd long dot — bit-identical to the interpreted HOF fold
       .select($"doc_id", $"media_type",
-        aggregate(zip_with($"emb", $"qe", (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+        call_function("graft_dot", $"emb", $"qe").as("dot"))
       .orderBy($"dot".desc, $"doc_id")
       .limit(10)
   }

@@ -447,9 +447,12 @@ object Similarity {
     */
   private[operators] def assignToCentroids(batch: DataFrame, cent: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
-    def dotd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    // the per-row k·dims inner loop of every append/requantize: the
+    // codegen'd graft_dot (double widen before multiply, left-to-right
+    // fold — bit-identical to the HOF form it replaced, which ran
+    // INTERPRETED per element and was the whole pass at requantize scale)
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    def dotd(a: Column, b: Column): Column = call_function("graft_dot", a, b)
     // ranking drops the row's own norm: it scales every seed's cosine by
     // the same positive constant, so the argmax is unchanged and the
     // per-seed HOF work halves (dot(a,a) would otherwise recompute k times).
@@ -858,6 +861,7 @@ object Similarity {
                                    qVec: Seq[Long], kTop: Int,
                                    nprobe: Int): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     // committed two-leg view (Layout.committedIndexLegs): a torn
     // in-flight append is invisible, a mid-swap absence throws the
     // FNF retryOnceOnMissing retries
@@ -882,9 +886,9 @@ object Similarity {
       }
     val scored = pruned
       .join(live.select($"vec_id", $"ver"), Seq("vec_id", "ver"))
-      .select($"vec_id",
-        aggregate(zip_with($"embedding", q, (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+      // codegen'd long dot (wrap-around accumulate from 0L — bit-identical
+      // to the interpreted HOF fold it replaced), one per live row
+      .select($"vec_id", call_function("graft_dot", $"embedding", q).as("dot"))
     rankedTopK(scored, $"dot", $"vec_id", kTop, "r_dense")
   }
 
